@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line with per-query wall seconds.
+
+Headline set spans the engine's cost classes: scan+agg (q01), shuffle
+joins (q03/q05), window (q08), flagship outlier vote (q17), minhash dedup
+(LSH join), ANN (array kernels), streaming (stateful agg), text stats.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from big_data_science_project_spark.session import get_spark
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_revenue_topn",
+    "q05_region_revenue",
+    "q08_running_total",
+    "q17_outlier_votes",
+    "q18_small_qty_vs_avg",
+    "dedup_minhash_verified",
+    "ann_bruteforce_topk",
+    "text_token_stats",
+    "stream_hourly_by_type",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    spark = get_spark("bench")
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+
+    # warm the JVM/codegen path once on a trivial action
+    spark.range(1000).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

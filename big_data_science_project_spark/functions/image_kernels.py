@@ -1,0 +1,183 @@
+"""Array/image kernel library — the reference's per-row numpy feature code
+re-expressed as Catalyst column expressions (higher-order array functions)
+plus one Arrow-vectorized pandas UDF where per-pixel neighborhood logic is
+genuinely needed.
+
+Layout contract (reference §1.1): ``data``/``mask`` are channel-major flat
+arrays of length C×W×H; ``reshape(data, (C, W, H))`` recovers the tensor
+(reference ``feature extraction.py:87-88``).
+
+Reference semantics preserved exactly:
+- area = count of True pixels per channel (``feature extraction.py:80-83``)
+- masked mean intensity = mean of pixels where mask is **False** — numpy
+  MaskedArray convention, True = excluded (``feature extraction.py:38-41``)
+- perimeter = Σ over foreground pixels of 4-neighbors that are background;
+  out-of-bounds neighbors not counted (``feature extraction.py:54-77``)
+- circularity = 4πA/P², 0 when P == 0 (``feature extraction.py:44-51``)
+- confusion/balanced accuracy use the STANDARD TP/FP/TN/FN definitions;
+  the reference swaps FP and FN (``image_masking.py:54-59`` — SURVEY.md
+  §Pitfalls 5; we implement the intended metric)
+- balanced accuracy empty-class guard: a class with no pixels contributes
+  rate 1 (``image_masking.py:62-69``)
+
+Everything except perimeter is a pure column expression → whole-stage
+codegen, no Python. Perimeter ships Arrow batches to a numpy kernel that
+does 4 shifted comparisons per image — O(WH) vectorized, not the
+reference's per-pixel interpreted loop.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# ---------------------------------------------------------------------------
+# channel slicing (K1): flat channel-major array → one channel's W×H slice
+# ---------------------------------------------------------------------------
+def channel_slice(arr: Column, channel: Column | int, wh: Column) -> Column:
+    """slice() is 1-indexed; channel is 0-based."""
+    ch = F.lit(channel) if isinstance(channel, int) else channel
+    return F.slice(arr, ch * wh + 1, wh)
+
+
+# ---------------------------------------------------------------------------
+# area (K2): count of True pixels
+# ---------------------------------------------------------------------------
+def area(mask_ch: Column) -> Column:
+    return F.size(F.filter(mask_ch, lambda x: x)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# masked mean intensity (K5): mean over pixels where mask is False
+# ---------------------------------------------------------------------------
+def masked_mean(data_ch: Column, mask_ch: Column) -> Column:
+    total = F.aggregate(
+        F.zip_with(data_ch, mask_ch,
+                   lambda v, m: F.when(m, F.lit(0.0)).otherwise(v)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    n = F.size(F.filter(mask_ch, lambda x: ~x))
+    return F.when(n > 0, total / n).otherwise(F.lit(None).cast("double"))
+
+
+# ---------------------------------------------------------------------------
+# circularity (K4)
+# ---------------------------------------------------------------------------
+def circularity(area_col: Column, perimeter_col: Column) -> Column:
+    return F.when(
+        perimeter_col > 0,
+        4.0 * math.pi * area_col / (perimeter_col * perimeter_col),
+    ).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# perimeter (K3): pandas UDF — 4-connectivity boundary-pair count
+# ---------------------------------------------------------------------------
+def _perimeter_np(mask: np.ndarray) -> int:
+    """mask: 2-D bool. Count (foreground, in-bounds background) adjacent
+    pairs over the 4-neighborhood — vectorized version of the reference's
+    per-pixel loop at feature extraction.py:54-77."""
+    fg = mask.astype(bool)
+    p = 0
+    p += int((fg[1:, :] & ~fg[:-1, :]).sum()) + int((fg[:-1, :] & ~fg[1:, :]).sum())
+    p += int((fg[:, 1:] & ~fg[:, :-1]).sum()) + int((fg[:, :-1] & ~fg[:, 1:]).sum())
+    return p
+
+
+@F.pandas_udf(T.LongType())
+def perimeter_udf(mask_ch: pd.Series, width: pd.Series, height: pd.Series) -> pd.Series:
+    out = np.empty(len(mask_ch), dtype=np.int64)
+    for i, (m, w, h) in enumerate(zip(mask_ch, width, height)):
+        out[i] = _perimeter_np(np.asarray(m, dtype=bool).reshape(int(w), int(h)))
+    return pd.Series(out)
+
+
+# ---------------------------------------------------------------------------
+# confusion counts (K9) — standard orientation (reference swaps FP/FN)
+# ---------------------------------------------------------------------------
+def confusion(gt: Column, pred: Column) -> dict[str, Column]:
+    def count(f) -> Column:
+        return F.size(F.filter(F.zip_with(gt, pred, f), lambda x: x)).cast("long")
+    return {
+        "tp": count(lambda g, p: g & p),
+        "fp": count(lambda g, p: ~g & p),
+        "tn": count(lambda g, p: ~g & ~p),
+        "fn": count(lambda g, p: g & ~p),
+    }
+
+
+# ---------------------------------------------------------------------------
+# balanced accuracy (K10) / plain accuracy (K11)
+# ---------------------------------------------------------------------------
+def balanced_accuracy(tp: Column, fp: Column, tn: Column, fn: Column) -> Column:
+    tpr = F.when(tp + fn > 0, tp / (tp + fn)).otherwise(F.lit(1.0))
+    tnr = F.when(tn + fp > 0, tn / (tn + fp)).otherwise(F.lit(1.0))
+    return (tpr + tnr) / 2.0
+
+
+def accuracy(tp: Column, fp: Column, tn: Column, fn: Column) -> Column:
+    total = tp + fp + tn + fn
+    return F.when(total > 0, (tp + tn) / total).otherwise(F.lit(None).cast("double"))
+
+
+# ---------------------------------------------------------------------------
+# simple threshold mask (stand-in for the Canny kernel, K7): the container
+# has no OpenCV, so the edge-detector step is a deterministic fake —
+# threshold + 1-pixel morphological close via pandas UDF. The Spark-side
+# plumbing (schema, batching, per-channel params) matches what a real
+# cv2.Canny UDF would use; swap _fake_canny_np for cv2 when available.
+# ---------------------------------------------------------------------------
+def _fake_canny_np(img: np.ndarray, t1: float, t2: float) -> np.ndarray:
+    m = img >= ((t1 + t2) / 2.0)
+    # 1-iteration binary closing with a 3×3 cross (dilate then erode)
+    def dilate(x):
+        y = x.copy()
+        y[1:, :] |= x[:-1, :]; y[:-1, :] |= x[1:, :]
+        y[:, 1:] |= x[:, :-1]; y[:, :-1] |= x[:, 1:]
+        return y
+    def erode(x):
+        y = x.copy()
+        y[1:, :] &= x[:-1, :]; y[:-1, :] &= x[1:, :]
+        y[:, 1:] &= x[:, :-1]; y[:, :-1] &= x[:, 1:]
+        return y
+    return erode(dilate(m))
+
+
+def make_threshold_mask_udf(t1: float, t2: float):
+    """Per-channel mask predictor (reference calculate_masks,
+    image_masking.py:83-90, with the cv2 call stubbed)."""
+
+    @F.pandas_udf(T.ArrayType(T.BooleanType()))
+    def predict_mask(data_ch: pd.Series, width: pd.Series, height: pd.Series) -> pd.Series:
+        out = []
+        for d, w, h in zip(data_ch, width, height):
+            img = np.asarray(d, dtype=np.float64).reshape(int(w), int(h))
+            out.append(_fake_canny_np(img, t1, t2).reshape(-1).tolist())
+        return pd.Series(out)
+
+    return predict_mask
+
+
+# ---------------------------------------------------------------------------
+# KMeans pixel featurization (K12): posexplode → (10·intensity, x, y)
+# ---------------------------------------------------------------------------
+def pixel_features(df, data_col: str = "data_ch", width_col: str = "height"):
+    """Explode one channel's pixels into (image_id, x, y, fx) rows for
+    MLlib clustering — reference image_masking.py:31-33 including the ×10
+    intensity weighting."""
+    h = F.col(width_col)
+    return (
+        df.select("image_id", F.posexplode(data_col).alias("pos", "intensity"), h.alias("_h"))
+        .select(
+            "image_id",
+            (F.col("pos") / F.col("_h")).cast("int").alias("x"),
+            (F.col("pos") % F.col("_h")).alias("y"),
+            (F.col("intensity") * 10.0).alias("fx"),
+        )
+    )

@@ -1,0 +1,35 @@
+"""Operator/query registry.
+
+Each operator module defines ``QUERIES: dict[name, (callable, oracle_sql)]``
+where the callable is ``(spark, sf_dir) -> DataFrame`` and ``oracle_sql`` is
+an equivalent DuckDB SQL string (or ``None`` for non-SQL-expressible ops —
+the driver then records a weaker rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
+    """Merge every operator module's QUERIES into (queries, oracles)."""
+    from . import dedup, outlier, relational, similarity, text
+    from ..streaming import events as streaming_events
+    from ..sources import cells as cells_src
+
+    queries: dict[str, QueryFn] = {}
+    oracles: dict[str, str] = {}
+    for mod in (relational, outlier, dedup, similarity, text,
+                streaming_events, cells_src):
+        for name, (fn, sql) in getattr(mod, "QUERIES", {}).items():
+            if name in queries:
+                raise ValueError(f"duplicate query name: {name}")
+            queries[name] = fn
+            if sql is not None:
+                oracles[name] = sql
+    return queries, oracles

@@ -1,0 +1,267 @@
+"""Deduplication operators over ``documents`` (engine-mandated
+LLM-data-pipeline surface; SURVEY.md Phase 5).
+
+Four tiers, cheapest first — the standard large-corpus dedup ladder:
+
+1. exact: hash-groupBy on a content digest. One shuffle on the digest;
+   at 100 TB the digest (16 bytes) is the only thing shuffled.
+2. MinHash + LSH banding: shingle → k min-hashes → band buckets →
+   candidate pairs only within buckets. Avoids the O(n²) cross join; the
+   band join shuffles (band_id, band_key) pairs, and bucket sizes bound
+   the pair blow-up.
+3. n-gram Jaccard verification on LSH candidates (not all pairs).
+4. SimHash: 64-bit locality hash from token hashes — near-dup candidates
+   share the exact simhash (or a rotated band of it).
+
+Everything is built from md5 (identical across engines) + higher-order
+array functions, so the full pipeline — including MinHash — is
+DuckDB-verifiable, unlike ``ml.feature.MinHashLSH`` whose hash family is
+JVM-internal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+QUERIES: dict = {}
+
+N_HASHES = 8          # minhash signature length
+BAND_SIZE = 2         # rows per LSH band → N_HASHES/BAND_SIZE bands
+SHINGLE = 3           # tokens per shingle
+
+
+# ---------------------------------------------------------------------------
+# exact dedup: digest → keep lowest doc_id as canonical
+# ---------------------------------------------------------------------------
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    digest = F.md5(F.col("text"))
+    return (
+        d.select(digest.alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("canonical_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+QUERIES["dedup_exact"] = (dedup_exact, """
+SELECT md5(text) AS digest,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+HAVING COUNT(*) > 1
+""")
+
+
+# ---------------------------------------------------------------------------
+# shared shingle machinery (Spark side)
+# ---------------------------------------------------------------------------
+def _shingles(text_col: str = "text"):
+    """Distinct SHINGLE-token shingles as an array<string> column.
+    Guard short docs: sequence(0, n) runs DESCENDING when n < 0, which
+    would fabricate shingles from out-of-range indices."""
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - SHINGLE)
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
+    )
+    return F.when(F.size(toks) >= SHINGLE, F.array_distinct(sh)) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+# DuckDB mirror: list_transform over generate_series; lists are 1-based
+_SHINGLES_SQL = """
+  list_distinct(list_transform(
+    generate_series(1, len(string_split(text, ' ')) - {w}),
+    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+         || ' ' || string_split(text, ' ')[i+2]))
+""".format(w=SHINGLE - 1)
+
+
+# ---------------------------------------------------------------------------
+# MinHash signature: h_i(doc) = min over shingles of md5(i || '|' || shingle)
+# (lexicographic min of hex digests — portable across engines).
+# ---------------------------------------------------------------------------
+def _minhash_bands(d: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) — band_key concatenates BAND_SIZE
+    consecutive minhashes; near-dup docs collide on ≥1 band."""
+    sh = _shingles().alias("shingles")
+    doc = d.select("doc_id", sh).filter(F.size("shingles") > 0)
+    # NB: factory, not `lambda s, i=i` — PySpark inspects lambda arity, and a
+    # second parameter (even defaulted) binds the array *index* column
+    def _mh(i: int):
+        prefix = f"{i}|"
+        return F.array_min(F.transform(
+            F.col("shingles"), lambda s: F.md5(F.concat(F.lit(prefix), s))))
+
+    minhashes = F.array(*[_mh(i) for i in range(N_HASHES)])
+    doc = doc.select("doc_id", minhashes.alias("sig"))
+    n_bands = N_HASHES // BAND_SIZE
+    bands = F.array(*[
+        F.concat_ws("", *[F.col("sig")[b * BAND_SIZE + j] for j in range(BAND_SIZE)])
+        for b in range(n_bands)
+    ])
+    return (
+        doc.select("doc_id", F.posexplode(bands).alias("band_id", "band_key"))
+    )
+
+
+def _minhash_bands_sql() -> str:
+    hash_exprs = ", ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}|' || s)))"
+        for i in range(N_HASHES)
+    )
+    n_bands = N_HASHES // BAND_SIZE
+    band_exprs = ", ".join(
+        "(" + str(b) + ", " + " || ".join(
+            f"sig[{b * BAND_SIZE + j + 1}]" for j in range(BAND_SIZE)) + ")"
+        for b in range(n_bands)
+    )
+    return f"""
+  WITH docs AS (
+    SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+  ), sigs AS (
+    SELECT doc_id, [{hash_exprs}] AS sig
+    FROM docs WHERE len(shingles) > 0
+  )
+  SELECT doc_id, b.band_id, b.band_key
+  FROM sigs, LATERAL (VALUES {band_exprs}) AS b(band_id, band_key)
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH candidate pairs (doc_id1 < doc_id2, distinct)
+# ---------------------------------------------------------------------------
+def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bands = _minhash_bands(d)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_id1"),
+                F.col("b.doc_id").alias("doc_id2"))
+        .distinct()
+    )
+
+
+QUERIES["dedup_minhash_candidates"] = (dedup_minhash_candidates, f"""
+WITH bands AS ({_minhash_bands_sql()})
+SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key
+ AND a.doc_id < b.doc_id
+""")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification of the LSH candidates
+# ---------------------------------------------------------------------------
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cands = dedup_minhash_candidates(spark, sf_dir)
+    sh = d.select("doc_id", _shingles().alias("shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_id1"), F.col("shingles").alias("sh1"))
+    b = sh.select(F.col("doc_id").alias("doc_id2"), F.col("shingles").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
+    union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
+    return (
+        cands.join(a, "doc_id1").join(b, "doc_id2")
+        .select("doc_id1", "doc_id2",
+                F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+QUERIES["dedup_minhash_verified"] = (dedup_minhash_verified, f"""
+WITH bands AS ({_minhash_bands_sql()}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents)
+SELECT c.doc_id1, c.doc_id2,
+       ROUND(CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
+             / (CAST(len(s1.shingles) + len(s2.shingles) AS DOUBLE)
+                - CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)),
+             6) AS jaccard
+FROM cands c
+JOIN sh s1 ON c.doc_id1 = s1.doc_id
+JOIN sh s2 ON c.doc_id2 = s2.doc_id
+WHERE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
+      / (CAST(len(s1.shingles) + len(s2.shingles) AS DOUBLE)
+         - CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)) >= 0.5
+""")
+
+
+# ---------------------------------------------------------------------------
+# SimHash: locality-sensitive fingerprint from per-token md5 bits.
+# Tokens vote per bit position (+1 if the token-hash bit is 1, else −1);
+# the sign of each position's total forms the fingerprint. Near-identical
+# docs get identical simhashes → dedup is a plain groupBy again.
+# 16 bits here (first 4 md5 hex chars) — production would use 64 and
+# Hamming-band buckets; the plumbing is identical.
+# ---------------------------------------------------------------------------
+SIM_BITS = 16
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    tok_hash = F.conv(F.substring(F.md5(F.col("tok")), 1, SIM_BITS // 4), 16, 10).cast("int")
+    exploded = (
+        d.select("doc_id", F.explode(toks).alias("tok"))
+        .select("doc_id", tok_hash.alias("h"))
+    )
+    bit_votes = [
+        F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1))
+        .alias(f"b{b}")
+        for b in range(SIM_BITS)
+    ]
+    votes = exploded.groupBy("doc_id").agg(*bit_votes)
+    fingerprint = F.concat(*[
+        F.when(F.col(f"b{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for b in range(SIM_BITS - 1, -1, -1)
+    ])
+    return (
+        votes.select("doc_id", fingerprint.alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.min("doc_id").alias("canonical_id"),
+             F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _simhash_sql() -> str:
+    bit_votes = ", ".join(
+        f"SUM(CASE WHEN (h & {1 << b}) != 0 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIM_BITS)
+    )
+    fingerprint = " || ".join(
+        f"CASE WHEN b{b} > 0 THEN '1' ELSE '0' END"
+        for b in range(SIM_BITS - 1, -1, -1)
+    )
+    return f"""
+WITH exploded AS (
+  SELECT doc_id,
+         CAST(('0x' || SUBSTRING(md5(tok.t), 1, {SIM_BITS // 4})) AS INTEGER) AS h
+  FROM documents, LATERAL unnest(list_distinct(string_split(text, ' '))) AS tok(t)
+),
+votes AS (SELECT doc_id, {bit_votes} FROM exploded GROUP BY doc_id),
+fp AS (SELECT doc_id, {fingerprint} AS simhash FROM votes)
+SELECT simhash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
+FROM fp GROUP BY simhash HAVING COUNT(*) > 1
+"""
+
+
+QUERIES["dedup_simhash"] = (dedup_simhash, _simhash_sql())

@@ -1,0 +1,606 @@
+"""Relational core: scan → project/filter → agg → join → window → set ops.
+
+The reference has no relational surface beyond scan/limit/count (SURVEY.md
+§2.4-2.5: "no joins, no window functions, no set operations"); these
+operators are the engine-mandated generic DataFrame/SQL layer, each verified
+against a DuckDB oracle. Every query is expressed declaratively so Catalyst
+supplies pushdown, pruning, join planning and whole-stage codegen; comments
+call out the scale-relevant plan choices.
+
+Naming convention: every computed column is aliased identically in the
+DataFrame plan and the oracle SQL (driver hashes columns sorted by name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.numeric import davg, davg_expr, dsum, dsum_expr
+from ..sources.tables import load_table
+
+QUERIES: dict = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, oracle)
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# q01: pricing summary (TPC-H Q1 shape) — the canonical partial+final
+# hash aggregation. At 100 TB this is a map-side-combine over ~4 groups:
+# shuffle volume is O(partitions × groups), essentially free.
+# ---------------------------------------------------------------------------
+@q("q01_pricing_summary", f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_expr('l_quantity')}                                    AS sum_qty,
+       {dsum_expr('l_extendedprice')}                               AS sum_base_price,
+       {dsum_expr('l_extendedprice * (1 - l_discount)')}            AS sum_disc_price,
+       {dsum_expr('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {davg_expr('l_quantity')}                                    AS avg_qty,
+       {davg_expr('l_extendedprice')}                               AS avg_price,
+       {davg_expr('l_discount')}                                    AS avg_disc,
+       COUNT(*)                                                     AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q02: projection + predicate — both must reach the parquet scan
+# (PushedFilters / ReadSchema in .explain). No shuffle at all.
+# ---------------------------------------------------------------------------
+@q("q02_filter_project", """
+SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_quantity > 45
+""")
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_quantity") > 45)
+    ).select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+
+
+# ---------------------------------------------------------------------------
+# q03: 3-way join + agg + deterministic top-k (TPC-H Q3 shape).
+# customer is small → broadcast; orders⋈lineitem is the big shuffle and
+# joins on the natural key, so AQE can split a skewed o_orderkey.
+# Top-k = orderBy().limit(): Spark plans TakeOrderedAndProject — no full sort.
+# ---------------------------------------------------------------------------
+@q("q03_revenue_topn", f"""
+SELECT l_orderkey, o_orderdate_s, revenue
+FROM (
+  SELECT l.l_orderkey,
+         CAST(o.o_orderdate AS VARCHAR) AS o_orderdate_s,
+         {dsum_expr('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+  FROM customer c
+  JOIN orders o   ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+  GROUP BY l.l_orderkey, CAST(o.o_orderdate AS VARCHAR)
+) t
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""")
+def q03_revenue_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("string").alias("o_orderdate_s"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q04: EXISTS → left-semi join (TPC-H Q4 shape). Semi join ships only the
+# join key of the probe side, and duplicate keys never multiply rows.
+# ---------------------------------------------------------------------------
+@q("q04_order_priority", """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 40)
+GROUP BY o_orderpriority
+""")
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 40)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q05: star join across all dims (TPC-H Q5 shape). region/nation/customer/
+# supplier are dimensions → broadcast chain; only lineitem⋈orders shuffles.
+# ---------------------------------------------------------------------------
+@q("q05_region_revenue", f"""
+SELECT n.n_name,
+       {dsum_expr('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM lineitem l
+JOIN orders o    ON l.l_orderkey = o.o_orderkey
+JOIN customer c  ON o.o_custkey = c.c_custkey
+JOIN supplier s  ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n    ON c.c_nationkey = n.n_nationkey
+JOIN region r    ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""")
+def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s),
+              (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q06: pure filter + global sum (TPC-H Q6 shape). The whole query is one
+# scan with every predicate pushed to parquet; result is a single row.
+# ---------------------------------------------------------------------------
+@q("q06_forecast_revenue", f"""
+SELECT {dsum_expr('l_extendedprice * l_discount')} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q07: ranking window — the engine-mandated analogue of the reference's
+# per-channel argmax (SURVEY.md A7/§2.5). Deterministic tiebreak on the key.
+# ---------------------------------------------------------------------------
+@q("q07_window_rank", """
+SELECT n_name, c_custkey, c_acctbal, rnk FROM (
+  SELECT n.n_name, c.c_custkey, c.c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY n.n_name
+                            ORDER BY c.c_acctbal DESC, c.c_custkey) AS rnk
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+) t WHERE rnk <= 3
+""")
+def q07_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    w = W.partitionBy("n_name").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", "c_custkey", "c_acctbal",
+                F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q08: frame window — running total per customer. Fully-ordered frame makes
+# the double accumulation order deterministic; decimal keeps it exact.
+# ---------------------------------------------------------------------------
+@q("q08_running_total", """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       AS running_spend
+FROM orders
+""")
+def q08_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).over(w)
+        .cast("double").alias("running_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q09: lag/lead analytics — days since a customer's previous order.
+# ---------------------------------------------------------------------------
+@q("q09_order_gaps", """
+SELECT o_custkey, o_orderkey,
+       CAST(date_diff('day',
+            LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey),
+            o_orderdate) AS BIGINT) AS days_since_prev
+FROM orders
+""")
+def q09_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), prev.cast("date"))
+        .cast("bigint").alias("days_since_prev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10: set operations on key sets (engine-mandated, SURVEY.md §2.5).
+# ---------------------------------------------------------------------------
+@q("q10_set_ops", """
+WITH buyers AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders),
+     rich   AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+SELECT c_custkey, 'both' AS tag FROM (SELECT * FROM buyers INTERSECT SELECT * FROM rich) t1
+UNION ALL
+SELECT c_custkey, 'rich_no_order' AS tag FROM (SELECT * FROM rich EXCEPT SELECT * FROM buyers) t2
+""")
+def q10_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    buyers = o.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    both = buyers.intersect(rich).withColumn("tag", F.lit("both"))
+    only_rich = rich.exceptAll(buyers).distinct().withColumn("tag", F.lit("rich_no_order"))
+    return both.unionByName(only_rich)
+
+
+# ---------------------------------------------------------------------------
+# q11: distinct aggregates. countDistinct expands to a two-phase aggregate;
+# at scale prefer approx_count_distinct (see q24) when exactness is optional.
+# ---------------------------------------------------------------------------
+@q("q11_distinct_agg", """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(*)                  AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def q11_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12: rollup / grouping sets (engine-mandated, SURVEY.md §2.3 tail).
+# ---------------------------------------------------------------------------
+@q("q12_rollup", f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_expr('l_quantity')} AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def q12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13: scalar string functions over part names.
+# ---------------------------------------------------------------------------
+@q("q13_string_fns", """
+SELECT UPPER(p_brand) AS brand_u,
+       SUBSTRING(p_type, 1, 5) AS type5,
+       COUNT(*) AS n,
+       CAST(SUM(LENGTH(p_name)) AS BIGINT) AS name_chars,
+       CAST(SUM(CASE WHEN REGEXP_MATCHES(p_name, '(red|blue)') THEN 1 ELSE 0 END) AS BIGINT) AS colored
+FROM part
+GROUP BY UPPER(p_brand), SUBSTRING(p_type, 1, 5)
+""")
+def q13_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.groupBy(
+            F.upper("p_brand").alias("brand_u"),
+            F.substring("p_type", 1, 5).alias("type5"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("p_name")).cast("bigint").alias("name_chars"),
+            F.sum(F.when(F.col("p_name").rlike("(red|blue)"), 1).otherwise(0))
+            .cast("bigint").alias("colored"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14: date/time functions — monthly revenue. Year/month extracted as ints
+# (timestamp-free output avoids engine timezone-render differences).
+# ---------------------------------------------------------------------------
+@q("q14_monthly_revenue", f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT)  AS yr,
+       CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mth,
+       {dsum_expr('o_totalprice')} AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1, 2
+""")
+def q14_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mth"),
+        )
+        .agg(dsum("o_totalprice", "revenue"), F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15: JSON extraction from the events.props payload (SURVEY.md §2.6 tail).
+# get_json_object stays JVM-side; no Python in the plan.
+# ---------------------------------------------------------------------------
+@q("q15_json_props", f"""
+SELECT event_type,
+       CAST(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) AS avg_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+""")
+def q15_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.avg(k).alias("avg_k"),
+        F.max(k).cast("bigint").alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16: AS-OF join (engine extension, SURVEY.md §2.4). For each 'purchase'
+# event, the most recent prior-or-equal 'signup' value for the same user.
+# Spark lacks a native as-of join; the scalable pattern is union → window
+# last_value over (user, ts) → filter back to the probe side. One shuffle
+# on user_id, no cross product — survives arbitrarily large event tables.
+# ---------------------------------------------------------------------------
+@q("q16_asof_join", """
+SELECT p.event_id, p.user_id,
+       CAST(p.ts AS VARCHAR)  AS ts_s,
+       s.value                AS signup_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+""")
+def q16_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(None).cast("double").alias("s_value"),
+        F.lit(1).alias("is_probe"))
+    signups = e.filter(F.col("event_type") == "signup").select(
+        F.lit(None).cast("long").alias("event_id"), "user_id", "ts",
+        F.col("value").alias("s_value"), F.lit(0).alias("is_probe"))
+    # order signups before probes at identical ts so "prior-or-equal" matches
+    unioned = purchases.unionByName(signups)
+    w = (W.partitionBy("user_id").orderBy("ts", "is_probe")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (
+        unioned
+        .withColumn("signup_value", F.last("s_value", ignorenulls=True).over(w))
+        .filter(F.col("is_probe") == 1)
+        .select("event_id", "user_id",
+                F.col("ts").cast("string").alias("ts_s"), "signup_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17: flagship — the reference's outlier-vote pipeline re-expressed
+# relationally (SURVEY.md §7 Milestone 0; reference outlier_detection.py:41-61).
+# fit = groupBy avg/var_samp (the hand-rolled Welford/Chan combineByKey at
+# outlier_detection.py:64-101 collapses to CentralMomentAgg built-ins);
+# score = broadcast join of the tiny stats table + vote aggregation
+# (outlier_detection.py:41-53); keep rows with votes < 0 (majority of values
+# within mean ± 0.5σ — the reference keeps inliers despite the name).
+# ---------------------------------------------------------------------------
+@q("q17_outlier_votes", """
+WITH stats AS (
+  SELECT l_returnflag,
+         AVG(l_extendedprice)      AS mean_price,
+         VAR_SAMP(l_extendedprice) AS var_price
+  FROM lineitem GROUP BY l_returnflag
+),
+votes AS (
+  SELECT l.l_orderkey,
+         CAST(SUM(CASE WHEN ABS(l.l_extendedprice - s.mean_price)
+                            < 0.5 * SQRT(s.var_price)
+                       THEN -1 ELSE 1 END) AS BIGINT) AS votes
+  FROM lineitem l JOIN stats s ON l.l_returnflag = s.l_returnflag
+  GROUP BY l.l_orderkey
+)
+SELECT l_orderkey, votes FROM votes WHERE votes < 0
+""")
+def q17_outlier_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_returnflag").agg(
+        F.avg("l_extendedprice").alias("mean_price"),
+        F.var_samp("l_extendedprice").alias("var_price"),
+    )
+    vote = F.when(
+        F.abs(F.col("l_extendedprice") - F.col("mean_price"))
+        < 0.5 * F.sqrt(F.col("var_price")), -1).otherwise(1)
+    return (
+        li.join(F.broadcast(stats), "l_returnflag")
+        .groupBy("l_orderkey")
+        .agg(F.sum(vote).cast("bigint").alias("votes"))
+        .filter(F.col("votes") < 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18: correlated scalar subquery (TPC-H Q17 shape) — small-quantity orders
+# vs per-part average. The subquery becomes an aggregate + re-join; at scale
+# the per-part aggregate is tiny relative to lineitem → broadcast.
+# ---------------------------------------------------------------------------
+@q("q18_small_qty_vs_avg", f"""
+SELECT {dsum_expr('l.l_extendedprice')} AS total_price, COUNT(*) AS n
+FROM lineitem l
+JOIN (SELECT l_partkey, 0.5 * AVG(l_quantity) AS half_avg_qty
+      FROM lineitem GROUP BY l_partkey) a
+  ON l.l_partkey = a.l_partkey
+WHERE l.l_quantity < a.half_avg_qty
+""")
+def q18_small_qty_vs_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg_qty"))
+    return (
+        li.join(F.broadcast(avg_qty), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(dsum("l_extendedprice", "total_price"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19: anti join — customers with no orders (NOT EXISTS).
+# ---------------------------------------------------------------------------
+@q("q19_customers_no_orders", """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def q19_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20: argmax per group via max_by (SURVEY.md A7 — the grid-search argmax
+# pattern as a single aggregate instead of a driver loop).
+# ---------------------------------------------------------------------------
+@q("q20_top_order_per_cust", """
+SELECT o_custkey, o_orderkey AS best_orderkey, best_price FROM (
+  SELECT o_custkey, o_orderkey,
+         MAX(o_totalprice) OVER (PARTITION BY o_custkey) AS best_price,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+  FROM orders
+) t WHERE rn = 1
+""")
+def q20_top_order_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.expr("max_by(o_orderkey, struct(o_totalprice, o_orderkey))")
+        .alias("best_orderkey"),
+        F.max("o_totalprice").alias("best_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21: full outer join with null-handling — nation order volume including
+# nations with no customers.
+# ---------------------------------------------------------------------------
+@q("q21_nation_order_volume", """
+SELECT n.n_name, COALESCE(t.n_orders, 0) AS n_orders
+FROM nation n
+LEFT JOIN (
+  SELECT c.c_nationkey, COUNT(*) AS n_orders
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey
+) t ON n.n_nationkey = t.c_nationkey
+""")
+def q21_nation_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    per_nation = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        F.broadcast(n).join(per_nation, n.n_nationkey == per_nation.c_nationkey, "left")
+        .select("n_name", F.coalesce("cnt", F.lit(0)).alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22: conditional aggregation (TPC-H Q12 shape, on orderpriority).
+# ---------------------------------------------------------------------------
+@q("q22_priority_case_agg", """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY l_linestatus
+""")
+def q22_priority_case_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )

@@ -1,0 +1,203 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``,
+64-dim) — engine-mandated ANN surface (SURVEY.md Phase 5).
+
+Three operators:
+
+- brute-force cosine top-k: the exactness baseline. One scan, no shuffle
+  (the query vector is a literal); top-k is TakeOrderedAndProject.
+- sign-LSH bucketed ANN: random-hyperplane signatures partition vectors
+  into buckets; the probe searches only its own bucket. At 100 TB the
+  bucket id becomes the table's partition key so a probe touches one
+  partition instead of the corpus.
+- embedding near-dup pairs: same-bucket candidate pairs verified by exact
+  cosine — the embedding analogue of MinHash-LSH dedup.
+
+Every kernel is built from higher-order array functions (``zip_with`` +
+``aggregate``), JVM-side. Dot products accumulate per-element decimal
+casts, making results bit-identical across engines and run-to-run (see
+functions/numeric.py for why that matters at scale). Hyperplanes are
+integer-arithmetic pseudo-random (no float RNG), so the DuckDB oracle can
+reproduce them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+QUERIES: dict = {}
+
+DIM = 64
+N_PLANES = 4          # 2^4 = 16 buckets — sized for fixture recall
+QUERY_VEC_ID = 0
+
+_DEC = "decimal(28,12)"
+
+
+def _dot_dec(a: Column, b: Column) -> Column:
+    """Exact dot product: per-element double product (deterministic) cast
+    to decimal, decimal-summed, returned as double."""
+    prods = F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(_DEC))
+    # re-cast inside the fold: Spark widens decimal(28,12)+decimal(28,12) to
+    # (29,12), which would break the accumulator type; the cast is lossless
+    # at these magnitudes
+    return F.aggregate(prods, F.lit(0).cast(_DEC),
+                       lambda acc, v: (acc + v).cast(_DEC)).cast("double")
+
+
+def _norm_dec(a: Column) -> Column:
+    return F.sqrt(_dot_dec(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot_dec(a, b) / (_norm_dec(a) * _norm_dec(b))
+
+
+# hyperplane weight for (plane p, dim d): integer pseudo-random in
+# [-1000000, 1000000] — reproducible in any engine with plain arithmetic
+def _plane_weight(p: int, d: int) -> int:
+    return ((p * 73856093 + d * 19349663 + 83492791) % 2000001) - 1000000
+
+
+def _bucket(a: Column) -> Column:
+    """Sign-LSH bucket id: one bit per hyperplane."""
+    bits = []
+    for p in range(N_PLANES):
+        prods = F.transform(
+            a, lambda x, i: (x.cast("double") * _elem_weight(p, i)).cast(_DEC))
+        dot = F.aggregate(prods, F.lit(0).cast(_DEC),
+                          lambda acc, v: (acc + v).cast(_DEC))
+        bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def _elem_weight(p: int, i: Column) -> Column:
+    # weight as a column expression of the element index (int arithmetic)
+    return ((F.lit(p * 73856093 + 83492791) + i * 19349663) % 2000001) - 1000000
+
+
+def _bucket_sql(vec: str) -> str:
+    bits = []
+    for p in range(N_PLANES):
+        dot = (f"list_aggregate(list_transform(generate_series(1, len({vec})), "
+               f"i -> CAST(CAST({vec}[i] AS DOUBLE) * "
+               f"((({p * 73856093 + 83492791} + (i-1) * 19349663) % 2000001) - 1000000)"
+               f" AS DECIMAL(28,12))), 'sum')")
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+_COS_SQL_TEMPLATE = """
+  CAST(list_aggregate(list_transform(generate_series(1, len({a})),
+       i -> CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) AS DECIMAL(28,12))),
+       'sum') AS DOUBLE)
+  / (SQRT(CAST(list_aggregate(list_transform(generate_series(1, len({a})),
+       i -> CAST(CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE) AS DECIMAL(28,12))),
+       'sum') AS DOUBLE))
+   * SQRT(CAST(list_aggregate(list_transform(generate_series(1, len({b})),
+       i -> CAST(CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) AS DECIMAL(28,12))),
+       'sum') AS DOUBLE)))
+"""
+
+
+# ---------------------------------------------------------------------------
+# brute-force cosine top-k against the QUERY_VEC_ID vector
+# ---------------------------------------------------------------------------
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv"))
+    # 1-row dimension → broadcast cross join; the scan side never shuffles
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qvec))
+        .select("vec_id",
+                F.round(cosine(F.col("embedding"), F.col("qv")), 9).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+QUERIES["ann_bruteforce_topk"] = (ann_bruteforce_topk, f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT e.vec_id,
+       ROUND({_COS_SQL_TEMPLATE.format(a='e.embedding', b='q.qv')}, 9) AS cos_sim
+FROM embeddings e, q
+WHERE e.vec_id != {QUERY_VEC_ID}
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT 10
+""")
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN: probe only the query's bucket
+# ---------------------------------------------------------------------------
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    bucketed = e.select("vec_id", "embedding", _bucket(F.col("embedding")).alias("bucket"))
+    probe = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket"))
+    return (
+        bucketed.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(probe), F.col("bucket") == F.col("qbucket"))
+        .select("vec_id", "bucket",
+                F.round(cosine(F.col("embedding"), F.col("qv")), 9).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+QUERIES["ann_lsh_topk"] = (ann_lsh_topk, f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+),
+probe AS (SELECT embedding AS qv, bucket AS qbucket
+          FROM bucketed WHERE vec_id = {QUERY_VEC_ID})
+SELECT b.vec_id, b.bucket,
+       ROUND({_COS_SQL_TEMPLATE.format(a='b.embedding', b='p.qv')}, 9) AS cos_sim
+FROM bucketed b, probe p
+WHERE b.vec_id != {QUERY_VEC_ID} AND b.bucket = p.qbucket
+ORDER BY cos_sim DESC, b.vec_id
+LIMIT 10
+""")
+
+
+# ---------------------------------------------------------------------------
+# embedding near-duplicate pairs: same-bucket candidates + exact cosine
+# ---------------------------------------------------------------------------
+NEARDUP_COS = 0.95
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    bucketed = e.select("vec_id", "embedding", _bucket(F.col("embedding")).alias("bucket"))
+    a = bucketed.select(F.col("vec_id").alias("id1"),
+                        F.col("embedding").alias("v1"), "bucket")
+    b = bucketed.select(F.col("vec_id").alias("id2"),
+                        F.col("embedding").alias("v2"),
+                        F.col("bucket").alias("bucket2"))
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket2")) & (F.col("id1") < F.col("id2")))
+        .select("id1", "id2",
+                F.round(cosine(F.col("v1"), F.col("v2")), 9).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= NEARDUP_COS)
+    )
+
+
+QUERIES["embedding_neardup"] = (embedding_neardup, f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       ROUND({_COS_SQL_TEMPLATE.format(a='a.embedding', b='b.embedding')}, 9) AS cos_sim
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ROUND({_COS_SQL_TEMPLATE.format(a='a.embedding', b='b.embedding')}, 9) >= {NEARDUP_COS}
+""")

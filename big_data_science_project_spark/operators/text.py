@@ -1,0 +1,167 @@
+"""Text-analysis operators over the ``documents`` table (engine-mandated
+LLM-data-pipeline surface; SURVEY.md Phase 5).
+
+All tokenization/scoring stays JVM-side (split/regexp/higher-order array
+functions) — no Python UDFs in any hot path, so every operator is
+whole-stage-codegen'd and scales linearly with input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+QUERIES: dict = {}
+
+# tiny English stopword list used by the language-ID heuristic; kept short
+# and mirrored verbatim in the oracle SQL
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def _tokens(col):
+    return F.split(F.col(col), " ")
+
+
+# ---------------------------------------------------------------------------
+# token / length statistics per source
+# ---------------------------------------------------------------------------
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens("text")
+    return (
+        d.select("source", "n_chars", F.size(toks).alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+    )
+
+
+QUERIES["text_token_stats"] = (text_token_stats, """
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY source
+""")
+
+
+# ---------------------------------------------------------------------------
+# quality scoring: length / mean token length / stopword ratio → per-row
+# deterministic double score, bucketed for a stable aggregate output
+# ---------------------------------------------------------------------------
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens("text")
+    n_tok = F.size(toks).cast("double")
+    sw_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t))).cast("double")
+    mean_tok_len = (F.col("n_chars").cast("double") - (n_tok - 1)) / n_tok
+    score = (
+        F.when(n_tok >= 20, 0.4).otherwise(0.0)
+        + F.when((mean_tok_len >= 3) & (mean_tok_len <= 10), 0.3).otherwise(0.0)
+        + F.when((n_stop / n_tok) >= 0.05, 0.3).otherwise(0.0)
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(score, 2).alias("quality"),
+    )
+
+
+QUERIES["text_quality"] = (text_quality, f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         CAST(len(list_filter(string_split(text, ' '),
+              x -> list_contains({list(STOPWORDS)!r}, x))) AS DOUBLE) AS n_stop,
+         (CAST(n_chars AS DOUBLE) - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1))
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_tok_len
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(ROUND(CASE WHEN n_tok >= 20 THEN 0.4 ELSE 0.0 END
+           + CASE WHEN mean_tok_len BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END
+           + CASE WHEN n_stop / n_tok >= 0.05 THEN 0.3 ELSE 0.0 END, 2) AS DOUBLE)
+         AS quality
+FROM t
+""")
+
+
+# ---------------------------------------------------------------------------
+# language-ID heuristic: stopword-hit ratio → 'en' / 'other'; judged
+# against the labeled lang column
+# ---------------------------------------------------------------------------
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens("text")
+    sw_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t)))
+    pred = F.when(
+        n_stop.cast("double") / F.size(toks).cast("double") >= 0.03, "en"
+    ).otherwise("other")
+    return (
+        d.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+QUERIES["lang_id"] = (lang_id, f"""
+SELECT lang,
+       CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                 x -> list_contains({list(STOPWORDS)!r}, x))) AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.03
+            THEN 'en' ELSE 'other' END AS pred_lang,
+       COUNT(*) AS n
+FROM documents
+GROUP BY 1, 2
+""")
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting: md5 of normalized text (rolling-hash analogue;
+# md5 is identical across engines so the fingerprint is portable)
+# ---------------------------------------------------------------------------
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.substring(F.md5(F.lower(F.trim(F.col("text")))), 1, 16)
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+QUERIES["doc_fingerprint"] = (doc_fingerprint, """
+SELECT doc_id, SUBSTRING(md5(LOWER(TRIM(text))), 1, 16) AS fingerprint
+FROM documents
+""")
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish regex token count (word pieces / numbers / punctuation)
+# ---------------------------------------------------------------------------
+def regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+    return (
+        d.select("source", n.alias("n_pieces"))
+        .groupBy("source")
+        .agg(F.sum("n_pieces").cast("bigint").alias("total_pieces"),
+             F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+QUERIES["regex_token_count"] = (regex_token_count, """
+SELECT source,
+       CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+         AS total_pieces,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY source
+""")

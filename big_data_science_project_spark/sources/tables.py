@@ -1,0 +1,49 @@
+"""Parquet table access for the star-schema + events/documents/embeddings
+fixtures (TESTDATA.md).
+
+Equivalent of the reference's scan layer (scifio ``spark.read.format(...)``
+at ``/root/reference/main.py:19``) for the relational surface: plain
+``spark.read.parquet`` so Catalyst gets vectorized scans, predicate pushdown
+and column pruning for free. At 100 TB the same call reads a partitioned
+directory tree; nothing here assumes single files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _fix_nanos(df: DataFrame) -> DataFrame:
+    """events.ts is TIMESTAMP(NANOS) in parquet; with
+    spark.sql.legacy.parquet.nanosAsLong it scans as long. Truncate to
+    micros (same as DuckDB's nanos→TIMESTAMP conversion) and restore the
+    timestamp type. Integer `div` — double division would lose precision
+    on epoch-nano magnitudes (>2^53)."""
+    for f in df.schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # runtime-set (not only in our session factory): the driver passes its
+    # own SparkSession, which otherwise rejects the fixtures' TIMESTAMP(NANOS)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _fix_nanos(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register temp views so operators can use spark.sql(...) freely."""
+    for n in (names or TABLES):
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

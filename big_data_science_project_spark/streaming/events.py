@@ -1,0 +1,172 @@
+"""Structured Streaming surface over the ``events`` table (SURVEY.md §2.8).
+
+The reference's only "streaming" is the online Welford update rule
+(``outlier_detection.py:15-25``) — designed for incremental training but
+never wired to a stream. Here the same statistics run as real Structured
+Streaming aggregations (Spark maintains running moments as aggregation
+state = the Welford recurrence, with the *intended* math — the reference's
+single-sample update has a bug, SURVEY.md §Pitfalls 1).
+
+Each operator reads the events parquet through ``readStream`` with an
+availableNow trigger into a memory sink, then returns the final table —
+so the driver/oracle can treat it like any batch query while the plan
+exercises real streaming state machinery. On a cluster the same code
+points at a growing directory / Kafka source and just keeps running.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum, dsum_expr
+from ..sources.tables import load_table
+
+QUERIES: dict = {}
+
+_counter = itertools.count()
+_stage_dirs: dict[str, str] = {}
+
+
+def _staged_dir(sf_dir: str) -> str:
+    """The file stream source requires a directory; stage a symlink to the
+    fixture parquet in a temp dir (fixtures are read-only)."""
+    if sf_dir not in _stage_dirs:
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
+                   os.path.join(d, "events.parquet"))
+        _stage_dirs[sf_dir] = d
+    return _stage_dirs[sf_dir]
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # schema must match the file layout (ts scans as long under
+    # nanosAsLong); convert to micros timestamp after the streaming scan,
+    # same as the batch loader (sources/tables.py)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).parquet(_staged_dir(sf_dir))
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_table(result: DataFrame, mode: str) -> DataFrame:
+    name = f"stream_result_{next(_counter)}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name).outputMode(mode)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(name)
+
+
+# ---------------------------------------------------------------------------
+# tumbling-window aggregation with watermark (late-data handling);
+# complete mode so every window is emitted even at end-of-stream
+# ---------------------------------------------------------------------------
+def stream_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             dsum("value", "sum_value"),
+             F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(F.col("w.start").cast("string").alias("hour_s"),
+                "event_type", "n", "sum_value", "avg_value")
+    )
+    return _run_to_table(agg, "complete")
+
+
+QUERIES["stream_hourly_by_type"] = (stream_hourly_by_type, f"""
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_s,
+       event_type,
+       COUNT(*) AS n,
+       {dsum_expr('value')} AS sum_value,
+       ROUND(AVG(value), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+""")
+
+
+# ---------------------------------------------------------------------------
+# streaming mean/variance — the reference's online Welford (A2) as
+# stateful aggregation
+# ---------------------------------------------------------------------------
+def stream_welford_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("value"), 6).alias("mean_value"),
+             F.round(F.stddev_samp("value"), 6).alias("stddev_value"))
+    )
+    return _run_to_table(agg, "complete")
+
+
+QUERIES["stream_welford_by_type"] = (stream_welford_by_type, """
+SELECT event_type, COUNT(*) AS n,
+       ROUND(AVG(value), 6) AS mean_value,
+       ROUND(STDDEV_SAMP(value), 6) AS stddev_value
+FROM events
+GROUP BY event_type
+""")
+
+
+# ---------------------------------------------------------------------------
+# streaming dedup on the event id within the watermark horizon
+# ---------------------------------------------------------------------------
+def stream_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _stream_events(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "1 day")
+        .dropDuplicates(["event_id"])
+        .select("event_id")
+    )
+    return _run_to_table(deduped, "append")
+
+
+QUERIES["stream_dedup_ids"] = (stream_dedup_ids, """
+SELECT DISTINCT event_id FROM events
+""")
+
+
+# ---------------------------------------------------------------------------
+# session windows: 5-minute-gap sessions per user (stateful session_window)
+# ---------------------------------------------------------------------------
+def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").cast("string").alias("session_start_s"),
+                "n_events")
+    )
+    return _run_to_table(agg, "complete")
+
+
+QUERIES["stream_sessions"] = (stream_sessions, """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 5 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       CAST(MIN(ts) AS VARCHAR) AS session_start_s,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+""")
