@@ -85,50 +85,79 @@ _SHINGLES_SQL = """
 
 
 # ---------------------------------------------------------------------------
-# MinHash signature: h_i(doc) = min over shingles of md5(i || '|' || shingle)
-# (lexicographic min of hex digests — portable across engines).
+# MinHash signature over integer shingle hashes.
+#
+# Each shingle is hashed ONCE with md5 → 60-bit int → reduced mod a 31-bit
+# prime; the N_HASHES hash family is then integer permutations
+# h_i(x) = (A_i·x + B_i) mod P. One cryptographic hash per shingle instead
+# of N_HASHES — at 100 TB the md5 over shingle text dominates signature
+# cost, so this is an ~N_HASHES× saving on the hot path, and the integer
+# arithmetic is reproducible in any engine (DuckDB oracle runs the exact
+# same formula).
 # ---------------------------------------------------------------------------
-def _minhash_bands(d: DataFrame) -> DataFrame:
-    """(doc_id, band_id, band_key) — band_key concatenates BAND_SIZE
-    consecutive minhashes; near-dup docs collide on ≥1 band."""
+_P = 2147483647  # 2^31 − 1 (prime); A_i·x stays < 2^62 — no bigint overflow
+_A = [(i * 2654435761 + 1) % _P for i in range(1, N_HASHES + 1)]
+_B = [(i * 40503 + 2531011) % _P for i in range(1, N_HASHES + 1)]
+
+
+def _hashed_shingles_df(d: DataFrame) -> DataFrame:
+    """(doc_id, hs) — distinct shingles as 31-bit ints. The int array feeds
+    BOTH the minhash signature and the Jaccard verification (intersecting
+    ints, not strings), so the text is scanned and md5'd exactly once."""
     sh = _shingles().alias("shingles")
     doc = d.select("doc_id", sh).filter(F.size("shingles") > 0)
-    # NB: factory, not `lambda s, i=i` — PySpark inspects lambda arity, and a
-    # second parameter (even defaulted) binds the array *index* column
-    def _mh(i: int):
-        prefix = f"{i}|"
-        return F.array_min(F.transform(
-            F.col("shingles"), lambda s: F.md5(F.concat(F.lit(prefix), s))))
+    hs = F.transform(
+        F.col("shingles"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+                   .cast("bigint") % _P)
+    return doc.select("doc_id", F.array_distinct(hs).alias("hs"))
 
-    minhashes = F.array(*[_mh(i) for i in range(N_HASHES)])
-    doc = doc.select("doc_id", minhashes.alias("sig"))
+
+_HASHED_SHINGLES_SQL = f"""
+  SELECT doc_id,
+         list_distinct(list_transform({_SHINGLES_SQL},
+           s -> CAST(('0x' || SUBSTRING(md5(s), 1, 15)) AS BIGINT) % {_P})) AS hs
+  FROM documents
+  WHERE len({_SHINGLES_SQL}) > 0
+"""
+
+
+def _minhash_bands(hashed: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) from the int-shingle DF; band_key packs
+    BAND_SIZE consecutive minhashes into one bigint (m0·P + m1) — an 8-byte
+    shuffle key instead of a 64-char hex concat."""
+    # factory, not defaulted lambda params — PySpark inspects lambda arity
+    # and a second parameter (even defaulted) binds the array *index*
+    def _sig(a: int, b: int):
+        return F.array_min(F.transform(
+            F.col("hs"), lambda x: (F.lit(a) * x + F.lit(b)) % _P))
+
+    sigs = [_sig(a, b) for a, b in zip(_A, _B)]
+    doc = hashed.select("doc_id", F.array(*sigs).alias("sig"))
     n_bands = N_HASHES // BAND_SIZE
     bands = F.array(*[
-        F.concat_ws("", *[F.col("sig")[b * BAND_SIZE + j] for j in range(BAND_SIZE)])
+        sum((F.col("sig")[b * BAND_SIZE + j] * (_P ** (BAND_SIZE - 1 - j))
+             for j in range(BAND_SIZE)), F.lit(0))
         for b in range(n_bands)
     ])
-    return (
-        doc.select("doc_id", F.posexplode(bands).alias("band_id", "band_key"))
-    )
+    return doc.select("doc_id", F.posexplode(bands).alias("band_id", "band_key"))
 
 
-def _minhash_bands_sql() -> str:
+def _minhash_bands_sql(hashed_cte: str = "hashed") -> str:
     hash_exprs = ", ".join(
-        f"list_min(list_transform(shingles, s -> md5('{i}|' || s)))"
-        for i in range(N_HASHES)
+        f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {_P}))"
+        for a, b in zip(_A, _B)
     )
     n_bands = N_HASHES // BAND_SIZE
     band_exprs = ", ".join(
-        "(" + str(b) + ", " + " || ".join(
-            f"sig[{b * BAND_SIZE + j + 1}]" for j in range(BAND_SIZE)) + ")"
+        "(" + str(b) + ", " + " + ".join(
+            f"sig[{b * BAND_SIZE + j + 1}] * {_P ** (BAND_SIZE - 1 - j)}"
+            for j in range(BAND_SIZE)) + ")"
         for b in range(n_bands)
     )
     return f"""
-  WITH docs AS (
-    SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
-  ), sigs AS (
-    SELECT doc_id, [{hash_exprs}] AS sig
-    FROM docs WHERE len(shingles) > 0
+  WITH sigs AS (
+    SELECT doc_id, [{hash_exprs}] AS sig FROM {hashed_cte}
   )
   SELECT doc_id, b.band_id, b.band_key
   FROM sigs, LATERAL (VALUES {band_exprs}) AS b(band_id, band_key)
@@ -138,9 +167,7 @@ def _minhash_bands_sql() -> str:
 # ---------------------------------------------------------------------------
 # MinHash-LSH candidate pairs (doc_id1 < doc_id2, distinct)
 # ---------------------------------------------------------------------------
-def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    bands = _minhash_bands(d)
+def _candidate_pairs(bands: DataFrame) -> DataFrame:
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -153,8 +180,14 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return _candidate_pairs(_minhash_bands(_hashed_shingles_df(d)))
+
+
 QUERIES["dedup_minhash_candidates"] = (dedup_minhash_candidates, f"""
-WITH bands AS ({_minhash_bands_sql()})
+WITH hashed AS ({_HASHED_SHINGLES_SQL}),
+bands AS ({_minhash_bands_sql()})
 SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
 FROM bands a JOIN bands b
   ON a.band_id = b.band_id AND a.band_key = b.band_key
@@ -163,14 +196,18 @@ FROM bands a JOIN bands b
 
 
 # ---------------------------------------------------------------------------
-# n-gram Jaccard verification of the LSH candidates
+# n-gram Jaccard verification of the LSH candidates. Jaccard runs over the
+# int shingle hashes (set semantics identical up to md5 collisions, which
+# the oracle reproduces bit-for-bit). The hashed-shingle DF is persisted:
+# it feeds the band build AND both sides of the verification join, and
+# without the cache Spark would re-scan + re-md5 the corpus three times.
 # ---------------------------------------------------------------------------
 def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    cands = dedup_minhash_candidates(spark, sf_dir)
-    sh = d.select("doc_id", _shingles().alias("shingles"))
-    a = sh.select(F.col("doc_id").alias("doc_id1"), F.col("shingles").alias("sh1"))
-    b = sh.select(F.col("doc_id").alias("doc_id2"), F.col("shingles").alias("sh2"))
+    hashed = _hashed_shingles_df(d).persist()
+    cands = _candidate_pairs(_minhash_bands(hashed))
+    a = hashed.select(F.col("doc_id").alias("doc_id1"), F.col("hs").alias("sh1"))
+    b = hashed.select(F.col("doc_id").alias("doc_id2"), F.col("hs").alias("sh2"))
     inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
     union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
     return (
@@ -182,25 +219,25 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["dedup_minhash_verified"] = (dedup_minhash_verified, f"""
-WITH bands AS ({_minhash_bands_sql()}),
+WITH hashed AS ({_HASHED_SHINGLES_SQL}),
+bands AS ({_minhash_bands_sql()}),
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.band_key = b.band_key
    AND a.doc_id < b.doc_id
-),
-sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents)
+)
 SELECT c.doc_id1, c.doc_id2,
-       ROUND(CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
-             / (CAST(len(s1.shingles) + len(s2.shingles) AS DOUBLE)
-                - CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)),
+       ROUND(CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)
+             / (CAST(len(s1.hs) + len(s2.hs) AS DOUBLE)
+                - CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)),
              6) AS jaccard
 FROM cands c
-JOIN sh s1 ON c.doc_id1 = s1.doc_id
-JOIN sh s2 ON c.doc_id2 = s2.doc_id
-WHERE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
-      / (CAST(len(s1.shingles) + len(s2.shingles) AS DOUBLE)
-         - CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)) >= 0.5
+JOIN hashed s1 ON c.doc_id1 = s1.doc_id
+JOIN hashed s2 ON c.doc_id2 = s2.doc_id
+WHERE CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)
+      / (CAST(len(s1.hs) + len(s2.hs) AS DOUBLE)
+         - CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)) >= 0.5
 """)
 
 

@@ -1,0 +1,186 @@
+"""Golden + property tests for the array/image kernel library — the
+correctness weight for the non-SQL (rows-only) queries, per SURVEY.md §5:
+hand-computed small fixtures for area/perimeter/circularity/masked-mean
+(reference semantics: feature extraction.py:38-83) and confusion/balanced
+accuracy (image_masking.py:45-69, standard orientation), plus the pooled
+variance == var_samp property that validates replacing the reference's
+hand-rolled Welford/Chan combineByKey (outlier_detection.py:64-101) with
+built-in aggregates.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_science_project_spark.functions import image_kernels as K
+
+# ---------------------------------------------------------------------------
+# hand-computed 3×3 fixture:
+#   mask:  T T F        area = 4
+#          T T F        perimeter: boundary pairs (4-conn, in-bounds only)
+#          F F F        circularity = 4πA/P²
+# ---------------------------------------------------------------------------
+MASK_3x3 = [True, True, False,
+            True, True, False,
+            False, False, False]
+DATA_3x3 = [10.0, 20.0, 30.0,
+            40.0, 50.0, 60.0,
+            70.0, 80.0, 90.0]
+
+# perimeter by hand: each of the 4 True pixels vs its in-bounds neighbors:
+# (0,0): right T, down T → 0 bg pairs... counting (fg, bg in-bounds) pairs:
+# (0,0)->none bg in-bounds except? neighbors (0,1)T,(1,0)T → 0
+# (0,1): (0,2)F → 1, (1,1)T, (0,0)T → 1
+# (1,0): (2,0)F → 1, (0,0)T, (1,1)T → 1
+# (1,1): (1,2)F → 1, (2,1)F → 1, others T → 2
+PERIM_3x3 = 4
+
+
+def _one_row_df(spark, data, mask, w, h):
+    return spark.createDataFrame(
+        [(0, data, mask, w, h)],
+        "image_id long, data_ch array<double>, mask_ch array<boolean>, "
+        "width int, height int")
+
+
+def test_area_golden(spark):
+    df = _one_row_df(spark, DATA_3x3, MASK_3x3, 3, 3)
+    assert df.select(K.area(F.col("mask_ch")).alias("a")).first()["a"] == 4
+
+
+def test_perimeter_golden(spark):
+    df = _one_row_df(spark, DATA_3x3, MASK_3x3, 3, 3)
+    got = df.select(K.perimeter_udf(
+        F.col("mask_ch"), F.col("width"), F.col("height")).alias("p")).first()["p"]
+    assert got == PERIM_3x3
+
+
+def test_perimeter_matches_reference_loop(spark):
+    """Property: the vectorized kernel equals the reference's per-pixel
+    definition (feature extraction.py:54-77) on random masks."""
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        w, h = int(rng.integers(2, 9)), int(rng.integers(2, 9))
+        m = rng.random((w, h)) < 0.4
+
+        def ref_perimeter(mask):
+            p = 0
+            for x in range(mask.shape[0]):
+                for y in range(mask.shape[1]):
+                    if not mask[x, y]:
+                        continue
+                    for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                        nx, ny = x + dx, y + dy
+                        if 0 <= nx < mask.shape[0] and 0 <= ny < mask.shape[1] \
+                                and not mask[nx, ny]:
+                            p += 1
+            return p
+
+        assert K._perimeter_np(m) == ref_perimeter(m), (w, h, m)
+
+
+def test_circularity_golden(spark):
+    df = _one_row_df(spark, DATA_3x3, MASK_3x3, 3, 3)
+    got = df.select(
+        K.circularity(F.lit(4).cast("long"), F.lit(PERIM_3x3).cast("long"))
+        .alias("c")).first()["c"]
+    assert got == pytest.approx(4 * math.pi * 4 / PERIM_3x3 ** 2)
+    # zero-perimeter guard (reference feature extraction.py:44-51)
+    got0 = df.select(
+        K.circularity(F.lit(0).cast("long"), F.lit(0).cast("long"))
+        .alias("c")).first()["c"]
+    assert got0 == 0.0
+
+
+def test_masked_mean_numpy_convention(spark):
+    """mask=True means EXCLUDED (numpy MaskedArray; reference feature
+    extraction.py:38-41 + 87-88) — the easy silent sign flip."""
+    df = _one_row_df(spark, DATA_3x3, MASK_3x3, 3, 3)
+    got = df.select(K.masked_mean(
+        F.col("data_ch"), F.col("mask_ch")).alias("m")).first()["m"]
+    expect = np.ma.array(np.array(DATA_3x3),
+                         mask=np.array(MASK_3x3)).mean()
+    assert got == pytest.approx(float(expect))
+    # all-masked → NULL
+    all_true = [True] * 9
+    dfa = _one_row_df(spark, DATA_3x3, all_true, 3, 3)
+    assert dfa.select(K.masked_mean(
+        F.col("data_ch"), F.col("mask_ch")).alias("m")).first()["m"] is None
+
+
+def test_confusion_and_balanced_accuracy(spark):
+    gt = [True, True, False, False]
+    pred = [True, False, True, False]
+    df = spark.createDataFrame(
+        [(gt, pred)], "gt array<boolean>, pred array<boolean>")
+    c = K.confusion(F.col("gt"), F.col("pred"))
+    row = df.select(c["tp"].alias("tp"), c["fp"].alias("fp"),
+                    c["tn"].alias("tn"), c["fn"].alias("fn")).first()
+    # STANDARD orientation (the reference swaps FP/FN — SURVEY.md Pitfall 5)
+    assert (row["tp"], row["fp"], row["tn"], row["fn"]) == (1, 1, 1, 1)
+    ba = df.select(K.balanced_accuracy(
+        c["tp"], c["fp"], c["tn"], c["fn"]).alias("ba")).first()["ba"]
+    assert ba == pytest.approx(0.5)
+    acc = df.select(K.accuracy(
+        c["tp"], c["fp"], c["tn"], c["fn"]).alias("a")).first()["a"]
+    assert acc == pytest.approx(0.5)
+
+
+def test_balanced_accuracy_empty_class_guard(spark):
+    # no positive pixels in gt → TPR defaults to 1 (image_masking.py:62-69)
+    gt = [False, False]
+    pred = [False, False]
+    df = spark.createDataFrame([(gt, pred)], "gt array<boolean>, pred array<boolean>")
+    c = K.confusion(F.col("gt"), F.col("pred"))
+    ba = df.select(K.balanced_accuracy(
+        c["tp"], c["fp"], c["tn"], c["fn"]).alias("ba")).first()["ba"]
+    assert ba == pytest.approx(1.0)
+
+
+def test_channel_slice_roundtrip(spark):
+    """reshape/slice round-trip: channel-major layout (reference
+    feature extraction.py:87-88)."""
+    c, w, h = 3, 2, 2
+    flat = [float(i) for i in range(c * w * h)]
+    df = spark.createDataFrame([(flat, w, h)],
+                               "data array<double>, width int, height int")
+    wh = F.col("width") * F.col("height")
+    rows = df.select(*[
+        K.channel_slice(F.col("data"), ch, wh).alias(f"c{ch}")
+        for ch in range(c)
+    ]).first()
+    arr = np.array(flat).reshape(c, w, h)
+    for ch in range(c):
+        assert rows[f"c{ch}"] == arr[ch].reshape(-1).tolist()
+
+
+# ---------------------------------------------------------------------------
+# pooled variance property — validates collapsing the reference's
+# Welford/Chan combineByKey (outlier_detection.py:64-101) into var_samp:
+# the partial/final merge must equal the single-pass sample variance.
+# ---------------------------------------------------------------------------
+def test_var_samp_partition_invariance(spark):
+    rng = np.random.default_rng(42)
+    vals = rng.normal(100.0, 15.0, size=400).round(6).tolist()
+    expect = float(np.var(np.array(vals), ddof=1))
+    for nparts in (1, 3, 8, 32):
+        df = spark.createDataFrame(
+            [(v,) for v in vals], "v double").repartition(nparts)
+        got = df.agg(F.var_samp("v").alias("s")).first()["s"]
+        assert got == pytest.approx(expect, rel=1e-9), nparts
+
+
+# ---------------------------------------------------------------------------
+# shingle guard: docs shorter than the shingle width produce NO shingles
+# (sequence() would run descending and fabricate out-of-range reads)
+# ---------------------------------------------------------------------------
+def test_short_doc_shingle_guard(spark):
+    from big_data_science_project_spark.operators.dedup import _shingles
+    df = spark.createDataFrame(
+        [("a b",), ("one two three four",)], "text string")
+    rows = df.select(F.size(_shingles()).alias("n")).collect()
+    assert [r["n"] for r in rows] == [0, 2]
