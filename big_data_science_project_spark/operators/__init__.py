@@ -18,14 +18,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """Merge every operator module's QUERIES into (queries, oracles)."""
-    from . import dedup, outlier, relational, similarity, text
+    from . import (dedup, multimodal, outlier, relational, segmentation,
+                   similarity, text)
     from ..streaming import events as streaming_events
     from ..sources import cells as cells_src
+    from ..sources import sinks as sinks_src
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
     for mod in (relational, outlier, dedup, similarity, text,
-                streaming_events, cells_src):
+                streaming_events, cells_src, segmentation, multimodal,
+                sinks_src):
         for name, (fn, sql) in getattr(mod, "QUERIES", {}).items():
             if name in queries:
                 raise ValueError(f"duplicate query name: {name}")

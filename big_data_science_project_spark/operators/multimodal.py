@@ -1,0 +1,184 @@
+"""Multimodal opaque-binary columns — images/audio/video as ``binary``
+payloads with typed metadata, processed by Arrow-batched pandas UDFs
+(engine-mandated surface; SURVEY.md Phase 5 / §1.4 "consider binary +
+uint16 reinterpretation for 100 TB-scale").
+
+This is the scale-path encoding of the reference's cell images: instead
+of ``array<double>`` (8 bytes/pixel + array headers), pixels ride as a
+packed little-endian float32 blob — 4 bytes/pixel, zero per-element
+overhead, and parquet stores it as one BYTE_ARRAY. The decode /
+feature-extract / resize / frame-sample kernels below are real numpy
+(``np.frombuffer`` is the whole "codec"); a genuinely external codec
+(JPEG/audio) is stubbed behind ``NotImplementedError`` with a
+deterministic fake, as the image/audio libraries are not in this
+container — the Spark-side plumbing (schema, batch shape, UDF
+signatures) is exactly what the real codec would use.
+
+Reference trace: the scifio reader materializes decoded pixel arrays
+(``main.py:19``); here decode is explicit and lazy, so channel pruning /
+frame sampling can drop bytes BEFORE they are ever widened to doubles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.cells import load_cells
+
+QUERIES: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# encode: array<double> → packed float32 binary (the storage format)
+# ---------------------------------------------------------------------------
+@F.pandas_udf(T.BinaryType())
+def pack_f32(data: pd.Series) -> pd.Series:
+    return data.map(lambda a: np.asarray(a, dtype=np.float32).tobytes())
+
+
+def encode_cells(cells: DataFrame) -> DataFrame:
+    """(image_id, n_channels, width, height, payload binary) — the
+    multimodal table layout: opaque payload + typed metadata columns."""
+    return cells.select(
+        "image_id", "n_channels", "width", "height",
+        pack_f32(F.col("data")).alias("payload"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# decode + per-channel feature extraction in ONE pass over the bytes:
+# the mapInPandas iterator sees Arrow record batches; each task decodes
+# only its partition's payloads and emits tidy per-channel stats without
+# materializing the full double array in the plan.
+# ---------------------------------------------------------------------------
+_FEAT_SCHEMA = T.StructType([
+    T.StructField("image_id", T.LongType()),
+    T.StructField("channel", T.IntegerType()),
+    T.StructField("mean_intensity", T.DoubleType()),
+    T.StructField("max_intensity", T.DoubleType()),
+])
+
+
+def decode_features(encoded: DataFrame) -> DataFrame:
+    def extract(batches):
+        for pdf in batches:
+            out = {"image_id": [], "channel": [],
+                   "mean_intensity": [], "max_intensity": []}
+            for img_id, c, w, h, payload in zip(
+                    pdf["image_id"], pdf["n_channels"], pdf["width"],
+                    pdf["height"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.float32).reshape(
+                    int(c), int(w), int(h))
+                for ch in range(int(c)):
+                    out["image_id"].append(int(img_id))
+                    out["channel"].append(ch)
+                    out["mean_intensity"].append(round(float(arr[ch].mean()), 4))
+                    out["max_intensity"].append(round(float(arr[ch].max()), 4))
+            yield pd.DataFrame(out)
+
+    return encoded.mapInPandas(extract, _FEAT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# resize: nearest-neighbor downsample INSIDE the binary domain — bytes
+# in, bytes out, the decoded tensor never enters the Spark plan
+# ---------------------------------------------------------------------------
+def make_resize_udf(out_w: int, out_h: int):
+    @F.pandas_udf(T.BinaryType())
+    def resize(payload: pd.Series, n_channels: pd.Series,
+               width: pd.Series, height: pd.Series) -> pd.Series:
+        out = []
+        for p, c, w, h in zip(payload, n_channels, width, height):
+            arr = np.frombuffer(p, dtype=np.float32).reshape(int(c), int(w), int(h))
+            xi = (np.arange(out_w) * (int(w) / out_w)).astype(int)
+            yi = (np.arange(out_h) * (int(h) / out_h)).astype(int)
+            out.append(arr[:, xi][:, :, yi].tobytes())
+        return pd.Series(out)
+
+    return resize
+
+
+# ---------------------------------------------------------------------------
+# frame sampling: a "video" is (n_frames, w, h) in the same packed layout;
+# keep every k-th frame by slicing the byte buffer — no decode at all
+# (frame stride in bytes is w·h·4)
+# ---------------------------------------------------------------------------
+def make_frame_sample_udf(every_k: int):
+    @F.pandas_udf(T.BinaryType())
+    def sample_frames(payload: pd.Series, n_frames: pd.Series,
+                      width: pd.Series, height: pd.Series) -> pd.Series:
+        out = []
+        for p, nf, w, h in zip(payload, n_frames, width, height):
+            stride = int(w) * int(h) * 4
+            kept = b"".join(p[i * stride:(i + 1) * stride]
+                            for i in range(0, int(nf), every_k))
+            out.append(kept)
+        return pd.Series(out)
+
+    return sample_frames
+
+
+# ---------------------------------------------------------------------------
+# external-codec stub: JPEG/audio decode needs libraries not in this
+# container. The UDF shape is real; the body raises unless the fake is
+# requested, and the fake is deterministic (hash-derived) so tests and
+# oracles are stable.
+# ---------------------------------------------------------------------------
+def decode_external(payload: bytes, codec: str, use_fake: bool = False) -> np.ndarray:
+    """STUB — real implementation would dispatch to PIL/libsndfile/ffmpeg.
+
+    With ``use_fake=True`` returns a deterministic pseudo-decode (first 16
+    bytes of sha256 as float32 levels) so pipeline plumbing is testable."""
+    if not use_fake:
+        raise NotImplementedError(
+            f"codec {codec!r}: decoder libraries not available in this "
+            "environment; pass use_fake=True for the deterministic stub")
+    digest = hashlib.sha256(payload).digest()[:16]
+    return (np.frombuffer(digest, dtype=np.uint8) / 255.0).astype(np.float32)
+
+
+def make_external_decode_udf(codec: str, use_fake: bool = True):
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def decode(payload: pd.Series) -> pd.Series:
+        return payload.map(
+            lambda p: decode_external(bytes(p), codec, use_fake).tolist())
+
+    return decode
+
+
+# ---------------------------------------------------------------------------
+# registry queries (rows-only: binary kernels aren't DuckDB-expressible;
+# pytest goldens in tests/test_multimodal.py carry correctness)
+# ---------------------------------------------------------------------------
+def multimodal_features(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    """cells → packed binary → decoded per-channel features."""
+    return decode_features(encode_cells(load_cells(spark)))
+
+
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    """resize 16×16 → 8×8 inside the binary domain, then re-extract —
+    payload sizes prove the bytes were cut before any decode."""
+    enc = encode_cells(load_cells(spark))
+    resized = enc.select(
+        "image_id", "n_channels",
+        F.lit(8).alias("width"), F.lit(8).alias("height"),
+        make_resize_udf(8, 8)(
+            F.col("payload"), F.col("n_channels"),
+            F.col("width"), F.col("height")).alias("payload"),
+    )
+    return (
+        decode_features(resized)
+        .groupBy("channel")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("mean_intensity"), 4).alias("avg_mean_intensity"))
+    )
+
+
+QUERIES["multimodal_features"] = (multimodal_features, None)
+QUERIES["multimodal_resize"] = (multimodal_resize_stats, None)

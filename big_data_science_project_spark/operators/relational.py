@@ -604,3 +604,111 @@ def q22_priority_case_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~is_high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q23: CUBE + GROUPING() — all 4 grouping combinations in one pass
+# (engine-mandated grouping sets, SURVEY.md §2.3 tail). grouping_id
+# distinguishes "rolled-up" nulls from data nulls.
+# ---------------------------------------------------------------------------
+@q("q23_cube", f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+       {dsum_expr('l_quantity')} AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""")
+def q23_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        dsum("l_quantity", "sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
+
+
+# ---------------------------------------------------------------------------
+# q24: ordered-set / statistical aggregates — exact percentiles (Spark
+# `percentile` == DuckDB `quantile_cont`, both linear interpolation),
+# Pearson correlation, sample covariance. Exact percentile sorts within
+# groups; at 100 TB swap to approx_percentile (t-digest) — q26 shows the
+# approx-validation pattern.
+# ---------------------------------------------------------------------------
+@q("q24_percentiles", """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 6)  AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+       ROUND(corr(l_extendedprice, l_quantity), 6)    AS corr_price_qty,
+       ROUND(covar_samp(l_extendedprice, l_quantity), 6) AS covar_price_qty
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def q24_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("p95"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_price_qty"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 6).alias("covar_price_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q25: range join — clicks within the hour before each purchase, same
+# user. Equi key (user_id) + bounded time range: Catalyst plans a
+# sort-merge join on the equi key with the range as a post-join filter,
+# so there is no cross product; the 1-hour bound keeps per-key fan-out
+# finite at any scale.
+# ---------------------------------------------------------------------------
+@q("q25_range_join", """
+SELECT p.event_id, COUNT(c.event_id) AS clicks_before
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+GROUP BY p.event_id
+""")
+def q25_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"))
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"))
+    return (
+        p.join(c, (F.col("c_user") == F.col("p_user"))
+               & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+               & (F.col("c_ts") < F.col("p_ts")), "left")
+        .groupBy(F.col("p_id").alias("event_id"))
+        .agg(F.count("c_id").alias("clicks_before"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q26: sketch validation — approx_count_distinct (HLL++) checked against
+# the exact count. HLL internals differ across engines, so the oracle
+# checks the CONTRACT (≤5% relative error) rather than the sketch value:
+# the Spark side emits the exact count plus a within-bound flag; the
+# oracle emits the exact count plus literal TRUE. At 100 TB the sketch is
+# the only viable option — this query keeps it honest.
+# ---------------------------------------------------------------------------
+@q("q26_approx_distinct", """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_exact,
+       TRUE AS approx_within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def q26_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n_exact"),
+             F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_approx"))
+        .select(
+            "l_returnflag", "n_exact",
+            (F.abs(F.col("n_approx") - F.col("n_exact"))
+             <= 0.05 * F.col("n_exact")).alias("approx_within_5pct"))
+    )

@@ -1,0 +1,213 @@
+"""Image segmentation operators — the reference's ``image_segmentation/
+image_masking.py`` surface rebuilt Spark-first.
+
+Three operators:
+
+- per-image KMeans segmentation (reference M1: ``image_masking.py:31-33``
+  + notebook cells 9-13): pixels featurized as ``[10·intensity, x, y]``
+  (the ×10 scaling is the reference's fixed feature weight, K12) and
+  clustered k=2 **per (image, channel)** with a deterministic Lloyd's
+  iteration inside ``applyInPandas`` — each group is one image's pixels,
+  so the clustering parallelizes across images instead of the
+  reference's driver-looped per-image jobs.
+- MLlib KMeans on the exploded pixel table (same featurization through
+  ``posexplode`` + ``VectorAssembler``) — the built-in-estimator variant
+  for when one clustering spans many images.
+- threshold grid search (reference M3: ``image_masking.py:112-139``): the
+  reference runs **one Spark job per parameter combination** (2,205 jobs
+  in the notebook run). Here the parameter grid is a DataFrame
+  crossJoined with the cells, the mask is a higher-order-function
+  expression (no Python), scoring is the K9/K10 confusion exprs, and the
+  per-channel argmax is ``max_by`` — the whole search is ONE job with one
+  shuffle regardless of grid size.
+
+Segmentation quality is judged exactly like the reference: balanced
+accuracy against the ground-truth mask shipped with the data
+(``image_masking.py:45-69``, standard TP/FP orientation per SURVEY.md
+§Pitfalls 5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import image_kernels as K
+from ..sources.cells import load_cells
+
+QUERIES: dict = {}
+
+INTENSITY_WEIGHT = 10.0  # reference image_masking.py:33
+
+
+# ---------------------------------------------------------------------------
+# per-(image, channel) exploded view with one channel's data+mask slices
+# ---------------------------------------------------------------------------
+def _per_channel(cells: DataFrame) -> DataFrame:
+    wh = F.col("width") * F.col("height")
+    return cells.select(
+        "image_id", "width", "height",
+        F.explode(F.sequence(F.lit(0), F.col("n_channels") - 1)).alias("channel"),
+        "data", "mask",
+    ).select(
+        "image_id", "channel", "width", "height",
+        K.channel_slice(F.col("data"), F.col("channel"), wh).alias("data_ch"),
+        K.channel_slice(F.col("mask"), F.col("channel"), wh).alias("mask_ch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic Lloyd's k=2 on [w·I, x, y] pixel features (numpy, one
+# image-channel per group). Init = the min- and max-intensity pixels —
+# deterministic, and for bimodal cell images close to the converged
+# centroids, so 10 iterations suffice.
+# ---------------------------------------------------------------------------
+def _kmeans2_mask(img: np.ndarray) -> np.ndarray:
+    w, h = img.shape
+    xs, ys = np.meshgrid(np.arange(w), np.arange(h), indexing="ij")
+    feats = np.stack([img.reshape(-1) * INTENSITY_WEIGHT,
+                      xs.reshape(-1).astype(np.float64),
+                      ys.reshape(-1).astype(np.float64)], axis=1)
+    c0 = feats[np.argmin(feats[:, 0])]
+    c1 = feats[np.argmax(feats[:, 0])]
+    centroids = np.stack([c0, c1])
+    assign = np.zeros(len(feats), dtype=np.int64)
+    for _ in range(10):
+        d = ((feats[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        new_assign = d.argmin(axis=1)
+        if (new_assign == assign).all():
+            break
+        assign = new_assign
+        for k in (0, 1):
+            sel = feats[assign == k]
+            if len(sel):
+                centroids[k] = sel.mean(axis=0)
+    # the foreground cluster is the brighter one
+    fg = int(centroids[:, 0].argmax())
+    return (assign == fg).reshape(w, h)
+
+
+def kmeans_segment(cells: DataFrame) -> DataFrame:
+    """(image_id, channel, predicted_mask) via grouped-map pandas —
+    reference predict (image_masking.py:166-167, which dropped its return
+    value; SURVEY.md §Pitfalls 7 — here it returns)."""
+    per_ch = _per_channel(cells)
+    schema = T.StructType([
+        T.StructField("image_id", T.LongType()),
+        T.StructField("channel", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mask_ch", T.ArrayType(T.BooleanType())),
+        T.StructField("predicted_mask", T.ArrayType(T.BooleanType())),
+    ])
+
+    def seg(batches):
+        for pdf in batches:
+            preds = []
+            for data, w, h in zip(pdf["data_ch"], pdf["width"], pdf["height"]):
+                img = np.asarray(data, dtype=np.float64).reshape(int(w), int(h))
+                preds.append(_kmeans2_mask(img).reshape(-1).tolist())
+            yield pd.DataFrame({
+                "image_id": pdf["image_id"], "channel": pdf["channel"],
+                "width": pdf["width"], "height": pdf["height"],
+                "mask_ch": pdf["mask_ch"], "predicted_mask": preds,
+            })
+
+    # mapInPandas, not applyInPandas: the clustering is per-row (each row
+    # already holds one image-channel's pixels), so no shuffle is needed —
+    # tasks stream Arrow batches and segment in place
+    return per_ch.mapInPandas(seg, schema)
+
+
+def cells_kmeans_accuracy(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    """Per-channel mean balanced accuracy of KMeans segmentation vs the
+    ground-truth masks (reference train-time scoring, image_masking.py:126-132)."""
+    seg = kmeans_segment(load_cells(spark))
+    c = K.confusion(F.col("mask_ch"), F.col("predicted_mask"))
+    scored = seg.select(
+        "image_id", "channel",
+        K.balanced_accuracy(c["tp"], c["fp"], c["tn"], c["fn"]).alias("bacc"))
+    return (scored.groupBy("channel")
+            .agg(F.round(F.avg("bacc"), 6).alias("mean_bacc"),
+                 F.count(F.lit(1)).alias("n_images")))
+
+
+QUERIES["cells_kmeans_segment"] = (cells_kmeans_accuracy, None)  # rows-only
+
+
+# ---------------------------------------------------------------------------
+# MLlib KMeans over the exploded pixel table (K12 + M1)
+# ---------------------------------------------------------------------------
+def cells_kmeans_mllib(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import VectorAssembler
+
+    cells = load_cells(spark, n_images=8)
+    per_ch = _per_channel(cells).filter(F.col("channel") == 0)
+    pixels = (
+        per_ch.select(
+            "image_id", "height",
+            F.posexplode("data_ch").alias("pos", "intensity"))
+        .select(
+            "image_id",
+            (F.col("pos") / F.col("height")).cast("int").cast("double").alias("x"),
+            (F.col("pos") % F.col("height")).cast("double").alias("y"),
+            (F.col("intensity") * INTENSITY_WEIGHT).alias("fx"),
+        )
+    )
+    assembled = VectorAssembler(
+        inputCols=["fx", "x", "y"], outputCol="features").transform(pixels)
+    model = KMeans(k=2, seed=1, maxIter=10).fit(assembled)
+    pred = model.transform(assembled)
+    return (pred.groupBy("image_id", F.col("prediction").alias("cluster"))
+            .agg(F.count(F.lit(1)).alias("n_pixels"))
+            .orderBy("image_id", "cluster"))
+
+
+QUERIES["cells_kmeans_mllib"] = (cells_kmeans_mllib, None)  # rows-only
+
+
+# ---------------------------------------------------------------------------
+# grid-search trainer (M3) — one job for the whole grid
+# ---------------------------------------------------------------------------
+THRESHOLD_GRID = [100.0, 200.0, 300.0, 400.0, 500.0]
+
+
+def threshold_mask(data_ch, thr):
+    """Mask = intensity ≥ threshold, as a higher-order expression —
+    the JVM-side stand-in for the reference's per-channel Canny kernel
+    (image_masking.py:78-90); no Python worker in the search loop."""
+    return F.transform(data_ch, lambda x: x >= thr)
+
+
+def grid_search_threshold(cells: DataFrame,
+                          grid: list[float] = THRESHOLD_GRID) -> DataFrame:
+    """Best threshold per channel by mean balanced accuracy — the
+    reference's |grid| driver-looped jobs (image_masking.py:116-137)
+    collapsed into crossJoin → score → groupBy → max_by."""
+    spark = cells.sparkSession
+    grid_df = spark.createDataFrame([(t,) for t in grid], "thr double")
+    per_ch = _per_channel(cells)
+    pred = threshold_mask(F.col("data_ch"), F.col("thr"))
+    c = K.confusion(F.col("mask_ch"), pred)
+    scored = (
+        per_ch.crossJoin(F.broadcast(grid_df))
+        .select("image_id", "channel", "thr",
+                K.balanced_accuracy(c["tp"], c["fp"], c["tn"], c["fn"]).alias("bacc"))
+    )
+    per_combo = (scored.groupBy("channel", "thr")
+                 .agg(F.avg("bacc").alias("mean_bacc")))
+    return (per_combo.groupBy("channel")
+            .agg(F.expr("max_by(thr, struct(mean_bacc, thr))").alias("best_thr"),
+                 F.round(F.max(F.struct("mean_bacc", "thr"))["mean_bacc"], 6)
+                 .alias("best_bacc")))
+
+
+def cells_grid_search(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    return grid_search_threshold(load_cells(spark))
+
+
+QUERIES["cells_grid_search"] = (cells_grid_search, None)  # rows-only

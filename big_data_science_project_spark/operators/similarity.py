@@ -190,6 +190,98 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: partition the corpus by nearest centroid, then
+# probe only the NPROBE centroids closest to the query. Centroids here are
+# a deterministic sample (vec_id < N_CENTROIDS) so the DuckDB oracle can
+# rebuild the identical index; production would train them with
+# pyspark.ml KMeans — the query shape (broadcast centroids → map-side
+# assign → partition-pruned probe) is unchanged. At 100 TB the assignment
+# is a map-only pass and `centroid_id` becomes the storage partition key,
+# so a probe reads NPROBE/N_CENTROIDS of the data.
+# ---------------------------------------------------------------------------
+N_CENTROIDS = 8
+NPROBE = 2
+
+
+def _assign_centroids(bucketed_src: DataFrame) -> DataFrame:
+    """(vec_id, embedding, centroid_id): nearest sampled centroid by
+    cosine; deterministic tiebreak on centroid id."""
+    cents = bucketed_src.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    scored = (
+        bucketed_src.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "cid",
+                cosine(F.col("embedding"), F.col("cvec")).alias("cos_c"))
+    )
+    from pyspark.sql import Window as W
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.desc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cid").alias("centroid_id"))
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = _assign_centroids(e)
+    probe_vec = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv"))
+    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    probe_cids = (
+        cents.crossJoin(F.broadcast(probe_vec))
+        .select("cid", cosine(F.col("cvec"), F.col("qv")).alias("cos_c"))
+        .orderBy(F.desc("cos_c"), F.desc("cid")).limit(NPROBE)
+        .select("cid")
+    )
+    return (
+        assigned.join(F.broadcast(probe_cids),
+                      assigned.centroid_id == F.col("cid"), "left_semi")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(probe_vec))
+        .select("vec_id", "centroid_id",
+                F.round(cosine(F.col("embedding"), F.col("qv")), 9).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+_ASSIGN_SQL = f"""
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_SQL_TEMPLATE.format(a='e.embedding', b='c.cvec')} DESC,
+                      c.cid DESC) AS rn
+    FROM embeddings e
+    CROSS JOIN (SELECT vec_id AS cid, embedding AS cvec
+                FROM embeddings WHERE vec_id < {N_CENTROIDS}) c
+  ) t WHERE rn = 1
+"""
+
+QUERIES["ann_ivf_topk"] = (ann_ivf_topk, f"""
+WITH assigned AS ({_ASSIGN_SQL}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+probe AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           {_COS_SQL_TEMPLATE.format(a='c.cvec', b='q.qv')} AS cos_c
+    FROM (SELECT vec_id AS cid, embedding AS cvec
+          FROM embeddings WHERE vec_id < {N_CENTROIDS}) c, q
+  ) t ORDER BY cos_c DESC, cid DESC LIMIT {NPROBE}
+)
+SELECT a.vec_id, a.centroid_id,
+       ROUND({_COS_SQL_TEMPLATE.format(a='a.embedding', b='q.qv')}, 9) AS cos_sim
+FROM assigned a, q
+WHERE a.centroid_id IN (SELECT cid FROM probe)
+  AND a.vec_id != {QUERY_VEC_ID}
+ORDER BY cos_sim DESC, a.vec_id
+LIMIT 10
+""")
+
+
 QUERIES["embedding_neardup"] = (embedding_neardup, f"""
 WITH bucketed AS (
   SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket

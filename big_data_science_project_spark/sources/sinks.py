@@ -1,0 +1,119 @@
+"""File-format sinks + re-read — the engine's S4/S6 surface (the
+reference persists only driver-local JSON/CSV/PNG:
+``outlier_detection.py:27-39``, ``canny_image_masking.ipynb`` cell 12,
+``feature extraction.py:89-91``; here sinks are distributed writers).
+
+Each registry query writes a real result to a scratch directory in the
+target format, reads it back, and returns the re-read DataFrame — so the
+DuckDB oracle (which computes the same result straight from the source
+tables) verifies the full write→read round trip, including type
+fidelity through the format.
+
+Scale notes baked into the shapes:
+- parquet sink writes ``partitionBy`` and the re-read filters on the
+  partition column — the read plan shows ``PartitionFilters`` and scans
+  one directory, the layout that makes 100 TB tables queryable.
+- CSV/JSON round-trip uses decimal-derived doubles (exact in text) and
+  explicit schemas on re-read — no inference jobs at scale.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum, dsum_expr
+from .tables import load_table
+
+QUERIES: dict = {}
+
+_scratch: dict[str, str] = {}
+
+
+def _dir(tag: str, sf_dir: str) -> str:
+    key = f"{tag}:{sf_dir}"
+    if key not in _scratch:
+        _scratch[key] = os.path.join(
+            tempfile.mkdtemp(prefix=f"sink_{tag}_"), "out")
+    return _scratch[key]
+
+
+# ---------------------------------------------------------------------------
+# CSV round trip: monthly revenue (exact decimal-derived doubles)
+# ---------------------------------------------------------------------------
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    result = (
+        o.groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(dsum("o_totalprice", "revenue"),
+             F.count(F.lit(1)).alias("n_orders"))
+    )
+    path = _dir("csv", sf_dir)
+    result.write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema("yr int, revenue double, n_orders bigint") \
+                .option("header", True).csv(path)
+
+
+QUERIES["sink_csv_roundtrip"] = (sink_csv_roundtrip, f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+       {dsum_expr('o_totalprice')} AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1
+""")
+
+
+# ---------------------------------------------------------------------------
+# JSON round trip: per-nation customer stats
+# ---------------------------------------------------------------------------
+def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    result = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             dsum("c_acctbal", "total_acctbal"))
+    )
+    path = _dir("json", sf_dir)
+    result.write.mode("overwrite").json(path)
+    return spark.read.schema(
+        "n_name string, n_customers bigint, total_acctbal double").json(path)
+
+
+QUERIES["sink_json_roundtrip"] = (sink_json_roundtrip, f"""
+SELECT n.n_name,
+       COUNT(*) AS n_customers,
+       {dsum_expr('c.c_acctbal')} AS total_acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""")
+
+
+# ---------------------------------------------------------------------------
+# partitioned parquet + partition-pruned re-read: write orders
+# partitioned by priority, read back ONE partition (the plan's
+# PartitionFilters prove only that directory is scanned), aggregate.
+# ---------------------------------------------------------------------------
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    path = _dir("parq", sf_dir)
+    if not os.path.isdir(path):  # write once per (format, sf) — reads repeat
+        (o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+         .write.mode("overwrite").partitionBy("o_orderpriority").parquet(path))
+    back = spark.read.parquet(path).filter(
+        F.col("o_orderpriority") == "1-URGENT")
+    return back.agg(
+        F.count(F.lit(1)).alias("n_urgent"),
+        dsum("o_totalprice", "urgent_revenue"))
+
+
+QUERIES["sink_parquet_partitioned"] = (sink_parquet_partitioned, f"""
+SELECT COUNT(*) AS n_urgent,
+       {dsum_expr('o_totalprice')} AS urgent_revenue
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+""")

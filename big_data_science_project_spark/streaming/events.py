@@ -117,6 +117,40 @@ GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# sliding window: 1-hour windows every 30 minutes — each event lands in 2
+# windows; state size is bounded by (horizon / slide) × groups
+# ---------------------------------------------------------------------------
+def stream_sliding_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(F.col("w.start").cast("string").alias("win_start_s"),
+                "event_type", "n", "sum_value")
+    )
+    return _run_to_table(agg, "complete")
+
+
+# oracle: every event belongs to the windows starting at its 30-min bucket
+# and 30 minutes before it (window 1h, slide 30m, epoch-aligned like Spark)
+QUERIES["stream_sliding_by_type"] = (stream_sliding_by_type, f"""
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS win_start, event_type, value
+  FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+         event_type, value
+  FROM events
+)
+SELECT CAST(win_start AS VARCHAR) AS win_start_s, event_type,
+       COUNT(*) AS n, {dsum_expr('value')} AS sum_value
+FROM assigned
+GROUP BY 1, 2
+""")
+
+
+# ---------------------------------------------------------------------------
 # streaming dedup on the event id within the watermark horizon
 # ---------------------------------------------------------------------------
 def stream_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,75 @@
+"""Round-trip and golden tests for the multimodal binary-column layer
+(pack → decode/feature/resize/frame-sample; external-codec stub)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_science_project_spark.operators import multimodal as M
+from big_data_science_project_spark.sources.cells import load_cells
+
+
+def test_pack_decode_roundtrip_features(spark):
+    """Features from the binary path equal features from the array path
+    (float32 storage: tolerance at the f32 epsilon of the magnitudes)."""
+    cells = load_cells(spark, n_images=16)
+    enc_feats = {(r["image_id"], r["channel"]): (r["mean_intensity"], r["max_intensity"])
+                 for r in M.decode_features(M.encode_cells(cells)).collect()}
+    raw = cells.collect()
+    assert len(enc_feats) == 16 * 3
+    for row in raw:
+        arr = np.asarray(row["data"], dtype=np.float32).reshape(
+            row["n_channels"], row["width"], row["height"])
+        for ch in range(row["n_channels"]):
+            mean_i, max_i = enc_feats[(row["image_id"], ch)]
+            assert mean_i == pytest.approx(float(arr[ch].mean()), abs=1e-3)
+            assert max_i == pytest.approx(float(arr[ch].max()), abs=1e-3)
+
+
+def test_resize_golden(spark):
+    """4×4 → 2×2 nearest-neighbor keeps the (0,0),(0,2),(2,0),(2,2) pixels."""
+    data = [float(i) for i in range(16)]  # one channel, 4×4 row-major (x,y)
+    df = spark.createDataFrame(
+        [(0, 1, 4, 4, data)],
+        "image_id long, n_channels int, width int, height int, data array<double>")
+    enc = M.encode_cells(df)
+    resized = enc.select(
+        M.make_resize_udf(2, 2)(
+            F.col("payload"), F.col("n_channels"),
+            F.col("width"), F.col("height")).alias("p"))
+    payload = resized.first()["p"]
+    arr = np.frombuffer(payload, dtype=np.float32).reshape(1, 2, 2)
+    assert arr.reshape(-1).tolist() == [0.0, 2.0, 8.0, 10.0]
+
+
+def test_frame_sample_golden(spark):
+    """8-frame 2×2 'video': keep every 3rd frame → frames 0,3,6."""
+    frames = np.arange(8 * 2 * 2, dtype=np.float32).reshape(8, 2, 2)
+    df = spark.createDataFrame(
+        [(0, 8, 2, 2, bytearray(frames.tobytes()))],
+        "vid long, n_frames int, width int, height int, payload binary")
+    sampled = df.select(
+        M.make_frame_sample_udf(3)(
+            F.col("payload"), F.col("n_frames"),
+            F.col("width"), F.col("height")).alias("p"))
+    got = np.frombuffer(sampled.first()["p"], dtype=np.float32).reshape(-1, 2, 2)
+    assert (got == frames[[0, 3, 6]]).all()
+
+
+def test_external_codec_stub_contract():
+    with pytest.raises(NotImplementedError, match="jpeg"):
+        M.decode_external(b"\x00\x01", "jpeg")
+    a = M.decode_external(b"\x00\x01", "jpeg", use_fake=True)
+    b = M.decode_external(b"\x00\x01", "jpeg", use_fake=True)
+    assert (a == b).all() and a.dtype == np.float32 and len(a) == 16
+
+
+def test_external_decode_udf(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, bytearray(b"abc"))], "id long, payload binary")
+    out = df.select("id", M.make_external_decode_udf("jpeg")(
+        F.col("payload")).alias("v")).collect()
+    assert out[0]["v"] == out[1]["v"]  # deterministic
+    assert len(out[0]["v"]) == 16
