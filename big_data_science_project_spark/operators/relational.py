@@ -115,7 +115,7 @@ def q03_revenue_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", F.col("o_orderdate").cast("string").alias("o_orderdate_s"))
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
@@ -174,9 +174,8 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s),
-              (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -507,7 +506,7 @@ def q18_small_qty_vs_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_qty = li.groupBy("l_partkey").agg(
         (0.5 * F.avg("l_quantity")).alias("half_avg_qty"))
     return (
-        li.join(F.broadcast(avg_qty), "l_partkey")
+        li.join(avg_qty, "l_partkey")
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(dsum("l_extendedprice", "total_price"),
              F.count(F.lit(1)).alias("n"))
@@ -571,7 +570,7 @@ def q21_nation_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     per_nation = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("cnt"))
     )
     return (

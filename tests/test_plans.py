@@ -1,0 +1,73 @@
+"""Physical-plan invariants — the 100 TB design assertions (SURVEY.md §4)
+checked mechanically, so a regression in plan shape fails CI even while
+results stay correct:
+
+- filters & projections reach the parquet scan (pushdown / pruning)
+- fixed-size dimensions broadcast; no accidental cartesian products
+- top-k plans as TakeOrderedAndProject (no full sort)
+- zero row-at-a-time Python (BatchEvalPython) anywhere in the registry —
+  Python enters plans only as Arrow-batched operators
+- partitioned sink re-read prunes on the partition column
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entrymod
+from big_data_science_project_spark.plans.inspect import (
+    broadcast_join_count, formatted_plan, has_pushed_filters)
+
+SF = "/root/testdata/sf0.001"
+QUERIES = entrymod.queries()
+
+
+def test_q02_pushdown_and_pruning(spark):
+    df = QUERIES["q02_filter_project"](spark, SF)
+    plan = formatted_plan(df)
+    assert has_pushed_filters(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = m.group(1).split(",")
+    # 4 projected + 1 filter column — nothing else read from the 16-col table
+    assert len(cols) == 5, cols
+
+
+def test_q03_topk_no_full_sort(spark):
+    plan = formatted_plan(QUERIES["q03_revenue_topn"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q05_dimension_broadcasts(spark):
+    df = QUERIES["q05_region_revenue"](spark, SF)
+    # nation+region hinted, customer/supplier auto-planned: ≥2 broadcasts
+    assert broadcast_join_count(df) >= 2
+    assert "CartesianProduct" not in formatted_plan(df)
+
+
+def test_q17_stats_join_is_broadcast(spark):
+    # the 3-row stats table must never shuffle the fact side
+    assert broadcast_join_count(QUERIES["q17_outlier_votes"](spark, SF)) >= 1
+
+
+def test_sink_parquet_reread_prunes_partitions(spark):
+    QUERIES["sink_parquet_partitioned"](spark, SF).collect()
+    from big_data_science_project_spark.sources.sinks import _dir
+    import pyspark.sql.functions as F
+    back = spark.read.parquet(_dir("parq", SF)).filter(
+        F.col("o_orderpriority") == "1-URGENT")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "1-URGENT" in m.group(1), plan[:500]
+    m = re.search(r"DataFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip() == "", "filter leaked into data scan"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_row_at_a_time_python(spark, name):
+    if name.startswith("stream_"):
+        pytest.skip("streaming plans build at start(); covered by results")
+    plan = formatted_plan(QUERIES[name](spark, SF))
+    assert "BatchEvalPython" not in plan, f"{name} uses pickled row Python"
