@@ -26,10 +26,17 @@ HEADLINE = [
     "q08_running_total",
     "q17_outlier_votes",
     "q18_small_qty_vs_avg",
+    "q24_percentiles",
+    "q25_range_join",
     "dedup_minhash_verified",
+    "dedup_simhash",
     "ann_bruteforce_topk",
+    "ann_ivf_topk",
     "text_token_stats",
     "stream_hourly_by_type",
+    "stream_sliding_by_type",
+    "cells_outlier_filter",
+    "multimodal_features",
 ]
 
 

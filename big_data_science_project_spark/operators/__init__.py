@@ -22,13 +22,14 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
                    similarity, text)
     from ..streaming import events as streaming_events
     from ..sources import cells as cells_src
+    from ..sources import cells_datasource as cells_ds
     from ..sources import sinks as sinks_src
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
     for mod in (relational, outlier, dedup, similarity, text,
                 streaming_events, cells_src, segmentation, multimodal,
-                sinks_src):
+                sinks_src, cells_ds):
         for name, (fn, sql) in getattr(mod, "QUERIES", {}).items():
             if name in queries:
                 raise ValueError(f"duplicate query name: {name}")

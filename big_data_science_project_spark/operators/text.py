@@ -144,6 +144,37 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# rolling-hash fingerprint (Rabin-Karp over tokens): h ← (h·B + hash(t)) mod P
+# as a single higher-order fold — order-sensitive, unlike the md5-of-text
+# fingerprint above, so equal token sequences (not just equal strings)
+# collide. Integer arithmetic is replayed exactly by the oracle.
+# ---------------------------------------------------------------------------
+_RH_B = 1000003
+_RH_P = 2147483647  # h < P, B < 2^20 ⇒ h·B + t < 2^51: no bigint overflow
+
+
+def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok_h = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10) \
+        .cast("bigint") % _RH_P
+    fp = F.aggregate(
+        _tokens("text"), F.lit(0).cast("bigint"),
+        lambda acc, t: (acc * _RH_B + tok_h(t)) % _RH_P)
+    return d.select("doc_id", fp.alias("rolling_fp"))
+
+
+QUERIES["doc_rolling_fingerprint"] = (doc_rolling_fingerprint, f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ' '),
+             t -> CAST(('0x' || SUBSTRING(md5(t), 1, 15)) AS BIGINT) % {_RH_P})),
+         (acc, t) -> (acc * {_RH_B} + t) % {_RH_P}) AS rolling_fp
+FROM documents
+""")
+
+
+# ---------------------------------------------------------------------------
 # BPE-ish regex token count (word pieces / numbers / punctuation)
 # ---------------------------------------------------------------------------
 def regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,73 @@
+"""Contract tests for the `cells` Python DataSource — the engine's
+equivalent of the reference scifio reader's option surface
+(main.py:17-19, test.py:10): row identity with the mapInPandas
+generator, channel-projection pushdown, row-limit pushdown, masked
+schema switch, partition planning, and image_id predicate pushdown."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_science_project_spark.sources import cells_datasource as CD
+from big_data_science_project_spark.sources.cells import load_cells, select_channels
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    CD.register(spark)
+
+
+def _fmt(spark):
+    return spark.read.format("cells")
+
+
+def test_rows_match_mapinpandas_source(spark):
+    a = sorted(map(tuple, _fmt(spark).option("n_images", 12).load().collect()))
+    b = sorted(map(tuple, load_cells(spark, n_images=12).collect()))
+    assert a == b
+
+
+def test_imagelimit_pushdown(spark):
+    df = _fmt(spark).option("n_images", 240).option("imagelimit", 7).load()
+    assert df.count() == 7
+
+
+def test_channel_projection_pushdown(spark):
+    full = load_cells(spark, n_images=6)
+    expected = sorted(map(tuple, select_channels(full, [0, 2]).collect()))
+    got = sorted(map(tuple, _fmt(spark).option("n_images", 6)
+                 .option("channels", "0,2").load().collect()))
+    assert got == expected
+    # pruned data length is 2 channels, not 3
+    row = _fmt(spark).option("n_images", 1).option("channels", "1").load().first()
+    assert len(row["data"]) == row["width"] * row["height"]
+    assert row["n_channels"] == 1
+
+
+def test_masked_false_drops_mask_column(spark):
+    df = _fmt(spark).option("n_images", 2).option("masked", "false").load()
+    assert "mask" not in df.columns
+    assert df.count() == 2
+
+
+def test_numpartitions_planning(spark):
+    df = _fmt(spark).option("n_images", 40).option("numpartitions", 5).load()
+    assert df.rdd.getNumPartitions() == 5
+
+
+def test_image_id_predicate_pushdown(spark):
+    df = (_fmt(spark).option("n_images", 240).option("numpartitions", 4).load()
+          .filter((F.col("image_id") >= 100) & (F.col("image_id") < 104)))
+    rows = df.select("image_id").collect()
+    assert sorted(r["image_id"] for r in rows) == [100, 101, 102, 103]
+    # the filter was consumed by the reader: partitions cover only the range
+    dsrc = CD.CellsDataSource({"n_images": "240", "numpartitions": "4"})
+    reader = dsrc.reader(dsrc.schema())
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+    left = reader.pushFilters([GreaterThanOrEqual(("image_id",), 100),
+                               LessThan(("image_id",), 104)])
+    assert left == []
+    parts = reader.partitions()
+    assert min(p.start for p in parts) == 100
+    assert max(p.end for p in parts) == 104
