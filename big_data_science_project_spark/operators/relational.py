@@ -711,3 +711,56 @@ def q26_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(F.col("n_approx") - F.col("n_exact"))
              <= 0.05 * F.col("n_exact")).alias("approx_within_5pct"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q27: skew-mitigation by explicit salting — q17's vote pipeline with the
+# stats join salted. l_returnflag has 3 values, so EVERY fact row hits one
+# of 3 join keys: the worst-case skew shape. The fact side gets a
+# deterministic salt in [0, 16); the 3-row stats side is replicated ×16
+# (explode), and the join key becomes (l_returnflag, salt) — 48 evenly
+# loaded keys instead of 3 hot ones. Result is identical to q17 (same
+# oracle), only the physical key distribution changes. At bench scale the
+# stats side broadcasts anyway; the pattern is what a 1000-executor
+# shuffle join on skewed keys needs when the dim is too big to broadcast.
+# ---------------------------------------------------------------------------
+N_SALT = 16
+
+
+@q("q27_skew_salted_votes", """
+WITH stats AS (
+  SELECT l_returnflag,
+         AVG(l_extendedprice)      AS mean_price,
+         VAR_SAMP(l_extendedprice) AS var_price
+  FROM lineitem GROUP BY l_returnflag
+),
+votes AS (
+  SELECT l.l_orderkey,
+         CAST(SUM(CASE WHEN ABS(l.l_extendedprice - s.mean_price)
+                            < 0.5 * SQRT(s.var_price)
+                       THEN -1 ELSE 1 END) AS BIGINT) AS votes
+  FROM lineitem l JOIN stats s ON l.l_returnflag = s.l_returnflag
+  GROUP BY l.l_orderkey
+)
+SELECT l_orderkey, votes FROM votes WHERE votes < 0
+""")
+def q27_skew_salted_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_returnflag").agg(
+        F.avg("l_extendedprice").alias("mean_price"),
+        F.var_samp("l_extendedprice").alias("var_price"),
+    )
+    salted_stats = stats.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1))))
+    salted_li = li.withColumn(
+        "salt", F.pmod(F.col("l_orderkey") + F.col("l_linenumber"), F.lit(N_SALT))
+        .cast("int"))
+    vote = F.when(
+        F.abs(F.col("l_extendedprice") - F.col("mean_price"))
+        < 0.5 * F.sqrt(F.col("var_price")), -1).otherwise(1)
+    return (
+        salted_li.join(salted_stats, ["l_returnflag", "salt"])
+        .groupBy("l_orderkey")
+        .agg(F.sum(vote).cast("bigint").alias("votes"))
+        .filter(F.col("votes") < 0)
+    )

@@ -55,6 +55,14 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot_dec(a, b) / (_norm_dec(a) * _norm_dec(b))
 
 
+def cosine_norm(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with pre-materialized norms: after a join, ``norm(a)`` as an
+    inline expression is re-evaluated for every joined pair (k× per row for
+    a k-candidate join); carrying the norm as a column computes it once per
+    input row. Same arithmetic, same values — the oracles are unchanged."""
+    return _dot_dec(a, b) / (na * nb)
+
+
 # hyperplane weight for (plane p, dim d): integer pseudo-random in
 # [-1000000, 1000000] — reproducible in any engine with plain arithmetic
 def _plane_weight(p: int, d: int) -> int:
@@ -109,15 +117,17 @@ _COS_SQL_TEMPLATE = """
 # brute-force cosine top-k against the QUERY_VEC_ID vector
 # ---------------------------------------------------------------------------
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _norm_dec(F.col("embedding")).alias("nrm"))
     qvec = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("qv"))
+        F.col("embedding").alias("qv"), F.col("nrm").alias("qn"))
     # 1-row dimension → broadcast cross join; the scan side never shuffles
     return (
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(qvec))
         .select("vec_id",
-                F.round(cosine(F.col("embedding"), F.col("qv")), 9).alias("cos_sim"))
+                F.round(cosine_norm(F.col("embedding"), F.col("qv"),
+                                    F.col("nrm"), F.col("qn")), 9).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
     )
@@ -139,14 +149,18 @@ LIMIT 10
 # ---------------------------------------------------------------------------
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    bucketed = e.select("vec_id", "embedding", _bucket(F.col("embedding")).alias("bucket"))
+    bucketed = e.select("vec_id", "embedding",
+                        _bucket(F.col("embedding")).alias("bucket"),
+                        _norm_dec(F.col("embedding")).alias("nrm"))
     probe = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket"))
+        F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket"),
+        F.col("nrm").alias("qn"))
     return (
         bucketed.filter(F.col("vec_id") != QUERY_VEC_ID)
         .join(F.broadcast(probe), F.col("bucket") == F.col("qbucket"))
         .select("vec_id", "bucket",
-                F.round(cosine(F.col("embedding"), F.col("qv")), 9).alias("cos_sim"))
+                F.round(cosine_norm(F.col("embedding"), F.col("qv"),
+                                    F.col("nrm"), F.col("qn")), 9).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
     )
@@ -176,16 +190,21 @@ NEARDUP_COS = 0.95
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    bucketed = e.select("vec_id", "embedding", _bucket(F.col("embedding")).alias("bucket"))
+    bucketed = e.select("vec_id", "embedding",
+                        _bucket(F.col("embedding")).alias("bucket"),
+                        _norm_dec(F.col("embedding")).alias("nrm"))
     a = bucketed.select(F.col("vec_id").alias("id1"),
-                        F.col("embedding").alias("v1"), "bucket")
+                        F.col("embedding").alias("v1"),
+                        F.col("nrm").alias("n1"), "bucket")
     b = bucketed.select(F.col("vec_id").alias("id2"),
                         F.col("embedding").alias("v2"),
+                        F.col("nrm").alias("n2"),
                         F.col("bucket").alias("bucket2"))
     return (
         a.join(b, (F.col("bucket") == F.col("bucket2")) & (F.col("id1") < F.col("id2")))
         .select("id1", "id2",
-                F.round(cosine(F.col("v1"), F.col("v2")), 9).alias("cos_sim"))
+                F.round(cosine_norm(F.col("v1"), F.col("v2"),
+                                    F.col("n1"), F.col("n2")), 9).alias("cos_sim"))
         .filter(F.col("cos_sim") >= NEARDUP_COS)
     )
 
@@ -205,21 +224,29 @@ NPROBE = 2
 
 
 def _assign_centroids(bucketed_src: DataFrame) -> DataFrame:
-    """(vec_id, embedding, centroid_id): nearest sampled centroid by
+    """(vec_id, embedding, nrm, centroid_id): nearest sampled centroid by
     cosine; deterministic tiebreak on centroid id."""
-    cents = bucketed_src.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    src = bucketed_src.select(
+        "vec_id", "embedding", _norm_dec(F.col("embedding")).alias("nrm"))
+    cents = src.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"),
+        F.col("nrm").alias("cn"))
     scored = (
-        bucketed_src.crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "cid",
-                cosine(F.col("embedding"), F.col("cvec")).alias("cos_c"))
+        src.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "nrm", "cid",
+                cosine_norm(F.col("embedding"), F.col("cvec"),
+                            F.col("nrm"), F.col("cn")).alias("cos_c"))
     )
-    from pyspark.sql import Window as W
-    w = W.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.desc("cid"))
+    # argmax via max_by, not a row_number window: the aggregate gets a
+    # map-side partial combine (each task reduces its 8 candidate rows per
+    # vec before the shuffle), where a window must shuffle all candidates
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("cid").alias("centroid_id"))
+        scored.groupBy("vec_id")
+        .agg(F.expr("max_by(struct(embedding, nrm, cid), struct(cos_c, cid))")
+             .alias("m"))
+        .select("vec_id", F.col("m.embedding").alias("embedding"),
+                F.col("m.nrm").alias("nrm"),
+                F.col("m.cid").alias("centroid_id"))
     )
 
 
@@ -227,12 +254,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     assigned = _assign_centroids(e)
     probe_vec = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("qv"))
+        F.col("embedding").alias("qv"),
+        _norm_dec(F.col("embedding")).alias("qn"))
     cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"),
+        _norm_dec(F.col("embedding")).alias("cn"))
     probe_cids = (
         cents.crossJoin(F.broadcast(probe_vec))
-        .select("cid", cosine(F.col("cvec"), F.col("qv")).alias("cos_c"))
+        .select("cid", cosine_norm(F.col("cvec"), F.col("qv"),
+                                   F.col("cn"), F.col("qn")).alias("cos_c"))
         .orderBy(F.desc("cos_c"), F.desc("cid")).limit(NPROBE)
         .select("cid")
     )
@@ -242,7 +272,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(probe_vec))
         .select("vec_id", "centroid_id",
-                F.round(cosine(F.col("embedding"), F.col("qv")), 9).alias("cos_sim"))
+                F.round(cosine_norm(F.col("embedding"), F.col("qv"),
+                                    F.col("nrm"), F.col("qn")), 9).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
     )

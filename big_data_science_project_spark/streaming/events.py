@@ -169,6 +169,71 @@ SELECT DISTINCT event_id FROM events
 
 
 # ---------------------------------------------------------------------------
+# custom stateful operator: per-user running count/mean via
+# applyInPandasWithState — the reference's online-Welford add_sample
+# (outlier_detection.py:15-25) as REAL user-managed streaming state. The
+# source is staged as multiple files with one file per trigger, so state
+# genuinely carries across micro-batches. The running sum lives in integer
+# cents (events.value is 2-dp quantized), so the final mean is exact and
+# order-independent — the DuckDB oracle reproduces it with a decimal sum.
+# Each batch emits the group's cumulative stats; the final per-user row is
+# the one with the largest n (max_by), which equals the batch-mode answer.
+# ---------------------------------------------------------------------------
+def _split_staged_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    key = f"split:{sf_dir}"
+    if key not in _stage_dirs:
+        d = tempfile.mkdtemp(prefix="events_split_")
+        load_table(spark, sf_dir, "events").repartition(n_files) \
+            .write.mode("overwrite").parquet(d)
+        _stage_dirs[key] = d
+    return _stage_dirs[key]
+
+
+def stream_user_stats_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    d = _split_staged_dir(spark, sf_dir)
+    schema = spark.read.parquet(d).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(d))
+
+    out_schema = "user_id long, n long, cents long"
+    state_schema = "n long, cents long"
+
+    def update(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # per-element cents, then integer sum — no float accumulation
+            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n], "cents": [cents]})
+
+    updates = (stream.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout))
+    per_batch = _run_to_table(updates, "update")
+    # cumulative rows per user per batch → keep the final (largest-n) one.
+    # The mean is rounded HERE with F.round (HALF_UP, same as SQL ROUND) —
+    # Python's round() is half-even and disagrees on exact .5 boundaries.
+    return (per_batch.groupBy("user_id")
+            .agg(F.expr("max_by(struct(n, cents), n)").alias("m"))
+            .select("user_id", F.col("m.n").alias("n"),
+                    F.round(F.col("m.cents") / 100.0 / F.col("m.n"), 6)
+                    .alias("mean_value")))
+
+
+QUERIES["stream_user_stats_stateful"] = (stream_user_stats_stateful, """
+SELECT user_id, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_value
+FROM events
+GROUP BY user_id
+""")
+
+
+# ---------------------------------------------------------------------------
 # session windows: 5-minute-gap sessions per user (stateful session_window)
 # ---------------------------------------------------------------------------
 def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:

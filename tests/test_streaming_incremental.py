@@ -55,6 +55,35 @@ def test_stateful_agg_across_micro_batches(spark, split_events_dir):
     assert got == batch
 
 
+def test_custom_stateful_operator_accumulates(spark):
+    """applyInPandasWithState: per-user stats must build up over multiple
+    micro-batches — some user must emit several cumulative rows, and the
+    final rows must equal the batch aggregate (the registry oracle)."""
+    from big_data_science_project_spark.streaming.events import (
+        stream_user_stats_stateful)
+
+    final = stream_user_stats_stateful(spark, SF)
+    got = {r["user_id"]: (r["n"], r["mean_value"]) for r in final.collect()}
+
+    batch = {r["user_id"]: (r["n"], r["mean_value"])
+             for r in load_table(spark, SF, "events")
+             .groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.sum(F.col("value").cast("decimal(28,2)"))
+                          .cast("double") / F.count(F.lit(1)), 6)
+                  .alias("mean_value"))
+             .collect()}
+    assert got == batch
+
+    # cross-batch emission: the newest memory sink table must hold more
+    # rows than users (cumulative updates from several batches)
+    tables = [t.name for t in spark.catalog.listTables()
+              if t.name.startswith("stream_result_")]
+    latest = sorted(tables, key=lambda n: int(n.rsplit("_", 1)[1]))[-1]
+    n_updates = spark.table(latest).count()
+    assert n_updates > len(got), (n_updates, len(got))
+
+
 def test_windowed_append_respects_watermark(spark, split_events_dir):
     """Append mode only emits windows the watermark has closed — after
     availableNow drains everything, all-but-the-latest windows are out."""
