@@ -165,6 +165,33 @@ def make_threshold_mask_udf(t1: float, t2: float):
 
 
 # ---------------------------------------------------------------------------
+# median blur (K14): k×k median filter with edge-replicate padding —
+# the reference's cv.medianBlur(cell, 5) pre-Canny smoothing
+# (image_masking.ipynb cell 29) in pure numpy (no OpenCV dependency)
+# ---------------------------------------------------------------------------
+def _median_blur_np(img: np.ndarray, k: int = 5) -> np.ndarray:
+    r = k // 2
+    padded = np.pad(img, r, mode="edge")
+    stack = np.stack([
+        padded[dx:dx + img.shape[0], dy:dy + img.shape[1]]
+        for dx in range(k) for dy in range(k)
+    ])
+    return np.median(stack, axis=0)
+
+
+def make_median_blur_udf(k: int = 5):
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def median_blur(data_ch: pd.Series, width: pd.Series, height: pd.Series) -> pd.Series:
+        out = []
+        for d, w, h in zip(data_ch, width, height):
+            img = np.asarray(d, dtype=np.float64).reshape(int(w), int(h))
+            out.append(_median_blur_np(img, k).reshape(-1).tolist())
+        return pd.Series(out)
+
+    return median_blur
+
+
+# ---------------------------------------------------------------------------
 # KMeans pixel featurization (K12): posexplode → (10·intensity, x, y)
 # ---------------------------------------------------------------------------
 def pixel_features(df, data_col: str = "data_ch", width_col: str = "height"):

@@ -180,5 +180,50 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# image-file sink (reference S5: cv.imwrite inside the distributed map,
+# feature extraction.py:89-91 — which wrote every worker to the SAME
+# relative path, SURVEY.md §Pitfalls 9). Correct version: each task
+# writes its partition's payloads under a shared base dir with
+# per-image filenames, and the operator returns what was written so the
+# caller can audit — a foreach-style side-effect sink with no collisions.
+# ---------------------------------------------------------------------------
+def export_payloads(encoded: DataFrame, base_dir: str) -> DataFrame:
+    schema = T.StructType([
+        T.StructField("image_id", T.LongType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ])
+
+    def write(batches):
+        import os
+        os.makedirs(base_dir, exist_ok=True)
+        for pdf in batches:
+            out = {"image_id": [], "path": [], "n_bytes": []}
+            for img_id, payload in zip(pdf["image_id"], pdf["payload"]):
+                p = os.path.join(base_dir, f"cell_{int(img_id):06d}.bin")
+                with open(p, "wb") as f:
+                    f.write(bytes(payload))
+                out["image_id"].append(int(img_id))
+                out["path"].append(p)
+                out["n_bytes"].append(len(payload))
+            yield pd.DataFrame(out)
+
+    return encoded.mapInPandas(write, schema)
+
+
+def multimodal_export(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    import tempfile
+
+    enc = encode_cells(load_cells(spark, n_images=32))
+    base = tempfile.mkdtemp(prefix="payload_export_")
+    written = export_payloads(enc, base)
+    return written.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.countDistinct("path").alias("n_distinct_paths"))
+
+
 QUERIES["multimodal_features"] = (multimodal_features, None)
 QUERIES["multimodal_resize"] = (multimodal_resize_stats, None)
+QUERIES["multimodal_export"] = (multimodal_export, None)

@@ -714,6 +714,63 @@ def q26_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q28: the remaining window-function families in one pass — dense_rank,
+# ntile, and a time-RANGE frame (30-day trailing spend). One shuffle on
+# o_custkey serves all three window specs.
+# ---------------------------------------------------------------------------
+@q("q28_window_suite", """
+SELECT o_custkey, o_orderkey,
+       DENSE_RANK() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC)              AS price_rank,
+       NTILE(4) OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey)      AS quartile,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate
+            RANGE BETWEEN INTERVAL '30 days' PRECEDING AND CURRENT ROW)
+         AS DOUBLE)                                                AS spend_30d
+FROM orders
+""")
+def q28_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w_rank = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    w_tile = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    spend = F.expr(
+        "SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER ("
+        "PARTITION BY o_custkey ORDER BY o_orderdate "
+        "RANGE BETWEEN INTERVAL '30' DAY PRECEDING AND CURRENT ROW)")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.dense_rank().over(w_rank).alias("price_rank"),
+        F.ntile(4).over(w_tile).alias("quartile"),
+        spend.cast("double").alias("spend_30d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q29: semi-structured scalars — from_json into a typed struct plus
+# date/time extraction, all JVM-side expressions over the events table.
+# ---------------------------------------------------------------------------
+@q("q29_json_struct", """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT)              AS k_val,
+       CAST(EXTRACT(hour FROM ts) AS INT)                          AS hr,
+       CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT)
+                                                                   AS days_since_2024
+FROM events
+""")
+def q29_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k int")
+    return e.select(
+        "event_id",
+        parsed["k"].alias("k_val"),
+        F.hour("ts").alias("hr"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .alias("days_since_2024"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q27: skew-mitigation by explicit salting — q17's vote pipeline with the
 # stats join salted. l_returnflag has 3 values, so EVERY fact row hits one
 # of 3 join keys: the worst-case skew shape. The fact side gets a

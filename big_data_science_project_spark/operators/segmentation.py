@@ -171,6 +171,112 @@ QUERIES["cells_kmeans_mllib"] = (cells_kmeans_mllib, None)  # rows-only
 
 
 # ---------------------------------------------------------------------------
+# DBSCAN segmentation (reference M2: sklearn DBSCAN(eps=2.5,
+# min_samples=1) driver-local experiment, image_masking.ipynb cells
+# 19-25) — a per-image numpy DBSCAN over foreground pixel positions,
+# distributed via mapInPandas like the KMeans path. min_samples=1 +
+# positional eps makes clusters = connected components of the
+# thresholded mask, so the synthetic single-disk images must yield
+# exactly one cluster (golden-tested).
+# ---------------------------------------------------------------------------
+def _dbscan(points: np.ndarray, eps: float, min_samples: int) -> np.ndarray:
+    """Plain O(n²) DBSCAN; fine for per-image pixel counts (≤ a few
+    thousand), and each image is one task — the scale axis is images."""
+    n = len(points)
+    labels = np.full(n, -1, dtype=np.int64)
+    if n == 0:
+        return labels
+    d2 = ((points[:, None, :] - points[None, :, :]) ** 2).sum(axis=2)
+    neigh = d2 <= eps * eps
+    core = neigh.sum(axis=1) >= min_samples
+    cluster = 0
+    for i in range(n):
+        if labels[i] != -1 or not core[i]:
+            continue
+        frontier = [i]
+        labels[i] = cluster
+        while frontier:
+            j = frontier.pop()
+            if not core[j]:
+                continue
+            for k in np.flatnonzero(neigh[j]):
+                if labels[k] == -1:
+                    labels[k] = cluster
+                    if core[k]:
+                        frontier.append(int(k))
+        cluster += 1
+    return labels
+
+
+DBSCAN_EPS = 1.5
+DBSCAN_MIN_SAMPLES = 1
+DBSCAN_THRESHOLD = 200.0
+
+
+def cells_dbscan_segment(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    cells = load_cells(spark, n_images=48)
+    per_ch = _per_channel(cells)
+    schema = T.StructType([
+        T.StructField("image_id", T.LongType()),
+        T.StructField("channel", T.IntegerType()),
+        T.StructField("n_clusters", T.IntegerType()),
+        T.StructField("largest_cluster", T.IntegerType()),
+        T.StructField("n_noise", T.IntegerType()),
+    ])
+
+    def seg(batches):
+        for pdf in batches:
+            rows = {"image_id": [], "channel": [], "n_clusters": [],
+                    "largest_cluster": [], "n_noise": []}
+            for img_id, ch, data, w, h in zip(
+                    pdf["image_id"], pdf["channel"], pdf["data_ch"],
+                    pdf["width"], pdf["height"]):
+                img = np.asarray(data, dtype=np.float64).reshape(int(w), int(h))
+                pts = np.argwhere(img >= DBSCAN_THRESHOLD).astype(np.float64)
+                labels = _dbscan(pts, DBSCAN_EPS, DBSCAN_MIN_SAMPLES)
+                valid = labels[labels >= 0]
+                rows["image_id"].append(int(img_id))
+                rows["channel"].append(int(ch))
+                rows["n_clusters"].append(int(valid.max()) + 1 if len(valid) else 0)
+                rows["largest_cluster"].append(
+                    int(np.bincount(valid).max()) if len(valid) else 0)
+                rows["n_noise"].append(int((labels < 0).sum()))
+            yield pd.DataFrame(rows)
+
+    return per_ch.mapInPandas(seg, schema)
+
+
+QUERIES["cells_dbscan_segment"] = (cells_dbscan_segment, None)  # rows-only
+
+
+# ---------------------------------------------------------------------------
+# blur → threshold-mask → score: the notebook's pre-smoothing pipeline
+# (median blur before edge masking, canny_image_masking.ipynb cell 29 /
+# image_masking.ipynb cell 29) as one declarative plan
+# ---------------------------------------------------------------------------
+def cells_blur_threshold(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    from ..functions.image_kernels import make_median_blur_udf
+
+    per_ch = _per_channel(load_cells(spark, n_images=64))
+    blurred = per_ch.withColumn(
+        "data_ch", make_median_blur_udf(3)(
+            F.col("data_ch"), F.col("width"), F.col("height")))
+    pred = threshold_mask(F.col("data_ch"), F.lit(200.0))
+    c = K.confusion(F.col("mask_ch"), pred)
+    return (
+        blurred.select(
+            "channel",
+            K.balanced_accuracy(c["tp"], c["fp"], c["tn"], c["fn"]).alias("bacc"))
+        .groupBy("channel")
+        .agg(F.round(F.avg("bacc"), 6).alias("mean_bacc"),
+             F.count(F.lit(1)).alias("n_images"))
+    )
+
+
+QUERIES["cells_blur_threshold"] = (cells_blur_threshold, None)  # rows-only
+
+
+# ---------------------------------------------------------------------------
 # grid-search trainer (M3) — one job for the whole grid
 # ---------------------------------------------------------------------------
 THRESHOLD_GRID = [100.0, 200.0, 300.0, 400.0, 500.0]

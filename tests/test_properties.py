@@ -1,0 +1,136 @@
+"""Property-based tests (hypothesis) for the numeric/hashing kernels —
+SURVEY.md §5.3: invariants that hold for ALL inputs, not just fixtures.
+Spark actions are bounded via small max_examples; pure-numpy properties
+run at full default examples."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from big_data_science_project_spark.functions.image_kernels import (
+    _median_blur_np, _perimeter_np)
+from big_data_science_project_spark.operators.segmentation import _dbscan
+
+# ---------------------------------------------------------------------------
+# pure numpy — cheap, full example counts
+# ---------------------------------------------------------------------------
+
+masks = st.integers(2, 7).flatmap(
+    lambda w: st.integers(2, 7).flatmap(
+        lambda h: st.lists(st.booleans(), min_size=w * h, max_size=w * h)
+        .map(lambda bits: np.array(bits).reshape(w, h))))
+
+
+@given(masks)
+def test_perimeter_equals_reference_definition(mask):
+    """Vectorized perimeter == the reference's per-pixel loop
+    (feature extraction.py:54-77) for every mask."""
+    p = 0
+    W, H = mask.shape
+    for x in range(W):
+        for y in range(H):
+            if not mask[x, y]:
+                continue
+            for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                nx, ny = x + dx, y + dy
+                if 0 <= nx < W and 0 <= ny < H and not mask[nx, ny]:
+                    p += 1
+    assert _perimeter_np(mask) == p
+
+
+@given(masks)
+def test_perimeter_bounds(mask):
+    p = _perimeter_np(mask)
+    assert 0 <= p <= 4 * mask.sum()
+
+
+@given(st.integers(2, 6), st.integers(2, 6), st.integers(0, 10**6))
+def test_median_blur_preserves_constant_images(w, h, v):
+    img = np.full((w, h), float(v))
+    assert (_median_blur_np(img, 3) == img).all()
+
+
+@given(st.lists(st.tuples(st.integers(0, 15), st.integers(0, 15)),
+                min_size=0, max_size=40, unique=True))
+def test_dbscan_min_samples_1_is_connected_components(pts):
+    """With min_samples=1 and eps<2, clusters are exactly the connected
+    components under 8-ish adjacency (eps=1.5 connects cardinal+diagonal
+    neighbors) — verified against a union-find reference."""
+    arr = np.array(sorted(pts), dtype=np.float64).reshape(-1, 2)
+    labels = _dbscan(arr, 1.5, 1)
+    # union-find over pairs within eps
+    parent = list(range(len(arr)))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(len(arr)):
+        for j in range(i + 1, len(arr)):
+            if ((arr[i] - arr[j]) ** 2).sum() <= 1.5 ** 2:
+                parent[find(i)] = find(j)
+    comp = {}
+    for i in range(len(arr)):
+        comp.setdefault(find(i), set()).add(i)
+    db = {}
+    for i, l in enumerate(labels):
+        db.setdefault(int(l), set()).add(i)
+    assert set(map(frozenset, comp.values())) == set(map(frozenset, db.values()))
+    assert (labels >= 0).all()  # min_samples=1 → no noise
+
+
+# ---------------------------------------------------------------------------
+# Spark-backed — bounded example counts
+# ---------------------------------------------------------------------------
+
+two_dp = st.decimals(min_value=Decimal("-99999.99"), max_value=Decimal("99999.99"),
+                     places=2).map(float)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(two_dp, min_size=1, max_size=50))
+def test_dsum_is_exact_decimal_sum(spark, values):
+    """dsum == exact Decimal arithmetic, at any partitioning — the
+    bit-reproducibility contract of functions/numeric.py."""
+    from pyspark.sql import functions as F
+
+    from big_data_science_project_spark.functions.numeric import dsum
+    df = spark.createDataFrame([(v,) for v in values], "v double").repartition(4)
+    got = df.agg(dsum("v", "s")).first()["s"]
+    expect = float(sum(Decimal(f"{v:.2f}") for v in values))
+    assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=30),
+                min_size=1, max_size=5))
+def test_rolling_fingerprint_matches_python_model(spark, texts):
+    """The Spark higher-order fold == a direct Python reimplementation
+    of h ← (h·B + md5-hash(tok)) mod P for arbitrary texts."""
+    import hashlib
+
+    from big_data_science_project_spark.operators.text import (
+        _RH_B, _RH_P, doc_rolling_fingerprint)
+
+    def model(text: str) -> int:
+        h = 0
+        for tok in text.split(" "):
+            th = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % _RH_P
+            h = (h * _RH_B + th) % _RH_P
+        return h
+
+    import os
+    import tempfile
+    d = tempfile.mkdtemp(prefix="docs_prop_")
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {r["doc_id"]: r["rolling_fp"]
+           for r in doc_rolling_fingerprint(spark, d).collect()}
+    assert got == {i: model(t) for i, t in enumerate(texts)}

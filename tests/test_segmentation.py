@@ -43,6 +43,32 @@ def test_grid_search_is_one_job_shape(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_dbscan_disks_form_one_cluster(spark):
+    """Synthetic images contain exactly one bright disk per channel →
+    DBSCAN over thresholded pixel positions must find exactly 1 cluster,
+    no noise (min_samples=1), covering the disk area."""
+    from big_data_science_project_spark.operators.segmentation import (
+        cells_dbscan_segment)
+    rows = cells_dbscan_segment(spark).collect()
+    assert len(rows) == 48 * 3
+    for r in rows:
+        assert r["n_clusters"] == 1, r
+        assert r["n_noise"] == 0, r
+        assert r["largest_cluster"] >= 9  # smallest disk: r=2 ⇒ 13 px ≥ 9
+
+
+def test_median_blur_removes_spike():
+    import numpy as np
+
+    from big_data_science_project_spark.functions.image_kernels import (
+        _median_blur_np)
+    img = np.zeros((5, 5))
+    img[2, 2] = 100.0  # salt noise
+    out = _median_blur_np(img, 3)
+    assert out[2, 2] == 0.0  # median of the 3×3 neighborhood kills the spike
+    assert (out == 0.0).all()
+
+
 def test_kmeans_mask_golden():
     """Two-level image: bright 2×2 block in a dark field — exact mask."""
     import numpy as np
