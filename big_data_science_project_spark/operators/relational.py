@@ -771,6 +771,98 @@ def q29_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q30: NOT IN with a nullable subquery — Spark plans a NULL-AWARE anti
+# join (one NULL in the subquery empties the result, per SQL three-
+# valued logic). The filter keeps the semantics honest on both engines.
+# ---------------------------------------------------------------------------
+@q("q30_notin_nullaware", """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')
+""")
+def q30_notin_nullaware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views_for(spark, sf_dir, "customer", "orders")
+    return spark.sql("""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_orderpriority = '1-URGENT')
+    """)
+
+
+# ---------------------------------------------------------------------------
+# q31: disjunctive multi-branch predicate (TPC-H Q19 shape) — OR across
+# bracketed AND groups; Catalyst pushes the common conjuncts and leaves
+# the disjunction as a single filter, not a union of scans.
+# ---------------------------------------------------------------------------
+@q("q31_disjunctive_pred", f"""
+SELECT {dsum_expr('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       COUNT(*) AS n
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30)
+""")
+def q31_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q32: correlated EXISTS + NOT EXISTS in one query (TPC-H Q21 shape,
+# simplified): lineitems whose order has another lineitem from a
+# different supplier (EXISTS) but none with an earlier shipdate
+# (NOT EXISTS) — a semi join and an anti join stacked on the same scan.
+# ---------------------------------------------------------------------------
+@q("q32_exists_notexists", """
+SELECT l1.l_suppkey, COUNT(*) AS numwait
+FROM lineitem l1
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate < l1.l_shipdate)
+GROUP BY l1.l_suppkey
+""")
+def q32_exists_notexists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views_for(spark, sf_dir, "lineitem")
+    return spark.sql("""
+        SELECT l1.l_suppkey, COUNT(*) AS numwait
+        FROM lineitem l1
+        WHERE EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate < l1.l_shipdate)
+        GROUP BY l1.l_suppkey
+    """)
+
+
+def register_views_for(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """spark.sql() path: temp views over the loader (keeps the nanos
+    rescue and lets queries be written in plain SQL — the engine's SQL
+    string surface, reference had none)."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# ---------------------------------------------------------------------------
 # q27: skew-mitigation by explicit salting — q17's vote pipeline with the
 # stats join salted. l_returnflag has 3 values, so EVERY fact row hits one
 # of 3 join keys: the worst-case skew shape. The fact side gets a
