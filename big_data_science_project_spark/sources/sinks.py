@@ -117,3 +117,56 @@ SELECT COUNT(*) AS n_urgent,
 FROM orders
 WHERE o_orderpriority = '1-URGENT'
 """)
+
+
+# ---------------------------------------------------------------------------
+# bucketed tables + shuffle-free join: lineitem and orders saved
+# bucketed AND sorted by order key into the session catalog; the join of
+# the two bucketed tables then plans as a sort-merge join with NO
+# shuffle exchange on either side (asserted in tests/test_plans.py) —
+# bucketing is how a 100 TB fact-fact join avoids re-shuffling
+# terabytes on every query that joins on the bucket key.
+# ---------------------------------------------------------------------------
+N_BUCKETS = 8
+
+
+def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    li_tbl, o_tbl = f"li_bkt_{tag}", f"o_bkt_{tag}"
+    existing = {t.name for t in spark.catalog.listTables()}
+    if li_tbl not in existing:
+        (load_table(spark, sf_dir, "lineitem")
+         .select("l_orderkey", "l_extendedprice", "l_discount")
+         .write.bucketBy(N_BUCKETS, "l_orderkey").sortBy("l_orderkey")
+         # external-table path: never write into the caller's cwd warehouse
+         .option("path", _dir(f"bkt_li_{tag}", sf_dir))
+         .mode("overwrite").saveAsTable(li_tbl))
+    if o_tbl not in existing:
+        (load_table(spark, sf_dir, "orders")
+         .select("o_orderkey", "o_orderpriority")
+         .write.bucketBy(N_BUCKETS, "o_orderkey").sortBy("o_orderkey")
+         .option("path", _dir(f"bkt_o_{tag}", sf_dir))
+         .mode("overwrite").saveAsTable(o_tbl))
+    return li_tbl, o_tbl
+
+
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li_tbl, o_tbl = _ensure_bucketed(spark, sf_dir)
+    li = spark.table(li_tbl)
+    o = spark.table(o_tbl)
+    return (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_lines"),
+             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                  "revenue"))
+    )
+
+
+QUERIES["sink_bucketed_join"] = (bucketed_join, f"""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_lines,
+       {dsum_expr('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""")

@@ -65,6 +65,20 @@ def test_sink_parquet_reread_prunes_partitions(spark):
     assert m and m.group(1).strip() == "", "filter leaked into data scan"
 
 
+def test_bucketed_join_has_no_shuffle_on_join_inputs(spark):
+    """sink_bucketed_join: both sides come from bucketed+sorted tables,
+    so the SortMergeJoin must read them WITHOUT a shuffle exchange —
+    the co-located-join property bucketing exists for."""
+    df = QUERIES["sink_bucketed_join"](spark, SF)
+    plan = formatted_plan(df)
+    lines = plan.splitlines()
+    assert "SortMergeJoin" in plan
+    # walk the subtree under the join: no Exchange may appear before the scans
+    start = next(i for i, l in enumerate(lines) if "SortMergeJoin" in l)
+    sub = "\n".join(lines[start:start + 14])
+    assert "Exchange" not in sub, sub
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_row_at_a_time_python(spark, name):
     if name.startswith("stream_"):
