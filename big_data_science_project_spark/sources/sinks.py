@@ -131,7 +131,13 @@ N_BUCKETS = 8
 
 
 def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    # identifier-safe, collision-free tag: lowercase alnum + a short path
+    # hash (plain char-mapping would crash on hyphens, defeat the
+    # lowercased catalog exists-check, and collide e.g. sf0.1 with sf0/1)
+    import hashlib
+    import re
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_")[-40:] + "_" + digest
     li_tbl, o_tbl = f"li_bkt_{tag}", f"o_bkt_{tag}"
     existing = {t.name for t in spark.catalog.listTables()}
     if li_tbl not in existing:
