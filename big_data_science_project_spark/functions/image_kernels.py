@@ -194,11 +194,12 @@ def make_median_blur_udf(k: int = 5):
 # ---------------------------------------------------------------------------
 # KMeans pixel featurization (K12): posexplode → (10·intensity, x, y)
 # ---------------------------------------------------------------------------
-def pixel_features(df, data_col: str = "data_ch", width_col: str = "height"):
+def pixel_features(df, data_col: str = "data_ch", height_col: str = "height"):
     """Explode one channel's pixels into (image_id, x, y, fx) rows for
     MLlib clustering — reference image_masking.py:31-33 including the ×10
-    intensity weighting."""
-    h = F.col(width_col)
+    intensity weighting. ``height_col`` is the row-major minor axis
+    (pos = x·H + y)."""
+    h = F.col(height_col)
     return (
         df.select("image_id", F.posexplode(data_col).alias("pos", "intensity"), h.alias("_h"))
         .select(

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.numeric import davg, davg_expr, dsum, dsum_expr
-from ..sources.tables import load_table
+from ..sources.tables import load_table, register_views
 
 QUERIES: dict = {}
 
@@ -426,19 +426,27 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
 """)
 def q16_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+    # the carried payload is a STRUCT of the signup row, not the bare
+    # value: last(..., ignorenulls) must pick the newest signup EVENT even
+    # when that signup's value is NULL (a bare-double carry would skip it
+    # and wrongly fall back to an older signup — ASOF matches rows, not
+    # non-null values)
     purchases = e.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", F.lit(None).cast("double").alias("s_value"),
+        "event_id", "user_id", "ts",
+        F.lit(None).cast("struct<value:double>").alias("s_row"),
         F.lit(1).alias("is_probe"))
     signups = e.filter(F.col("event_type") == "signup").select(
         F.lit(None).cast("long").alias("event_id"), "user_id", "ts",
-        F.col("value").alias("s_value"), F.lit(0).alias("is_probe"))
+        F.struct(F.col("value").alias("value")).alias("s_row"),
+        F.lit(0).alias("is_probe"))
     # order signups before probes at identical ts so "prior-or-equal" matches
     unioned = purchases.unionByName(signups)
     w = (W.partitionBy("user_id").orderBy("ts", "is_probe")
          .rowsBetween(W.unboundedPreceding, W.currentRow))
     return (
         unioned
-        .withColumn("signup_value", F.last("s_value", ignorenulls=True).over(w))
+        .withColumn("signup_value",
+                    F.last("s_row", ignorenulls=True).over(w)["value"])
         .filter(F.col("is_probe") == 1)
         .select("event_id", "user_id",
                 F.col("ts").cast("string").alias("ts_s"), "signup_value")
@@ -782,7 +790,7 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
                         WHERE o_orderpriority = '1-URGENT')
 """)
 def q30_notin_nullaware(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views_for(spark, sf_dir, "customer", "orders")
+    register_views(spark, sf_dir, "customer", "orders")
     return spark.sql("""
         SELECT c_custkey, c_name
         FROM customer
@@ -839,7 +847,7 @@ WHERE EXISTS (SELECT 1 FROM lineitem l2
 GROUP BY l1.l_suppkey
 """)
 def q32_exists_notexists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views_for(spark, sf_dir, "lineitem")
+    register_views(spark, sf_dir, "lineitem")
     return spark.sql("""
         SELECT l1.l_suppkey, COUNT(*) AS numwait
         FROM lineitem l1
@@ -852,14 +860,6 @@ def q32_exists_notexists(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AND l3.l_shipdate < l1.l_shipdate)
         GROUP BY l1.l_suppkey
     """)
-
-
-def register_views_for(spark: SparkSession, sf_dir: str, *names: str) -> None:
-    """spark.sql() path: temp views over the loader (keeps the nanos
-    rescue and lets queries be written in plain SQL — the engine's SQL
-    string surface, reference had none)."""
-    for n in names:
-        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
 
 
 # ---------------------------------------------------------------------------

@@ -147,17 +147,7 @@ def cells_kmeans_mllib(spark: SparkSession, sf_dir: str = "") -> DataFrame:
 
     cells = load_cells(spark, n_images=8)
     per_ch = _per_channel(cells).filter(F.col("channel") == 0)
-    pixels = (
-        per_ch.select(
-            "image_id", "height",
-            F.posexplode("data_ch").alias("pos", "intensity"))
-        .select(
-            "image_id",
-            (F.col("pos") / F.col("height")).cast("int").cast("double").alias("x"),
-            (F.col("pos") % F.col("height")).cast("double").alias("y"),
-            (F.col("intensity") * INTENSITY_WEIGHT).alias("fx"),
-        )
-    )
+    pixels = K.pixel_features(per_ch)
     assembled = VectorAssembler(
         inputCols=["fx", "x", "y"], outputCol="features").transform(pixels)
     model = KMeans(k=2, seed=1, maxIter=10).fit(assembled)

@@ -63,12 +63,6 @@ def cosine_norm(a: Column, b: Column, na: Column, nb: Column) -> Column:
     return _dot_dec(a, b) / (na * nb)
 
 
-# hyperplane weight for (plane p, dim d): integer pseudo-random in
-# [-1000000, 1000000] — reproducible in any engine with plain arithmetic
-def _plane_weight(p: int, d: int) -> int:
-    return ((p * 73856093 + d * 19349663 + 83492791) % 2000001) - 1000000
-
-
 def _bucket(a: Column) -> Column:
     """Sign-LSH bucket id: one bit per hyperplane."""
     bits = []

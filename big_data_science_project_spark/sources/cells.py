@@ -71,7 +71,9 @@ def load_cells(spark: SparkSession, n_images: int = DEFAULT_N,
     """The scifio-scan analogue: ids are planned as a range partitioned
     across the cluster; each task generates (or, for a real format,
     decodes) only its slice — no driver-side materialization."""
-    n = min(n_images, imagelimit) if imagelimit else n_images
+    # `is not None`, not truthiness: imagelimit=0 means zero rows (same
+    # semantics as the cells DataSource), not "no limit"
+    n = min(n_images, imagelimit) if imagelimit is not None else n_images
     ids = spark.range(0, n, 1, numpartitions).withColumnRenamed("id", "image_id")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -16,7 +16,6 @@ points at a growing directory / Kafka source and just keeps running.
 
 from __future__ import annotations
 
-import itertools
 import os
 import tempfile
 
@@ -28,7 +27,6 @@ from ..sources.tables import load_table
 
 QUERIES: dict = {}
 
-_counter = itertools.count()
 _stage_dirs: dict[str, str] = {}
 
 
@@ -46,21 +44,30 @@ def _staged_dir(sf_dir: str) -> str:
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # schema must match the file layout (ts scans as long under
     # nanosAsLong); convert to micros timestamp after the streaming scan,
-    # same as the batch loader (sources/tables.py)
+    # same as the batch loader (sources/tables.py). Set the conf here too:
+    # a driver-supplied session that runs a stream_* query FIRST would
+    # otherwise crash on the fixtures' TIMESTAMP(NANOS).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = spark.readStream.schema(raw_schema).parquet(_staged_dir(sf_dir))
     return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def _run_to_table(result: DataFrame, mode: str) -> DataFrame:
-    name = f"stream_result_{next(_counter)}"
+def _run_to_table(result: DataFrame, mode: str, tag: str) -> DataFrame:
+    """Stable per-operator sink name: re-running an operator REPLACES its
+    memory table instead of accumulating a new driver-held result table
+    per invocation (bench passes + repeated driver runs would otherwise
+    retain every result for the session lifetime)."""
+    name = f"stream_result_{tag}"
+    spark = result.sparkSession
+    spark.catalog.dropTempView(name)
     q = (
         result.writeStream.format("memory")
         .queryName(name).outputMode(mode)
         .trigger(availableNow=True).start()
     )
     q.awaitTermination()
-    return result.sparkSession.table(name)
+    return spark.table(name)
 
 
 # ---------------------------------------------------------------------------
@@ -78,7 +85,7 @@ def stream_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").cast("string").alias("hour_s"),
                 "event_type", "n", "sum_value", "avg_value")
     )
-    return _run_to_table(agg, "complete")
+    return _run_to_table(agg, "complete", "hourly_by_type")
 
 
 QUERIES["stream_hourly_by_type"] = (stream_hourly_by_type, f"""
@@ -104,7 +111,7 @@ def stream_welford_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.avg("value"), 6).alias("mean_value"),
              F.round(F.stddev_samp("value"), 6).alias("stddev_value"))
     )
-    return _run_to_table(agg, "complete")
+    return _run_to_table(agg, "complete", "welford_by_type")
 
 
 QUERIES["stream_welford_by_type"] = (stream_welford_by_type, """
@@ -129,7 +136,7 @@ def stream_sliding_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").cast("string").alias("win_start_s"),
                 "event_type", "n", "sum_value")
     )
-    return _run_to_table(agg, "complete")
+    return _run_to_table(agg, "complete", "sliding_by_type")
 
 
 # oracle: every event belongs to the windows starting at its 30-min bucket
@@ -160,7 +167,7 @@ def stream_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["event_id"])
         .select("event_id")
     )
-    return _run_to_table(deduped, "append")
+    return _run_to_table(deduped, "append", "dedup_ids")
 
 
 QUERIES["stream_dedup_ids"] = (stream_dedup_ids, """
@@ -213,7 +220,7 @@ def stream_user_stats_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = (stream.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update",
         GroupStateTimeout.NoTimeout))
-    per_batch = _run_to_table(updates, "update")
+    per_batch = _run_to_table(updates, "update", "user_stats_stateful")
     # cumulative rows per user per batch → keep the final (largest-n) one.
     # The mean is rounded HERE with F.round (HALF_UP, same as SQL ROUND) —
     # Python's round() is half-even and disagrees on exact .5 boundaries.
@@ -245,7 +252,7 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("w.start").cast("string").alias("session_start_s"),
                 "n_events")
     )
-    return _run_to_table(agg, "complete")
+    return _run_to_table(agg, "complete", "sessions")
 
 
 QUERIES["stream_sessions"] = (stream_sessions, """
