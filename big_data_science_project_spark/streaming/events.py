@@ -176,6 +176,82 @@ SELECT DISTINCT event_id FROM events
 
 
 # ---------------------------------------------------------------------------
+# stream-static join: the micro-batch stream joined per batch against a
+# batch-computed dimension (per-type mean value). The static side is
+# re-resolved each micro-batch — the streaming analogue of the broadcast
+# model join (A6): score events against trained statistics as they arrive.
+# ---------------------------------------------------------------------------
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _stream_events(spark, sf_dir)
+    stats = (load_table(spark, sf_dir, "events")
+             .groupBy(F.col("event_type").alias("et"))
+             .agg(F.avg("value").alias("mean_value")))
+    above = (
+        ev.join(F.broadcast(stats), ev.event_type == F.col("et"))
+        .filter(F.col("value") > F.col("mean_value"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+    )
+    return _run_to_table(above, "complete", "static_join")
+
+
+QUERIES["stream_static_join"] = (stream_static_join, """
+WITH stats AS (
+  SELECT event_type AS et, AVG(value) AS mean_value
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, COUNT(*) AS n_above
+FROM events e JOIN stats s ON e.event_type = s.et
+WHERE e.value > s.mean_value
+GROUP BY e.event_type
+""")
+
+
+# ---------------------------------------------------------------------------
+# stream-stream join: purchases joined to the same user's clicks in the
+# preceding hour, BOTH sides streaming — Spark buffers each side's rows
+# as watermark-bounded state and the time-range condition lets it evict
+# state older than the horizon. Inner join: q25's semantics restricted to
+# purchases with ≥1 click (left-outer stream-stream needs both
+# watermarks; inner keeps the oracle exact).
+# ---------------------------------------------------------------------------
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _stream_events(spark, sf_dir)
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("p_id"),
+                         F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("p_ts"))
+                 .withWatermark("p_ts", "2 hours"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("c_id"),
+                      F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("c_ts"))
+              .withWatermark("c_ts", "2 hours"))
+    joined = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")))
+    # stream-stream joins emit in APPEND mode only; the pairs stream out
+    # as their watermarks close, and the count-per-purchase runs batch-side
+    # over the drained sink (same split as the stateful operator)
+    pairs = _run_to_table(joined.select("p_id", "c_id"), "append",
+                          "stream_stream")
+    return pairs.groupBy(F.col("p_id").alias("event_id")) \
+                .agg(F.count(F.lit(1)).alias("clicks_before"))
+
+
+QUERIES["stream_stream_join"] = (stream_stream_join, """
+SELECT p.event_id, COUNT(*) AS clicks_before
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+GROUP BY p.event_id
+""")
+
+
+# ---------------------------------------------------------------------------
 # custom stateful operator: per-user running count/mean via
 # applyInPandasWithState — the reference's online-Welford add_sample
 # (outlier_detection.py:15-25) as REAL user-managed streaming state. The

@@ -75,12 +75,9 @@ def test_custom_stateful_operator_accumulates(spark):
              .collect()}
     assert got == batch
 
-    # cross-batch emission: the newest memory sink table must hold more
-    # rows than users (cumulative updates from several batches)
-    tables = [t.name for t in spark.catalog.listTables()
-              if t.name.startswith("stream_result_")]
-    latest = sorted(tables, key=lambda n: int(n.rsplit("_", 1)[1]))[-1]
-    n_updates = spark.table(latest).count()
+    # cross-batch emission: the operator's memory sink (stable name) must
+    # hold more rows than users (cumulative updates from several batches)
+    n_updates = spark.table("stream_result_user_stats_stateful").count()
     assert n_updates > len(got), (n_updates, len(got))
 
 
