@@ -55,11 +55,12 @@ def main() -> None:
     # warm the JVM/codegen path once on a trivial action
     spark.range(1000).count()
 
-    # two passes, min per query: pass 1 includes JVM/codegen/cache warmup,
-    # pass 2 is steady-state — the min de-noises host-level CPU jitter that
-    # otherwise dominates run-to-run variance on this box
+    # three passes, min per query: pass 1 includes JVM/codegen/cache warmup,
+    # later passes are steady-state — the min de-noises host-level CPU
+    # jitter that otherwise dominates run-to-run variance on this box
+    # (observed 3× swings on identical code between adjacent runs)
     times: dict[str, float] = {}
-    for rep in range(2):
+    for rep in range(3):
         for name in HEADLINE:
             fn = queries[name]
             t0 = time.perf_counter()

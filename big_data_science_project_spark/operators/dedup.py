@@ -307,3 +307,66 @@ FROM fp GROUP BY simhash HAVING COUNT(*) > 1
 
 
 QUERIES["dedup_simhash"] = (dedup_simhash, _simhash_sql())
+
+
+# ---------------------------------------------------------------------------
+# dedup clustering: connected components over the verified near-dup pairs.
+# A pair list alone can't drive dedup — transitive duplicates (A~B, B~C)
+# must collapse to ONE canonical doc, so the last step of a real pipeline
+# is a connected-components pass over the pair graph. Implemented as
+# iterative min-label propagation: each node adopts the smallest label
+# among itself and its neighbours until a fixpoint — O(diameter)
+# distributed join+agg rounds, and dup clusters are near-cliques so the
+# fixpoint lands in 1-2 rounds. Each round localCheckpoints the label
+# table: the driver loop would otherwise stack a lineage of joins that
+# Catalyst re-analyzes every round (on a cluster, swap for
+# ``checkpoint()`` on reliable storage). The oracle replays the same
+# closure as a recursive CTE.
+# ---------------------------------------------------------------------------
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_verified(spark, sf_dir).select("doc_id1", "doc_id2")
+    edges = (
+        pairs.select(F.col("doc_id1").alias("src"), F.col("doc_id2").alias("dst"))
+        .union(pairs.select(F.col("doc_id2").alias("src"),
+                            F.col("doc_id1").alias("dst")))
+        .persist()
+    )
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .select("node", F.col("node").alias("lbl"))
+              .localCheckpoint(eager=True))
+    for _ in range(20):  # >> any real dup-cluster diameter; loop exits on fixpoint
+        nbr_min = (edges.join(labels, edges.dst == labels.node)
+                   .groupBy("src").agg(F.min("lbl").alias("nbr_lbl")))
+        merged = (labels.join(nbr_min, labels.node == nbr_min.src, "left")
+                  .select(labels.node.alias("node"),
+                          F.least(labels.lbl,
+                                  F.coalesce(nbr_min.nbr_lbl, labels.lbl))
+                          .alias("lbl"),
+                          labels.lbl.alias("old_lbl"))
+                  .localCheckpoint(eager=True))
+        changed = merged.filter(F.col("lbl") < F.col("old_lbl")).count()
+        labels = merged.select("node", "lbl")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("lbl").alias("canonical_id"))
+
+
+QUERIES["dedup_clusters"] = (dedup_clusters, f"""
+WITH RECURSIVE
+pairs AS ({QUERIES["dedup_minhash_verified"][1]}),
+edges AS (
+  SELECT doc_id1 AS src, doc_id2 AS dst FROM pairs
+  UNION ALL
+  SELECT doc_id2, doc_id1 FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl
+  FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, MIN(lbl) AS canonical_id
+FROM reach
+GROUP BY node
+""")

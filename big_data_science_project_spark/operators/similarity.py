@@ -325,3 +325,61 @@ FROM bucketed a JOIN bucketed b
   ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE ROUND({_COS_SQL_TEMPLATE.format(a='a.embedding', b='b.embedding')}, 9) >= {NEARDUP_COS}
 """)
+
+
+# ---------------------------------------------------------------------------
+# batch ANN: top-k neighbours for a whole probe set in one pass — the
+# retrieval shape a training pipeline actually runs (dedup candidates /
+# hard-negative mining are many-probe, not single-probe). One corpus scan
+# crossed with a broadcast probe table; per-probe top-k is a rank-filtered
+# window, which Spark plans with WindowGroupLimit: each input partition
+# pre-truncates to its local top-k BEFORE the shuffle, so the exchange
+# carries O(partitions × probes × k) rows, not the full corpus×probes
+# cross product.
+# ---------------------------------------------------------------------------
+N_PROBES = 5
+BATCH_K = 3
+
+
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _norm_dec(F.col("embedding")).alias("nrm"))
+    probes = e.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qn"))
+    scored = (
+        e.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id",
+                cosine_norm(F.col("embedding"), F.col("qv"),
+                            F.col("nrm"), F.col("qn")).alias("cos_exact"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_exact"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BATCH_K)
+        .select("qid", "vec_id", F.round("cos_exact", 9).alias("cos_sim"), "rn")
+    )
+
+
+QUERIES["ann_batch_topk"] = (ann_batch_topk, f"""
+WITH probes AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_PROBES}
+),
+scored AS (
+  SELECT p.qid, e.vec_id,
+         {_COS_SQL_TEMPLATE.format(a='e.embedding', b='p.qv')} AS cos_exact
+  FROM embeddings e, probes p
+  WHERE e.vec_id != p.qid
+)
+SELECT qid, vec_id, ROUND(cos_exact, 9) AS cos_sim, rn
+FROM (
+  SELECT qid, vec_id, cos_exact,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cos_exact DESC, vec_id ASC) AS rn
+  FROM scored
+) t
+WHERE rn <= {BATCH_K}
+""")

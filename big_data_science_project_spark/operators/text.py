@@ -196,3 +196,61 @@ SELECT source,
 FROM documents
 GROUP BY source
 """)
+
+
+# ---------------------------------------------------------------------------
+# characteristic terms per document: TF/DF ranking (high term frequency in
+# the doc, low document frequency in the corpus — the tf-idf ordering with
+# an integer-exact rank key instead of a float idf, so the ranking is
+# reproducible bit-for-bit in any engine with no libm dependence). The
+# corpus-wide DF table is the classic two-level aggregate (distinct
+# (doc,term) → count per term) with full map-side combine; the probe-doc
+# filter prunes the TF side before the join.
+# ---------------------------------------------------------------------------
+TOP_TERMS_K = 3
+TOP_TERMS_DOCS = 20
+
+
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens("text")).alias("tok"))
+    dfc = (tok.distinct()
+           .groupBy("tok").agg(F.count(F.lit(1)).alias("df")))
+    tf = (tok.filter(F.col("doc_id") < TOP_TERMS_DOCS)
+          .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("tok"))
+    return (
+        tf.join(dfc, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_TERMS_K)
+        .select("doc_id", "tok", "tf", "df", "rn")
+    )
+
+
+QUERIES["text_top_terms"] = (text_top_terms, f"""
+WITH tok AS (
+  SELECT doc_id, t.tok AS tok
+  FROM documents, LATERAL unnest(string_split(text, ' ')) AS t(tok)
+),
+dfc AS (
+  SELECT tok, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, tok FROM tok) u
+  GROUP BY tok
+),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM tok WHERE doc_id < {TOP_TERMS_DOCS}
+  GROUP BY doc_id, tok
+)
+SELECT doc_id, tok, tf, df, rn
+FROM (
+  SELECT t.doc_id, t.tok, t.tf, d.df,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                            ORDER BY t.tf DESC, d.df ASC, t.tok ASC) AS rn
+  FROM tf t JOIN dfc d USING (tok)
+) x
+WHERE rn <= {TOP_TERMS_K}
+""")

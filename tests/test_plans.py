@@ -85,3 +85,27 @@ def test_no_row_at_a_time_python(spark, name):
         pytest.skip("streaming plans build at start(); covered by results")
     plan = formatted_plan(QUERIES[name](spark, SF))
     assert "BatchEvalPython" not in plan, f"{name} uses pickled row Python"
+
+
+def test_batch_topk_pretruncates_before_shuffle(spark):
+    """Per-group top-k (rank-filtered window) must plan as WindowGroupLimit:
+    each input partition truncates to its local top-k before the exchange,
+    so the shuffle carries O(partitions x groups x k), not the full input."""
+    for name in ("ann_batch_topk", "text_top_terms"):
+        plan = QUERIES[name](spark, SF)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "WindowGroupLimit" in plan, name
+
+
+def test_dedup_clusters_converges_small(spark):
+    """Label propagation reaches the component-min fixpoint: every member
+    of a cluster maps to the same canonical id, and the canonical id is a
+    member of its own cluster."""
+    import pyspark.sql.functions as F
+    df = QUERIES["dedup_clusters"](spark, SF)
+    rows = df.collect()
+    assert rows, "fixture has duplicate docs; clusters must be non-empty"
+    canon = {r.doc_id: r.canonical_id for r in rows}
+    for doc, c in canon.items():
+        assert c <= doc
+        assert canon.get(c, c) == c, "canonical id must be its own canonical"
