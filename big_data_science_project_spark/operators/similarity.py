@@ -383,3 +383,54 @@ FROM (
 ) t
 WHERE rn <= {BATCH_K}
 """)
+
+
+# ---------------------------------------------------------------------------
+# metadata-filtered vector search: top-k among vectors whose *document*
+# passes a metadata predicate (language + length here) — retrieval over a
+# curated slice, the other retrieval shape pipelines run constantly. The
+# predicate is evaluated on the documents scan (pushed filters), and only
+# surviving ids join to the vector table. The fixture keeps metadata in a
+# separate table so this is an id equi-join; production would store the
+# metadata columns inline with the vectors, turning the whole filter into
+# scan-level pruning with no join at all (noted so the join here is read
+# as fixture-shape, not design).
+# ---------------------------------------------------------------------------
+FILTER_LANG = "en"
+FILTER_MIN_CHARS = 200
+
+
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table as _lt
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _norm_dec(F.col("embedding")).alias("nrm"))
+    meta = (_lt(spark, sf_dir, "documents")
+            .filter((F.col("lang") == FILTER_LANG)
+                    & (F.col("n_chars") >= FILTER_MIN_CHARS))
+            .select(F.col("doc_id").alias("vec_id"), "lang"))
+    qvec = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv"), F.col("nrm").alias("qn"))
+    return (
+        e.join(meta, "vec_id", "left_semi")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qvec))
+        .select("vec_id",
+                F.round(cosine_norm(F.col("embedding"), F.col("qv"),
+                                    F.col("nrm"), F.col("qn")), 9).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+QUERIES["ann_filtered_topk"] = (ann_filtered_topk, f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT e.vec_id,
+       ROUND({_COS_SQL_TEMPLATE.format(a='e.embedding', b='q.qv')}, 9) AS cos_sim
+FROM embeddings e, q
+WHERE e.vec_id != {QUERY_VEC_ID}
+  AND e.vec_id IN (SELECT doc_id FROM documents
+                   WHERE lang = '{FILTER_LANG}' AND n_chars >= {FILTER_MIN_CHARS})
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT 10
+""")
