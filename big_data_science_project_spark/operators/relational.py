@@ -913,3 +913,73 @@ def q27_skew_salted_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(vote).cast("bigint").alias("votes"))
         .filter(F.col("votes") < 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# q33: pivot (wide cross-tab). The pivot values are DECLARED, not
+# discovered: without an explicit value list Spark runs an extra
+# collect-distinct job over the full table just to learn the column set —
+# at 100 TB that is a complete scan before the real query starts. The
+# declared list also fixes the output schema for downstream consumers.
+# Empty (status, priority) combos are coalesced to 0 to match SQL's
+# SUM(CASE ...) semantics (pivot-count yields NULL for no-row cells).
+# ---------------------------------------------------------------------------
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@q("q33_pivot", """
+SELECT o_orderstatus,
+""" + ",\n".join(
+    f"""       CAST(SUM(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END)
+            AS BIGINT) AS "{p}\"""" for p in PRIORITIES) + """
+FROM orders
+GROUP BY o_orderstatus
+""")
+def q33_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderstatus").pivot("o_orderpriority", PRIORITIES).count()
+    return wide.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(p) for p in PRIORITIES])
+
+
+# ---------------------------------------------------------------------------
+# q34: single-pass column profiling — the data-quality scan every
+# ingestion pipeline runs first. ALL per-column statistics (non-null
+# count, exact distinct, min, max) come from ONE aggregate over ONE scan,
+# then `stack` tidies the single wide row into per-column rows; the naive
+# per-column loop would re-scan the table once per column. Exact distinct
+# on two columns expands via Spark's aggregate expansion (one shuffle),
+# which is the price of exactness — q26 shows the sketch alternative.
+# ---------------------------------------------------------------------------
+@q("q34_profile", """
+SELECT 'o_custkey' AS col,
+       COUNT(o_custkey) AS n_nonnull,
+       COUNT(DISTINCT o_custkey) AS n_distinct,
+       CAST(MIN(o_custkey) AS DOUBLE) AS min_v,
+       CAST(MAX(o_custkey) AS DOUBLE) AS max_v
+FROM orders
+UNION ALL
+SELECT 'o_totalprice',
+       COUNT(o_totalprice),
+       COUNT(DISTINCT o_totalprice),
+       MIN(o_totalprice),
+       MAX(o_totalprice)
+FROM orders
+""")
+def q34_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.agg(
+        F.count("o_custkey").alias("ck_n"),
+        F.countDistinct("o_custkey").alias("ck_d"),
+        F.min("o_custkey").cast("double").alias("ck_min"),
+        F.max("o_custkey").cast("double").alias("ck_max"),
+        F.count("o_totalprice").alias("tp_n"),
+        F.countDistinct("o_totalprice").alias("tp_d"),
+        F.min("o_totalprice").alias("tp_min"),
+        F.max("o_totalprice").alias("tp_max"),
+    )
+    return wide.select(F.expr(
+        "stack(2, 'o_custkey', ck_n, ck_d, ck_min, ck_max, "
+        "'o_totalprice', tp_n, tp_d, tp_min, tp_max) "
+        "AS (col, n_nonnull, n_distinct, min_v, max_v)"))
