@@ -103,3 +103,70 @@ SELECT doc_id, lang, source
 FROM documents
 WHERE {_bucket_sql('doc_id')} < {_RATE_SQL}
 """)
+
+
+# ---------------------------------------------------------------------------
+# fixed-window document chunking with overlap — the context-window prep
+# step of every LLM training pipeline. Pure map-side fan-out: sequence →
+# explode → substring, no shuffle at all, so it scales with input splits
+# and the chunker never becomes a bottleneck at 100 TB. Start offsets are
+# a pure function of n_chars (not an RNG), so chunk identity is stable
+# across runs and engines.
+# ---------------------------------------------------------------------------
+CHUNK_CHARS = 64
+CHUNK_STRIDE = 48  # 16-char overlap between consecutive chunks
+
+
+def curate_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    starts = F.sequence(F.lit(0), F.col("n_chars") - 1, F.lit(CHUNK_STRIDE))
+    return (
+        d.filter(F.col("n_chars") > 0)
+        .select("doc_id", "text", F.explode(starts).alias("start"))
+        .select("doc_id", "start",
+                F.expr(f"substring(text, start + 1, {CHUNK_CHARS})")
+                .alias("chunk"))
+        .withColumn("chunk_len", F.length("chunk"))
+    )
+
+
+QUERIES["curate_chunk"] = (curate_chunk, f"""
+WITH starts AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, n_chars - 1, {CHUNK_STRIDE})) AS start
+  FROM documents
+  WHERE n_chars > 0
+)
+SELECT doc_id, start,
+       substring(text, CAST(start + 1 AS INT), {CHUNK_CHARS}) AS chunk,
+       length(substring(text, CAST(start + 1 AS INT), {CHUNK_CHARS})) AS chunk_len
+FROM starts
+""")
+
+
+# ---------------------------------------------------------------------------
+# per-language quality-percentile filter: keep documents at or above their
+# language's median length. The per-language medians are a tiny aggregate
+# (one row per language), broadcast back onto the corpus — the big table
+# is never shuffled, only scanned and filtered. Exact percentile
+# (interpolating, == DuckDB quantile_cont) is fine on the tiny group
+# count; the doc-level compare is against a broadcast scalar.
+# ---------------------------------------------------------------------------
+def curate_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    med = d.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.5)).alias("med"))
+    return (
+        d.join(F.broadcast(med), "lang")
+        .filter(F.col("n_chars") >= F.col("med"))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+QUERIES["curate_quality_filter"] = (curate_quality_filter, """
+SELECT doc_id, lang, n_chars
+FROM documents
+JOIN (SELECT lang, quantile_cont(n_chars, 0.5) AS med
+      FROM documents GROUP BY lang) USING (lang)
+WHERE n_chars >= med
+""")

@@ -370,3 +370,58 @@ SELECT node AS doc_id, MIN(lbl) AS canonical_id
 FROM reach
 GROUP BY node
 """)
+
+
+# ---------------------------------------------------------------------------
+# keep-best canonicalization: after candidate grouping, pick ONE surviving
+# document per group and account for what gets dropped. Group key here is
+# a prefix fingerprint (md5 of the first 5 tokens) — catches truncated /
+# re-crawled variants that share a head; the same agg runs unchanged on
+# any other cluster key (exact digest, minhash cluster root). One partial
+# +final hash aggregate with max_by — no per-group sort, no window over
+# the full corpus; shuffle carries only (16-byte key, id, length).
+# Tie-break is total-ordered (longest text, then lowest doc_id) so the
+# survivor is deterministic under any partitioning.
+# ---------------------------------------------------------------------------
+PREFIX_TOKENS = 5
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    key = F.md5(F.concat_ws(" ", F.slice(toks, 1, PREFIX_TOKENS)))
+    return (
+        d.select(key.alias("prefix_key"), "doc_id", "n_chars")
+        .groupBy("prefix_key")
+        .agg(
+            F.max_by("doc_id",
+                     F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg")))
+            .alias("keep_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            (F.sum("n_chars") - F.max("n_chars")).cast("bigint")
+            .alias("chars_dropped"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
+
+
+QUERIES["dedup_keep_best"] = (dedup_keep_best, f"""
+WITH keyed AS (
+  SELECT md5(array_to_string(string_split(text, ' ')[1:{PREFIX_TOKENS}], ' '))
+           AS prefix_key,
+         doc_id, n_chars
+  FROM documents
+), ranked AS (
+  SELECT prefix_key, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY prefix_key
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         COUNT(*)     OVER (PARTITION BY prefix_key) AS n_members,
+         SUM(n_chars) OVER (PARTITION BY prefix_key) AS total_chars,
+         MAX(n_chars) OVER (PARTITION BY prefix_key) AS max_chars
+  FROM keyed
+)
+SELECT prefix_key, doc_id AS keep_id, n_members,
+       CAST(total_chars - max_chars AS BIGINT) AS chars_dropped
+FROM ranked
+WHERE rn = 1 AND n_members > 1
+""")

@@ -983,3 +983,54 @@ def q34_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(2, 'o_custkey', ck_n, ck_d, ck_min, ck_max, "
         "'o_totalprice', tp_n, tp_d, tp_min, tp_max) "
         "AS (col, n_nonnull, n_distinct, min_v, max_v)"))
+
+
+# ---------------------------------------------------------------------------
+# q35: batch sessionization — the classic gaps-and-islands assignment
+# (streaming twin: streaming/events.py session_window). Two window passes
+# over ONE shuffle on user_id: lag() marks session starts (gap > 30 min),
+# a running sum over the same (user, ts) ordering numbers the sessions, so
+# AQE/Catalyst reuses the exchange — the sort is paid once. Event-time
+# arithmetic stays in integer microseconds (unix_micros/epoch_us): exact,
+# no float drift, no timezone dependence. event_id breaks equal-ts ties so
+# the assignment is deterministic under any partitioning.
+# ---------------------------------------------------------------------------
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+@q("q35_sessionize", f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) <= {SESSION_GAP_US}
+              THEN 0 ELSE 1 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+       {dsum_expr('value')} AS total_value
+FROM sess
+GROUP BY user_id, session_id
+""")
+def q35_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(gap <= SESSION_GAP_US, 0).otherwise(1)  # NULL gap → 1
+    sess = e.withColumn(
+        "session_id",
+        F.sum(new_s).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+             .alias("duration_us"),
+             dsum("value", "total_value"))
+    )

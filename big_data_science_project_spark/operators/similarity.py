@@ -434,3 +434,54 @@ WHERE e.vec_id != {QUERY_VEC_ID}
 ORDER BY cos_sim DESC, e.vec_id
 LIMIT 10
 """)
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization of the embedding column — the storage/compute
+# shrink step before a 100 TB vector corpus is indexed (4 bytes/dim →
+# 1 byte/dim). Entirely JVM-side higher-order functions, zero shuffle,
+# zero Python: per-vector symmetric scale 127/max|x|, then
+# floor(x·scale + 0.5) — an explicit half-up integer grid, chosen over
+# round() so both engines share one deterministic rounding rule on exact
+# IEEE doubles. The l1 checksum is integer-exact; qvec is emitted as a
+# CSV string so the value hash covers every element.
+# ---------------------------------------------------------------------------
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    vectors = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vd"))
+    maxabs = F.array_max(F.transform("vd", F.abs))
+    scaled = vectors.withColumn(
+        "scale",
+        F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(1.0)))
+    qvec = F.transform("vd", lambda x: F.floor(x * F.col("scale") + 0.5).cast("int"))
+    return scaled.select(
+        "vec_id", "scale",
+        F.array_join(qvec, ",").alias("qvec"),
+        F.aggregate(qvec, F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + F.abs(x)).alias("l1"),
+    )
+
+
+QUERIES["embedding_quantize"] = (embedding_quantize, """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+), s AS (
+  SELECT vec_id, vd,
+         CASE WHEN list_max(list_transform(vd, x -> abs(x))) > 0
+              THEN CAST(127 AS DOUBLE)
+                   / list_max(list_transform(vd, x -> abs(x)))
+              ELSE CAST(1 AS DOUBLE) END AS scale
+  FROM v
+)
+SELECT vec_id, scale,
+       array_to_string(
+         list_transform(vd, x -> CAST(floor(x * scale + 0.5) AS INT)), ','
+       ) AS qvec,
+       CAST(list_sum(list_transform(
+         vd, x -> abs(CAST(floor(x * scale + 0.5) AS INT)))) AS BIGINT) AS l1
+FROM s
+""")

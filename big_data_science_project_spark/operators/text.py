@@ -254,3 +254,44 @@ FROM (
 ) x
 WHERE rn <= {TOP_TERMS_K}
 """)
+
+
+# ---------------------------------------------------------------------------
+# corpus bigram counts — the n-gram LM / contamination-check primitive.
+# Bigram construction is a map-side higher-order transform (no UDF, no
+# shuffle); the only shuffle is the count aggregate, which map-side
+# combines down to the bigram vocabulary, so shuffle volume is O(distinct
+# bigrams), not O(corpus). The HAVING threshold bounds the result to the
+# frequent head — the tail never leaves the executors.
+# ---------------------------------------------------------------------------
+BIGRAM_MIN_COUNT = 20
+
+
+def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens("text")
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", toks[i], toks[i + 1]))
+    bigrams = F.when(F.size(toks) >= 2, pairs) \
+               .otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= BIGRAM_MIN_COUNT)
+    )
+
+
+QUERIES["text_bigrams"] = (text_bigrams, f"""
+SELECT bigram, COUNT(*) AS n
+FROM (
+  SELECT unnest(list_transform(
+           generate_series(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 2
+)
+GROUP BY bigram
+HAVING COUNT(*) >= {BIGRAM_MIN_COUNT}
+""")
