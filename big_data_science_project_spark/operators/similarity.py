@@ -226,28 +226,36 @@ NPROBE = 2
 
 def _assign_centroids(bucketed_src: DataFrame) -> DataFrame:
     """(vec_id, embedding, nrm, centroid_id): nearest sampled centroid by
-    cosine; deterministic tiebreak on centroid id."""
+    cosine; deterministic tiebreak on centroid id.
+
+    The assignment is a genuine map-only pass: the centroid table is
+    collapsed to ONE row holding an array of (cid, cvec, cn) structs,
+    broadcast, and the argmax runs inside each source row as
+    ``array_max`` over (cos, cid) structs (lexicographic struct ordering
+    == max_by with the same tiebreak). The corpus itself is never
+    shuffled — the earlier crossJoin+groupBy formulation shuffled an 8×
+    blow-up of the full table, which is exactly what cannot happen at
+    100 TB. collect_list's element order is nondeterministic but
+    irrelevant: max over a set with a total-order key is order-free."""
     src = bucketed_src.select(
         "vec_id", "embedding", _norm_dec(F.col("embedding")).alias("nrm"))
-    cents = src.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"),
-        F.col("nrm").alias("cn"))
-    scored = (
-        src.crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "nrm", "cid",
-                cosine_norm(F.col("embedding"), F.col("cvec"),
-                            F.col("nrm"), F.col("cn")).alias("cos_c"))
+    cents_row = (
+        src.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(F.struct(F.col("vec_id").alias("cid"),
+                         F.col("embedding").alias("cvec"),
+                         F.col("nrm").alias("cn")).alias("c"))
+        .agg(F.collect_list("c").alias("cents"))
     )
-    # argmax via max_by, not a row_number window: the aggregate gets a
-    # map-side partial combine (each task reduces its 8 candidate rows per
-    # vec before the shuffle), where a window must shuffle all candidates
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            cosine_norm(F.col("embedding"), c["cvec"],
+                        F.col("nrm"), c["cn"]).alias("cos_c"),
+            c["cid"].alias("cid")))
     return (
-        scored.groupBy("vec_id")
-        .agg(F.expr("max_by(struct(embedding, nrm, cid), struct(cos_c, cid))")
-             .alias("m"))
-        .select("vec_id", F.col("m.embedding").alias("embedding"),
-                F.col("m.nrm").alias("nrm"),
-                F.col("m.cid").alias("centroid_id"))
+        src.crossJoin(F.broadcast(cents_row))
+        .select("vec_id", "embedding", "nrm",
+                F.array_max(scored)["cid"].alias("centroid_id"))
     )
 
 
