@@ -170,3 +170,58 @@ JOIN (SELECT lang, quantile_cont(n_chars, 0.5) AS med
       FROM documents GROUP BY lang) USING (lang)
 WHERE n_chars >= med
 """)
+
+
+# ---------------------------------------------------------------------------
+# composed end-to-end curation pipeline — exact-dedup → per-language
+# quality-median filter → deterministic split — as ONE declarative DAG.
+# Catalyst plans the whole chain together: dedup is one shuffle on the
+# 16-byte digest with min_by carrying the survivor's columns (no join
+# back to the corpus), the medians are a tiny broadcast, the split is a
+# map-side expression, and the final report is a partial+final agg over
+# (lang, split). Three logical stages, ONE corpus-sized shuffle total.
+# ---------------------------------------------------------------------------
+def curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    canon = (
+        d.groupBy(F.md5("text").alias("digest"))
+        .agg(F.min_by(F.struct("doc_id", "lang", "n_chars"), F.col("doc_id"))
+             .alias("r"))
+        .select("r.doc_id", "r.lang", "r.n_chars")
+    )
+    med = canon.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.5)).alias("med"))
+    kept = (canon.join(F.broadcast(med), "lang")
+            .filter(F.col("n_chars") >= F.col("med")))
+    b = _bucket(F.col("doc_id"))
+    split = (F.when(b < TRAIN_PCT, F.lit("train"))
+             .when(b < TRAIN_PCT + VAL_PCT, F.lit("val"))
+             .otherwise(F.lit("test")))
+    return (
+        kept.select("lang", split.alias("split"), "n_chars")
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").cast("bigint").alias("total_chars"))
+    )
+
+
+QUERIES["curate_pipeline"] = (curate_pipeline, f"""
+WITH canon AS (
+  SELECT doc_id, lang, n_chars FROM (
+    SELECT doc_id, lang, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1
+), med AS (
+  SELECT lang, quantile_cont(n_chars, 0.5) AS med FROM canon GROUP BY lang
+), kept AS (
+  SELECT c.* FROM canon c JOIN med USING (lang) WHERE n_chars >= med
+)
+SELECT lang,
+       CASE WHEN {_bucket_sql('doc_id')} < {TRAIN_PCT} THEN 'train'
+            WHEN {_bucket_sql('doc_id')} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM kept
+GROUP BY 1, 2
+""")

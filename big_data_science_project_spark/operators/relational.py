@@ -1034,3 +1034,92 @@ def q35_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("duration_us"),
              dsum("value", "total_value"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q36: incremental aggregate maintenance — the materialized-view pattern.
+# The "existing" rollup state (9/10ths of lineitem) and a "delta" batch
+# (the remaining tenth) are each reduced to algebraic partial aggregates
+# (count, decimal sum), then MERGED by re-aggregating the two partial
+# states — the full fact table is never rescanned to refresh the view.
+# The oracle computes the same result directly over the whole table, so
+# the hash-match PROVES the merge is lossless: at 100 TB this is the
+# difference between touching a day's partition and touching the corpus.
+# Sums stay decimal until after the merge — merging doubles would
+# reintroduce order-dependent rounding.
+# ---------------------------------------------------------------------------
+@q("q36_incremental_agg", f"""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       {dsum_expr('l_quantity')} AS sum_qty,
+       {dsum_expr('l_extendedprice')} AS sum_price
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def q36_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    is_delta = (F.col("l_orderkey") % 10) == 0
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("pqty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).alias("pprice"),
+        )
+
+    existing = partial(li.filter(~is_delta))   # the standing view state
+    delta = partial(li.filter(is_delta))       # the newly arrived batch
+    return (
+        existing.unionByName(delta)
+        .groupBy("l_returnflag")
+        .agg(F.sum("pn").alias("n"),
+             F.sum("pqty").cast("double").alias("sum_qty"),
+             F.sum("pprice").cast("double").alias("sum_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q37: CDC merge (upsert/delete apply) — the lakehouse MERGE INTO pattern
+# as a single hash join. The change feed (here: a deterministic slice of
+# orders re-keyed as updates and deletes) joins the base table on the
+# primary key; deletes drop, updates override via coalesce, everything
+# else passes through untouched. One shuffle on the join key — at scale
+# the base side is bucketed/partitioned by key so the merge is co-located
+# and the untouched partitions are never rewritten.
+# ---------------------------------------------------------------------------
+@q("q37_cdc_merge", """
+WITH changes AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 100 = 0 THEN 'U' ELSE 'D' END AS op
+  FROM orders
+  WHERE o_orderkey % 100 <= 1
+)
+SELECT o.o_orderstatus,
+       CASE WHEN c.op = 'U' THEN 'X' ELSE o.o_orderpriority END AS priority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+FROM orders o
+LEFT JOIN changes c USING (o_orderkey)
+WHERE c.op IS NULL OR c.op = 'U'
+GROUP BY 1, 2
+""")
+def q37_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    changes = (
+        o.filter((F.col("o_orderkey") % 100) <= 1)
+        .select("o_orderkey",
+                F.when((F.col("o_orderkey") % 100) == 0, F.lit("U"))
+                .otherwise(F.lit("D")).alias("op"))
+    )
+    merged = (
+        o.join(changes, "o_orderkey", "left")
+        .filter(F.col("op").isNull() | (F.col("op") == "U"))
+        .select(
+            "o_orderstatus",
+            F.when(F.col("op") == "U", F.lit("X"))
+            .otherwise(F.col("o_orderpriority")).alias("priority"),
+            "o_totalprice")
+    )
+    return merged.groupBy("o_orderstatus", "priority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice", "total"))

@@ -352,3 +352,45 @@ SELECT user_id,
 FROM sessions
 GROUP BY user_id, session_id
 """)
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch sink — the escape hatch for sinks Structured Streaming
+# doesn't speak natively (JDBC, MERGE INTO, multi-table fan-out). Each
+# micro-batch is reduced to ALGEBRAIC partial aggregates (count + decimal
+# sum) and appended to a parquet log tagged with its batch_id; the final
+# state is the re-aggregation of the partials. Correct under ANY
+# micro-batch split — availableNow may deliver 1 or N batches — and
+# that is exactly the property the oracle's whole-table aggregate
+# verifies. At scale each append touches one partition of the sink table
+# and the compaction re-reads only the partial-agg log, never the stream.
+# ---------------------------------------------------------------------------
+def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _stream_events(spark, sf_dir)
+    outdir = tempfile.mkdtemp(prefix="events_febatch_")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("pn"),
+              F.sum(F.col("value").cast("decimal(28,6)")).alias("psum"))
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(outdir))
+
+    q = (ev.writeStream.foreachBatch(write_batch)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (
+        spark.read.parquet(outdir)
+        .groupBy("event_type")
+        .agg(F.sum("pn").alias("n"),
+             F.sum("psum").cast("double").alias("sum_value"))
+    )
+
+
+QUERIES["stream_foreachbatch_sink"] = (stream_foreachbatch_sink, f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       {dsum_expr('value')} AS sum_value
+FROM events
+GROUP BY event_type
+""")
