@@ -1123,3 +1123,53 @@ def q37_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("o_orderstatus", "priority").agg(
         F.count(F.lit(1)).alias("n"),
         dsum("o_totalprice", "total"))
+
+
+# ---------------------------------------------------------------------------
+# q38: error-safe scalar function family — try_cast / try_divide,
+# null-safe equality (<=>), NULLIF, interval arithmetic. These are the
+# functions that decide whether a 100 TB job survives dirty data: the
+# try_* forms turn per-row failures into NULLs instead of killing the
+# stage, and every one of them stays a JVM-side expression inside
+# whole-stage codegen. Outputs are integer counts so cross-engine parity
+# is exact.
+# ---------------------------------------------------------------------------
+@q("q38_safe_functions", """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_value,
+       CAST(SUM(CASE WHEN event_id // NULLIF(event_id % 7, 0) IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
+       CAST(SUM(CASE WHEN TRY_CAST(
+                  CASE WHEN event_id % 3 = 0 THEN 'x'
+                       ELSE CAST(event_id AS VARCHAR) END AS BIGINT)
+                IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_castable,
+       CAST(SUM(CASE WHEN value IS NOT DISTINCT FROM NULLIF(value, 0)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq,
+       CAST(SUM(EXTRACT(hour FROM ts + INTERVAL 90 MINUTE)) AS BIGINT)
+         AS sum_shifted_hour
+FROM events
+GROUP BY event_type
+""")
+def q38_safe_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    div_null = F.try_divide(
+        F.col("event_id"), F.nullif(F.col("event_id") % 7, F.lit(0))).isNull()
+    castable = F.expr(
+        "try_cast(CASE WHEN event_id % 3 = 0 THEN 'x' "
+        "ELSE CAST(event_id AS STRING) END AS BIGINT)").isNotNull()
+    nullsafe_eq = F.col("value").eqNullSafe(F.nullif(F.col("value"), F.lit(0.0)))
+    shifted_hour = F.hour(F.col("ts") + F.expr("INTERVAL 90 MINUTE"))
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").isNull().cast("int")).cast("bigint")
+            .alias("n_null_value"),
+            F.sum(div_null.cast("int")).cast("bigint").alias("n_div_null"),
+            F.sum(castable.cast("int")).cast("bigint").alias("n_castable"),
+            F.sum(nullsafe_eq.cast("int")).cast("bigint").alias("n_nullsafe_eq"),
+            F.sum(shifted_hour).cast("bigint").alias("sum_shifted_hour"),
+        )
+    )

@@ -176,3 +176,48 @@ SELECT o.o_orderpriority,
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority
 """)
+
+
+# ---------------------------------------------------------------------------
+# range-clustered sorted write: repartitionByRange + sortWithinPartitions
+# puts globally-ordered, NON-OVERLAPPING key ranges in each output file —
+# the layout that lets any min/max-pruning reader (parquet row-group
+# stats, Delta/Iceberg file skipping) answer a key-range query by
+# touching one file out of thousands. The query re-reads the files,
+# reconstructs per-file [min,max] via the hidden _metadata.file_path
+# column, and returns the count of OVERLAPPING file pairs — the oracle
+# pins it to 0, so the hash-match proves the clustering property, and
+# the row count proves the write lost nothing.
+# ---------------------------------------------------------------------------
+N_RANGE_FILES = 8
+
+
+def sink_sorted_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    path = _dir("clustered", sf_dir)
+    if not os.path.isdir(path):  # write once per sf — reads repeat
+        (li.select("l_orderkey", "l_extendedprice")
+         .repartitionByRange(N_RANGE_FILES, "l_orderkey")
+         .sortWithinPartitions("l_orderkey")
+         .write.mode("overwrite").parquet(path))
+    back = spark.read.parquet(path).select(
+        "l_orderkey", F.col("_metadata.file_path").alias("f"))
+    ranges = back.groupBy("f").agg(F.min("l_orderkey").alias("mn"),
+                                   F.max("l_orderkey").alias("mx"))
+    a = ranges.select(F.col("f").alias("fa"), F.col("mn").alias("mna"),
+                      F.col("mx").alias("mxa"))
+    b = ranges.select(F.col("f").alias("fb"), F.col("mn").alias("mnb"),
+                      F.col("mx").alias("mxb"))
+    overlaps = (
+        a.join(b, F.col("fa") < F.col("fb"))
+        .filter(~((F.col("mxa") < F.col("mnb")) | (F.col("mxb") < F.col("mna"))))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("overlapping_files"))
+    )
+    return overlaps.crossJoin(back.agg(F.count(F.lit(1)).alias("n_rows")))
+
+
+QUERIES["sink_sorted_clustered"] = (sink_sorted_clustered, """
+SELECT CAST(0 AS BIGINT) AS overlapping_files,
+       COUNT(*) AS n_rows
+FROM lineitem
+""")
