@@ -28,6 +28,8 @@ reproduces them exactly.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -224,65 +226,86 @@ N_CENTROIDS = 8
 NPROBE = 2
 
 
-def _assign_centroids(bucketed_src: DataFrame) -> DataFrame:
-    """(vec_id, embedding, nrm, centroid_id): nearest sampled centroid by
-    cosine; deterministic tiebreak on centroid id.
+def _collect_centroids(e: DataFrame):
+    """Collect the N_CENTROIDS-row centroid table driver-side — index
+    build time, the moral equivalent of a broadcast variable (production
+    trains centroids offline and ships them exactly like this). Norms use
+    ``np.cumsum`` so every downstream comparison is bit-identical to the
+    engine's sequential-fold arithmetic (see ``_assign_centroids``)."""
+    cent_rows = sorted(
+        e.filter(F.col("vec_id") < N_CENTROIDS)
+        .select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id)
+    cids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
+    cmat = np.asarray([r.embedding for r in cent_rows], dtype=np.float64)
+    cn = np.sqrt(np.cumsum(cmat * cmat, axis=1)[:, -1])
+    return cids, cmat, cn
 
-    The assignment is a genuine map-only pass: the centroid table is
-    collapsed to ONE row holding an array of (cid, cvec, cn) structs,
-    broadcast, and the argmax runs inside each source row as
-    ``array_max`` over (cos, cid) structs (lexicographic struct ordering
-    == max_by with the same tiebreak). The corpus itself is never
-    shuffled — the earlier crossJoin+groupBy formulation shuffled an 8×
-    blow-up of the full table, which is exactly what cannot happen at
-    100 TB. collect_list's element order is nondeterministic but
-    irrelevant: max over a set with a total-order key is order-free."""
-    src = bucketed_src.select(
-        "vec_id", "embedding", _norm_dec(F.col("embedding")).alias("nrm"))
-    cents_row = (
-        src.filter(F.col("vec_id") < N_CENTROIDS)
-        .select(F.struct(F.col("vec_id").alias("cid"),
-                         F.col("embedding").alias("cvec"),
-                         F.col("nrm").alias("cn")).alias("c"))
-        .agg(F.collect_list("c").alias("cents"))
-    )
-    scored = F.transform(
-        F.col("cents"),
-        lambda c: F.struct(
-            cosine_norm(F.col("embedding"), c["cvec"],
-                        F.col("nrm"), c["cn"]).alias("cos_c"),
-            c["cid"].alias("cid")))
-    return (
-        src.crossJoin(F.broadcast(cents_row))
-        .select("vec_id", "embedding", "nrm",
-                F.array_max(scored)["cid"].alias("centroid_id"))
-    )
+
+def _assign_centroids(bucketed_src: DataFrame, centroids=None) -> DataFrame:
+    """(vec_id, embedding, nrm, centroid_id): nearest sampled centroid by
+    cosine; deterministic tiebreak on the larger centroid id.
+
+    The assignment is a map-only pass: the 8-row centroid table is
+    collected driver-side (index build time — the moral equivalent of a
+    broadcast variable; production would train centroids offline) and the
+    per-row argmax runs as ONE Arrow-batched pandas UDF. The corpus is
+    never shuffled. An earlier all-expression formulation (array of
+    centroid structs + ``array_max`` over per-centroid ``aggregate``
+    folds) was correct but ~6× slower: Catalyst evaluates lambda
+    higher-order functions interpreted, so 8 centroids × 64 dims × N rows
+    of fold steps dominated the query. The numpy kernel keeps bit-parity
+    with that fold (and with DuckDB's ``list_aggregate 'sum'``):
+    float32→float64 casts and per-element products are exact, and
+    ``np.cumsum`` (ufunc accumulate) sums strictly left-to-right — the
+    identical IEEE double sequence the fold produces, so the argmax and
+    every downstream cosine agree bit-for-bit with the oracle."""
+    cids, cmat, cn = centroids if centroids else _collect_centroids(bucketed_src)
+
+    @F.pandas_udf("centroid_id bigint, nrm double")
+    def nearest_centroid(emb: pd.Series) -> pd.DataFrame:
+        m = np.asarray(emb.tolist(), dtype=np.float64)        # B×D, exact
+        dots = np.cumsum(m[:, None, :] * cmat[None, :, :], axis=2)[:, :, -1]
+        nm = np.sqrt(np.cumsum(m * m, axis=1)[:, -1])
+        cos = dots / (nm[:, None] * cn[None, :])
+        rev = cos[:, ::-1]                                    # ties → max cid
+        idx = rev.shape[1] - 1 - rev.argmax(axis=1)
+        return pd.DataFrame({"centroid_id": cids[idx], "nrm": nm})
+
+    return (bucketed_src
+            .select("vec_id", "embedding",
+                    nearest_centroid("embedding").alias("a"))
+            .select("vec_id", "embedding",
+                    F.col("a.nrm").alias("nrm"),
+                    F.col("a.centroid_id").alias("centroid_id")))
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe selection runs DRIVER-SIDE on the collected centroid table:
+    the query vector is itself a centroid (QUERY_VEC_ID < N_CENTROIDS),
+    so ranking the NPROBE nearest centroids is pure index-metadata math —
+    exactly what an IVF index does at serving time; the corpus is never
+    consulted. That turns the earlier 4-job plan (2 broadcast subqueries
+    + semi join) into one map-only scan: assign → IN-filter on the probed
+    centroid ids → literal-vector cosine → TakeOrderedAndProject. All
+    driver arithmetic uses the same cumsum/fold IEEE sequence, so probe
+    choice and scores stay bit-identical to the SQL oracle."""
     e = load_table(spark, sf_dir, "embeddings")
-    assigned = _assign_centroids(e)
-    probe_vec = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("qv"),
-        _norm_dec(F.col("embedding")).alias("qn"))
-    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"),
-        _norm_dec(F.col("embedding")).alias("cn"))
-    probe_cids = (
-        cents.crossJoin(F.broadcast(probe_vec))
-        .select("cid", cosine_norm(F.col("cvec"), F.col("qv"),
-                                   F.col("cn"), F.col("qn")).alias("cos_c"))
-        .orderBy(F.desc("cos_c"), F.desc("cid")).limit(NPROBE)
-        .select("cid")
-    )
+    cids, cmat, cn = _collect_centroids(e)
+    qpos = int(np.where(cids == QUERY_VEC_ID)[0][0])
+    qv, qn = cmat[qpos], float(cn[qpos])
+    cos_c = np.cumsum(cmat * qv[None, :], axis=1)[:, -1] / (cn * qn)
+    order = sorted(range(len(cids)), key=lambda i: (-cos_c[i], -cids[i]))
+    probe_cids = [int(cids[i]) for i in order[:NPROBE]]
+
+    assigned = _assign_centroids(e, (cids, cmat, cn))
+    qv_lit = F.lit([float(x) for x in qv])
     return (
-        assigned.join(F.broadcast(probe_cids),
-                      assigned.centroid_id == F.col("cid"), "left_semi")
-        .filter(F.col("vec_id") != QUERY_VEC_ID)
-        .crossJoin(F.broadcast(probe_vec))
+        assigned.filter(F.col("centroid_id").isin(probe_cids)
+                        & (F.col("vec_id") != QUERY_VEC_ID))
         .select("vec_id", "centroid_id",
-                F.round(cosine_norm(F.col("embedding"), F.col("qv"),
-                                    F.col("nrm"), F.col("qn")), 9).alias("cos_sim"))
+                F.round(cosine_norm(F.col("embedding"), qv_lit,
+                                    F.col("nrm"), F.lit(qn)), 9).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
     )
