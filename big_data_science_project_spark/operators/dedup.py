@@ -1,10 +1,13 @@
 """Deduplication operators over ``documents`` (engine-mandated
 LLM-data-pipeline surface; SURVEY.md Phase 5).
 
-Four tiers, cheapest first — the standard large-corpus dedup ladder:
+Five tiers, cheapest first — the standard large-corpus dedup ladder:
 
 1. exact: hash-groupBy on a content digest. One shuffle on the digest;
    at 100 TB the digest (16 bytes) is the only thing shuffled.
+1b. fuzzy edit-distance: exact-prefix blocking + window-bounded
+   levenshtein verify — catches suffix-edit/truncation dups the digest
+   misses, cheaper than shingling.
 2. MinHash + LSH banding: shingle → k min-hashes → band buckets →
    candidate pairs only within buckets. Avoids the O(n²) cross join; the
    band join shuffles (band_id, band_key) pairs, and bucket sizes bound
@@ -424,4 +427,59 @@ SELECT prefix_key, doc_id AS keep_id, n_members,
        CAST(total_chars - max_chars AS BIGINT) AS chars_dropped
 FROM ranked
 WHERE rn = 1 AND n_members > 1
+""")
+
+
+# ---------------------------------------------------------------------------
+# fuzzy edit-distance dedup: exact-prefix blocking + bounded levenshtein
+# verification — the ladder rung between exact (tier 1) and MinHash
+# (tier 2): catches truncation/suffix-edit duplicates that break the
+# content digest but keep the opening intact, without shingling cost.
+# Blocking key = (lang, first BLOCK_PREFIX chars): the only thing
+# shuffled is the key + a capped text window, and per-block pair blow-up
+# is bounded by block size, never O(n²) over the corpus. The verify step
+# runs levenshtein on a LEV_WINDOW-char window so the DP cost per pair is
+# a constant (LEV_WINDOW² cells), independent of document length — at
+# 100 TB both the shuffle width and per-pair CPU stay flat. Both engines
+# implement the same Wagner-Fischer integer DP, so the distance is
+# integer-exact in the oracle.
+# ---------------------------------------------------------------------------
+BLOCK_PREFIX = 24     # blocking key width (chars)
+LEV_WINDOW = 400      # verification window (chars) — caps DP cost per pair
+LEV_MAX = 40          # keep pairs within this edit distance on the window
+
+
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.substring("text", 1, BLOCK_PREFIX).alias("pfx"),
+        F.substring("text", 1, LEV_WINDOW).alias("win"))
+    a = d.select(F.col("doc_id").alias("id1"), "lang", "pfx",
+                 F.col("win").alias("win1"))
+    b = d.select(F.col("doc_id").alias("id2"),
+                 F.col("lang").alias("lang2"),
+                 F.col("pfx").alias("pfx2"),
+                 F.col("win").alias("win2"))
+    return (
+        a.join(b, (F.col("pfx") == F.col("pfx2"))
+               & (F.col("lang") == F.col("lang2"))
+               & (F.col("id1") < F.col("id2")))
+        .select("id1", "id2",
+                F.levenshtein("win1", "win2").alias("lev"))
+        .filter(F.col("lev") <= LEV_MAX)
+    )
+
+
+QUERIES["dedup_fuzzy_levenshtein"] = (dedup_fuzzy_levenshtein, f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         substr(text, 1, {BLOCK_PREFIX}) AS pfx,
+         substr(text, 1, {LEV_WINDOW}) AS win
+  FROM documents
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       levenshtein(a.win, b.win) AS lev
+FROM d a JOIN d b
+  ON a.pfx = b.pfx AND a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE levenshtein(a.win, b.win) <= {LEV_MAX}
 """)
