@@ -242,9 +242,15 @@ def _collect_centroids(e: DataFrame):
     return cids, cmat, cn
 
 
-def _assign_centroids(bucketed_src: DataFrame, centroids=None) -> DataFrame:
+def _assign_centroids(bucketed_src: DataFrame, centroids=None,
+                      qpos: int | None = None) -> DataFrame:
     """(vec_id, embedding, nrm, centroid_id): nearest sampled centroid by
-    cosine; deterministic tiebreak on the larger centroid id.
+    cosine; deterministic tiebreak on the larger centroid id. With
+    ``qpos`` set, also emits ``cos_q`` — the cosine to centroid ``qpos``,
+    which the UDF has already computed as one column of the per-centroid
+    cosine matrix. An IVF probe whose query vector is a centroid gets its
+    exact scores for free from the assignment pass, so the probe query
+    needs no second dot-product evaluation at all.
 
     The assignment is a map-only pass: the 8-row centroid table is
     collected driver-side (index build time — the moral equivalent of a
@@ -261,8 +267,11 @@ def _assign_centroids(bucketed_src: DataFrame, centroids=None) -> DataFrame:
     identical IEEE double sequence the fold produces, so the argmax and
     every downstream cosine agree bit-for-bit with the oracle."""
     cids, cmat, cn = centroids if centroids else _collect_centroids(bucketed_src)
+    schema = "centroid_id bigint, nrm double"
+    if qpos is not None:
+        schema += ", cos_q double"
 
-    @F.pandas_udf("centroid_id bigint, nrm double")
+    @F.pandas_udf(schema)
     def nearest_centroid(emb: pd.Series) -> pd.DataFrame:
         m = np.asarray(emb.tolist(), dtype=np.float64)        # B×D, exact
         dots = np.cumsum(m[:, None, :] * cmat[None, :, :], axis=2)[:, :, -1]
@@ -270,14 +279,19 @@ def _assign_centroids(bucketed_src: DataFrame, centroids=None) -> DataFrame:
         cos = dots / (nm[:, None] * cn[None, :])
         rev = cos[:, ::-1]                                    # ties → max cid
         idx = rev.shape[1] - 1 - rev.argmax(axis=1)
-        return pd.DataFrame({"centroid_id": cids[idx], "nrm": nm})
+        out = {"centroid_id": cids[idx], "nrm": nm}
+        if qpos is not None:
+            out["cos_q"] = cos[:, qpos]
+        return pd.DataFrame(out)
 
+    cols = [F.col("a.nrm").alias("nrm"),
+            F.col("a.centroid_id").alias("centroid_id")]
+    if qpos is not None:
+        cols.append(F.col("a.cos_q").alias("cos_q"))
     return (bucketed_src
             .select("vec_id", "embedding",
                     nearest_centroid("embedding").alias("a"))
-            .select("vec_id", "embedding",
-                    F.col("a.nrm").alias("nrm"),
-                    F.col("a.centroid_id").alias("centroid_id")))
+            .select("vec_id", "embedding", *cols))
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -287,9 +301,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly what an IVF index does at serving time; the corpus is never
     consulted. That turns the earlier 4-job plan (2 broadcast subqueries
     + semi join) into one map-only scan: assign → IN-filter on the probed
-    centroid ids → literal-vector cosine → TakeOrderedAndProject. All
-    driver arithmetic uses the same cumsum/fold IEEE sequence, so probe
-    choice and scores stay bit-identical to the SQL oracle."""
+    centroid ids → TakeOrderedAndProject. Because the query vector is a
+    centroid, its exact cosine is one column of the assignment UDF's
+    per-centroid cosine matrix (``cos_q``) — the probe pays zero extra
+    dot products. All driver arithmetic uses the same cumsum/fold IEEE
+    sequence, so probe choice and scores stay bit-identical to the SQL
+    oracle."""
     e = load_table(spark, sf_dir, "embeddings")
     cids, cmat, cn = _collect_centroids(e)
     qpos = int(np.where(cids == QUERY_VEC_ID)[0][0])
@@ -298,14 +315,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     order = sorted(range(len(cids)), key=lambda i: (-cos_c[i], -cids[i]))
     probe_cids = [int(cids[i]) for i in order[:NPROBE]]
 
-    assigned = _assign_centroids(e, (cids, cmat, cn))
-    qv_lit = F.lit([float(x) for x in qv])
+    assigned = _assign_centroids(e, (cids, cmat, cn), qpos=qpos)
     return (
         assigned.filter(F.col("centroid_id").isin(probe_cids)
                         & (F.col("vec_id") != QUERY_VEC_ID))
         .select("vec_id", "centroid_id",
-                F.round(cosine_norm(F.col("embedding"), qv_lit,
-                                    F.col("nrm"), F.lit(qn)), 9).alias("cos_sim"))
+                F.round(F.col("cos_q"), 9).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
     )

@@ -1,0 +1,137 @@
+"""Time-series shaping over the ``events`` table: regular-grid resampling
+with gap fill, and value-distribution histograms.
+
+The reference computes only whole-table statistics over static images
+(``feature extraction.py:70-100``); these operators are the
+engine-mandated time-series surface a telemetry/training pipeline needs.
+
+Scale notes (100 TB):
+
+- ``ts_resample_ffill`` aggregates the raw stream down to one row per
+  (key, hour) FIRST — the only corpus-sized shuffle; everything after
+  (gap join, forward-fill window) runs on that compacted hourly table.
+  Catalyst collapses the spine-bounds branch into a direct min/max
+  scan-agg (map-side partials, a rows=keys shuffle), so the second pass
+  over the corpus is pure scan+combine with 2-column pruning. The spine
+  itself is generated map-side with ``sequence``/``explode`` (no driver
+  loop, no cross join); the forward-fill is one window partitioned by
+  key, so state per task is one key's hours. A 1000-executor run
+  shuffles hours × keys rows, not the raw events.
+- ``histogram`` is a map-side bucket computation (pure arithmetic, no
+  lookup table) followed by a ≤N_BUCKETS-group aggregate: shuffle volume
+  is O(partitions × buckets). Bucket boundaries are compile-time
+  constants; the floor/divide arithmetic is a single IEEE double op per
+  row, reproduced verbatim in the DuckDB oracle (DuckDB 1.0 has no
+  ``width_bucket``, so both sides share the explicit formula).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum, dsum_expr
+from ..sources.tables import load_table
+
+QUERIES: dict = {}
+
+# bound the grid so output stays fixture-sized at any sf: the operator
+# shape (agg → spine → fill) is unchanged by the key predicate
+RESAMPLE_MAX_USER = 100
+
+
+def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample per user with forward fill: aggregate to an hourly
+    grid, densify missing hours from each user's min..max hour via
+    ``sequence``/``explode``, then carry the last observed hourly sum
+    forward with a ``last(ignorenulls)`` running window. ``is_gap`` marks
+    synthesized rows."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("user_id") < RESAMPLE_MAX_USER))
+    hourly = (ev.groupBy("user_id",
+                         F.date_trunc("hour", "ts").alias("hour"))
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   dsum("value", "hr_sum")))
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR")))
+        .alias("hour"))
+    joined = spine.join(hourly, ["user_id", "hour"], "left")
+    w = (W.partitionBy("user_id").orderBy("hour")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return joined.select(
+        "user_id", "hour",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("hr_sum", ignorenulls=True).over(w).alias("ff_sum"),
+        F.col("n_events").isNull().cast("int").alias("is_gap"))
+
+
+QUERIES["ts_resample_ffill"] = (ts_resample_ffill, f"""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         COUNT(*) AS n_events, {dsum_expr('value')} AS hr_sum
+  FROM events
+  WHERE user_id < {RESAMPLE_MAX_USER}
+  GROUP BY user_id, date_trunc('hour', ts)
+), bounds AS (
+  SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly GROUP BY user_id
+), spine AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM bounds
+)
+SELECT s.user_id, s.hour,
+       COALESCE(h.n_events, 0) AS n_events,
+       LAST_VALUE(h.hr_sum IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff_sum,
+       CAST(CASE WHEN h.n_events IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+FROM spine s
+LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour
+""")
+
+
+# ---------------------------------------------------------------------------
+# histogram: fixed-grid binning of l_extendedprice. Bounds chosen to
+# cover the TPC-H price domain (~901..105000) with clamping so the edges
+# absorb out-of-range values — the standard fixed-width histogram an
+# engine runs for data profiling / quantile seeding.
+# ---------------------------------------------------------------------------
+HIST_LO = 0.0
+HIST_HI = 110000.0
+HIST_BUCKETS = 22
+_STEP = (HIST_HI - HIST_LO) / HIST_BUCKETS  # 5000.0, exact in double
+
+
+def histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = F.floor((F.col("l_extendedprice") - F.lit(HIST_LO)) / F.lit(_STEP))
+    bucket = F.least(F.greatest(raw, F.lit(0)),
+                     F.lit(HIST_BUCKETS - 1)).cast("int")
+    return (li.select(bucket.alias("bucket"), "l_extendedprice")
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("l_extendedprice", "sum_price"),
+                 F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+                 F.round(F.max("l_extendedprice"), 2).alias("max_price"))
+            .withColumn("bucket_lo",
+                        F.col("bucket").cast("double") * F.lit(_STEP)))
+
+
+QUERIES["histogram"] = (histogram, f"""
+WITH b AS (
+  SELECT CAST(LEAST(GREATEST(
+           FLOOR((l_extendedprice - {HIST_LO}) / {_STEP}), 0),
+           {HIST_BUCKETS - 1}) AS INT) AS bucket,
+         l_extendedprice
+  FROM lineitem
+)
+SELECT bucket, COUNT(*) AS n,
+       {dsum_expr('l_extendedprice')} AS sum_price,
+       ROUND(MIN(l_extendedprice), 2) AS min_price,
+       ROUND(MAX(l_extendedprice), 2) AS max_price,
+       CAST(bucket AS DOUBLE) * {_STEP} AS bucket_lo
+FROM b
+GROUP BY bucket
+""")

