@@ -1173,3 +1173,67 @@ def q38_safe_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(shifted_hour).cast("bigint").alias("sum_shifted_hour"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q39: pure non-equi (theta) band join — a tiny tier table joined ONLY on
+# a range predicate, no equi key. Spark plans BroadcastNestedLoopJoin:
+# the 4-row dimension broadcasts and every lineitem row probes it
+# map-side, so the corpus never shuffles — the one theta-join shape that
+# is scale-safe, and the physical operator (BNLJ) no other query here
+# exercises. The band table is inlined as literals on BOTH sides so the
+# oracle shares it exactly.
+# ---------------------------------------------------------------------------
+PRICE_BANDS = [
+    (0.0, 20000.0, "low"),
+    (20000.0, 50000.0, "mid"),
+    (50000.0, 100000.0, "high"),
+    (100000.0, 1e9, "lux"),
+]
+
+
+@q("q39_band_join", f"""
+SELECT tier, COUNT(*) AS n, {dsum_expr('l_extendedprice')} AS band_revenue
+FROM lineitem
+JOIN (VALUES {', '.join(f"(CAST({lo} AS DOUBLE), CAST({hi} AS DOUBLE), '{t}')"
+                        for lo, hi, t in PRICE_BANDS)}) b(lo, hi, tier)
+  ON l_extendedprice >= lo AND l_extendedprice < hi
+GROUP BY tier
+""")
+def q39_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(PRICE_BANDS, "lo double, hi double, tier string")
+    return (
+        li.join(F.broadcast(bands),
+                (F.col("l_extendedprice") >= F.col("lo"))
+                & (F.col("l_extendedprice") < F.col("hi")))
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n"),
+             dsum("l_extendedprice", "band_revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q40: the SQL front-end — the identical ANSI text runs on Spark
+# (spark.sql over registered views) and on DuckDB as the oracle. TPC-H
+# Q14 shape (promo revenue share): one fact-dim equi join + conditional
+# aggregate; Catalyst gets the full statement, so pushdown/broadcast
+# decisions are made from SQL exactly as they are from the DataFrame API.
+# ---------------------------------------------------------------------------
+_Q40_SQL = f"""
+SELECT CAST(100.00 AS DOUBLE) * {dsum_expr(
+    "CASE WHEN p_type LIKE 'PROMO%' "
+    "THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+       / {dsum_expr('l_extendedprice * (1 - l_discount)')} AS promo_share,
+       COUNT(*) AS n
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+"""
+
+
+@q("q40_sql_promo", _Q40_SQL)
+def q40_sql_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q40_SQL)

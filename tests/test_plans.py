@@ -109,3 +109,24 @@ def test_dedup_clusters_converges_small(spark):
     for doc, c in canon.items():
         assert c <= doc
         assert canon.get(c, c) == c, "canonical id must be its own canonical"
+
+
+def test_band_join_is_broadcast_nested_loop(spark):
+    """q39's theta join must broadcast the 4-row band table and probe it
+    map-side — a shuffled or cartesian plan would be a scale regression."""
+    df = QUERIES["q39_band_join"](spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_resample_single_corpus_shuffle(spark):
+    """ts_resample_ffill shuffles the corpus exactly once (the hourly
+    aggregate's partial→final exchange); bounds/spine/window all run on
+    compacted data. More corpus-sized exchanges = scale regression."""
+    df = QUERIES["ts_resample_ffill"](spark, SF)
+    plan = formatted_plan(df)
+    # exchanges: hourly agg, bounds min/max partials, window sort — the
+    # raw-events-sized one appears once (hash by user_id+hour)
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "CartesianProduct" not in plan
