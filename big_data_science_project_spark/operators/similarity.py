@@ -12,18 +12,22 @@ Three operators:
 - embedding near-dup pairs: same-bucket candidate pairs verified by exact
   cosine — the embedding analogue of MinHash-LSH dedup.
 
-Every dot product is a ``zip_with`` + ``aggregate`` fold with a **plain
-double accumulator**. Determinism needs no decimals here: the fold order
-is fixed by array order and never crosses a shuffle, and DuckDB's
-sequential ``list_aggregate('sum')`` over the same per-element double
-products accumulates in the identical order, so results are bit-identical
-across engines (validated bit-for-bit on the fixture). Two designs were
-measured and rejected: a decimal-accumulator fold (~2× slower execution —
-BigDecimal per step) and a fully-unrolled 64-term expression tree
-(identical execution speed but 4× the Catalyst planning time — the
-compact fold keeps the logical plan small). Hyperplanes are
-integer-arithmetic pseudo-random (no float RNG), so the DuckDB oracle
-reproduces them exactly.
+Every dot product is defined as a sequential double fold over per-element
+products (the ``zip_with``+``aggregate`` expressions kept below as the
+executable spec). Determinism needs no decimals: the fold order is fixed
+by array order and never crosses a shuffle, and DuckDB's sequential
+``list_aggregate('sum')`` over the same per-element double products
+accumulates in the identical order, so results are bit-identical across
+engines (validated bit-for-bit on the fixture). The HOT PATH runs the
+same arithmetic vectorized as Arrow-batched pandas UDFs: Catalyst
+evaluates lambda higher-order functions interpreted (64 expression steps
+per row dominated every ANN profile), while ``np.cumsum`` reproduces the
+fold's strict left-to-right IEEE sequence at numpy speed —
+``tests/test_properties.py`` pins UDF == fold bit-for-bit. Designs
+measured and rejected: decimal-accumulator fold (~2× slower — BigDecimal
+per step), fully-unrolled 64-term expression tree (4× Catalyst planning
+time). Hyperplanes are integer-arithmetic pseudo-random (no float RNG),
+so the DuckDB oracle reproduces them exactly.
 """
 
 from __future__ import annotations
@@ -53,6 +57,73 @@ def _dot(a: Column, b: Column) -> Column:
 
 def _norm_dec(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
+
+
+# --- Arrow-batched kernels -------------------------------------------------
+# Catalyst evaluates lambda higher-order functions INTERPRETED: the fold
+# above costs 64 expression-tree steps per row, which dominated every ANN
+# query's profile. These pandas UDFs compute the identical IEEE sequence
+# vectorized: float32→float64 casts and per-element products are exact,
+# and ``np.cumsum`` (ufunc accumulate) sums strictly left-to-right — the
+# same double-rounding order as the fold and as DuckDB's sequential
+# ``list_aggregate 'sum'``, so every value is bit-identical to the SQL
+# oracle (the same argument, validated bit-for-bit, that
+# ``_assign_centroids`` has used since it was vectorized).
+
+
+def _mat(s: pd.Series) -> np.ndarray:
+    if len(s) == 0:
+        return np.zeros((0, DIM), dtype=np.float64)
+    return np.asarray(s.tolist(), dtype=np.float64)
+
+
+# NOTE: each kernel builds its pandas UDF at CALL time, not import time —
+# ``@F.pandas_udf`` at module level parses the return-type DDL, which
+# requires an active SparkContext, and the driver contract must survive
+# `import __spark_entry__` before any session exists.
+
+
+def _norm_udf(a: Column | str) -> Column:
+    @F.pandas_udf("double")
+    def f(v: pd.Series) -> pd.Series:
+        m = _mat(v)
+        return pd.Series(np.sqrt(np.cumsum(m * m, axis=1)[:, -1]))
+
+    return f(F.col(a) if isinstance(a, str) else a)
+
+
+def _cos_pair_udf(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Row-wise cosine of two array columns with pre-materialized norms
+    (same contract as :func:`cosine_norm`, vectorized)."""
+    @F.pandas_udf("double")
+    def f(x: pd.Series, y: pd.Series,
+          nx: pd.Series, ny: pd.Series) -> pd.Series:
+        dots = np.cumsum(_mat(x) * _mat(y), axis=1)[:, -1]
+        return pd.Series(dots / (nx.to_numpy() * ny.to_numpy()))
+
+    return f(a, b, na, nb)
+
+
+_PLANE_W = np.array(
+    [[((p * 73856093 + 83492791) + i * 19349663) % 2000001 - 1000000
+      for i in range(DIM)] for p in range(N_PLANES)], dtype=np.float64)
+
+
+def _bucket_udf(a: Column | str) -> Column:
+    """Sign-LSH bucket id, vectorized twin of :func:`_bucket`: weights are
+    ≤2^21 integers so every product is exact in double; the per-plane
+    cumsum reproduces the fold's summation order, so the sign test — and
+    therefore the bucket id — matches the oracle exactly."""
+    @F.pandas_udf("int")
+    def f(v: pd.Series) -> pd.Series:
+        m = _mat(v)
+        dots = np.cumsum(m[:, None, :] * _PLANE_W[None, :, :],
+                         axis=2)[:, :, -1]
+        bits = ((dots >= 0).astype(np.int64)
+                << np.arange(N_PLANES, dtype=np.int64))
+        return pd.Series(bits.sum(axis=1)).astype("int32")
+
+    return f(F.col(a) if isinstance(a, str) else a)
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -117,7 +188,7 @@ _COS_SQL_TEMPLATE = """
 # ---------------------------------------------------------------------------
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", _norm_dec(F.col("embedding")).alias("nrm"))
+        "vec_id", "embedding", _norm_udf(F.col("embedding")).alias("nrm"))
     qvec = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qv"), F.col("nrm").alias("qn"))
     # 1-row dimension → broadcast cross join; the scan side never shuffles
@@ -125,8 +196,8 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(qvec))
         .select("vec_id",
-                F.round(cosine_norm(F.col("embedding"), F.col("qv"),
-                                    F.col("nrm"), F.col("qn")), 9).alias("cos_sim"))
+                F.round(_cos_pair_udf(F.col("embedding"), F.col("qv"),
+                                      F.col("nrm"), F.col("qn")), 9).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
     )
@@ -149,8 +220,8 @@ LIMIT 10
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     bucketed = e.select("vec_id", "embedding",
-                        _bucket(F.col("embedding")).alias("bucket"),
-                        _norm_dec(F.col("embedding")).alias("nrm"))
+                        _bucket_udf(F.col("embedding")).alias("bucket"),
+                        _norm_udf(F.col("embedding")).alias("nrm"))
     probe = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket"),
         F.col("nrm").alias("qn"))
@@ -158,8 +229,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucketed.filter(F.col("vec_id") != QUERY_VEC_ID)
         .join(F.broadcast(probe), F.col("bucket") == F.col("qbucket"))
         .select("vec_id", "bucket",
-                F.round(cosine_norm(F.col("embedding"), F.col("qv"),
-                                    F.col("nrm"), F.col("qn")), 9).alias("cos_sim"))
+                F.round(_cos_pair_udf(F.col("embedding"), F.col("qv"),
+                                      F.col("nrm"), F.col("qn")), 9).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
     )
@@ -194,8 +265,8 @@ NEARDUP_COS = 0.40
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     bucketed = e.select("vec_id", "embedding",
-                        _bucket(F.col("embedding")).alias("bucket"),
-                        _norm_dec(F.col("embedding")).alias("nrm"))
+                        _bucket_udf(F.col("embedding")).alias("bucket"),
+                        _norm_udf(F.col("embedding")).alias("nrm"))
     a = bucketed.select(F.col("vec_id").alias("id1"),
                         F.col("embedding").alias("v1"),
                         F.col("nrm").alias("n1"), "bucket")
@@ -206,8 +277,8 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, (F.col("bucket") == F.col("bucket2")) & (F.col("id1") < F.col("id2")))
         .select("id1", "id2",
-                F.round(cosine_norm(F.col("v1"), F.col("v2"),
-                                    F.col("n1"), F.col("n2")), 9).alias("cos_sim"))
+                F.round(_cos_pair_udf(F.col("v1"), F.col("v2"),
+                                      F.col("n1"), F.col("n2")), 9).alias("cos_sim"))
         .filter(F.col("cos_sim") >= NEARDUP_COS)
     )
 
@@ -391,7 +462,7 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", _norm_dec(F.col("embedding")).alias("nrm"))
+        "vec_id", "embedding", _norm_udf(F.col("embedding")).alias("nrm"))
     probes = e.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
         F.col("nrm").alias("qn"))
@@ -399,8 +470,8 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.crossJoin(F.broadcast(probes))
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id",
-                cosine_norm(F.col("embedding"), F.col("qv"),
-                            F.col("nrm"), F.col("qn")).alias("cos_exact"))
+                _cos_pair_udf(F.col("embedding"), F.col("qv"),
+                              F.col("nrm"), F.col("qn")).alias("cos_exact"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_exact"), F.asc("vec_id"))
     return (
@@ -450,7 +521,7 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import load_table as _lt
 
     e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", _norm_dec(F.col("embedding")).alias("nrm"))
+        "vec_id", "embedding", _norm_udf(F.col("embedding")).alias("nrm"))
     meta = (_lt(spark, sf_dir, "documents")
             .filter((F.col("lang") == FILTER_LANG)
                     & (F.col("n_chars") >= FILTER_MIN_CHARS))
@@ -462,8 +533,8 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(qvec))
         .select("vec_id",
-                F.round(cosine_norm(F.col("embedding"), F.col("qv"),
-                                    F.col("nrm"), F.col("qn")), 9).alias("cos_sim"))
+                F.round(_cos_pair_udf(F.col("embedding"), F.col("qv"),
+                                      F.col("nrm"), F.col("qn")), 9).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
     )

@@ -134,3 +134,35 @@ def test_rolling_fingerprint_matches_python_model(spark, texts):
     got = {r["doc_id"]: r["rolling_fp"]
            for r in doc_rolling_fingerprint(spark, d).collect()}
     assert got == {i: model(t) for i, t in enumerate(texts)}
+
+
+def test_ann_udf_kernels_match_fold_spec(spark):
+    """The vectorized ANN kernels (cumsum pandas UDFs) must be
+    bit-identical to the zip_with/aggregate fold expressions they
+    replaced — same IEEE summation order is the whole parity argument."""
+    from pyspark.sql import functions as F
+
+    from big_data_science_project_spark.operators.similarity import (
+        QUERY_VEC_ID, _bucket, _bucket_udf, _cos_pair_udf, _norm_dec,
+        _norm_udf, cosine_norm)
+    from big_data_science_project_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv"))
+    both = (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            (_norm_udf("embedding") == _norm_dec(F.col("embedding")))
+            .alias("norm_ok"),
+            (_bucket_udf("embedding") == _bucket(F.col("embedding")))
+            .alias("bucket_ok"),
+            (_cos_pair_udf(F.col("embedding"), F.col("qv"),
+                           _norm_udf("embedding"), _norm_udf("qv"))
+             == cosine_norm(F.col("embedding"), F.col("qv"),
+                            _norm_dec(F.col("embedding")),
+                            _norm_dec(F.col("qv")))).alias("cos_ok"))
+        .agg(F.min("norm_ok").alias("n"), F.min("bucket_ok").alias("b"),
+             F.min("cos_ok").alias("c"))
+        .first())
+    assert both.n and both.b and both.c
