@@ -225,3 +225,69 @@ SELECT lang,
 FROM kept
 GROUP BY 1, 2
 """)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: scrub emails/phone-style tokens before a corpus ships.
+# Entirely map-side (regexp_replace + regexp-count per row, then a
+# per-lang aggregate over ≤|langs| groups) — at 100 TB this is the same
+# single scan-and-rewrite pass any redaction job is. The fixture text
+# carries no real PII, so the query PLANTS deterministic doc_id-derived
+# PII first (both engines build the identical string), then proves the
+# scrub: redaction counts per pattern, and byte deltas, all
+# oracle-matched. Patterns stay in the RE2 ∩ Java-regex dialect subset
+# (character classes + bounded repeats, no lookaround) so Spark and
+# DuckDB match identically.
+# ---------------------------------------------------------------------------
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"555-[0-9]{4}"
+
+
+def curate_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+    with_pii = d.select("doc_id", "lang", planted.alias("ptext"))
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("ptext"), EMAIL_RE, "[EMAIL]"),
+        PHONE_RE, "[TEL]")
+    scrubbed = with_pii.select(
+        "lang",
+        F.length("ptext").alias("len_in"),
+        F.regexp_count(F.col("ptext"), F.lit(EMAIL_RE)).alias("n_email"),
+        F.regexp_count(F.col("ptext"), F.lit(PHONE_RE)).alias("n_phone"),
+        F.length(red).alias("len_out"))
+    return (scrubbed.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_email").cast("bigint").alias("emails_redacted"),
+                 F.sum("n_phone").cast("bigint").alias("phones_redacted"),
+                 F.sum("len_in").cast("bigint").alias("chars_in"),
+                 F.sum("len_out").cast("bigint").alias("chars_out")))
+
+
+QUERIES["curate_redact"] = (curate_redact, f"""
+WITH p AS (
+  SELECT lang,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS ptext
+  FROM documents
+), s AS (
+  SELECT lang,
+         LENGTH(ptext) AS len_in,
+         len(regexp_extract_all(ptext, '{EMAIL_RE}')) AS n_email,
+         len(regexp_extract_all(ptext, '{PHONE_RE}')) AS n_phone,
+         LENGTH(regexp_replace(regexp_replace(ptext, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                               '{PHONE_RE}', '[TEL]', 'g')) AS len_out
+  FROM p
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_email) AS BIGINT) AS emails_redacted,
+       CAST(SUM(n_phone) AS BIGINT) AS phones_redacted,
+       CAST(SUM(len_in) AS BIGINT) AS chars_in,
+       CAST(SUM(len_out) AS BIGINT) AS chars_out
+FROM s
+GROUP BY lang
+""")

@@ -295,3 +295,66 @@ FROM (
 GROUP BY bigram
 HAVING COUNT(*) >= {BIGRAM_MIN_COUNT}
 """)
+
+
+# ---------------------------------------------------------------------------
+# within-document repetition metrics (Gopher-style quality gates):
+# type-token ratio and repeated-bigram fraction, plus the filter flag a
+# pipeline would gate on. ZERO shuffle — every metric is higher-order
+# array arithmetic on the row (array_distinct / size), so at 100 TB this
+# is a pure map pass over the corpus scan; no explode, no per-token rows.
+# ---------------------------------------------------------------------------
+REP_BIGRAM_MAX = 0.5
+TTR_MIN = 0.2
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens("text")
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", toks[i], toks[i + 1]))
+    bigrams = F.when(F.size(toks) >= 2, pairs) \
+               .otherwise(F.array().cast("array<string>"))
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+        F.size(bigrams).alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).alias("n_distinct_bigrams"))
+    ttr = F.col("n_types").cast("double") / F.col("n_tokens")
+    rep = F.when(
+        F.col("n_bigrams") > 0,
+        F.lit(1.0) - F.col("n_distinct_bigrams").cast("double")
+        / F.col("n_bigrams")).otherwise(F.lit(0.0))
+    return base.select(
+        "doc_id", "n_tokens",
+        F.round(ttr, 6).alias("ttr"),
+        F.round(rep, 6).alias("rep_bigram_frac"),
+        ((rep > REP_BIGRAM_MAX) | (ttr < TTR_MIN)).cast("int").alias("flagged"))
+
+
+QUERIES["text_repetition"] = (text_repetition, f"""
+WITH base AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_types,
+         CASE WHEN len(toks) >= 2 THEN len(toks) - 1 ELSE 0 END AS n_bigrams,
+         CASE WHEN len(toks) >= 2 THEN len(list_distinct(list_transform(
+             generate_series(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i + 1]))) ELSE 0 END
+           AS n_distinct_bigrams
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+)
+SELECT doc_id, n_tokens,
+       ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+       ROUND(CASE WHEN n_bigrams > 0
+             THEN 1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams
+             ELSE 0.0 END, 6) AS rep_bigram_frac,
+       CAST(CASE WHEN (CASE WHEN n_bigrams > 0
+                  THEN 1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams
+                  ELSE 0.0 END) > {REP_BIGRAM_MAX}
+              OR (CAST(n_types AS DOUBLE) / n_tokens) < {TTR_MIN}
+            THEN 1 ELSE 0 END AS INT) AS flagged
+FROM base
+""")

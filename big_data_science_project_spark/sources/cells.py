@@ -140,7 +140,9 @@ def cell_outlier_filter(spark: SparkSession, sf_dir: str = "") -> DataFrame:
         F.expr("stack(3, 'area', CAST(area AS DOUBLE), "
                "'perimeter', CAST(perimeter AS DOUBLE), "
                "'mean_intensity', mean_intensity) AS (feature, value)"),
-    )
+    ).persist()  # consumed twice (fit stats + score fact); without this
+    # the generator + feature kernels — the expensive Python stages —
+    # run once per branch. The S3 cache analogue for train-then-score.
     model = OutlierModel().fit(tidy)
     return model.votes(tidy).filter(F.col("votes") < 0)
 
