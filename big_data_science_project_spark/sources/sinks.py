@@ -274,3 +274,80 @@ SELECT COUNT(*) AS n_frag, COUNT(*) AS n_compact,
        CAST(1 AS INT) AS revenue_preserved
 FROM orders
 """)
+
+
+# ---------------------------------------------------------------------------
+# schema evolution: a v1 writer (2 columns) and a v2 writer (adds a
+# column) land in the same dataset directory; a mergeSchema read unions
+# the generations, NULL-filling the missing column — how a long-lived
+# parquet/Lakehouse table absorbs adding a field without rewriting
+# history. The oracle reproduces the union with an explicit NULL cast.
+# ---------------------------------------------------------------------------
+EVOLVE_SPLIT_KEY = 7500
+
+
+def sink_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    path = _dir("evolve", sf_dir)
+    if not os.path.isdir(path):  # write once per sf — reads repeat
+        (o.filter(F.col("o_orderkey") < EVOLVE_SPLIT_KEY)
+         .select("o_orderkey", "o_totalprice")
+         .write.mode("append").parquet(path))
+        (o.filter(F.col("o_orderkey") >= EVOLVE_SPLIT_KEY)
+         .select("o_orderkey", "o_totalprice", "o_orderpriority")
+         .write.mode("append").parquet(path))
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return (back.groupBy(
+                F.coalesce("o_orderpriority", F.lit("<v1>")).alias("prio"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("o_totalprice", "revenue")))
+
+
+QUERIES["sink_schema_evolution"] = (sink_schema_evolution, f"""
+WITH unioned AS (
+  SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+  FROM orders WHERE o_orderkey < {EVOLVE_SPLIT_KEY}
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey >= {EVOLVE_SPLIT_KEY}
+)
+SELECT COALESCE(o_orderpriority, '<v1>') AS prio, COUNT(*) AS n,
+       {dsum_expr('o_totalprice')} AS revenue
+FROM unioned
+GROUP BY COALESCE(o_orderpriority, '<v1>')
+""")
+
+
+# ---------------------------------------------------------------------------
+# dynamic partition overwrite: rewrite ONLY the partitions present in
+# the incoming batch, leaving sibling partitions untouched — the
+# idempotent daily-reload primitive for a partitioned 100 TB table
+# (static overwrite mode would truncate the whole table). The query
+# overwrites the '1-URGENT' partition with a deduplicated copy and
+# proves both effects: URGENT rows replaced (count halves), every other
+# partition byte-identical to the source.
+# ---------------------------------------------------------------------------
+def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority")
+    path = _dir("dynover", sf_dir)
+    if not os.path.isdir(path):
+        o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+        urgent_half = (o.filter((F.col("o_orderpriority") == "1-URGENT")
+                                & (F.col("o_orderkey") % 2 == 0)))
+        (urgent_half.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("o_orderpriority").parquet(path))
+    back = spark.read.parquet(path)
+    return (back.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("o_totalprice", "revenue")))
+
+
+QUERIES["sink_dynamic_overwrite"] = (sink_dynamic_overwrite, """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_orderpriority != '1-URGENT' OR o_orderkey % 2 = 0
+GROUP BY o_orderpriority
+""")
