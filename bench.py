@@ -4,8 +4,10 @@
 JSON line with per-query wall seconds.
 
 Headline set spans the engine's cost classes: scan+agg (q01), shuffle
-joins (q03/q05), window (q08), flagship outlier vote (q17), minhash dedup
-(LSH join), ANN (array kernels), streaming (stateful agg), text stats.
+joins (q03/q05), theta band join (q39), window (q08), time-series
+spine+fill (ts_resample), histogram binning, flagship outlier vote (q17),
+minhash dedup (LSH join), ANN (Arrow kernels), regex redaction,
+streaming (stateful agg), text stats.
 """
 
 from __future__ import annotations
@@ -28,6 +30,10 @@ HEADLINE = [
     "q18_small_qty_vs_avg",
     "q24_percentiles",
     "q25_range_join",
+    "q39_band_join",
+    "histogram",
+    "ts_resample_ffill",
+    "curate_redact",
     "dedup_minhash_verified",
     "dedup_simhash",
     "ann_bruteforce_topk",

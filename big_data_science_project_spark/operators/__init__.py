@@ -18,8 +18,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """Merge every operator module's QUERIES into (queries, oracles)."""
-    from . import (curation, dedup, multimodal, outlier, relational,
-                   segmentation, similarity, text, timeseries)
+    from . import (curation, dedup, linear, multimodal, outlier,
+                   relational, segmentation, similarity, text, timeseries)
     from ..streaming import events as streaming_events
     from ..sources import cells as cells_src
     from ..sources import cells_datasource as cells_ds
@@ -27,9 +27,9 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
-    for mod in (relational, outlier, dedup, similarity, text, curation,
-                timeseries, streaming_events, cells_src, segmentation,
-                multimodal, sinks_src, cells_ds):
+    for mod in (relational, outlier, dedup, similarity, linear, text,
+                curation, timeseries, streaming_events, cells_src,
+                segmentation, multimodal, sinks_src, cells_ds):
         for name, (fn, sql) in getattr(mod, "QUERIES", {}).items():
             if name in queries:
                 raise ValueError(f"duplicate query name: {name}")
