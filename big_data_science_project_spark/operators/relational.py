@@ -1237,3 +1237,29 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 def q40_sql_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, "lineitem", "part")
     return spark.sql(_Q40_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q41: explicit GROUPING SETS — the irregular-hierarchy cousin of q12's
+# rollup / q23's cube, completing the multi-granularity agg family. One
+# shared ANSI text runs on both engines (Spark parses GROUPING SETS in
+# SQL only; the DataFrame API stops at rollup/cube). grouping_id
+# disambiguates real NULL keys from subtotal rows. Same single-pass
+# partial-agg execution as rollup: Spark expands the sets map-side, so
+# the shuffle carries one partial per (set, group), never a rescan per
+# set.
+# ---------------------------------------------------------------------------
+_Q41_SQL = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING_ID(l_returnflag, l_linestatus) AS gid,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@q("q41_grouping_sets", _Q41_SQL)
+def q41_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(_Q41_SQL)
