@@ -126,3 +126,32 @@ def ml_ridge_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ml_ridge_predict"] = (ml_ridge_predict, None)  # rows-only
+
+
+# ---------------------------------------------------------------------------
+# PCA spectrum from the same sufficient statistics: the Gram matrix IS
+# the one-pass input to covariance/PCA, so the eigen-decomposition is
+# another driver-side solve over the distributed cells — zero additional
+# corpus passes when composed with ridge (shared ml_gram_matrix plan).
+# Rows-only (eigen solve is not SQL-expressible); tests pin against
+# numpy on the fixture.
+# ---------------------------------------------------------------------------
+PCA_TOP_K = 8
+
+
+def ml_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = ml_gram_matrix(spark, sf_dir).collect()
+    xtx = np.zeros((DIM, DIM))
+    for r in rows:
+        if r.j >= 0:
+            xtx[r.i, r.j] = xtx[r.j, r.i] = r.cell_micros / SCALE
+    n = load_table(spark, sf_dir, "embeddings").count()
+    evals = np.linalg.eigvalsh(xtx / n)[::-1][:PCA_TOP_K]
+    total = float(np.trace(xtx) / n)
+    out = [(k, round(float(v), 6), round(float(v / total), 6))
+           for k, v in enumerate(evals)]
+    return spark.createDataFrame(
+        out, "component int, eigenvalue double, explained_frac double")
+
+
+QUERIES["ml_pca_spectrum"] = (ml_pca_spectrum, None)  # rows-only

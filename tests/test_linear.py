@@ -79,3 +79,24 @@ def test_ridge_weights_close_to_unquantized(spark):
     w = ridge_fit(spark, SF)
     w_exact = np.linalg.solve(X.T @ X + RIDGE_L2 * np.eye(DIM), X.T @ y)
     assert float(np.max(np.abs(w - w_exact))) < 1e-3
+
+
+def test_pca_spectrum_matches_numpy(spark):
+    from big_data_science_project_spark.operators.linear import (
+        PCA_TOP_K, ml_pca_spectrum)
+
+    X, _ = _fixture_xy()
+    got = {r.component: (r.eigenvalue, r.explained_frac)
+           for r in ml_pca_spectrum(spark, SF).collect()}
+    gq = np.floor(X[:, :, None] * X[:, None, :] * SCALE + 0.5) \
+           .astype(np.int64).sum(axis=0) / SCALE
+    evals = np.linalg.eigvalsh(gq / len(X))[::-1][:PCA_TOP_K]
+    total = float(np.trace(gq) / len(X))
+    assert len(got) == PCA_TOP_K
+    for k, v in enumerate(evals):
+        assert abs(got[k][0] - round(float(v), 6)) <= 1e-6
+        assert abs(got[k][1] - round(float(v / total), 6)) <= 1e-6
+    # spectrum is sorted and fractions are sane
+    vals = [got[k][0] for k in range(PCA_TOP_K)]
+    assert vals == sorted(vals, reverse=True)
+    assert 0 < sum(f for _, f in got.values()) <= 1.0 + 1e-9
