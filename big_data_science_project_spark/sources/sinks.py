@@ -351,3 +351,66 @@ FROM orders
 WHERE o_orderpriority != '1-URGENT' OR o_orderkey % 2 = 0
 GROUP BY o_orderpriority
 """)
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustered write: interleave the bits of TWO normalized key
+# columns into one z-value, then range-partition + sort by it. Each
+# output file then covers a small rectangle in (orderkey, partkey)
+# space, so min/max file skipping prunes range predicates on EITHER
+# column — the property a 1-D sort (sink_sorted_clustered) only gives
+# its sort column. This is the layout Delta/Iceberg OPTIMIZE ZORDER
+# computes; here it is ~15 lines of Catalyst bit arithmetic. Key
+# normalization to the 10-bit grid uses min/max collected driver-side
+# (one tiny agg — index-build time). The oracle pins data preservation
+# (count + exact revenue); tests/test_plans.py pins the 2-D pruning
+# property via per-file _metadata bounding boxes.
+# ---------------------------------------------------------------------------
+Z_BITS = 10
+Z_FILES = 16
+
+
+def _zvalue(col_a, col_b):
+    """Interleave Z_BITS of two already-normalized int columns: bit b of
+    a → bit 2b, bit b of b → bit 2b+1."""
+    z = F.lit(0).cast("bigint")
+    for b in range(Z_BITS):
+        z = (z
+             + F.shiftleft(F.shiftright(col_a, b).bitwiseAND(F.lit(1)), 2 * b)
+             + F.shiftleft(F.shiftright(col_b, b).bitwiseAND(F.lit(1)),
+                           2 * b + 1))
+    return z
+
+
+def _norm_grid(col, lo: int, hi: int):
+    """Scale [lo, hi] onto the 0..2^Z_BITS-1 grid (integer arithmetic)."""
+    span = max(hi - lo, 1)
+    return ((col - F.lit(lo)).cast("bigint")
+            * F.lit((1 << Z_BITS) - 1) / F.lit(span)).cast("bigint")
+
+
+def sink_zorder_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice")
+    path = _dir("zorder", sf_dir)
+    if not os.path.isdir(path):  # write once per sf — reads repeat
+        lo_o, hi_o, lo_p, hi_p = li.agg(
+            F.min("l_orderkey"), F.max("l_orderkey"),
+            F.min("l_partkey"), F.max("l_partkey")).first()
+        z = _zvalue(_norm_grid(F.col("l_orderkey"), lo_o, hi_o),
+                    _norm_grid(F.col("l_partkey"), lo_p, hi_p))
+        (li.withColumn("zval", z)
+         .repartitionByRange(Z_FILES, "zval")
+         .sortWithinPartitions("zval")
+         .drop("zval")
+         .write.mode("overwrite").parquet(path))
+    back = spark.read.parquet(path)
+    return back.agg(F.count(F.lit(1)).alias("n_rows"),
+                    dsum("l_extendedprice", "revenue"))
+
+
+QUERIES["sink_zorder_clustered"] = (sink_zorder_clustered, f"""
+SELECT COUNT(*) AS n_rows,
+       {dsum_expr('l_extendedprice')} AS revenue
+FROM lineitem
+""")

@@ -130,3 +130,37 @@ def test_resample_single_corpus_shuffle(spark):
     # raw-events-sized one appears once (hash by user_id+hour)
     assert plan.count("Exchange hashpartitioning") <= 3
     assert "CartesianProduct" not in plan
+
+
+def test_zorder_files_prune_both_dimensions(spark):
+    """Z-ordering must give min/max file skipping on BOTH interleaved
+    keys: for each key, a range predicate spanning 1/8 of the domain must
+    skip at least half the files (a 1-D sort would fail this on its
+    non-sort column, where every file spans the full domain)."""
+    import pyspark.sql.functions as F
+
+    from big_data_science_project_spark.sources import sinks
+
+    sinks.sink_zorder_clustered(spark, SF).collect()  # materialize write
+    path = sinks._dir("zorder", SF)
+    back = spark.read.parquet(path).select(
+        "l_orderkey", "l_partkey", F.col("_metadata.file_path").alias("f"))
+    boxes = back.groupBy("f").agg(
+        F.min("l_orderkey").alias("o_mn"), F.max("l_orderkey").alias("o_mx"),
+        F.min("l_partkey").alias("p_mn"), F.max("l_partkey").alias("p_mx"),
+    ).collect()
+    n_files = len(boxes)
+    assert n_files >= 8  # enough granularity for skipping to mean anything
+
+    # 16 files over a 2-D interleave = ~2 z-bits per dimension, so a
+    # narrow slice inside ONE quarter of a domain must skip at least half
+    # the files; a 1-D sort gives its non-sort column full-domain files
+    # (touched == n_files), which this catches on either dimension.
+    for key in ("o", "p"):
+        lo = min(b[f"{key}_mn"] for b in boxes)
+        hi = max(b[f"{key}_mx"] for b in boxes)
+        span = (hi - lo) / 16
+        q_lo, q_hi = lo + span, lo + 2 * span  # low-quarter slice
+        touched = sum(1 for b in boxes
+                      if not (b[f"{key}_mx"] < q_lo or b[f"{key}_mn"] > q_hi))
+        assert touched <= n_files / 2, (key, touched, n_files)
