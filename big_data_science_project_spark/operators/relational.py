@@ -1022,7 +1022,11 @@ GROUP BY user_id, session_id
 def q35_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    # events.ts arrives as TIMESTAMP_NTZ (parquet timestamp[us] without tz);
+    # unix_micros only accepts TIMESTAMP, and with the session pinned to UTC
+    # the cast is an exact reinterpretation — identical to DuckDB epoch_us.
+    ts_us = F.col("ts").cast("timestamp")
+    gap = F.unix_micros(ts_us) - F.unix_micros(F.lag(ts_us).over(w))
     new_s = F.when(gap <= SESSION_GAP_US, 0).otherwise(1)  # NULL gap → 1
     sess = e.withColumn(
         "session_id",
@@ -1030,7 +1034,8 @@ def q35_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sess.groupBy("user_id", "session_id")
         .agg(F.count(F.lit(1)).alias("n_events"),
-             (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+             (F.unix_micros(F.max("ts").cast("timestamp"))
+              - F.unix_micros(F.min("ts").cast("timestamp")))
              .alias("duration_us"),
              dsum("value", "total_value"))
     )

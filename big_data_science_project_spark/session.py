@@ -47,6 +47,9 @@ def get_spark(app_name: str = "big_data_science_project_spark",
         # fixture parquet stores TIMESTAMP(NANOS) which the vectorized reader
         # rejects; read as long and convert in the loader (sources/tables.py)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # tz-less parquet timestamps (timestamp[us]) must stay instants
+        # (TIMESTAMP, UTC session) — NTZ would break unix_micros/watermarks
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")

@@ -21,21 +21,37 @@ TABLES = (
 
 
 def _fix_nanos(df: DataFrame) -> DataFrame:
-    """events.ts is TIMESTAMP(NANOS) in parquet; with
-    spark.sql.legacy.parquet.nanosAsLong it scans as long. Truncate to
-    micros (same as DuckDB's nanos→TIMESTAMP conversion) and restore the
-    timestamp type. Integer `div` — double division would lose precision
-    on epoch-nano magnitudes (>2^53)."""
+    """Normalize events.ts to plain TIMESTAMP (UTC instant) whatever the
+    writer emitted. TIMESTAMP(NANOS) scans as long under
+    spark.sql.legacy.parquet.nanosAsLong → truncate to micros (same as
+    DuckDB's nanos→TIMESTAMP conversion; integer `div` — double division
+    would lose precision on epoch-nano magnitudes >2^53). timestamp[us]
+    without tz would scan as TIMESTAMP_NTZ, which unix_micros/watermarks
+    reject → inference is disabled in configure_reads so it arrives as
+    TIMESTAMP already; the NTZ cast here is a belt-and-braces no-op path
+    (exact under the UTC session timezone)."""
     for f in df.schema.fields:
-        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+        if f.name != "ts":
+            continue
+        if isinstance(f.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # runtime-set (not only in our session factory): the driver passes its
-    # own SparkSession, which otherwise rejects the fixtures' TIMESTAMP(NANOS)
+def configure_reads(spark: SparkSession) -> None:
+    """Runtime-set (not only in our session factory): the driver passes its
+    own SparkSession. nanosAsLong lets TIMESTAMP(NANOS) fixtures scan at
+    all; inferTimestampNTZ=false keeps tz-less parquet timestamps as
+    instants (TIMESTAMP) so event-time ops (unix_micros, watermarks,
+    window()) behave identically across writer generations."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure_reads(spark)
     return _fix_nanos(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 

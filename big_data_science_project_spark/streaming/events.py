@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dsum, dsum_expr
-from ..sources.tables import load_table
+from ..sources.tables import _fix_nanos, configure_reads, load_table
 
 QUERIES: dict = {}
 
@@ -66,18 +66,18 @@ def _staged_dir(sf_dir: str) -> str:
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # schema must match the file layout (ts scans as long under
-    # nanosAsLong); convert to micros timestamp after the streaming scan,
-    # same as the batch loader (sources/tables.py). Set the conf here too:
-    # a driver-supplied session that runs a stream_* query FIRST would
-    # otherwise crash on the fixtures' TIMESTAMP(NANOS).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # schema must match the file layout; normalize ts to plain TIMESTAMP
+    # after the streaming scan, same as the batch loader
+    # (sources/tables._fix_nanos). Set the read confs here too: a
+    # driver-supplied session that runs a stream_* query FIRST would
+    # otherwise crash on TIMESTAMP(NANOS) / TIMESTAMP_NTZ fixtures.
+    configure_reads(spark)
     if sf_dir not in _schema_cache:
         _schema_cache[sf_dir] = spark.read.parquet(
             f"{sf_dir}/events.parquet").schema
     stream = spark.readStream.schema(
         _schema_cache[sf_dir]).parquet(_staged_dir(sf_dir))
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _fix_nanos(stream)
 
 
 def _run_to_table(result: DataFrame, mode: str, tag: str) -> DataFrame:
