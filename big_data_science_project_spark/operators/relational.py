@@ -1022,9 +1022,10 @@ GROUP BY user_id, session_id
 def q35_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    # events.ts arrives as TIMESTAMP_NTZ (parquet timestamp[us] without tz);
-    # unix_micros only accepts TIMESTAMP, and with the session pinned to UTC
-    # the cast is an exact reinterpretation — identical to DuckDB epoch_us.
+    # With configure_reads applied, events.ts is already TIMESTAMP; the cast
+    # is defensive for sessions missing inferTimestampNTZ=false (where ts
+    # scans as NTZ, which unix_micros rejects). Under the UTC session
+    # timezone the cast is exact — identical to DuckDB epoch_us.
     ts_us = F.col("ts").cast("timestamp")
     gap = F.unix_micros(ts_us) - F.unix_micros(F.lag(ts_us).over(w))
     new_s = F.when(gap <= SESSION_GAP_US, 0).otherwise(1)  # NULL gap → 1

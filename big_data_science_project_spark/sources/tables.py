@@ -20,7 +20,7 @@ TABLES = (
 )
 
 
-def _fix_nanos(df: DataFrame) -> DataFrame:
+def normalize_event_ts(df: DataFrame) -> DataFrame:
     """Normalize events.ts to plain TIMESTAMP (UTC instant) whatever the
     writer emitted. TIMESTAMP(NANOS) scans as long under
     spark.sql.legacy.parquet.nanosAsLong → truncate to micros (same as
@@ -48,11 +48,16 @@ def configure_reads(spark: SparkSession) -> None:
     window()) behave identically across writer generations."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # Pin the session timezone: the NTZ→TIMESTAMP fallback cast in
+    # normalize_event_ts and string rendering of event-time results are only
+    # oracle-exact (DuckDB runs in UTC) when the Spark session is UTC too —
+    # a driver-supplied session may carry any local zone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure_reads(spark)
-    return _fix_nanos(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    return normalize_event_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dsum, dsum_expr
-from ..sources.tables import _fix_nanos, configure_reads, load_table
+from ..sources.tables import configure_reads, load_table, normalize_event_ts
 
 QUERIES: dict = {}
 
@@ -68,7 +68,7 @@ def _staged_dir(sf_dir: str) -> str:
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # schema must match the file layout; normalize ts to plain TIMESTAMP
     # after the streaming scan, same as the batch loader
-    # (sources/tables._fix_nanos). Set the read confs here too: a
+    # (sources/tables.normalize_event_ts). Set the read confs here too: a
     # driver-supplied session that runs a stream_* query FIRST would
     # otherwise crash on TIMESTAMP(NANOS) / TIMESTAMP_NTZ fixtures.
     configure_reads(spark)
@@ -77,7 +77,7 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{sf_dir}/events.parquet").schema
     stream = spark.readStream.schema(
         _schema_cache[sf_dir]).parquet(_staged_dir(sf_dir))
-    return _fix_nanos(stream)
+    return normalize_event_ts(stream)
 
 
 def _run_to_table(result: DataFrame, mode: str, tag: str) -> DataFrame:
