@@ -1269,3 +1269,216 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 def q41_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, "lineitem")
     return spark.sql(_Q41_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q42: advanced statistical aggregates — exact median, higher central
+# moments (skewness, excess kurtosis) and the linear-regression family
+# (regr_slope/intercept/r2/count), all per group in ONE partial+final
+# hash aggregate. Spark's CentralMomentAgg keeps merge-stable running
+# moments (the correct version of the reference's hand-rolled
+# Welford/Chan combiner, outlier_detection.py:64-101), so a 100 TB
+# scan needs no second pass; the oracle mirrors the population-moment
+# definitions with an explicit two-pass mean to avoid cancellation.
+# Median is the only non-algebraic member (Spark sorts per group);
+# at scale prefer approx_percentile — kept exact here for the oracle.
+# ---------------------------------------------------------------------------
+@q("q42_adv_stats", """
+WITH m AS (SELECT l_returnflag, AVG(l_quantity) AS mu FROM lineitem GROUP BY 1)
+SELECT l.l_returnflag,
+       CAST(MEDIAN(l.l_quantity) AS DOUBLE) AS med_qty,
+       AVG(POWER(l.l_quantity - m.mu, 3))
+         / POWER(AVG(POWER(l.l_quantity - m.mu, 2)), 1.5) AS skew_qty,
+       AVG(POWER(l.l_quantity - m.mu, 4))
+         / POWER(AVG(POWER(l.l_quantity - m.mu, 2)), 2) - 3 AS kurt_qty,
+       REGR_SLOPE(l.l_extendedprice, l.l_quantity)     AS price_qty_slope,
+       REGR_INTERCEPT(l.l_extendedprice, l.l_quantity) AS price_qty_icept,
+       REGR_R2(l.l_extendedprice, l.l_quantity)        AS price_qty_r2,
+       REGR_COUNT(l.l_extendedprice, l.l_quantity)     AS n_pairs
+FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+GROUP BY l.l_returnflag
+""")
+def q42_adv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.median("l_quantity").alias("med_qty"),
+             F.skewness("l_quantity").alias("skew_qty"),
+             F.kurtosis("l_quantity").alias("kurt_qty"),
+             F.regr_slope("l_extendedprice", "l_quantity").alias("price_qty_slope"),
+             F.regr_intercept("l_extendedprice", "l_quantity").alias("price_qty_icept"),
+             F.regr_r2("l_extendedprice", "l_quantity").alias("price_qty_r2"),
+             F.regr_count("l_extendedprice", "l_quantity").alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q43: unpivot / melt — wide→long reshape of an aggregated table.
+# Spark's unpivot is a zero-shuffle Expand node (each input row emits
+# one row per value column, map-side); the only shuffle is the 4-group
+# aggregate that builds the wide input. The long layout is what the
+# profiling (q34) and tidy-stats operators consume at scale.
+# ---------------------------------------------------------------------------
+@q("q43_unpivot", f"""
+WITH wide AS (
+  SELECT l_returnflag,
+         {dsum_expr('l_quantity')}      AS sum_qty,
+         {dsum_expr('l_extendedprice')} AS sum_price,
+         {dsum_expr('l_discount')}      AS sum_disc
+  FROM lineitem GROUP BY 1)
+SELECT l_returnflag, metric, val
+FROM wide UNPIVOT (val FOR metric IN (sum_qty, sum_price, sum_disc))
+""")
+def q43_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_price"),
+        dsum("l_discount", "sum_disc"))
+    return wide.unpivot(["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"],
+                        "metric", "val")
+
+
+# ---------------------------------------------------------------------------
+# q44: higher-order array functions over the embeddings table — the
+# zero-shuffle path for vector columns: aggregate (fold), filter+size,
+# and sort+slice+fold all run inside whole-stage codegen per row, no
+# Python, no explode. At 100 TB this is the pattern for embedding
+# feature engineering: O(rows) map-only work, shuffle-free. The fold
+# is sequential within each array on both engines, so float sums are
+# order-identical (oracle-exact without decimal quantization).
+# ---------------------------------------------------------------------------
+@q("q44_array_hof", """
+SELECT vec_id,
+       len(embedding) AS dim,
+       list_aggregate(embedding, 'sum') AS emb_sum,
+       len(list_filter(embedding, x -> x > 0)) AS n_pos,
+       list_aggregate(list_reverse_sort(embedding)[1:3], 'sum') AS top3_sum
+FROM embeddings
+""")
+def q44_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.expr("aggregate(embedding, cast(0 as double), (acc, x) -> acc + x)")
+         .alias("emb_sum"),
+        F.expr("size(filter(embedding, x -> x > 0))").alias("n_pos"),
+        F.expr("aggregate(slice(array_sort(embedding, (a, b) -> "
+               "case when a > b then -1 when a < b then 1 else 0 end), 1, 3), "
+               "cast(0 as double), (acc, x) -> acc + x)").alias("top3_sum"))
+
+
+# ---------------------------------------------------------------------------
+# q45: customer order-count distribution (TPC-H Q13 shape) — LEFT join
+# keeps zero-order customers, COUNT(col) counts only matches, then a
+# second tiny aggregate histograms the counts. The first shuffle is the
+# big one (orders by o_custkey); the histogram input is |customers|
+# rows and the output ~tens of groups, so the second exchange is free.
+# ---------------------------------------------------------------------------
+@q("q45_cust_order_hist", """
+SELECT n_orders, COUNT(*) AS n_cust
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey) per_cust
+GROUP BY n_orders
+""")
+def q45_cust_order_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("n_orders")))
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_cust"))
+
+
+# ---------------------------------------------------------------------------
+# q46: top supplier by quarterly revenue (TPC-H Q15 shape) — the
+# "rows equal to a computed extremum" pattern. The revenue rollup is
+# one fact-table aggregate (|suppliers| output rows); its max is a
+# 1-row DataFrame broadcast back, so the tie-preserving selection is
+# a map-side comparison, not a window over the whole rollup. Exact
+# decimal sums make the equality safe across engines/partitionings.
+# ---------------------------------------------------------------------------
+@q("q46_top_supplier", f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         {dsum_expr('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+""")
+def q46_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = (li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp")))
+        .groupBy("l_suppkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                  "total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+            .drop("mx")
+            .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+# ---------------------------------------------------------------------------
+# q47: VARIANT semi-structured aggregation — Spark 4's native
+# open-schema type: parse_json once into a shredded binary VARIANT,
+# then typed-path extraction (variant_get) feeds a plain hash
+# aggregate. Unlike get_json_object (q15, string re-parse per call),
+# the parse happens once per row and paths are binary field lookups —
+# the idiomatic 100 TB shape for heterogeneous event payloads.
+# Integer sums keep the oracle exact.
+# ---------------------------------------------------------------------------
+@q("q47_variant_json", """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+FROM events GROUP BY event_type
+""")
+def q47_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(v, '$.k', 'bigint')")
+    return (ev.select("event_type", F.parse_json("props").alias("v"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(k).alias("k_sum"),
+                 F.max(k).alias("k_max")))
+
+
+# ---------------------------------------------------------------------------
+# q48: distribution-rank window suite — percent_rank, cume_dist,
+# running IGNORE NULLS first_value and lead-with-default share ONE
+# window spec, so Spark plans a single sort+Window node (one exchange
+# on o_orderpriority). The unique (price, key) ordering makes every
+# rank deterministic; the default RANGE frame equals a ROWS frame
+# under unique ordering, so both engines agree row-for-row.
+# ---------------------------------------------------------------------------
+@q("q48_window_extras", """
+SELECT o_orderkey,
+       percent_rank() OVER w AS pr,
+       cume_dist()    OVER w AS cd,
+       first_value(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END
+                   IGNORE NULLS) OVER w AS first_f,
+       lead(o_totalprice, 1, 0.0) OVER w AS next_price
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""")
+def q48_window_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.first(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")),
+                ignorenulls=True).over(w).alias("first_f"),
+        F.lead("o_totalprice", 1, 0.0).over(w).alias("next_price"))
