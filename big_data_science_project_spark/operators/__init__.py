@@ -17,13 +17,26 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
-    """Merge every operator module's QUERIES into (queries, oracles)."""
+    """Merge every operator module's QUERIES into (queries, oracles).
+
+    Pure plan builders are wrapped in ``plan_cached`` (sources.tables):
+    their DataFrame is deterministic in (session, sf_dir), so repeated
+    invocation — bench reps, driver correctness + smoke passes — reuses
+    one logical plan instead of re-paying hundreds of Py4J expression
+    round-trips. Modules whose builders have construction-time side
+    effects (sink writes, streaming runs, data-source registration) are
+    excluded, as is the export query's side-effect writer.
+    """
     from . import (curation, dedup, linear, multimodal, outlier,
                    relational, segmentation, similarity, text, timeseries)
     from ..streaming import events as streaming_events
     from ..sources import cells as cells_src
     from ..sources import cells_datasource as cells_ds
     from ..sources import sinks as sinks_src
+    from ..sources.tables import plan_cached
+
+    impure_modules = (streaming_events, sinks_src, cells_ds)
+    impure_names = {"multimodal_export"}
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
@@ -33,6 +46,8 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         for name, (fn, sql) in getattr(mod, "QUERIES", {}).items():
             if name in queries:
                 raise ValueError(f"duplicate query name: {name}")
+            if mod not in impure_modules and name not in impure_names:
+                fn = plan_cached(fn)
             queries[name] = fn
             if sql is not None:
                 oracles[name] = sql

@@ -131,19 +131,20 @@ def _minhash_bands(hashed: DataFrame) -> DataFrame:
     shuffle key instead of a 64-char hex concat."""
     # factory, not defaulted lambda params — PySpark inspects lambda arity
     # and a second parameter (even defaulted) binds the array *index*
-    def _sig(a: int, b: int):
-        return F.array_min(F.transform(
-            F.col("hs"), lambda x: (F.lit(a) * x + F.lit(b)) % _P))
-
-    sigs = [_sig(a, b) for a, b in zip(_A, _B)]
-    doc = hashed.select("doc_id", F.array(*sigs).alias("sig"))
+    # one SQL text parsed JVM-side instead of N_HASHES Python lambdas —
+    # plan-identical, but avoids ~N_HASHES Py4J round-trips per build
+    sig_expr = "array(" + ", ".join(
+        f"array_min(transform(hs, x -> ({a}L * x + {b}L) % {_P}L))"
+        for a, b in zip(_A, _B)) + ")"
+    doc = hashed.select("doc_id", F.expr(sig_expr).alias("sig"))
     n_bands = N_HASHES // BAND_SIZE
-    bands = F.array(*[
-        sum((F.col("sig")[b * BAND_SIZE + j] * (_P ** (BAND_SIZE - 1 - j))
-             for j in range(BAND_SIZE)), F.lit(0))
-        for b in range(n_bands)
-    ])
-    return doc.select("doc_id", F.posexplode(bands).alias("band_id", "band_key"))
+    band_expr = "array(" + ", ".join(
+        "(" + " + ".join(
+            f"sig[{b * BAND_SIZE + j}] * {_P ** (BAND_SIZE - 1 - j)}L"
+            for j in range(BAND_SIZE)) + ")"
+        for b in range(n_bands)) + ")"
+    return doc.select(
+        "doc_id", F.posexplode(F.expr(band_expr)).alias("band_id", "band_key"))
 
 
 def _minhash_bands_sql(hashed_cte: str = "hashed") -> str:
@@ -268,18 +269,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.explode(toks).alias("tok"))
         .select("doc_id", tok_hash.alias("h"))
     )
-    bit_votes = [
-        F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1))
-        .alias(f"b{b}")
-        for b in range(SIM_BITS)
-    ]
-    votes = exploded.groupBy("doc_id").agg(*bit_votes)
-    fingerprint = F.concat(*[
-        F.when(F.col(f"b{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
-        for b in range(SIM_BITS - 1, -1, -1)
-    ])
+    # single-parse expr strings: SIM_BITS per-bit vote columns built as one
+    # struct aggregate + one concat projection (2 Py4J calls instead of
+    # ~5×SIM_BITS) — the aggregate plan is unchanged
+    vote_struct = "struct(" + ", ".join(
+        f"sum(case when (h & {1 << b}) != 0 then 1 else -1 end) as b{b}"
+        for b in range(SIM_BITS)) + ")"
+    votes = exploded.groupBy("doc_id").agg(F.expr(vote_struct).alias("v"))
+    fingerprint = "concat(" + ", ".join(
+        f"case when v.b{b} > 0 then '1' else '0' end"
+        for b in range(SIM_BITS - 1, -1, -1)) + ")"
     return (
-        votes.select("doc_id", fingerprint.alias("simhash"))
+        votes.select("doc_id", F.expr(fingerprint).alias("simhash"))
         .groupBy("simhash")
         .agg(F.min("doc_id").alias("canonical_id"),
              F.count(F.lit(1)).alias("n_docs"))

@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .tables import plan_cached
+
 QUERIES: dict = {}
 
 CELLS_SCHEMA = T.StructType([
@@ -103,6 +105,7 @@ def select_channels(df: DataFrame, channels: list[int]) -> DataFrame:
 # tidy per-(image, channel) feature extraction — the reference's
 # calculate_features (feature extraction.py:86-98) as one declarative plan
 # ---------------------------------------------------------------------------
+@plan_cached
 def cell_features(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     from ..functions import image_kernels as K
 
@@ -129,9 +132,12 @@ def cell_features(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     )
 
 
+@plan_cached
 def cell_outlier_filter(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     """End-to-end reference flagship on image data: features → fit stats →
-    vote filter (feature extraction.py:108-118 + outlier_detection.py)."""
+    vote filter (feature extraction.py:108-118 + outlier_detection.py).
+    plan_cached also means the persist() below registers ONE plan, not a
+    new in-memory relation per invocation."""
     from ..operators.outlier import OutlierModel
 
     feats = cell_features(spark, sf_dir)

@@ -46,6 +46,8 @@ def configure_reads(spark: SparkSession) -> None:
     all; inferTimestampNTZ=false keeps tz-less parquet timestamps as
     instants (TIMESTAMP) so event-time ops (unix_micros, watermarks,
     window()) behave identically across writer generations."""
+    if getattr(spark, "_bdsp_reads_configured", False):
+        return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # Pin the session timezone: the NTZ→TIMESTAMP fallback cast in
@@ -53,11 +55,50 @@ def configure_reads(spark: SparkSession) -> None:
     # oracle-exact (DuckDB runs in UTC) when the Spark session is UTC too —
     # a driver-supplied session may carry any local zone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark._bdsp_reads_configured = True
+
+
+def plan_cached(fn):
+    """Memoize a PURE plan builder ``(spark, sf_dir) -> DataFrame`` on the
+    session instance. Expression-heavy builders (image kernels, vote
+    models) cost hundreds of Py4J round-trips to construct; the logical
+    plan they return is deterministic in (session, sf_dir), so rebuilding
+    it per invocation is pure driver latency. Only for builders with no
+    construction-time side effects (no writes, no temp views, no streams).
+    """
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cache = getattr(spark, "_bdsp_plan_cache", None)
+        if cache is None:
+            cache = {}
+            spark._bdsp_plan_cache = cache
+        key = (fn.__module__, fn.__qualname__, sf_dir)
+        if key not in cache:
+            cache[key] = fn(spark, sf_dir)
+        return cache[key]
+    return wrapper
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Driver-side PLAN cache (not a data cache): the returned DataFrame is
+    an immutable logical plan, so each (session, dir, table) needs exactly
+    one ``spark.read.parquet`` — repeated construction otherwise re-lists
+    the path and re-reads parquet footers on the driver for every query,
+    pure per-query latency. Keyed on the session instance so a new
+    driver-supplied session starts clean; fixtures are read-only, so no
+    invalidation is needed."""
     configure_reads(spark)
-    return normalize_event_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    cache = getattr(spark, "_bdsp_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._bdsp_table_cache = cache
+    key = (sf_dir, name)
+    if key not in cache:
+        cache[key] = normalize_event_ts(
+            spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    return cache[key]
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
