@@ -1482,3 +1482,63 @@ def q48_window_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")),
                 ignorenulls=True).over(w).alias("first_f"),
         F.lead("o_totalprice", 1, 0.0).over(w).alias("next_price"))
+
+
+# ---------------------------------------------------------------------------
+# q49: LATERAL correlated subquery (Spark 4 SQL) — per-customer top-2
+# orders. One shared ANSI text runs on both engines (q40 pattern).
+# Catalyst decorrelates the LATERAL + LIMIT into a ranked window over
+# the join — one shuffle on the correlation key, no per-customer
+# re-execution, so the plan scales exactly like q20's max_by argmax.
+# ---------------------------------------------------------------------------
+_Q49_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2) t
+WHERE c.c_custkey <= 100
+"""
+
+
+@q("q49_lateral_topn", _Q49_SQL)
+def q49_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_Q49_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q50: recursive CTE (Spark 4 SQL) — a 12-month calendar spine generated
+# by UNION ALL recursion, LEFT-joined to monthly revenue so empty months
+# survive with 0. Shared ANSI text on both engines. The recursion is
+# driver-cheap (12 rows); the fact-side aggregate is the only real work,
+# and the spine join is a broadcast. The bounded, acyclic recursion is
+# the supported Spark shape (cyclic closures need UNION, which Spark's
+# recursive CTEs don't take yet — dedup_clusters keeps its iterative
+# min-label loop for that).
+# ---------------------------------------------------------------------------
+_Q50_SQL = """
+WITH RECURSIVE months(m) AS (
+  SELECT DATE '1996-01-01'
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months WHERE m < DATE '1996-12-01'
+),
+monthly AS (
+  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS m2,
+         CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(28,6))) AS DOUBLE) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY 1
+)
+SELECT CAST(months.m AS STRING) AS month_s,
+       CAST(COALESCE(monthly.rev, 0) AS DOUBLE) AS revenue
+FROM months LEFT JOIN monthly ON monthly.m2 = months.m
+"""
+
+
+@q("q50_recursive_spine", _Q50_SQL)
+def q50_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(_Q50_SQL)
