@@ -1542,3 +1542,63 @@ FROM months LEFT JOIN monthly ON monthly.m2 = months.m
 def q50_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, "lineitem")
     return spark.sql(_Q50_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q51: SCD Type-2 versioning — turn a change stream into effective-dated
+# dimension rows: version = row_number, effective_to = lead(ts), open
+# rows flagged current. One window spec → one shuffle on the business
+# key; at 100 TB this is the standard dimension-build pass, and the
+# event-time ordering (ts, event_id) is total so versions are stable
+# under any partitioning. Complements q37 (CDC merge applies the latest
+# state; SCD2 keeps the full history).
+# ---------------------------------------------------------------------------
+@q("q51_scd2", """
+SELECT user_id, ROW_NUMBER() OVER w AS version,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       CAST(ts AS VARCHAR) AS eff_from_s,
+       CAST(LEAD(ts) OVER w AS VARCHAR) AS eff_to_s,
+       LEAD(ts) OVER w IS NULL AS is_current
+FROM events WHERE user_id <= 100
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def q51_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 100)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts", 1).over(w)
+    return ev.select(
+        "user_id",
+        F.row_number().over(w).alias("version"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        F.col("ts").cast("string").alias("eff_from_s"),
+        nxt.cast("string").alias("eff_to_s"),
+        nxt.isNull().alias("is_current"))
+
+
+# ---------------------------------------------------------------------------
+# q52: approximate percentile validated against the exact one (q26's
+# pattern for sketches): approx_percentile runs as a mergeable
+# KLL-style sketch — one partial+final pass, fixed memory per group —
+# while the exact percentile sorts per group. The query asserts the
+# sketch lands within 1% of truth; at 100 TB only the sketch is viable
+# and this is the verification harness for swapping it in.
+# ---------------------------------------------------------------------------
+@q("q52_approx_percentile", """
+SELECT l_returnflag,
+       CAST(MEDIAN(l_extendedprice) AS DOUBLE) AS p50_exact,
+       COUNT(*) AS n,
+       TRUE AS approx_within_1pct
+FROM lineitem GROUP BY 1
+""")
+def q52_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.percentile("l_extendedprice", 0.5).alias("p50_exact"),
+             F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+              .alias("p50_approx"),
+             F.count(F.lit(1)).alias("n"))
+        .select("l_returnflag", "p50_exact", "n",
+                (F.abs(F.col("p50_approx") - F.col("p50_exact"))
+                 <= 0.01 * F.col("p50_exact")).alias("approx_within_1pct"))
+    )

@@ -32,9 +32,9 @@ from dataclasses import dataclass
 import pyarrow as pa
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    EqualTo, Filter, GreaterThan,
-                                    GreaterThanOrEqual, InputPartition,
-                                    LessThan, LessThanOrEqual)
+                                    DataSourceStreamReader, EqualTo, Filter,
+                                    GreaterThan, GreaterThanOrEqual,
+                                    InputPartition, LessThan, LessThanOrEqual)
 from pyspark.sql.types import (ArrayType, BooleanType, DoubleType,
                                IntegerType, LongType, StructField, StructType)
 
@@ -74,6 +74,8 @@ class CellsDataSource(DataSource):
             "height": int(o.get("height", DEFAULT_H)),
             "channels": sel,
             "masked": str(o.get("masked", "true")).lower() == "true",
+            # streaming only: images admitted per latestOffset() advance
+            "streambatch": int(o.get("streambatch", 40)),
         }
 
     def schema(self) -> StructType:
@@ -91,6 +93,9 @@ class CellsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> "CellsReader":
         return CellsReader(self._opts(), schema)
+
+    def streamReader(self, schema: StructType) -> "CellsStreamReader":
+        return CellsStreamReader(self._opts(), schema)
 
 
 class CellsReader(DataSourceReader):
@@ -133,39 +138,92 @@ class CellsReader(DataSourceReader):
                 for i in range(k)] or [_IdRange(0, 0)]
 
     def read(self, partition: _IdRange):
-        import numpy as np
+        yield _arrow_batch_for_range(self.o, self.read_cols,
+                                     partition.start, partition.end)
 
-        o = self.o
-        sel = o["channels"]
-        cols: dict[str, list] = {c: [] for c in self.read_cols}
-        for image_id in range(partition.start, partition.end):
-            data, mask = _gen_image(image_id, o["n_channels"],
-                                    o["width"], o["height"])
-            wh = o["width"] * o["height"]
-            # channel projection pushdown: slice only requested channels
-            if "image_id" in cols:
-                cols["image_id"].append(image_id)
-            if "n_channels" in cols:
-                cols["n_channels"].append(len(sel))
-            if "width" in cols:
-                cols["width"].append(o["width"])
-            if "height" in cols:
-                cols["height"].append(o["height"])
-            if "data" in cols:
-                cols["data"].append(np.concatenate(
-                    [data[c * wh:(c + 1) * wh] for c in sel]))
-            if "mask" in cols:
-                cols["mask"].append(np.concatenate(
-                    [mask[c * wh:(c + 1) * wh] for c in sel]))
-        arrays, names = [], []
-        pa_types = {"image_id": pa.int64(), "n_channels": pa.int32(),
-                    "width": pa.int32(), "height": pa.int32(),
-                    "data": pa.list_(pa.float64()),
-                    "mask": pa.list_(pa.bool_())}
-        for name in self.read_cols:
-            arrays.append(pa.array(cols[name], type=pa_types[name]))
-            names.append(name)
-        yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+def _arrow_batch_for_range(o: dict, read_cols: list, start: int, end: int):
+    """Shared generation core for the batch and streaming readers: one
+    Arrow RecordBatch of cell rows for an id range, with channel
+    projection pushdown applied at synthesis time."""
+    import numpy as np
+
+    sel = o["channels"]
+    cols: dict[str, list] = {c: [] for c in read_cols}
+    for image_id in range(start, end):
+        data, mask = _gen_image(image_id, o["n_channels"],
+                                o["width"], o["height"])
+        wh = o["width"] * o["height"]
+        # channel projection pushdown: slice only requested channels
+        if "image_id" in cols:
+            cols["image_id"].append(image_id)
+        if "n_channels" in cols:
+            cols["n_channels"].append(len(sel))
+        if "width" in cols:
+            cols["width"].append(o["width"])
+        if "height" in cols:
+            cols["height"].append(o["height"])
+        if "data" in cols:
+            cols["data"].append(np.concatenate(
+                [data[c * wh:(c + 1) * wh] for c in sel]))
+        if "mask" in cols:
+            cols["mask"].append(np.concatenate(
+                [mask[c * wh:(c + 1) * wh] for c in sel]))
+    arrays, names = [], []
+    pa_types = {"image_id": pa.int64(), "n_channels": pa.int32(),
+                "width": pa.int32(), "height": pa.int32(),
+                "data": pa.list_(pa.float64()),
+                "mask": pa.list_(pa.bool_())}
+    for name in read_cols:
+        arrays.append(pa.array(cols[name], type=pa_types[name]))
+        names.append(name)
+    return pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+class CellsStreamReader(DataSourceStreamReader):
+    """Streaming twin of :class:`CellsReader` (Spark 4 Python streaming
+    data source): offsets are image-id watermarks, ``latestOffset``
+    admits ``streambatch`` new images per micro-batch, and each batch's
+    id range is split into executor-side partitions that emit the SAME
+    Arrow batches as the batch reader. This is the scifio-source shape a
+    live acquisition feed would use — the instrument keeps appending
+    images; offset bookkeeping (not the data path) is the only
+    difference from the batch scan. Exactly-once comes from the offset
+    log: a replayed range regenerates identical rows because synthesis
+    is a pure function of image_id."""
+
+    def __init__(self, opts: dict, schema: StructType):
+        self.o = opts
+        self.read_cols = [f.name for f in schema.fields]
+        n = opts["n_images"]
+        if opts["imagelimit"] is not None:
+            n = min(n, opts["imagelimit"])
+        self.n = n
+        self._latest = 0
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def latestOffset(self) -> dict:
+        self._latest = min(self.n, self._latest + self.o["streambatch"])
+        return {"next": self._latest}
+
+    def partitions(self, start: dict, end: dict) -> list:
+        lo, hi = start["next"], end["next"]
+        n = max(0, hi - lo)
+        if n == 0:
+            return []
+        k = max(1, min(self.o["numpartitions"], n))
+        step = -(-n // k)
+        return [_IdRange(lo + i * step, min(lo + (i + 1) * step, hi))
+                for i in range(k)]
+
+    def read(self, partition: _IdRange):
+        yield _arrow_batch_for_range(self.o, self.read_cols,
+                                     partition.start, partition.end)
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 QUERIES: dict = {}
@@ -194,6 +252,55 @@ def cells_source_scan(spark, sf_dir: str = ""):
 
 
 QUERIES["cells_source_scan"] = (cells_source_scan, None)  # rows-only
+
+
+def cells_stream_scan(spark, sf_dir: str = ""):
+    """The cells source as a LIVE stream: 120 images arrive 40 per
+    micro-batch (3 real batches through the offset log), per-image
+    per-channel areas append to the sink as they arrive, and the final
+    per-channel rollup runs batch-side over the drained sink — identical
+    output shape to ``cells_source_scan``, so the two paths are directly
+    comparable. The drain loop polls the sink row count: the expected
+    total is known (images × channels) because synthesis is
+    deterministic, and a stop-guard bounds the wait."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ..functions import image_kernels as K
+
+    register(spark)
+    n_images, n_ch = 120, 2
+    stream = (spark.readStream.format("cells")
+              .option("imagelimit", n_images).option("channels", "0,1")
+              .option("numpartitions", 4).option("streambatch", 40).load())
+    wh = F.col("width") * F.col("height")
+    per_ch = stream.select(
+        "image_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_channels") - 1)).alias("channel"),
+        K.channel_slice(F.col("mask"), F.col("channel"), wh).alias("mask_ch")
+    ).select("image_id", "channel", K.area(F.col("mask_ch")).alias("area"))
+
+    name = "stream_result_cells_scan"
+    spark.catalog.dropTempView(name)
+    q = (per_ch.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(processingTime="0 seconds").start())
+    expected = n_images * n_ch
+    deadline = time.time() + 120
+    try:
+        while time.time() < deadline:
+            if spark.table(name).count() >= expected:
+                break
+            time.sleep(0.05)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return (spark.table(name).groupBy("channel")
+            .agg(F.sum("area").alias("total_area"),
+                 F.count(F.lit(1)).alias("n_images")))
+
+
+QUERIES["cells_stream_scan"] = (cells_stream_scan, None)  # rows-only
 
 
 def register(spark) -> None:

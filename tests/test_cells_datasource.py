@@ -71,3 +71,32 @@ def test_image_id_predicate_pushdown(spark):
     parts = reader.partitions()
     assert min(p.start for p in parts) == 100
     assert max(p.end for p in parts) == 104
+
+
+def test_stream_scan_matches_batch_scan(spark):
+    """The streaming reader (offset-log micro-batches) must be
+    row-identical to the batch reader on the same options — same
+    synthesis core, different admission bookkeeping."""
+    from big_data_science_project_spark.sources.cells_datasource import (
+        cells_source_scan, cells_stream_scan)
+
+    got = sorted(tuple(r) for r in cells_stream_scan(spark).collect())
+    want = sorted(tuple(r) for r in cells_source_scan(spark).collect())
+    assert got == want and len(got) == 2
+
+
+def test_stream_reader_offsets_and_partitions():
+    """Offset admission: latestOffset advances streambatch per call,
+    clamps at the row limit; partitions cover [start, end) exactly."""
+    from big_data_science_project_spark.sources import cells_datasource as CD
+
+    dsrc = CD.CellsDataSource({"n_images": "100", "streambatch": "40",
+                               "numpartitions": "3"})
+    r = dsrc.streamReader(dsrc.schema())
+    assert r.initialOffset() == {"next": 0}
+    assert [r.latestOffset()["next"] for _ in range(4)] == [40, 80, 100, 100]
+    parts = r.partitions({"next": 40}, {"next": 80})
+    covered = sorted((p.start, p.end) for p in parts)
+    assert covered[0][0] == 40 and covered[-1][1] == 80
+    assert all(a < b for a, b in covered)
+    assert r.partitions({"next": 100}, {"next": 100}) == []
