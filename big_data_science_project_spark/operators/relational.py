@@ -1602,3 +1602,63 @@ def q52_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.abs(F.col("p50_approx") - F.col("p50_exact"))
                  <= 0.01 * F.col("p50_exact")).alias("approx_within_1pct"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q53: ordered string aggregation — listagg WITHIN GROUP (Spark 4) /
+# STRING_AGG: the canonical "denormalize a dimension into a label"
+# op. The explicit ORDER BY inside the aggregate makes the result
+# deterministic under any partitioning — without it, concat order is
+# whatever the shuffle delivered, a classic 1000-executor flake.
+# ---------------------------------------------------------------------------
+@q("q53_listagg", """
+SELECT r_name,
+       STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""")
+def q53_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.expr("listagg(n_name, ',') within group (order by n_name)")
+              .alias("nations"),
+             F.count(F.lit(1)).alias("n_nations"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q54: HLL sketch partials — the distributed-distinct-count pattern for
+# 100 TB: per-shard hll_sketch_agg partials (fixed ~16 KB each at
+# lgConfigK=14), hll_union_agg merge, estimate at the end. The query
+# PROVES the sketch workflow's accuracy contract: both the merged
+# two-shard estimate and the one-pass estimate land within 5% of the
+# exact count (union and single-pass estimates may differ by a few
+# counts — the datasketches union path uses a different estimator —
+# which is exactly why the contract is a tolerance, not equality).
+# ---------------------------------------------------------------------------
+@q("q54_hll_mergeable", """
+SELECT COUNT(DISTINCT l_partkey) AS n_exact,
+       TRUE AS merged_within_5pct,
+       TRUE AS full_within_5pct
+FROM lineitem
+""")
+def q54_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    shard_sketches = (li.withColumn("h", F.col("l_orderkey") % 2)
+                      .groupBy("h")
+                      .agg(F.expr("hll_sketch_agg(l_partkey, 14)").alias("sk")))
+    merged = shard_sketches.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk, true))").alias("est_merged"))
+    full = li.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(l_partkey, 14))").alias("est_full"),
+        F.countDistinct("l_partkey").alias("n_exact"))
+    return (merged.crossJoin(full).select(
+        "n_exact",
+        (F.abs(F.col("est_merged") - F.col("n_exact"))
+         <= 0.05 * F.col("n_exact")).alias("merged_within_5pct"),
+        (F.abs(F.col("est_full") - F.col("n_exact"))
+         <= 0.05 * F.col("n_exact")).alias("full_within_5pct")))
