@@ -164,3 +164,59 @@ def test_zorder_files_prune_both_dimensions(spark):
         touched = sum(1 for b in boxes
                       if not (b[f"{key}_mx"] < q_lo or b[f"{key}_mn"] > q_hi))
         assert touched <= n_files / 2, (key, touched, n_files)
+
+
+def _nodes(plan: str, name: str) -> int:
+    """Count physical-plan NODES (formatted output repeats each node in
+    the detail section, so a plain substring count double-counts)."""
+    return len(re.findall(rf"^\(\d+\) {name}\b", plan, flags=re.M))
+
+
+def test_q43_unpivot_is_zero_shuffle_expand(spark):
+    """unpivot must plan as a map-side Expand; the only exchange is the
+    4-group aggregate that builds the wide input."""
+    plan = formatted_plan(QUERIES["q43_unpivot"](spark, SF))
+    assert "Expand" in plan
+    assert _nodes(plan, "Exchange") <= 1, plan  # the wide-agg shuffle only
+
+
+def test_q44_array_hof_is_map_only(spark):
+    """higher-order array functions: no shuffle, no Python — pure
+    codegen'd per-row work."""
+    plan = formatted_plan(QUERIES["q44_array_hof"](spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_q48_single_window_node(spark):
+    """four window functions share one spec → exactly one Window node,
+    one sort, one exchange."""
+    plan = formatted_plan(QUERIES["q48_window_extras"](spark, SF))
+    assert _nodes(plan, "Window") == 1, plan
+    assert _nodes(plan, "Exchange") == 1, plan
+
+
+def test_q49_lateral_decorrelates_no_cartesian(spark):
+    """LATERAL + LIMIT must decorrelate to a ranked window join — never
+    a per-row re-execution or cartesian product."""
+    plan = formatted_plan(QUERIES["q49_lateral_topn"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_q51_scd2_single_exchange(spark):
+    """SCD2: version + effective range + current flag share one window
+    spec — one shuffle on the business key, one sort."""
+    plan = formatted_plan(QUERIES["q51_scd2"](spark, SF))
+    assert _nodes(plan, "Window") == 1, plan
+    assert _nodes(plan, "Exchange") == 1, plan
+
+
+def test_q47_variant_stays_jvm_side(spark):
+    """VARIANT parse + typed extraction is JVM-native — no Python in
+    the plan."""
+    plan = formatted_plan(QUERIES["q47_variant_json"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
