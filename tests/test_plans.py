@@ -166,6 +166,17 @@ def test_zorder_files_prune_both_dimensions(spark):
         assert touched <= n_files / 2, (key, touched, n_files)
 
 
+def _fresh(spark, name):
+    """Build the query OUTSIDE the session plan cache: plan tests must
+    inspect the un-executed logical plan, and a cached DataFrame that an
+    earlier test already collected formats as the FINALIZED adaptive plan
+    (extra AQEShuffleRead / coalesced exchanges)."""
+    cache = getattr(spark, "_bdsp_plan_cache", None)
+    if cache is not None:
+        cache.clear()
+    return QUERIES[name](spark, SF)
+
+
 def _nodes(plan: str, name: str) -> int:
     """Count physical-plan NODES (formatted output repeats each node in
     the detail section, so a plain substring count double-counts)."""
@@ -175,7 +186,7 @@ def _nodes(plan: str, name: str) -> int:
 def test_q43_unpivot_is_zero_shuffle_expand(spark):
     """unpivot must plan as a map-side Expand; the only exchange is the
     4-group aggregate that builds the wide input."""
-    plan = formatted_plan(QUERIES["q43_unpivot"](spark, SF))
+    plan = formatted_plan(_fresh(spark, "q43_unpivot"))
     assert "Expand" in plan
     assert _nodes(plan, "Exchange") <= 1, plan  # the wide-agg shuffle only
 
@@ -183,7 +194,7 @@ def test_q43_unpivot_is_zero_shuffle_expand(spark):
 def test_q44_array_hof_is_map_only(spark):
     """higher-order array functions: no shuffle, no Python — pure
     codegen'd per-row work."""
-    plan = formatted_plan(QUERIES["q44_array_hof"](spark, SF))
+    plan = formatted_plan(_fresh(spark, "q44_array_hof"))
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
@@ -192,7 +203,7 @@ def test_q44_array_hof_is_map_only(spark):
 def test_q48_single_window_node(spark):
     """four window functions share one spec → exactly one Window node,
     one sort, one exchange."""
-    plan = formatted_plan(QUERIES["q48_window_extras"](spark, SF))
+    plan = formatted_plan(_fresh(spark, "q48_window_extras"))
     assert _nodes(plan, "Window") == 1, plan
     assert _nodes(plan, "Exchange") == 1, plan
 
@@ -200,7 +211,7 @@ def test_q48_single_window_node(spark):
 def test_q49_lateral_decorrelates_no_cartesian(spark):
     """LATERAL + LIMIT must decorrelate to a ranked window join — never
     a per-row re-execution or cartesian product."""
-    plan = formatted_plan(QUERIES["q49_lateral_topn"](spark, SF))
+    plan = formatted_plan(_fresh(spark, "q49_lateral_topn"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan
@@ -209,7 +220,7 @@ def test_q49_lateral_decorrelates_no_cartesian(spark):
 def test_q51_scd2_single_exchange(spark):
     """SCD2: version + effective range + current flag share one window
     spec — one shuffle on the business key, one sort."""
-    plan = formatted_plan(QUERIES["q51_scd2"](spark, SF))
+    plan = formatted_plan(_fresh(spark, "q51_scd2"))
     assert _nodes(plan, "Window") == 1, plan
     assert _nodes(plan, "Exchange") == 1, plan
 
@@ -217,6 +228,6 @@ def test_q51_scd2_single_exchange(spark):
 def test_q47_variant_stays_jvm_side(spark):
     """VARIANT parse + typed extraction is JVM-native — no Python in
     the plan."""
-    plan = formatted_plan(QUERIES["q47_variant_json"](spark, SF))
+    plan = formatted_plan(_fresh(spark, "q47_variant_json"))
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
