@@ -291,3 +291,40 @@ SELECT lang, COUNT(*) AS n_docs,
 FROM s
 GROUP BY lang
 """)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — flag training documents sharing any
+# shingle with a held-out benchmark set (here: every 100th doc, a
+# deterministic stand-in for an eval suite). Reuses the dedup ladder's
+# int-shingle machinery (one md5 per shingle, SURVEY.md Phase 5), so
+# the check costs one explode + one equi join on an 8-byte hash. At
+# 100 TB the benchmark side is tiny and broadcasts: the corpus is
+# never shuffled, making this a map-side filter — the property that
+# lets decontamination run inside every ingestion pass instead of as
+# a special job.
+# ---------------------------------------------------------------------------
+def curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _hashed_shingles_df
+
+    d = load_table(spark, sf_dir, "documents")
+    hashed = _hashed_shingles_df(d)
+    train = (hashed.filter(F.col("doc_id") % 100 != 0)
+             .select("doc_id", F.explode("hs").alias("h")))
+    bench = (hashed.filter(F.col("doc_id") % 100 == 0)
+             .select(F.explode("hs").alias("h")).distinct())
+    return (train.join(F.broadcast(bench), "h")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("h").alias("n_shared")))
+
+
+from .dedup import _HASHED_SHINGLES_SQL as _SHINGLE_HASH_SQL  # noqa: E402
+
+QUERIES["curate_decontaminate"] = (curate_decontaminate, f"""
+WITH hashed AS ({_SHINGLE_HASH_SQL}),
+te AS (SELECT doc_id, unnest(hs) AS h FROM hashed WHERE doc_id % 100 != 0),
+be AS (SELECT DISTINCT unnest(hs) AS h FROM hashed WHERE doc_id % 100 = 0)
+SELECT doc_id, COUNT(DISTINCT h) AS n_shared
+FROM te JOIN be USING (h)
+GROUP BY doc_id
+""")

@@ -358,3 +358,47 @@ SELECT doc_id, n_tokens,
             THEN 1 ELSE 0 END AS INT) AS flagged
 FROM base
 """)
+
+
+# ---------------------------------------------------------------------------
+# Unigram log-probability scoring — the KenLM-style quality signal as a
+# two-pass corpus job: pass 1 builds the vocabulary frequency table
+# (shuffle = |vocab|, with map-side combine), pass 2 scores every token
+# against it. At fixture scale the vocab broadcasts; at 100 TB it's a
+# shuffle join on the token — still |corpus tokens| rows but each
+# carrying an 8-byte logprob, and the vocab build amortizes over every
+# downstream scoring run. Per-token logprobs are quantized to integer
+# MICROS before summing (the integer-cents pattern): the sum is then
+# order-independent and the DuckDB oracle reproduces it exactly — a
+# float sum over a shuffled join would be partitioning-dependent.
+# ---------------------------------------------------------------------------
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n_total"))
+    lp = (vocab.crossJoin(F.broadcast(total))
+          .select("tok",
+                  F.expr("cast(round(ln(cnt / n_total) * 1000000, 0) as bigint)")
+                   .alias("lp_micro")))
+    return (toks.join(lp, "tok")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round((F.sum("lp_micro") / 1e6) / F.count(F.lit(1)), 6)
+                  .alias("avg_logprob")))
+
+
+QUERIES["text_unigram_logprob"] = (text_unigram_logprob, """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+total AS (SELECT SUM(cnt) AS n_total FROM vocab),
+lp AS (SELECT tok, CAST(ROUND(ln(cnt / n_total) * 1000000, 0) AS BIGINT)
+              AS lp_micro
+       FROM vocab, total)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND((SUM(lp_micro) / 1e6) / COUNT(*), 6) AS avg_logprob
+FROM toks JOIN lp USING (tok)
+GROUP BY doc_id
+""")
