@@ -602,3 +602,95 @@ SELECT vec_id, scale,
          vd, x -> abs(CAST(floor(x * scale + 0.5) AS INT)))) AS BIGINT) AS l1
 FROM s
 """)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-bound end of the ANN ladder
+# (brute → LSH buckets → IVF pruning → PQ compression). Vectors are
+# split into PQ_M segments; each segment is replaced by the id of its
+# nearest codebook entry (PQ_K codes ⇒ 4 bits/segment: a 64-dim float32
+# vector becomes 4 BYTES of codes, 64× smaller). Search is asymmetric
+# distance computation (ADC): the query precomputes a PQ_K×PQ_M lookup
+# table of segment distances, and scoring a vector is PQ_M integer
+# table lookups — no float math against the corpus at all. At 100 TB
+# the codes column is what gets scanned (the raw vectors stay in cold
+# storage), and encode is a one-time map-only pass, exactly like the
+# IVF assignment. Codebooks here are the first PQ_K vectors' segments
+# (deterministic index build, like IVF's sampled centroids; production
+# trains per-segment k-means offline). Per-segment LUT distances are
+# floor-quantized to integer micros so the ADC sum is order-independent
+# and the DuckDB oracle reproduces the ranking bit-for-bit; the
+# per-segment fold (np.cumsum == list_aggregate 'sum') keeps the
+# argmin codes identical too, with first-minimum (= lowest code)
+# tie-breaking on both engines.
+# ---------------------------------------------------------------------------
+PQ_M = 8    # segments per vector
+PQ_K = 16   # codebook entries per segment (4-bit codes)
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = sorted(
+        e.filter(F.col("vec_id") < PQ_K).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id)
+    cb = np.asarray([r.embedding for r in rows], dtype=np.float64)
+    dim = cb.shape[1]
+    seg = dim // PQ_M
+    cbr = cb.reshape(PQ_K, PQ_M, seg)
+    qv = np.asarray(
+        [r.embedding for r in rows if r.vec_id == QUERY_VEC_ID][0],
+        dtype=np.float64).reshape(PQ_M, seg)
+    # query-side ADC lookup table: PQ_K × PQ_M integer-micro distances
+    qd = np.cumsum((qv[None, :, :] - cbr) ** 2, axis=2)[:, :, -1]
+    lut = np.floor(qd * 1e6).astype(np.int64)
+
+    @F.pandas_udf("bigint")
+    def pq_adc(emb: pd.Series) -> pd.Series:
+        x = np.asarray(emb.tolist(), dtype=np.float64).reshape(-1, PQ_M, seg)
+        d2 = np.cumsum((x[:, None, :, :] - cbr[None, :, :, :]) ** 2,
+                       axis=3)[:, :, :, -1]              # B × K × M
+        codes = d2.argmin(axis=1)                        # first min = low code
+        return pd.Series(lut[codes, np.arange(PQ_M)].sum(axis=1))
+
+    return (e.filter(F.col("vec_id") != QUERY_VEC_ID)
+            .select("vec_id", pq_adc("embedding").alias("pq_dist_micro"))
+            .orderBy("pq_dist_micro", "vec_id")
+            .limit(10))
+
+
+_PQ_SEG = 8  # 64-dim fixture / PQ_M; the oracle needs the literal
+
+
+def _pq_sql() -> str:
+    segd = """list_aggregate(list_transform(generate_series(1, {seg}),
+           j -> (CAST({v}[s.m*{seg}+j] AS DOUBLE) - CAST(c.cvec[s.m*{seg}+j] AS DOUBLE))
+              * (CAST({v}[s.m*{seg}+j] AS DOUBLE) - CAST(c.cvec[s.m*{seg}+j] AS DOUBLE))),
+           'sum')"""
+    return f"""
+WITH cb AS (SELECT vec_id AS code, embedding AS cvec FROM embeddings
+            WHERE vec_id < {PQ_K}),
+q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+segdist AS (
+  SELECT e.vec_id, s.m, c.code,
+         {segd.format(seg=_PQ_SEG, v='e.embedding')} AS d2
+  FROM embeddings e, generate_series(0, {PQ_M - 1}) s(m), cb c
+  WHERE e.vec_id != {QUERY_VEC_ID}),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+    FROM segdist) t WHERE rn = 1),
+qlut AS (
+  SELECT s.m, c.code,
+         CAST(FLOOR({segd.format(seg=_PQ_SEG, v='q.qvec')} * 1000000) AS BIGINT)
+           AS dm
+  FROM q, generate_series(0, {PQ_M - 1}) s(m), cb c)
+SELECT codes.vec_id, SUM(qlut.dm) AS pq_dist_micro
+FROM codes JOIN qlut ON codes.m = qlut.m AND codes.code = qlut.code
+GROUP BY codes.vec_id
+ORDER BY pq_dist_micro, vec_id
+LIMIT 10
+"""
+
+
+QUERIES["ann_pq_topk"] = (ann_pq_topk, _pq_sql())
