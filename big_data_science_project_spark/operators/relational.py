@@ -1662,3 +1662,28 @@ def q54_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
          <= 0.05 * F.col("n_exact")).alias("merged_within_5pct"),
         (F.abs(F.col("est_full") - F.col("n_exact"))
          <= 0.05 * F.col("n_exact")).alias("full_within_5pct")))
+
+
+# ---------------------------------------------------------------------------
+# q55: explicit NULL ordering — Spark sorts NULLS FIRST ascending /
+# NULLS LAST descending by default, DuckDB the opposite; any top-k over
+# a nullable ranking expression silently diverges across engines unless
+# the ordering is pinned. Shared ANSI text with explicit NULLS LAST on
+# both engines (and a unique tie-break) — the portability discipline
+# every cross-engine pipeline needs. Plans as TakeOrderedAndProject,
+# same as q03.
+# ---------------------------------------------------------------------------
+_Q55_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS f_price
+FROM orders
+WHERE o_custkey <= 20
+ORDER BY f_price DESC NULLS LAST, o_orderkey
+LIMIT 100
+"""
+
+
+@q("q55_null_ordering", _Q55_SQL)
+def q55_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_Q55_SQL)

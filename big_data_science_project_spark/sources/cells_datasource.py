@@ -281,10 +281,17 @@ def cells_stream_scan(spark, sf_dir: str = ""):
         K.channel_slice(F.col("mask"), F.col("channel"), wh).alias("mask_ch")
     ).select("image_id", "channel", K.area(F.col("mask_ch")).alias("area"))
 
+    from ..streaming.events import _scratch_checkpoint
+
     name = "stream_result_cells_scan"
     spark.catalog.dropTempView(name)
-    q = (per_ch.writeStream.format("memory").queryName(name)
-         .outputMode("append").trigger(processingTime="0 seconds").start())
+    ckpt_cm = _scratch_checkpoint()
+    ckpt = ckpt_cm.__enter__()
+    writer = (per_ch.writeStream.format("memory").queryName(name)
+              .outputMode("append"))
+    if ckpt:
+        writer = writer.option("checkpointLocation", ckpt)
+    q = writer.trigger(processingTime="0 seconds").start()
     expected = n_images * n_ch
     deadline = time.time() + 120
     try:
@@ -295,6 +302,7 @@ def cells_stream_scan(spark, sf_dir: str = ""):
     finally:
         q.stop()
         q.awaitTermination()
+        ckpt_cm.__exit__(None, None, None)
     return (spark.table(name).groupBy("channel")
             .agg(F.sum("area").alias("total_area"),
                  F.count(F.lit(1)).alias("n_images")))
