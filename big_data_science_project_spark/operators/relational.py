@@ -1687,3 +1687,78 @@ LIMIT 100
 def q55_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, "orders")
     return spark.sql(_Q55_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q56: map-type functions — build a map column from aggregated entries
+# (sorted first, so construction order is deterministic under any
+# partitioning), then typed lookups, cardinality, a fold over
+# map_values, and ordered key rendering. Maps are the natural shape for
+# per-key feature bundles at serving time; everything here is JVM
+# expression work on top of one partial+final aggregate. DuckDB's map
+# subscript yields a single-element list — the oracle unwraps with
+# [1] to keep the schema scalar on both engines.
+# ---------------------------------------------------------------------------
+@q("q56_map_funcs", """
+WITH c AS (
+  SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1, 2),
+m AS (
+  SELECT l_returnflag,
+         map_from_entries(list_sort(list(
+           struct_pack(l_linestatus := l_linestatus, cnt := cnt)))) AS m
+  FROM c GROUP BY 1)
+SELECT l_returnflag,
+       m['O'][1] AS n_open,
+       m['F'][1] AS n_full,
+       cardinality(m) AS n_keys,
+       list_aggregate(map_values(m), 'sum') AS n_total,
+       array_to_string(map_keys(m), ',') AS keys_s
+FROM m
+""")
+def q56_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("l_returnflag")
+        .agg(F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("l_linestatus", "cnt"))))
+            .alias("m"))
+        .select("l_returnflag",
+                F.expr("element_at(m, 'O')").alias("n_open"),
+                F.expr("element_at(m, 'F')").alias("n_full"),
+                F.expr("cardinality(m)").alias("n_keys"),
+                F.expr("aggregate(map_values(m), 0L, (a, x) -> a + x)")
+                 .alias("n_total"),
+                F.expr("concat_ws(',', map_keys(m))").alias("keys_s"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q57: bitwise and boolean aggregates + filtered count — flag/bitmap
+# analytics (bit_and/or/xor fold per group) and predicate rollups
+# (bool_and/bool_or, count_if). All algebraic: constant state per
+# group, map-side combined, same scale shape as q01.
+# ---------------------------------------------------------------------------
+@q("q57_bit_bool_aggs", """
+SELECT l_returnflag,
+       BIT_AND(l_linenumber) AS band,
+       BIT_OR(l_linenumber) AS bor,
+       BIT_XOR(l_linenumber) AS bxor,
+       BOOL_AND(l_quantity > 0) AS all_pos,
+       BOOL_OR(l_discount > 0.09) AS any_big_disc,
+       COUNT(*) FILTER (l_tax = 0) AS n_notax
+FROM lineitem GROUP BY 1
+""")
+def q57_bit_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.expr("bit_and(l_linenumber)").alias("band"),
+             F.expr("bit_or(l_linenumber)").alias("bor"),
+             F.expr("bit_xor(l_linenumber)").alias("bxor"),
+             F.expr("bool_and(l_quantity > 0)").alias("all_pos"),
+             F.expr("bool_or(l_discount > 0.09)").alias("any_big_disc"),
+             F.expr("count_if(l_tax = 0)").alias("n_notax"))
+    )
