@@ -402,3 +402,48 @@ SELECT doc_id, COUNT(*) AS n_tokens,
 FROM toks JOIN lp USING (tok)
 GROUP BY doc_id
 """)
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (Spark 4) — the user-defined TABLE function surface: a
+# @udtf class whose eval() yields 0..n rows per input row, registered
+# and called from SQL via LATERAL. Arrow-batched (useArrow), so input
+# columns arrive as Arrow batches even though eval runs per row. This
+# demonstrates the API on a small slice (50 docs); the engine's HOT
+# chunking path is curate_chunk — the same semantics as pure JVM
+# sequence/explode/substring with zero Python — which is what runs at
+# corpus scale (SURVEY.md §2.9: mapInPandas/explode are the UDTF
+# analogues for fan-out). The UDTF exists for the cases built-ins can't
+# express: per-row fan-out driven by imperative logic.
+# ---------------------------------------------------------------------------
+_UDTF_CHUNK_W = 80
+
+
+def text_udtf_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id int, chunk string", useArrow=True)
+    class ChunkDoc:
+        def eval(self, doc_id: int, text: str):
+            w = _UDTF_CHUNK_W
+            for i in range(0, len(text), w):
+                yield i // w, text[i:i + w]
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql("""
+      SELECT d.doc_id, c.chunk_id, c.chunk
+      FROM documents d, LATERAL chunk_doc(d.doc_id, d.text) c
+      WHERE d.doc_id < 50
+    """)
+
+
+QUERIES["text_udtf_chunk"] = (text_udtf_chunk, f"""
+WITH starts AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, LENGTH(text) - 1, {_UDTF_CHUNK_W})) AS start
+  FROM documents WHERE doc_id < 50 AND LENGTH(text) > 0)
+SELECT doc_id, CAST(start / {_UDTF_CHUNK_W} AS INT) AS chunk_id,
+       SUBSTRING(text, CAST(start + 1 AS INT), {_UDTF_CHUNK_W}) AS chunk
+FROM starts
+""")
