@@ -1286,28 +1286,37 @@ def q41_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("q42_adv_stats", """
 WITH m AS (SELECT l_returnflag, AVG(l_quantity) AS mu FROM lineitem GROUP BY 1)
 SELECT l.l_returnflag,
-       CAST(MEDIAN(l.l_quantity) AS DOUBLE) AS med_qty,
-       AVG(POWER(l.l_quantity - m.mu, 3))
-         / POWER(AVG(POWER(l.l_quantity - m.mu, 2)), 1.5) AS skew_qty,
-       AVG(POWER(l.l_quantity - m.mu, 4))
-         / POWER(AVG(POWER(l.l_quantity - m.mu, 2)), 2) - 3 AS kurt_qty,
-       REGR_SLOPE(l.l_extendedprice, l.l_quantity)     AS price_qty_slope,
-       REGR_INTERCEPT(l.l_extendedprice, l.l_quantity) AS price_qty_icept,
-       REGR_R2(l.l_extendedprice, l.l_quantity)        AS price_qty_r2,
-       REGR_COUNT(l.l_extendedprice, l.l_quantity)     AS n_pairs
+       ROUND(CAST(MEDIAN(l.l_quantity) AS DOUBLE), 6) AS med_qty,
+       ROUND(AVG(POWER(l.l_quantity - m.mu, 3))
+         / POWER(AVG(POWER(l.l_quantity - m.mu, 2)), 1.5), 6) AS skew_qty,
+       ROUND(AVG(POWER(l.l_quantity - m.mu, 4))
+         / POWER(AVG(POWER(l.l_quantity - m.mu, 2)), 2) - 3, 6) AS kurt_qty,
+       ROUND(REGR_SLOPE(l.l_extendedprice, l.l_quantity), 6)     AS price_qty_slope,
+       ROUND(REGR_INTERCEPT(l.l_extendedprice, l.l_quantity), 6) AS price_qty_icept,
+       ROUND(REGR_R2(l.l_extendedprice, l.l_quantity), 9)        AS price_qty_r2,
+       REGR_COUNT(l.l_extendedprice, l.l_quantity)               AS n_pairs
 FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
 GROUP BY l.l_returnflag
 """)
 def q42_adv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Outputs are ROUNDed (6dp; r2 at 9dp for its ~1e-5 magnitude): the
+    # central moments are merge-stable but their low bits legitimately
+    # depend on partition merge order, so bit-exact cross-engine (or even
+    # cross-partitioning) equality is impossible for the raw doubles —
+    # rounding at a precision far above the ~1e-12 accumulation drift
+    # makes the result deterministic, the same contract outlier_fit uses.
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
-        .agg(F.median("l_quantity").alias("med_qty"),
-             F.skewness("l_quantity").alias("skew_qty"),
-             F.kurtosis("l_quantity").alias("kurt_qty"),
-             F.regr_slope("l_extendedprice", "l_quantity").alias("price_qty_slope"),
-             F.regr_intercept("l_extendedprice", "l_quantity").alias("price_qty_icept"),
-             F.regr_r2("l_extendedprice", "l_quantity").alias("price_qty_r2"),
+        .agg(F.round(F.median("l_quantity"), 6).alias("med_qty"),
+             F.round(F.skewness("l_quantity"), 6).alias("skew_qty"),
+             F.round(F.kurtosis("l_quantity"), 6).alias("kurt_qty"),
+             F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6)
+              .alias("price_qty_slope"),
+             F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 6)
+              .alias("price_qty_icept"),
+             F.round(F.regr_r2("l_extendedprice", "l_quantity"), 9)
+              .alias("price_qty_r2"),
              F.regr_count("l_extendedprice", "l_quantity").alias("n_pairs"))
     )
 

@@ -34,15 +34,6 @@ def _duckdb_conn(sf_dir: str):
     return con
 
 
-# Queries compared at the driver's %.6g float normalization instead of
-# full-precision repr: q42's central moments / regression aggregates use
-# different (equally valid) merge-stable accumulation orders in Spark's
-# CentralMomentAgg vs DuckDB's two-pass oracle — they agree to ≥12
-# significant digits but not bit-for-bit, and the driver gate itself
-# hashes floats at %.6g. Everything else stays exact by design.
-FUZZY_6G = {"q42_adv_stats"}
-
-
 def _normalize(rows, colnames, fuzzy: bool = False):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     out = []
@@ -72,9 +63,8 @@ def test_query_matches_oracle(spark, name):
     d_cols = [d[0] for d in cur.description]
     d_rows = cur.fetchall()
 
-    fuzzy = name in FUZZY_6G
-    s_colnames, s_norm = _normalize(s_rows, s_cols, fuzzy)
-    d_colnames, d_norm = _normalize(d_rows, d_cols, fuzzy)
+    s_colnames, s_norm = _normalize(s_rows, s_cols)
+    d_colnames, d_norm = _normalize(d_rows, d_cols)
 
     assert s_colnames == d_colnames, f"{name}: column mismatch"
     assert len(s_norm) == len(d_norm), (
