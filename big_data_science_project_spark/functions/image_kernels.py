@@ -127,12 +127,40 @@ def accuracy(tp: Column, fp: Column, tn: Column, fn: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
-# simple threshold mask (stand-in for the Canny kernel, K7): the container
-# has no OpenCV, so the edge-detector step is a deterministic fake —
-# threshold + 1-pixel morphological close via pandas UDF. The Spark-side
-# plumbing (schema, batching, per-channel params) matches what a real
-# cv2.Canny UDF would use; swap _fake_canny_np for cv2 when available.
+# Canny mask kernel (K7): auto-detects OpenCV. With cv2 present, this is
+# the reference's exact recipe — cv.Canny then MORPH_CLOSE with a
+# MORPH_ELLIPSE kernel (image_masking.py:78-81 canny_masking +
+# :38-41 apply_opening, whose name says "opening" but whose body closes —
+# reference Pitfall; we reproduce the close). Without cv2 (this
+# container), a deterministic fake stands in: threshold + 1-pixel binary
+# close. Both run behind the same pandas-UDF plumbing (schema, batching,
+# per-channel params), so swapping kernels never touches the plan.
 # ---------------------------------------------------------------------------
+try:  # cv2 absent in this container; auto-enables where installed
+    import cv2 as _cv2
+except ImportError:  # pragma: no cover - exercised via canny_mask_np fallback
+    _cv2 = None
+
+HAVE_CV2 = _cv2 is not None
+
+
+def _cv2_canny_np(img: np.ndarray, t1: float, t2: float,
+                  shape: tuple[int, int] = (8, 8)) -> np.ndarray:
+    """Reference canny_masking: Canny on uint8, float32 MORPH_CLOSE."""
+    edges = _cv2.Canny(img.astype(np.uint8), threshold1=t1, threshold2=t2)
+    kernel = _cv2.getStructuringElement(_cv2.MORPH_ELLIPSE, shape)
+    closed = _cv2.morphologyEx(edges.astype(np.float32), _cv2.MORPH_CLOSE,
+                               kernel)
+    return closed.astype(bool)
+
+
+def canny_mask_np(img: np.ndarray, t1: float, t2: float) -> np.ndarray:
+    """K7 dispatcher: real cv2 path when importable, else the fake."""
+    if HAVE_CV2:
+        return _cv2_canny_np(img, t1, t2)
+    return _fake_canny_np(img, t1, t2)
+
+
 def _fake_canny_np(img: np.ndarray, t1: float, t2: float) -> np.ndarray:
     m = img >= ((t1 + t2) / 2.0)
     # 1-iteration binary closing with a 3×3 cross (dilate then erode)
@@ -158,7 +186,7 @@ def make_threshold_mask_udf(t1: float, t2: float):
         out = []
         for d, w, h in zip(data_ch, width, height):
             img = np.asarray(d, dtype=np.float64).reshape(int(w), int(h))
-            out.append(_fake_canny_np(img, t1, t2).reshape(-1).tolist())
+            out.append(canny_mask_np(img, t1, t2).reshape(-1).tolist())
         return pd.Series(out)
 
     return predict_mask

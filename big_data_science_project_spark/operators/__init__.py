@@ -31,18 +31,22 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
                    relational, segmentation, similarity, text, timeseries)
     from ..streaming import events as streaming_events
     from ..sources import cells as cells_src
+    from ..sources import cells_binary as cells_bin
     from ..sources import cells_datasource as cells_ds
     from ..sources import sinks as sinks_src
     from ..sources.tables import plan_cached
 
-    impure_modules = (streaming_events, sinks_src, cells_ds)
-    impure_names = {"multimodal_export"}
+    impure_modules = (streaming_events, sinks_src, cells_ds, cells_bin)
+    # also impure by construction: text_udtf_chunk registers a UDTF +
+    # temp view; ann_pq_topk collects the PQ codebook at build time —
+    # leaving them unwrapped keeps bench reps honest about that cost
+    impure_names = {"multimodal_export", "text_udtf_chunk", "ann_pq_topk"}
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
     for mod in (relational, outlier, dedup, similarity, linear, text,
                 curation, timeseries, streaming_events, cells_src,
-                segmentation, multimodal, sinks_src, cells_ds):
+                segmentation, multimodal, sinks_src, cells_ds, cells_bin):
         for name, (fn, sql) in getattr(mod, "QUERIES", {}).items():
             if name in queries:
                 raise ValueError(f"duplicate query name: {name}")

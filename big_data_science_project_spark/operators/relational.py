@@ -1008,8 +1008,8 @@ WITH flagged AS (
 ),
 sess AS (
   SELECT user_id, ts, value,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,
@@ -1294,7 +1294,7 @@ SELECT l.l_returnflag,
        ROUND(REGR_SLOPE(l.l_extendedprice, l.l_quantity), 6)     AS price_qty_slope,
        ROUND(REGR_INTERCEPT(l.l_extendedprice, l.l_quantity), 6) AS price_qty_icept,
        ROUND(REGR_R2(l.l_extendedprice, l.l_quantity), 9)        AS price_qty_r2,
-       REGR_COUNT(l.l_extendedprice, l.l_quantity)               AS n_pairs
+       CAST(REGR_COUNT(l.l_extendedprice, l.l_quantity) AS BIGINT) AS n_pairs
 FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
 GROUP BY l.l_returnflag
 """)
@@ -1449,7 +1449,7 @@ def q46_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @q("q47_variant_json", """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
 FROM events GROUP BY event_type
 """)
@@ -1720,8 +1720,8 @@ m AS (
 SELECT l_returnflag,
        m['O'][1] AS n_open,
        m['F'][1] AS n_full,
-       cardinality(m) AS n_keys,
-       list_aggregate(map_values(m), 'sum') AS n_total,
+       CAST(cardinality(m) AS BIGINT) AS n_keys,
+       CAST(list_aggregate(map_values(m), 'sum') AS BIGINT) AS n_total,
        array_to_string(map_keys(m), ',') AS keys_s
 FROM m
 """)

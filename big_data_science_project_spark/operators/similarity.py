@@ -685,7 +685,7 @@ qlut AS (
          CAST(FLOOR({segd.format(seg=_PQ_SEG, v='q.qvec')} * 1000000) AS BIGINT)
            AS dm
   FROM q, generate_series(0, {PQ_M - 1}) s(m), cb c)
-SELECT codes.vec_id, SUM(qlut.dm) AS pq_dist_micro
+SELECT codes.vec_id, CAST(SUM(qlut.dm) AS BIGINT) AS pq_dist_micro
 FROM codes JOIN qlut ON codes.m = qlut.m AND codes.code = qlut.code
 GROUP BY codes.vec_id
 ORDER BY pq_dist_micro, vec_id

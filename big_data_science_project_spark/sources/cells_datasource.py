@@ -263,6 +263,7 @@ def cells_stream_scan(spark, sf_dir: str = ""):
     comparable. The drain loop polls the sink row count: the expected
     total is known (images × channels) because synthesis is
     deterministic, and a stop-guard bounds the wait."""
+    import contextlib
     import time
 
     from pyspark.sql import functions as F
@@ -285,24 +286,28 @@ def cells_stream_scan(spark, sf_dir: str = ""):
 
     name = "stream_result_cells_scan"
     spark.catalog.dropTempView(name)
-    ckpt_cm = _scratch_checkpoint()
-    ckpt = ckpt_cm.__enter__()
-    writer = (per_ch.writeStream.format("memory").queryName(name)
-              .outputMode("append"))
-    if ckpt:
-        writer = writer.option("checkpointLocation", ckpt)
-    q = writer.trigger(processingTime="0 seconds").start()
     expected = n_images * n_ch
-    deadline = time.time() + 120
-    try:
+    # ExitStack so the /dev/shm checkpoint dir is removed even when
+    # writer construction or start() raises, and the query is always
+    # stopped before the checkpoint teardown
+    with contextlib.ExitStack() as stack:
+        ckpt = stack.enter_context(_scratch_checkpoint())
+        writer = (per_ch.writeStream.format("memory").queryName(name)
+                  .outputMode("append"))
+        if ckpt:
+            writer = writer.option("checkpointLocation", ckpt)
+        q = writer.trigger(processingTime="0 seconds").start()
+        stack.callback(q.awaitTermination)
+        stack.callback(q.stop)
+        deadline = time.time() + 120
         while time.time() < deadline:
             if spark.table(name).count() >= expected:
                 break
             time.sleep(0.05)
-    finally:
-        q.stop()
-        q.awaitTermination()
-        ckpt_cm.__exit__(None, None, None)
+    got = spark.table(name).count()
+    if got < expected:
+        raise TimeoutError(
+            f"cells stream drained {got}/{expected} rows within deadline")
     return (spark.table(name).groupBy("channel")
             .agg(F.sum("area").alias("total_area"),
                  F.count(F.lit(1)).alias("n_images")))

@@ -184,3 +184,52 @@ def test_short_doc_shingle_guard(spark):
         [("a b",), ("one two three four",)], "text string")
     rows = df.select(F.size(_shingles()).alias("n")).collect()
     assert [r["n"] for r in rows] == [0, 2]
+
+
+# ---------------------------------------------------------------------------
+# K7 Canny dispatcher: same contract under the numpy fake and (when
+# installed) real cv2 — reference canny_masking + apply_opening
+# (image_masking.py:78-81, :38-41; the "opening" that actually closes).
+# ---------------------------------------------------------------------------
+_KERNELS = [("fake", K._fake_canny_np)]
+if K.HAVE_CV2:
+    _KERNELS.append(("cv2", K._cv2_canny_np))
+
+
+@pytest.mark.parametrize("kname,kern", _KERNELS, ids=[k for k, _ in _KERNELS])
+def test_canny_kernel_contract(kname, kern):
+    """Both kernels: boolean mask, image shape, bright disk detected with
+    balanced accuracy well above chance on a synthetic cell."""
+    from big_data_science_project_spark.sources.cells import _gen_image
+
+    data, mask = _gen_image(7, 1, 16, 16)
+    img = data.reshape(16, 16)
+    truth = mask.reshape(16, 16)
+    pred = kern(img, 100.0, 300.0)
+    assert pred.shape == img.shape and pred.dtype == bool
+    tp = np.sum(pred & truth); fn = np.sum(~pred & truth)
+    tn = np.sum(~pred & ~truth); fp = np.sum(pred & ~truth)
+    bal = 0.5 * (tp / max(tp + fn, 1) + tn / max(tn + fp, 1))
+    assert bal > 0.75, f"{kname}: balanced accuracy {bal}"
+
+
+def test_canny_dispatcher_selects_available_kernel():
+    from big_data_science_project_spark.sources.cells import _gen_image
+
+    data, _ = _gen_image(7, 1, 16, 16)
+    img = data.reshape(16, 16)
+    want = (K._cv2_canny_np if K.HAVE_CV2 else K._fake_canny_np)(img, 100.0, 300.0)
+    assert np.array_equal(K.canny_mask_np(img, 100.0, 300.0), want)
+
+
+def test_threshold_mask_udf_uses_dispatcher(spark):
+    """The pandas-UDF plumbing yields the dispatcher's exact pixels."""
+    from big_data_science_project_spark.sources.cells import _gen_image
+
+    data, _ = _gen_image(3, 1, 16, 16)
+    df = spark.createDataFrame(
+        [(data.tolist(), 16, 16)], "data_ch array<double>, width int, height int")
+    udf = K.make_threshold_mask_udf(100.0, 300.0)
+    got = df.select(udf("data_ch", "width", "height").alias("m")).first()["m"]
+    want = K.canny_mask_np(data.reshape(16, 16), 100.0, 300.0).reshape(-1).tolist()
+    assert got == want

@@ -34,6 +34,68 @@ def _duckdb_conn(sf_dir: str):
     return con
 
 
+# DuckDB types whose textual/hash rendering diverges from the Spark type
+# the same query produces (e.g. SUM(BIGINT) widens to HUGEINT in DuckDB
+# but stays BIGINT in Spark). The driver hashes the *typed* values, so an
+# oracle emitting any of these fails the gate even when the numbers agree.
+# Root cause of the r1/r2 q35+q47 driver failures — keep this impossible.
+_RISKY_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER",
+                     "USMALLINT", "UTINYINT", "DECIMAL")
+
+
+def _duck_type_category(t: str) -> str:
+    t = t.upper()
+    if t.endswith("[]"):
+        return "array"
+    if t.startswith("STRUCT"):
+        return "struct"
+    if t.startswith("MAP"):
+        return "map"
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    return {"BIGINT": "int", "INTEGER": "int", "SMALLINT": "int",
+            "TINYINT": "int", "HUGEINT": "bigdec", "UBIGINT": "bigdec",
+            "UINTEGER": "bigdec", "DOUBLE": "float", "FLOAT": "float",
+            "REAL": "float", "VARCHAR": "str", "BOOLEAN": "bool",
+            "DATE": "date", "BLOB": "binary"}.get(t, t)
+
+
+def _spark_type_category(t: str) -> str:
+    if t.startswith("array"):
+        return "array"
+    if t.startswith("struct"):
+        return "struct"
+    if t.startswith("map"):
+        return "map"
+    if t.startswith("timestamp"):
+        return "ts"
+    if t.startswith("decimal"):
+        return "decimal"
+    return {"bigint": "int", "int": "int", "smallint": "int",
+            "tinyint": "int", "double": "float", "float": "float",
+            "string": "str", "boolean": "bool", "date": "date",
+            "binary": "binary", "variant": "str"}.get(t, t)
+
+
+def test_oracle_output_types_are_portable():
+    """DESCRIBE every oracle; ban DuckDB-only numeric widths.
+
+    _normalize() below stringifies values, which would mask exactly this
+    class of bug — so the gate lives here, on the declared types.
+    """
+    con = _duckdb_conn(SF_SMALL)
+    bad = []
+    for name in sorted(ORACLES):
+        for col, typ, *_ in con.execute("DESCRIBE " + ORACLES[name]).fetchall():
+            if any(typ.upper().startswith(r) for r in _RISKY_DUCK_TYPES):
+                bad.append((name, col, typ))
+    assert not bad, (
+        "oracles emit driver-hash-unsafe DuckDB types; CAST them "
+        f"(usually AS BIGINT): {bad}")
+
+
 def _normalize(rows, colnames, fuzzy: bool = False):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     out = []
@@ -59,6 +121,17 @@ def test_query_matches_oracle(spark, name):
     s_rows = [tuple(r) for r in sdf.collect()]
 
     con = _duckdb_conn(SF_SMALL)
+    d_types = {c: t for c, t, *_ in
+               con.execute("DESCRIBE " + ORACLES[name]).fetchall()}
+    s_types = dict(sdf.dtypes)
+    cat_mism = {
+        c: (s_types[c], d_types[c])
+        for c in s_types
+        if c in d_types
+        and _spark_type_category(s_types[c]) != _duck_type_category(d_types[c])
+    }
+    assert not cat_mism, f"{name}: type-category mismatch {cat_mism}"
+
     cur = con.execute(ORACLES[name])
     d_cols = [d[0] for d in cur.description]
     d_rows = cur.fetchall()
