@@ -27,7 +27,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     effects (sink writes, streaming runs, data-source registration) are
     excluded, as is the export query's side-effect writer.
     """
-    from . import (curation, dedup, linear, multimodal, outlier,
+    from . import (curation, dedup, graph, linear, multimodal, outlier,
                    relational, segmentation, similarity, text, timeseries)
     from ..streaming import events as streaming_events
     from ..sources import cells as cells_src
@@ -44,7 +44,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
-    for mod in (relational, outlier, dedup, similarity, linear, text,
+    for mod in (relational, outlier, dedup, similarity, linear, graph, text,
                 curation, timeseries, streaming_events, cells_src,
                 segmentation, multimodal, sinks_src, cells_ds, cells_bin):
         for name, (fn, sql) in getattr(mod, "QUERIES", {}).items():

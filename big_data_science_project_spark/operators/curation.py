@@ -328,3 +328,118 @@ SELECT doc_id, COUNT(DISTINCT h) AS n_shared
 FROM te JOIN be USING (h)
 GROUP BY doc_id
 """)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — GPT-style concat-then-chunk: per source, documents
+# are concatenated in doc_id order and sliced into fixed CONTEXT-token
+# training sequences; each doc lands in the pack where it starts. The
+# running token offset is a window cumsum PARTITIONed BY source — packing
+# parallelizes across sources (or any sharding column) instead of one
+# global sort, which is exactly how you'd pack a 100 TB corpus: the only
+# cross-partition state is per-source, never global. Integer arithmetic
+# end to end.
+# ---------------------------------------------------------------------------
+PACK_CONTEXT = 512
+
+
+def curate_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sized = d.select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+    placed = (sized
+              .withColumn("end_tok", F.sum("n_tok").over(w))
+              .withColumn("pack_id",
+                          F.floor((F.col("end_tok") - F.col("n_tok"))
+                                  / F.lit(PACK_CONTEXT)).cast("bigint")))
+    return (placed.groupBy("source", "pack_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").cast("bigint").alias("tok_started"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc")))
+
+
+QUERIES["curate_pack_sequences"] = (curate_pack_sequences, f"""
+WITH placed AS (
+  SELECT source, doc_id,
+         len(string_split(text, ' ')) AS n_tok,
+         SUM(len(string_split(text, ' ')))
+           OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS end_tok
+  FROM documents)
+SELECT source,
+       CAST(FLOOR((end_tok - n_tok) / {PACK_CONTEXT}) AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS tok_started,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM placed
+GROUP BY source, pack_id
+""")
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture reweighting — hit a target language mixture by
+# deterministic per-doc resampling: weight w = target_share/actual_share,
+# every doc keeps floor(w) copies plus one more iff its md5 micro-bucket
+# falls below frac(w)·1e6. Up- AND down-sampling, no RNG: the decision is
+# a pure function of doc_id, so any engine (and any retry) resamples
+# identically — the property that makes training-data recipes
+# reproducible. The weight table is 5 rows (broadcast); the corpus never
+# shuffles — one map-side pass then a tiny per-lang rollup.
+# ---------------------------------------------------------------------------
+MIXTURE_TARGET = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+
+
+def curate_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").cast("bigint").alias("n_total"))
+    target = F.create_map(
+        *[F.lit(x) for kv in MIXTURE_TARGET.items() for x in kv])
+    weights = (counts.crossJoin(F.broadcast(total))
+               .select("lang", "n_docs", "n_total",
+                       (target[F.col("lang")] * F.col("n_total")
+                        / F.col("n_docs")).alias("w")))
+    micro = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                    16, 10).cast("bigint") % 1000000)
+    keep = (F.floor("w").cast("bigint")
+            + F.when(micro < F.floor((F.col("w") - F.floor("w")) * 1000000),
+                     F.lit(1)).otherwise(F.lit(0)))
+    return (d.join(F.broadcast(weights), "lang")
+            .select("lang", "n_docs", "w", keep.alias("keep_copies"))
+            .groupBy("lang")
+            .agg(F.max("n_docs").cast("bigint").alias("n_docs"),
+                 F.round(F.max("w"), 6).alias("weight"),
+                 F.sum("keep_copies").cast("bigint").alias("n_resampled")))
+
+
+_TARGET_SQL = " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in MIXTURE_TARGET.items())
+
+QUERIES["curate_mixture_weights"] = (curate_mixture_weights, f"""
+WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+total AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM counts),
+weights AS (
+  SELECT lang, n_docs,
+         (CASE lang {_TARGET_SQL} END) * n_total / n_docs AS w
+  FROM counts, total),
+kept AS (
+  SELECT d.lang, w.n_docs, w.w,
+         CAST(FLOOR(w.w) AS BIGINT)
+         + CASE WHEN CAST(('0x' || SUBSTRING(md5(CAST(d.doc_id AS VARCHAR)),
+                                             1, 8)) AS BIGINT) % 1000000
+                     < FLOOR((w.w - FLOOR(w.w)) * 1000000)
+                THEN 1 ELSE 0 END AS keep_copies
+  FROM documents d JOIN weights w USING (lang))
+SELECT lang,
+       CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+       ROUND(MAX(w), 6) AS weight,
+       CAST(SUM(keep_copies) AS BIGINT) AS n_resampled
+FROM kept
+GROUP BY lang
+""")

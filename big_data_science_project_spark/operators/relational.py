@@ -1771,3 +1771,63 @@ def q57_bit_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.expr("bool_or(l_discount > 0.09)").alias("any_big_disc"),
              F.expr("count_if(l_tax = 0)").alias("n_notax"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q58: ordered conversion funnel (view → click → purchase) — the product
+# -analytics staple. Strict ordering via staged conditional minima: the
+# earliest view, the earliest click AFTER that view, the earliest
+# purchase after that click. Three narrow per-user aggregates chained by
+# broadcast-sized joins (user-id cardinality ≪ event count); lags are
+# exact integer micros. At 100 TB each stage is a map-side-combined
+# aggregate over the user key — the same shuffle the sessionizer (q35)
+# already pays, and the per-stage tables only shrink.
+# ---------------------------------------------------------------------------
+@q("q58_funnel", """
+WITH tv AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+tc AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN tv USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > tv.t_view
+  GROUP BY e.user_id),
+tp AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN tc USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > tc.t_click
+  GROUP BY e.user_id)
+SELECT COUNT(*) AS n_view,
+       COUNT(tc.t_click) AS n_click,
+       COUNT(tp.t_purchase) AS n_purchase,
+       CAST(SUM(CASE WHEN tc.t_click IS NOT NULL
+            THEN epoch_us(tc.t_click) - epoch_us(tv.t_view) END) AS BIGINT)
+         AS click_lag_us_total,
+       CAST(SUM(CASE WHEN tp.t_purchase IS NOT NULL
+            THEN epoch_us(tp.t_purchase) - epoch_us(tc.t_click) END) AS BIGINT)
+         AS purchase_lag_us_total
+FROM tv LEFT JOIN tc USING (user_id) LEFT JOIN tp USING (user_id)
+""")
+def q58_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tv = (ev.filter(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    tc = (ev.filter(F.col("event_type") == "click")
+          .join(tv, "user_id")
+          .filter(F.col("ts") > F.col("t_view"))
+          .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    tp = (ev.filter(F.col("event_type") == "purchase")
+          .join(tc, "user_id")
+          .filter(F.col("ts") > F.col("t_click"))
+          .groupBy("user_id").agg(F.min("ts").alias("t_purchase")))
+    joined = (tv.join(tc, "user_id", "left").join(tp, "user_id", "left"))
+    lag = lambda a, b: F.unix_micros(F.col(a)) - F.unix_micros(F.col(b))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purchase").alias("n_purchase"),
+        F.sum(F.when(F.col("t_click").isNotNull(), lag("t_click", "t_view")))
+         .cast("bigint").alias("click_lag_us_total"),
+        F.sum(F.when(F.col("t_purchase").isNotNull(),
+                     lag("t_purchase", "t_click")))
+         .cast("bigint").alias("purchase_lag_us_total"))

@@ -447,3 +447,69 @@ SELECT doc_id, CAST(start / {_UDTF_CHUNK_W} AS INT) AS chunk_id,
        SUBSTRING(text, CAST(start + 1 AS INT), {_UDTF_CHUNK_W}) AS chunk
 FROM starts
 """)
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval — the classic search-scoring pipeline as one
+# declarative corpus job. Two corpus passes: (1) per-doc length + the
+# global (n_docs, avgdl) pair, (2) term frequencies for the QUERY terms
+# only — the isin() filter runs map-side before any shuffle, so the tf
+# table carries |matching tokens| rows, not the corpus. Document
+# frequencies and the corpus stats broadcast onto the tf rows; per-term
+# contributions are quantized to integer micros before the per-doc sum
+# (the integer-cents pattern: order-independent, oracle-exact). Final
+# top-k is TakeOrderedAndProject — no global sort. At 100 TB the only
+# corpus-sized shuffle is the per-doc length aggregate, which any BM25
+# engine needs once and then amortizes across every query.
+# ---------------------------------------------------------------------------
+BM25_TERMS = ("spark", "table", "hash", "window")
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (toks.filter(F.col("tok").isin(*BM25_TERMS))
+          .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    contrib = F.expr(
+        f"cast(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1)"
+        f" * tf * ({BM25_K1} + 1)"
+        f" / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))"
+        f" * 1000000, 0) as bigint)")
+    return (tf.join(F.broadcast(dfreq), "tok")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .select("doc_id", contrib.alias("s_micro"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_terms"),
+                 F.round(F.sum("s_micro") / 1e6, 6).alias("bm25"))
+            .orderBy(F.desc("bm25"), "doc_id").limit(20))
+
+
+_BM25_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+QUERIES["text_bm25_search"] = (text_bm25_search, f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+       WHERE tok IN ({_BM25_IN}) GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+              * tf * ({BM25_K1} + 1)
+              / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))
+              * 1000000, 0) AS BIGINT) AS s_micro
+  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id), stats)
+SELECT doc_id, COUNT(*) AS n_terms,
+       ROUND(CAST(SUM(s_micro) AS BIGINT) / 1e6, 6) AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+""")
