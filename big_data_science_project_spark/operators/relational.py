@@ -1831,3 +1831,66 @@ def q58_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("t_purchase").isNotNull(),
                      lag("t_purchase", "t_click")))
          .cast("bigint").alias("purchase_lag_us_total"))
+
+
+# ---------------------------------------------------------------------------
+# q59: count-min sketch heavy hitters — the mandate's "novel sketch"
+# beyond HLL (q54). Build: one map-side explode to D=4 (row, bucket)
+# cells per event, then a ≤D×W-group aggregate — shuffle volume is
+# O(partitions × 256 cells), like the HLL partials. Probe: estimate(key)
+# = min over rows of cell[row][h_row(key)], always ≥ the true count
+# (one-sided error) — asserted in-query by emitting estimate alongside
+# the exact count. Hashing is the engine's standard md5→integer trick,
+# reproduced verbatim in the oracle, so sketch contents are bit-identical
+# cross-engine. At 100 TB the sketch is 256 bigints — a broadcast-sized
+# summary of an arbitrarily large stream, mergeable across partitions/
+# days by cell-wise addition.
+# ---------------------------------------------------------------------------
+CMS_D, CMS_W = 4, 64
+
+
+def _cms_bucket(j, key):
+    """md5(j:key) → bucket in [0, W) — identical expression in the oracle."""
+    return (F.conv(F.substring(F.md5(F.concat_ws(":", j, key)), 1, 8),
+                   16, 10).cast("bigint") % CMS_W)
+
+
+@q("q59_countmin_sketch", f"""
+WITH cells AS (
+  SELECT j,
+         CAST(('0x' || SUBSTRING(md5(j || ':' || event_type), 1, 8))
+              AS BIGINT) % {CMS_W} AS bucket,
+         COUNT(*) AS cnt
+  FROM events, (SELECT unnest(generate_series(0, {CMS_D - 1})) AS j)
+  GROUP BY 1, 2),
+keys AS (SELECT event_type, COUNT(*) AS exact_n FROM events GROUP BY 1),
+probes AS (
+  SELECT k.event_type, k.exact_n, c.cnt
+  FROM keys k, (SELECT unnest(generate_series(0, {CMS_D - 1})) AS j) js
+  JOIN cells c
+    ON c.j = js.j
+   AND c.bucket = CAST(('0x' || SUBSTRING(md5(js.j || ':' || k.event_type),
+                                          1, 8)) AS BIGINT) % {CMS_W})
+SELECT event_type, exact_n,
+       CAST(MIN(cnt) AS BIGINT) AS cms_estimate,
+       CAST(MIN(cnt) - exact_n AS BIGINT) AS overestimate
+FROM probes
+GROUP BY event_type, exact_n
+""")
+def q59_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    js = F.explode(F.array(*[F.lit(j) for j in range(CMS_D)])).alias("j")
+    cells = (ev.select("event_type").select(js, "event_type")
+             .select("j", _cms_bucket(F.col("j"), F.col("event_type"))
+                     .alias("bucket"))
+             .groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt")))
+    keys = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_n"))
+    probes = (keys.select("event_type", "exact_n", js)
+              .select("event_type", "exact_n", "j",
+                      _cms_bucket(F.col("j"), F.col("event_type"))
+                      .alias("bucket")))
+    return (probes.join(F.broadcast(cells), ["j", "bucket"])
+            .groupBy("event_type", "exact_n")
+            .agg(F.min("cnt").cast("bigint").alias("cms_estimate"),
+                 (F.min("cnt") - F.first("exact_n")).cast("bigint")
+                 .alias("overestimate")))

@@ -135,3 +135,60 @@ SELECT bucket, COUNT(*) AS n,
 FROM b
 GROUP BY bucket
 """)
+
+
+# ---------------------------------------------------------------------------
+# Hypertable continuous-aggregate rollup — the TimescaleDB/Druid pattern
+# the mandate names as a custom-operator example: history is served from
+# a pre-aggregated hourly rollup (one row per hour×type), only the tail
+# past the materialization watermark touches raw events, and the final
+# answer merges the two with a re-aggregate (sums of sums — the
+# mergeable-partial property that makes the rollup valid). At 100 TB the
+# rollup branch reads hours×types rows instead of the raw corpus — the
+# raw scan is bounded by the watermark lag regardless of history size.
+# Here both branches derive from the same fixture (the env has no stored
+# rollup table), but the plan is the production shape: the rollup
+# subtree is exactly what a materialized aggregate scan would produce.
+# ---------------------------------------------------------------------------
+ROLLUP_WATERMARK = "2024-01-25 00:00:00"
+
+
+def ts_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    cut = F.lit(ROLLUP_WATERMARK).cast("timestamp")
+
+    def branch(df):
+        return (df.select(hour.alias("hour"), "event_type", "value")
+                .groupBy("hour", "event_type")
+                .agg(F.count(F.lit(1)).alias("n"), dsum("value", "v")))
+
+    rollup = branch(ev.filter(F.col("ts") < cut))   # materialized history
+    tail = branch(ev.filter(F.col("ts") >= cut))    # raw past watermark
+    return (rollup.unionByName(tail)
+            .groupBy("hour", "event_type")
+            .agg(F.sum("n").cast("bigint").alias("n"),
+                 F.round(F.sum(F.col("v").cast(
+                     "decimal(38,6)")).cast("double"), 6).alias("value_sum"))
+            .select(F.col("hour").cast("string").alias("hour_s"),
+                    "event_type", "n", "value_sum"))
+
+
+QUERIES["ts_hypertable_rollup"] = (ts_hypertable_rollup, f"""
+WITH rollup AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         COUNT(*) AS n, {dsum_expr('value')} AS v
+  FROM events WHERE ts < TIMESTAMP '{ROLLUP_WATERMARK}'
+  GROUP BY 1, 2),
+tail AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         COUNT(*) AS n, {dsum_expr('value')} AS v
+  FROM events WHERE ts >= TIMESTAMP '{ROLLUP_WATERMARK}'
+  GROUP BY 1, 2),
+merged AS (SELECT * FROM rollup UNION ALL SELECT * FROM tail)
+SELECT CAST(hour AS VARCHAR) AS hour_s, event_type,
+       CAST(SUM(n) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE), 6) AS value_sum
+FROM merged
+GROUP BY hour, event_type
+""")
