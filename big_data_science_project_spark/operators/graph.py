@@ -48,7 +48,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("doc_id").alias("src"),
                      F.explode(F.array(*[
                          (F.col("doc_id") * 7 + 13 * k) % F.col("n")
-                         for k in range(1, PR_OUT_DEG + 1)])).alias("dst")))
+                         for k in range(1, PR_OUT_DEG + 1)])).alias("dst"))
+             # reused by every iteration: persist so K rounds scan the
+             # edge table instead of re-deriving it through the lineage
+             .persist())
     ranks = nodes.select("doc_id", F.lit(1000000).cast("bigint").alias("r"))
     for _ in range(PR_ITERS):
         contribs = (edges.join(ranks, edges.src == ranks.doc_id)

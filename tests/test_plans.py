@@ -231,3 +231,46 @@ def test_q47_variant_stays_jvm_side(spark):
     plan = formatted_plan(_fresh(spark, "q47_variant_json"))
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_bm25_broadcasts_and_takeordered(spark):
+    """BM25: df + corpus stats broadcast onto the tf rows; final top-k is
+    TakeOrderedAndProject (no global sort); term filter reaches the scan
+    side before any exchange."""
+    plan = formatted_plan(_fresh(spark, "text_bm25_search"))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_funnel_stages_broadcast(spark):
+    """q58: the per-stage user tables are small vs events — every join
+    must broadcast; no sort-merge on the event scan."""
+    plan = formatted_plan(_fresh(spark, "q58_funnel"))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_countmin_probe_broadcasts_sketch(spark):
+    """q59: the 256-cell sketch must broadcast to the probe side."""
+    plan = formatted_plan(_fresh(spark, "q59_countmin_sketch"))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_hypertable_rollup_two_branch_merge(spark):
+    """ts_hypertable_rollup: both branches aggregate BEFORE the union —
+    the merge re-aggregate runs on rollup-sized rows, never raw events."""
+    plan = formatted_plan(_fresh(spark, "ts_hypertable_rollup"))
+    assert "Union" in plan
+    assert "CartesianProduct" not in plan
+    # exchanges: one per branch partial→final + one merge = ≤3 hash
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_pagerank_no_cartesian_no_python(spark):
+    """graph_pagerank: K iterations of joins; the 1-row total is the only
+    nested-loop broadcast; zero Python anywhere."""
+    plan = formatted_plan(_fresh(spark, "graph_pagerank"))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
