@@ -628,7 +628,11 @@ PQ_M = 8    # segments per vector
 PQ_K = 16   # codebook entries per segment (4-bit codes)
 
 
-def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_adc_scored(spark: SparkSession, sf_dir: str):
+    """Shared PQ stage: build the deterministic codebook + query LUT on
+    the driver (bounded: PQ_K rows), return (scored DF, query vector).
+    The scored DF carries integer-micro ADC distances for every corpus
+    vector."""
     e = load_table(spark, sf_dir, "embeddings")
     rows = sorted(
         e.filter(F.col("vec_id") < PQ_K).select("vec_id", "embedding").collect(),
@@ -637,9 +641,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = cb.shape[1]
     seg = dim // PQ_M
     cbr = cb.reshape(PQ_K, PQ_M, seg)
-    qv = np.asarray(
+    qfull = np.asarray(
         [r.embedding for r in rows if r.vec_id == QUERY_VEC_ID][0],
-        dtype=np.float64).reshape(PQ_M, seg)
+        dtype=np.float64)
+    qv = qfull.reshape(PQ_M, seg)
     # query-side ADC lookup table: PQ_K × PQ_M integer-micro distances
     qd = np.cumsum((qv[None, :, :] - cbr) ** 2, axis=2)[:, :, -1]
     lut = np.floor(qd * 1e6).astype(np.int64)
@@ -652,10 +657,14 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes = d2.argmin(axis=1)                        # first min = low code
         return pd.Series(lut[codes, np.arange(PQ_M)].sum(axis=1))
 
-    return (e.filter(F.col("vec_id") != QUERY_VEC_ID)
-            .select("vec_id", pq_adc("embedding").alias("pq_dist_micro"))
-            .orderBy("pq_dist_micro", "vec_id")
-            .limit(10))
+    scored = (e.filter(F.col("vec_id") != QUERY_VEC_ID)
+              .select("vec_id", pq_adc("embedding").alias("pq_dist_micro")))
+    return scored, qfull
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored, _ = _pq_adc_scored(spark, sf_dir)
+    return scored.orderBy("pq_dist_micro", "vec_id").limit(10)
 
 
 _PQ_SEG = 8  # 64-dim fixture / PQ_M; the oracle needs the literal
@@ -694,3 +703,58 @@ LIMIT 10
 
 
 QUERIES["ann_pq_topk"] = (ann_pq_topk, _pq_sql())
+
+
+# ---------------------------------------------------------------------------
+# PQ + exact re-rank — the production two-stage retrieval: the compressed
+# codes scan produces a PQ_RERANK shortlist (cheap, memory-bound ADC over
+# the whole corpus), then ONLY the shortlist's raw vectors are fetched
+# and re-scored with exact distances. At 100 TB stage 1 scans 4-byte
+# codes and stage 2 touches PQ_RERANK raw vectors — the raw-vector read
+# is constant in corpus size, which is the entire point of the pattern
+# (ADC ranking is approximate: quantization error can reorder near-ties,
+# which the exact pass repairs). Exact distances fold sequentially
+# (np.cumsum == DuckDB list_aggregate 'sum') and quantize to integer
+# micros, so the final ranking is engine- and partitioning-exact.
+# ---------------------------------------------------------------------------
+PQ_RERANK = 50
+
+
+def ann_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    scored, qfull = _pq_adc_scored(spark, sf_dir)
+    shortlist = scored.orderBy("pq_dist_micro", "vec_id").limit(PQ_RERANK)
+    dim = qfull.shape[0]
+
+    @F.pandas_udf("bigint")
+    def exact_d2(emb: pd.Series) -> pd.Series:
+        x = np.asarray(emb.tolist(), dtype=np.float64).reshape(-1, dim)
+        d = np.cumsum((x - qfull[None, :]) ** 2, axis=1)[:, -1]
+        return pd.Series(np.floor(d * 1e6).astype(np.int64))
+
+    return (shortlist.join(e, "vec_id")
+            .select("vec_id", "pq_dist_micro",
+                    exact_d2("embedding").alias("exact_d2_micro"))
+            .orderBy("exact_d2_micro", "vec_id")
+            .limit(10))
+
+
+def _pq_refine_sql() -> str:
+    dim = _PQ_SEG * PQ_M
+    exact = f"""list_aggregate(list_transform(generate_series(1, {dim}),
+           j -> (CAST(e.embedding[j] AS DOUBLE) - CAST(q.qvec[j] AS DOUBLE))
+              * (CAST(e.embedding[j] AS DOUBLE) - CAST(q.qvec[j] AS DOUBLE))),
+           'sum')"""
+    base = _pq_sql().replace("LIMIT 10", f"LIMIT {PQ_RERANK}")
+    return f"""
+WITH shortlist AS ({base}),
+qq AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT s.vec_id, s.pq_dist_micro,
+       CAST(FLOOR({exact} * 1000000) AS BIGINT) AS exact_d2_micro
+FROM shortlist s JOIN embeddings e ON e.vec_id = s.vec_id, qq q
+ORDER BY exact_d2_micro, s.vec_id
+LIMIT 10
+"""
+
+
+QUERIES["ann_pq_refine"] = (ann_pq_refine, _pq_refine_sql())
