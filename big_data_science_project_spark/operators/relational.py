@@ -1894,3 +1894,100 @@ def q59_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("cnt").cast("bigint").alias("cms_estimate"),
                  (F.min("cnt") - F.first("exact_n")).cast("bigint")
                  .alias("overestimate")))
+
+
+# ---------------------------------------------------------------------------
+# q60: grouped-aggregate pandas UDF (UDAF) — the §2.9 surface where a
+# custom aggregate no built-in covers runs as ONE Arrow batch per group:
+# a 10%-trimmed mean (drop floor(n/10) lowest+highest, average the
+# rest). Values are sorted inside the UDF and summed left-to-right
+# (np.cumsum), so the result is independent of shuffle arrival order;
+# the oracle reproduces the identical fold over DuckDB's ordered
+# list(x ORDER BY x). At scale: trimmed means can't partial-aggregate
+# (they need the group's order statistics), so the group's values DO
+# move — the right call only for bounded group sizes; for corpus-sized
+# groups use approx_percentile filtering (q52) instead. Both designs in
+# one engine is the point.
+# ---------------------------------------------------------------------------
+@q("q60_udaf_trimmed_mean", """
+WITH s AS (
+  SELECT l_returnflag, list(l_extendedprice ORDER BY l_extendedprice) AS v,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       ROUND(list_aggregate(v[(n // 10) + 1 : n - (n // 10)], 'sum')
+             / (n - 2 * (n // 10)), 6) AS trimmed_mean
+FROM s
+""")
+def q60_udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    # explicit GROUPED_AGG functionType: the module's `from __future__
+    # import annotations` stringifies signatures, which breaks
+    # pandas_udf's annotation-based kind inference
+    from pyspark.sql.functions import PandasUDFType
+
+    @F.pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def trimmed_mean(v):
+        x = np.sort(v.to_numpy(dtype=np.float64))
+        k = len(x) // 10
+        kept = x[k:len(x) - k]
+        return float(np.cumsum(kept)[-1] / len(kept))
+
+    # grouped-agg UDFs can't mix with JVM aggregates in one agg(), so the
+    # count rides along as a second pandas UDAF
+    @F.pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(v):
+        return len(v)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(n_rows("l_extendedprice").alias("n"),
+                 F.round(trimmed_mean("l_extendedprice"), 6)
+                 .alias("trimmed_mean")))
+
+
+# ---------------------------------------------------------------------------
+# q61: grouped-map applyInPandas — the per-group transform surface
+# (one pandas frame per group in, any frame out): per-returnflag min-max
+# normalization emitting one normalized row per input row. The kernel
+# uses only order-independent group statistics (min/max), and the
+# normalized value is floor-quantized to integer micros, so the
+# row-level output is exact under any partitioning; the outer rollup
+# keeps the registry output bounded. Oracle: the same normalization as
+# window min/max over the partition. At scale each group must fit one
+# executor's Arrow batch — the same bounded-group caveat as q60,
+# documented rather than hidden.
+# ---------------------------------------------------------------------------
+@q("q61_grouped_map_minmax", """
+WITH norm AS (
+  SELECT l_returnflag,
+         CAST(FLOOR((l_extendedprice - MIN(l_extendedprice) OVER w)
+              / (MAX(l_extendedprice) OVER w - MIN(l_extendedprice) OVER w)
+              * 1000000) AS BIGINT) AS nm
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_returnflag))
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(SUM(nm) AS BIGINT) AS norm_micro_sum,
+       CAST(MAX(nm) AS BIGINT) AS norm_micro_max
+FROM norm GROUP BY l_returnflag
+""")
+def q61_grouped_map_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    def minmax(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["l_extendedprice"].to_numpy(dtype=np.float64)
+        lo, hi = x.min(), x.max()
+        nm = np.floor((x - lo) / (hi - lo) * 1e6).astype(np.int64)
+        return pd.DataFrame({"l_returnflag": pdf["l_returnflag"], "nm": nm})
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice")
+    normed = li.groupBy("l_returnflag").applyInPandas(
+        minmax, "l_returnflag string, nm bigint")
+    return (normed.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("nm").cast("bigint").alias("norm_micro_sum"),
+                 F.max("nm").cast("bigint").alias("norm_micro_max")))
