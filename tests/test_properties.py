@@ -166,3 +166,89 @@ def test_ann_udf_kernels_match_fold_spec(spark):
              F.min("cos_ok").alias("c"))
         .first())
     assert both.n and both.b and both.c
+
+
+# ---------------------------------------------------------------------------
+# round-3 operator invariants
+# ---------------------------------------------------------------------------
+def test_pack_sequences_conserves_tokens(spark):
+    """Packing must neither drop nor duplicate tokens: per-source pack
+    totals re-sum to the corpus token count, pack ids are dense from 0,
+    and doc ranges are disjoint+ordered within a source."""
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as e
+
+    SF = "/root/testdata/sf0.001"
+    packs = e.queries()["curate_pack_sequences"](spark, SF).collect()
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select(F.sum(F.size(F.split("text", " "))).alias("t"))
+            .first()["t"])
+    assert sum(r["tok_started"] for r in packs) == docs
+    by_src = {}
+    for r in packs:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: r["pack_id"])
+        assert [r["pack_id"] for r in rows] == list(range(len(rows))), src
+        for a, b in zip(rows, rows[1:]):
+            assert a["last_doc"] <= b["first_doc"], (src, a, b)
+
+
+def test_mixture_weights_hit_target_shares(spark):
+    """Deterministic resampling must land within ~2% absolute of the
+    target mixture (md5 buckets are uniform; fixture is 1k docs) and
+    resample counts must be exact integers ≥ floor(w)·n_docs."""
+    import __spark_entry__ as e
+    from big_data_science_project_spark.operators.curation import MIXTURE_TARGET
+
+    rows = e.queries()["curate_mixture_weights"](
+        spark, "/root/testdata/sf0.01").collect()
+    total = sum(r["n_resampled"] for r in rows)
+    for r in rows:
+        share = r["n_resampled"] / total
+        assert abs(share - MIXTURE_TARGET[r["lang"]]) < 0.02, (r, share)
+        # every doc keeps at least floor(w) copies
+        assert r["n_resampled"] >= int(r["weight"]) * r["n_docs"], r
+
+
+def test_countmin_estimate_is_one_sided(spark):
+    """CMS estimates can only overestimate (min of upper bounds)."""
+    import __spark_entry__ as e
+
+    rows = e.queries()["q59_countmin_sketch"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["overestimate"] >= 0, r
+
+
+def test_pq_refine_distances_exact_and_recall_bounded(spark):
+    """Refine's contract: (a) every returned distance IS the true exact
+    distance for that vector (the re-rank stage never approximates),
+    (b) output is sorted by it, and (c) recall@10 vs brute-force exact
+    stays above the floor the 50-vector shortlist buys on the fixture.
+    Exact equality with brute force is NOT asserted — vectors outside
+    the ADC shortlist are legitimately unreachable; that residual loss
+    is the PQ trade-off refine exists to shrink, not erase."""
+    import numpy as np
+
+    import __spark_entry__ as e
+    from big_data_science_project_spark.operators.similarity import QUERY_VEC_ID
+
+    SF = "/root/testdata/sf0.001"
+    emb = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+           for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()}
+    q = emb[QUERY_VEC_ID]
+    truth = {vid: int(np.floor(np.cumsum((v - q) ** 2)[-1] * 1e6))
+             for vid, v in emb.items() if vid != QUERY_VEC_ID}
+    got = [(r["vec_id"], r["exact_d2_micro"]) for r in
+           e.queries()["ann_pq_refine"](spark, SF).collect()]
+    assert len(got) == 10
+    for vid, d in got:
+        assert d == truth[vid], (vid, d, truth[vid])
+    assert [d for _, d in got] == sorted(d for _, d in got)
+    exact_top10 = {vid for vid, _ in
+                   sorted(truth.items(), key=lambda kv: (kv[1], kv[0]))[:10]}
+    recall = len(exact_top10 & {vid for vid, _ in got}) / 10
+    assert recall >= 0.5, recall
