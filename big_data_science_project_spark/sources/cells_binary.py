@@ -102,6 +102,23 @@ def ensure_fixture(spark: SparkSession, n_images: int = 120,
     return out_dir
 
 
+def _decode_npz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Container decoder (shared by the batch and streaming scans): npz
+    bytes → cells rows. A real codec (scifio/pillow/pyav) slots in here
+    by replacing only np.load."""
+    for pdf in batches:
+        rows = []
+        for content in pdf["content"]:
+            with np.load(io.BytesIO(bytes(content))) as z:
+                ids, data, mask = z["image_ids"], z["data"], z["mask"]
+            nc, wd, ht = data.shape[1], data.shape[2], data.shape[3]
+            for i, img_id in enumerate(ids):
+                rows.append((int(img_id), nc, wd, ht,
+                             data[i].reshape(-1).tolist(),
+                             mask[i].reshape(-1).tolist()))
+        yield pd.DataFrame(rows, columns=_COLS)
+
+
 def load_cells_binary(spark: SparkSession, n_images: int = 120,
                       images_per_file: int = 30, c: int = 3,
                       w: int = 16, h: int = 16) -> DataFrame:
@@ -115,21 +132,7 @@ def load_cells_binary(spark: SparkSession, n_images: int = 120,
     raw = (spark.read.format("binaryFile")
            .option("pathGlobFilter", "*.npz").load(path)
            .select("content"))  # prune path/mtime/length from the scan
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for content in pdf["content"]:
-                with np.load(io.BytesIO(bytes(content))) as z:
-                    ids, data, mask = z["image_ids"], z["data"], z["mask"]
-                nc, wd, ht = data.shape[1], data.shape[2], data.shape[3]
-                for i, img_id in enumerate(ids):
-                    rows.append((int(img_id), nc, wd, ht,
-                                 data[i].reshape(-1).tolist(),
-                                 mask[i].reshape(-1).tolist()))
-            yield pd.DataFrame(rows, columns=_COLS)
-
-    return raw.mapInPandas(decode, CELLS_SCHEMA)
+    return raw.mapInPandas(_decode_npz, CELLS_SCHEMA)
 
 
 def cells_binary_scan(spark: SparkSession, sf_dir: str = "") -> DataFrame:
@@ -153,3 +156,59 @@ def cells_binary_scan(spark: SparkSession, sf_dir: str = "") -> DataFrame:
 
 
 QUERIES["cells_binary_scan"] = (cells_binary_scan, None)  # rows-only
+
+
+def cells_binary_stream_scan(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    """Streaming twin of ``cells_binary_scan`` — the production "files
+    land in a bucket, decode on arrival" ingestion: ``readStream.format
+    ("binaryFile")`` tails the container directory (here drained with
+    availableNow), ``maxFilesPerTrigger`` bounds each micro-batch, and
+    the same mapInPandas decoder runs per batch. Output = the identical
+    per-channel rollup, so batch/stream parity is directly assertable.
+    At scale this is how image corpora ingest incrementally: checkpoint
+    tracks which files are done, late files just form new batches."""
+    import contextlib
+
+    from pyspark.sql import functions as F
+
+    from ..functions import image_kernels as K
+    from ..streaming.events import _scratch_checkpoint
+    from .cells import select_channels
+
+    path = ensure_fixture(spark, n_images=120, images_per_file=30)
+    raw = (spark.readStream.format("binaryFile")
+           .option("pathGlobFilter", "*.npz")
+           .option("maxFilesPerTrigger", 2)   # 2 containers per micro-batch
+           .schema("path string, modificationTime timestamp, "
+                   "length long, content binary")
+           .load(path)
+           .select("content"))
+    cells = select_channels(raw.mapInPandas(_decode_npz, CELLS_SCHEMA), [0, 1])
+    wh = F.col("width") * F.col("height")
+    per_ch = cells.select(
+        "image_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_channels") - 1)).alias("channel"),
+        K.area(K.channel_slice(F.col("mask"), F.col("channel"), wh))
+        .alias("area"))
+
+    name = "stream_result_cells_binary"
+    spark.catalog.dropTempView(name)
+    with contextlib.ExitStack() as stack:
+        ckpt = stack.enter_context(_scratch_checkpoint())
+        writer = (per_ch.writeStream.format("memory").queryName(name)
+                  .outputMode("append"))
+        if ckpt:
+            writer = writer.option("checkpointLocation", ckpt)
+        q = writer.trigger(availableNow=True).start()
+        stack.callback(q.awaitTermination)
+    got = spark.table(name).count()
+    expected = 120 * 2
+    if got < expected:
+        raise TimeoutError(
+            f"binary stream drained {got}/{expected} rows")
+    return (spark.table(name).groupBy("channel")
+            .agg(F.sum("area").alias("total_area"),
+                 F.count(F.lit(1)).alias("n_images")))
+
+
+QUERIES["cells_binary_stream_scan"] = (cells_binary_stream_scan, None)

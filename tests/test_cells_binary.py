@@ -43,3 +43,15 @@ def test_binary_scan_rollup_matches_datasource_scan(spark):
     a = sorted(map(tuple, cells_binary_scan(spark).collect()))
     b = sorted(map(tuple, cells_source_scan(spark).collect()))
     assert a == b
+
+
+def test_binary_stream_scan_matches_batch_scan(spark):
+    """availableNow binaryFile stream (2 containers per micro-batch) must
+    produce the identical rollup as the batch binaryFile scan."""
+    from big_data_science_project_spark.sources.cells_binary import (
+        cells_binary_stream_scan,
+    )
+
+    a = sorted(map(tuple, cells_binary_stream_scan(spark).collect()))
+    b = sorted(map(tuple, cells_binary_scan(spark).collect()))
+    assert a == b
