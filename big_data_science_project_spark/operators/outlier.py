@@ -34,6 +34,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numeric import davg, davg_expr
 from ..sources.tables import load_table
 
 QUERIES: dict = {}
@@ -59,7 +60,11 @@ class OutlierModel:
             tidy.groupBy(F.col(feature_col).alias("feature"),
                          F.col(channel_col).alias("channel"))
             .agg(F.count(value_col).alias("n"),
-                 F.avg(value_col).alias("mean"),
+                 # exact-decimal-sum mean (davg): the fixture features
+                 # carry 2 decimals, so a float avg's partition-order
+                 # ulp can flip 6dp round-ties downstream; the model's
+                 # mean is the same mathematical mean, deterministically
+                 davg(value_col, "mean"),
                  F.var_samp(value_col).alias("variance"))
         )
         return self
@@ -171,7 +176,7 @@ def outlier_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["outlier_fit"] = (outlier_fit, f"""
 WITH tidy AS ({_TIDY_SQL})
 SELECT feature, channel, COUNT(value) AS n,
-       ROUND(AVG(value), 6) AS mean_r,
+       ROUND({davg_expr('value')}, 6) AS mean_r,
        ROUND(SQRT(VAR_SAMP(value)), 6) AS stddev_r
 FROM tidy GROUP BY feature, channel
 """)
@@ -179,7 +184,8 @@ FROM tidy GROUP BY feature, channel
 QUERIES["outlier_transform"] = (outlier_transform, f"""
 WITH tidy AS ({_TIDY_SQL}),
 stats AS (
-  SELECT feature, channel, AVG(value) AS mean, VAR_SAMP(value) AS variance
+  SELECT feature, channel, {davg_expr('value')} AS mean,
+         VAR_SAMP(value) AS variance
   FROM tidy GROUP BY feature, channel
 ),
 votes AS (

@@ -23,7 +23,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import dsum, dsum_expr
+from ..functions.numeric import davg, davg_expr, dsum, dsum_expr
 from ..sources.tables import configure_reads, load_table, normalize_event_ts
 
 QUERIES: dict = {}
@@ -131,7 +131,10 @@ def stream_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"),
              dsum("value", "sum_value"),
-             F.round(F.avg("value"), 6).alias("avg_value"))
+             # davg, not avg: value has 2 decimals, so group means land
+             # on exact 6dp round-ties (e.g. 1391.13/32) where a 1-ulp
+             # partition-order difference flips the rounded digit
+             F.round(davg("value"), 6).alias("avg_value"))
         .select(F.col("w.start").cast("string").alias("hour_s"),
                 "event_type", "n", "sum_value", "avg_value")
     )
@@ -143,7 +146,7 @@ SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_s,
        event_type,
        COUNT(*) AS n,
        {dsum_expr('value')} AS sum_value,
-       ROUND(AVG(value), 6) AS avg_value
+       ROUND({davg_expr('value')}, 6) AS avg_value
 FROM events
 GROUP BY 1, 2
 """)
@@ -158,15 +161,15 @@ def stream_welford_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         ev.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"),
-             F.round(F.avg("value"), 6).alias("mean_value"),
+             F.round(davg("value"), 6).alias("mean_value"),
              F.round(F.stddev_samp("value"), 6).alias("stddev_value"))
     )
     return _run_to_table(agg, "complete", "welford_by_type")
 
 
-QUERIES["stream_welford_by_type"] = (stream_welford_by_type, """
+QUERIES["stream_welford_by_type"] = (stream_welford_by_type, f"""
 SELECT event_type, COUNT(*) AS n,
-       ROUND(AVG(value), 6) AS mean_value,
+       ROUND({davg_expr('value')}, 6) AS mean_value,
        ROUND(STDDEV_SAMP(value), 6) AS stddev_value
 FROM events
 GROUP BY event_type
