@@ -462,10 +462,10 @@ def q16_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (outlier_detection.py:41-53); keep rows with votes < 0 (majority of values
 # within mean ± 0.5σ — the reference keeps inliers despite the name).
 # ---------------------------------------------------------------------------
-@q("q17_outlier_votes", """
+@q("q17_outlier_votes", f"""
 WITH stats AS (
   SELECT l_returnflag,
-         AVG(l_extendedprice)      AS mean_price,
+         {davg_expr('l_extendedprice')} AS mean_price,
          VAR_SAMP(l_extendedprice) AS var_price
   FROM lineitem GROUP BY l_returnflag
 ),
@@ -482,7 +482,7 @@ SELECT l_orderkey, votes FROM votes WHERE votes < 0
 def q17_outlier_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     stats = li.groupBy("l_returnflag").agg(
-        F.avg("l_extendedprice").alias("mean_price"),
+        davg("l_extendedprice", "mean_price"),
         F.var_samp("l_extendedprice").alias("var_price"),
     )
     vote = F.when(
@@ -876,10 +876,10 @@ def q32_exists_notexists(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_SALT = 16
 
 
-@q("q27_skew_salted_votes", """
+@q("q27_skew_salted_votes", f"""
 WITH stats AS (
   SELECT l_returnflag,
-         AVG(l_extendedprice)      AS mean_price,
+         {davg_expr('l_extendedprice')} AS mean_price,
          VAR_SAMP(l_extendedprice) AS var_price
   FROM lineitem GROUP BY l_returnflag
 ),
@@ -896,7 +896,7 @@ SELECT l_orderkey, votes FROM votes WHERE votes < 0
 def q27_skew_salted_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     stats = li.groupBy("l_returnflag").agg(
-        F.avg("l_extendedprice").alias("mean_price"),
+        davg("l_extendedprice", "mean_price"),
         F.var_samp("l_extendedprice").alias("var_price"),
     )
     salted_stats = stats.withColumn(

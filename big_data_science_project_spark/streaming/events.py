@@ -238,7 +238,10 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _stream_events(spark, sf_dir)
     stats = (load_table(spark, sf_dir, "events")
              .groupBy(F.col("event_type").alias("et"))
-             .agg(F.avg("value").alias("mean_value")))
+             # davg: `value > mean` ties exactly when a 2-decimal value
+             # equals the mean, where a float avg's 1-ulp order noise
+             # would flip the comparison cross-engine
+             .agg(davg("value", "mean_value")))
     above = (
         ev.join(F.broadcast(stats), ev.event_type == F.col("et"))
         .filter(F.col("value") > F.col("mean_value"))
@@ -248,9 +251,9 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(above, "complete", "static_join")
 
 
-QUERIES["stream_static_join"] = (stream_static_join, """
+QUERIES["stream_static_join"] = (stream_static_join, f"""
 WITH stats AS (
-  SELECT event_type AS et, AVG(value) AS mean_value
+  SELECT event_type AS et, {davg_expr('value')} AS mean_value
   FROM events GROUP BY event_type
 )
 SELECT e.event_type, COUNT(*) AS n_above
