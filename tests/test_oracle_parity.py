@@ -157,3 +157,14 @@ def test_rows_only_queries_run(spark):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_type_gate_catches_uncast_sum():
+    """The gate's own negative test (VERDICT r2 #2): a deliberately
+    uncast SUM(BIGINT) oracle must be flagged as risky."""
+    con = _duckdb_conn(SF_SMALL)
+    rows = con.execute(
+        "DESCRIBE SELECT SUM(CAST(1 AS BIGINT)) AS s").fetchall()
+    flagged = [(c, t) for c, t, *_ in rows
+               if any(t.upper().startswith(r) for r in _RISKY_DUCK_TYPES)]
+    assert flagged, "uncast SUM(BIGINT) must be caught as HUGEINT"
