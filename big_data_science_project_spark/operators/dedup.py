@@ -251,6 +251,61 @@ WHERE ROUND(CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)
 
 
 # ---------------------------------------------------------------------------
+# Containment scoring over the same LSH candidates: C(A→B) = |A∩B|/|A|.
+# Jaccard misses doc-inside-doc relations (a 50-shingle doc embedded in a
+# 500-shingle doc has J ≈ 0.1 but C = 1.0); containment is the standard
+# near-dup metric for quote/boilerplate/subset detection in training-data
+# curation. Same cost profile as the Jaccard verify — candidate pairs are
+# LSH-bounded, the intersection runs on cached int shingle hashes, and no
+# all-pairs anything. (Note the recall caveat a production run inherits:
+# MinHash LSH is tuned for symmetric Jaccard, so extreme-containment/
+# low-Jaccard pairs need more bands or a suffix-array pass — the metric
+# and plumbing here are what that pass would feed.)
+# ---------------------------------------------------------------------------
+CONTAIN_MIN = 0.8
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    hashed = _hashed_shingles_df(d).persist()
+    cands = _candidate_pairs(_minhash_bands(hashed))
+    a = hashed.select(F.col("doc_id").alias("doc_id1"), F.col("hs").alias("sh1"))
+    b = hashed.select(F.col("doc_id").alias("doc_id2"), F.col("hs").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
+    return (
+        cands.join(a, "doc_id1").join(b, "doc_id2")
+        .select("doc_id1", "doc_id2",
+                F.round(inter / F.size("sh1"), 6).alias("c_1in2"),
+                F.round(inter / F.size("sh2"), 6).alias("c_2in1"))
+        .filter(F.greatest("c_1in2", "c_2in1") >= CONTAIN_MIN)
+    )
+
+
+QUERIES["dedup_containment"] = (dedup_containment, f"""
+WITH hashed AS ({_HASHED_SHINGLES_SQL}),
+bands AS ({_minhash_bands_sql()}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT c.doc_id1, c.doc_id2,
+         ROUND(CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)
+               / CAST(len(s1.hs) AS DOUBLE), 6) AS c_1in2,
+         ROUND(CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)
+               / CAST(len(s2.hs) AS DOUBLE), 6) AS c_2in1
+  FROM cands c
+  JOIN hashed s1 ON c.doc_id1 = s1.doc_id
+  JOIN hashed s2 ON c.doc_id2 = s2.doc_id
+)
+SELECT * FROM scored
+WHERE GREATEST(c_1in2, c_2in1) >= {CONTAIN_MIN}
+""")
+
+
+# ---------------------------------------------------------------------------
 # SimHash: locality-sensitive fingerprint from per-token md5 bits.
 # Tokens vote per bit position (+1 if the token-hash bit is 1, else −1);
 # the sign of each position's total forms the fingerprint. Near-identical

@@ -92,3 +92,160 @@ LIMIT {PR_TOPK}""")
 
 
 QUERIES["graph_pagerank"] = (graph_pagerank, _pagerank_sql())
+
+
+# ---------------------------------------------------------------------------
+# Connected components — iterative min-label propagation over a generic
+# undirected edge table (the generalization of dedup_clusters, which runs
+# the same algorithm over verified duplicate pairs).
+#
+# The fixture graph is deterministic-synthetic over documents: nodes are
+# grouped in 8-node stars (leaf i — block root 8·⌊i/8⌋) and consecutive
+# roots are bridged except every CC_GROUP-th, so components are exactly
+# CC_BLOCK×CC_GROUP consecutive ids. Diameter ≤ CC_GROUP (1 star hop +
+# CC_GROUP−1 bridge hops), so a fixed CC_ITERS propagation provably
+# converges — no driver-side convergence probe needed.
+#
+# Scale: each round is one shuffle on node id over (labels ∪ neighbor
+# labels); rounds = graph diameter. At 100 TB you bucket edges and labels
+# on node id once so every round co-locates, and switch to hash-to-min /
+# large-star-small-star (Kiveris et al.) to cut rounds to O(log d) —
+# same join shape, different label exchange rule.
+# ---------------------------------------------------------------------------
+CC_BLOCK = 8
+CC_GROUP = 5
+CC_ITERS = CC_GROUP + 1  # diameter bound + 1 safety round
+
+
+def _cc_edges(nodes: DataFrame) -> DataFrame:
+    doc = F.col("doc_id")
+    star = (nodes.filter(doc % CC_BLOCK != 0)
+            .select((doc - doc % CC_BLOCK).alias("u"), doc.alias("v")))
+    bridge = (nodes.filter((doc % CC_BLOCK == 0) & (doc >= CC_BLOCK)
+                           & (F.expr(f"(doc_id div {CC_BLOCK})"
+                                     f" % {CC_GROUP}") != 0))
+              .select((doc - CC_BLOCK).alias("u"), doc.alias("v")))
+    return star.union(bridge)
+
+
+def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = _cc_edges(nodes)
+    # undirected: propagate along both directions of every edge
+    sym = edges.union(edges.select(F.col("v").alias("u"),
+                                   F.col("u").alias("v"))).persist()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("lab"))
+    for _ in range(CC_ITERS):
+        nb = (sym.join(labels, sym.u == labels.doc_id)
+              .select(F.col("v").alias("doc_id"), "lab"))
+        labels = (labels.union(nb)
+                  .groupBy("doc_id").agg(F.min("lab").alias("lab")))
+    return (labels.groupBy(F.col("lab").alias("component"))
+            .agg(F.count(F.lit(1)).alias("n_nodes"),
+                 F.max("doc_id").alias("max_node"))
+            .orderBy("component"))
+
+
+QUERIES["graph_components"] = (graph_components, f"""
+WITH RECURSIVE nodes AS (SELECT doc_id FROM documents),
+edges AS (
+  SELECT doc_id - doc_id % {CC_BLOCK} AS u, doc_id AS v
+  FROM nodes WHERE doc_id % {CC_BLOCK} != 0
+  UNION ALL
+  SELECT doc_id - {CC_BLOCK} AS u, doc_id AS v
+  FROM nodes
+  WHERE doc_id % {CC_BLOCK} = 0 AND doc_id >= {CC_BLOCK}
+    AND (doc_id // {CC_BLOCK}) % {CC_GROUP} != 0),
+sym AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT s.v, r.lab FROM reach r JOIN sym s ON s.u = r.node),
+comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node)
+SELECT component, COUNT(*) AS n_nodes, MAX(node) AS max_node
+FROM comp GROUP BY component
+ORDER BY component
+""")
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting + global clustering coefficient over the part
+# co-occurrence graph (parts appearing in the same order — the fixture's
+# organic graph, no synthetic edges).
+#
+# The Spark side orients each edge from its lower-(degree, id) endpoint
+# to the higher one before the wedge join — the standard trick (cf.
+# Schank/Wagner "forward" algorithm; GraphX/Giraph do the same) that
+# bounds per-vertex join fan-out by out-degree ≤ O(sqrt(m)) instead of
+# raw degree, so one hub vertex can't explode the wedge join at 100 TB.
+# The triangle count is orientation-invariant, so the DuckDB oracle uses
+# the simpler id-orientation and must agree exactly. Wedges are counted
+# from raw degrees (Σ deg·(deg−1)/2), also orientation-free.
+# ---------------------------------------------------------------------------
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                      "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .select(F.col("a.l_partkey").alias("u"),
+                     F.col("b.l_partkey").alias("v"))
+             .distinct().persist())
+    deg = (edges.select(F.col("u").alias("node"))
+           .union(edges.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    wedges = deg.agg(
+        F.sum(F.expr("deg * (deg - 1) div 2")).cast("bigint").alias("w"))
+    # orient: src = endpoint with smaller (deg, id); broadcast-joining deg
+    # is fine (|nodes| ≪ |edges|); at 100 TB deg is still edge-count-bounded
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ed = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    fwd = F.struct("du", "u") < F.struct("dv", "v")
+    oriented = ed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("ddst"))
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    # wedge (src; d1 < d2 by the same (deg, id) order) + closing edge probe
+    wedge = (e1.join(e2, (F.col("e1.src") == F.col("e2.src"))
+                     & (F.struct("e1.ddst", "e1.dst")
+                        < F.struct("e2.ddst", "e2.dst")))
+             .select(F.col("e1.dst").alias("src"),
+                     F.col("e2.dst").alias("dst")))
+    closing = oriented.select("src", "dst")
+    tri = (wedge.join(closing, ["src", "dst"], "left_semi")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("t")))
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    return (n_nodes.crossJoin(n_edges).crossJoin(wedges).crossJoin(tri)
+            .select(F.col("n").alias("n_nodes"), F.col("m").alias("n_edges"),
+                    F.col("w").alias("n_wedges"),
+                    F.col("t").alias("n_triangles"),
+                    F.round(F.lit(3.0) * F.col("t") / F.col("w"),
+                            9).alias("transitivity")))
+
+
+QUERIES["graph_triangles"] = (graph_triangles, """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY node),
+wedges AS (
+  SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS w FROM deg),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS t
+  FROM e e1 JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       w AS n_wedges,
+       t AS n_triangles,
+       ROUND(CAST(3.0 * t AS DOUBLE) / CAST(w AS DOUBLE), 9) AS transitivity
+FROM tri, wedges
+""")

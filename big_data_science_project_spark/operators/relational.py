@@ -1991,3 +1991,78 @@ def q61_grouped_map_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum("nm").cast("bigint").alias("norm_micro_sum"),
                  F.max("nm").cast("bigint").alias("norm_micro_max")))
+
+
+# ---------------------------------------------------------------------------
+# q62: exact mode + median per group — the order-statistics aggregates
+# q24/q52 approximate. Spark's `mode(col, deterministic=true)` pins tie
+# resolution engine-side; the oracle pins the identical rule (highest
+# count, then lowest value) explicitly with a windowed argmax rather than
+# DuckDB's order-dependent `mode()`. Median over integral quantities is
+# exact in double (midpoints land on .5). Both are single-pass partial+
+# final aggregates in Spark — no sort of the corpus; at 100 TB mode's
+# state is bounded by distinct values per group (50 here) and median
+# falls back to percentile's one-pass summary.
+# ---------------------------------------------------------------------------
+@q("q62_mode_median", """
+WITH counts AS (
+  SELECT l_returnflag, CAST(l_quantity AS INT) AS qty, COUNT(*) AS c
+  FROM lineitem GROUP BY 1, 2
+), best AS (
+  SELECT l_returnflag, qty,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY c DESC, qty ASC) AS rn
+  FROM counts
+)
+SELECT b.l_returnflag,
+       b.qty AS mode_qty,
+       CAST(m.med AS DOUBLE) AS median_qty,
+       CAST(m.n AS BIGINT) AS n
+FROM best b
+JOIN (SELECT l_returnflag, median(CAST(l_quantity AS INT)) AS med,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY 1) m USING (l_returnflag)
+WHERE b.rn = 1
+ORDER BY l_returnflag
+""")
+def q62_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("int").alias("qty"))
+    return (li.groupBy("l_returnflag")
+            .agg(F.mode("qty", True).alias("mode_qty"),
+                 F.median("qty").alias("median_qty"),
+                 F.count(F.lit(1)).alias("n"))
+            .orderBy("l_returnflag"))
+
+
+# ---------------------------------------------------------------------------
+# q63: time-based RANGE frame — a sliding 1-hour look-back window keyed
+# by the ORDER BY *value* (timestamp), not row position: every event sees
+# the count/sum of its user's events in the preceding hour, gaps and ties
+# handled by value semantics (q28/q48 cover ROWS and numeric RANGE; the
+# interval-bounded time frame is the distinct feature). Declared in SQL —
+# the one frame spec the DataFrame Window API can't express directly.
+# State per task is one hour of one user's events, so the window never
+# spills regardless of corpus size.
+# ---------------------------------------------------------------------------
+@q("q63_time_range_frame", f"""
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_prev_hour,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+         AS sum_prev_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""")
+def q63_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "events")
+    return spark.sql("""
+        SELECT event_id, user_id,
+               COUNT(*) OVER w AS n_prev_hour,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+                 AS sum_prev_hour
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND CURRENT ROW)
+    """)

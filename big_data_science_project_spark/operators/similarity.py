@@ -758,3 +758,54 @@ LIMIT 10
 
 
 QUERIES["ann_pq_refine"] = (ann_pq_refine, _pq_refine_sql())
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe LSH range search: all vectors with cosine ≥ RANGE_COS,
+# probing the query's bucket PLUS every bucket at Hamming distance 1
+# (Lv et al., "Multi-probe LSH", VLDB'07) — recall beyond the single
+# bucket without touching the corpus. Range semantics (threshold, not
+# top-k) is the dedup/recall-sweep primitive the top-k ladder lacks.
+# At 100 TB the bucket id is the partition key; a probe reads
+# N_PLANES + 1 of 2^N_PLANES partitions — coverage scales with the probe
+# set, never with the corpus.
+# ---------------------------------------------------------------------------
+RANGE_COS = 0.15
+
+
+def ann_multiprobe_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    bucketed = e.select("vec_id", "embedding",
+                        _bucket_udf(F.col("embedding")).alias("bucket"),
+                        _norm_udf(F.col("embedding")).alias("nrm"))
+    probe = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket"),
+        F.col("nrm").alias("qn"))
+    ham = F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket")))
+    return (
+        bucketed.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(probe), ham <= 1)
+        .select("vec_id", ham.cast("int").alias("hamming"),
+                F.round(_cos_pair_udf(F.col("embedding"), F.col("qv"),
+                                      F.col("nrm"), F.col("qn")),
+                        9).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= RANGE_COS)
+    )
+
+
+QUERIES["ann_multiprobe_range"] = (ann_multiprobe_range, f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+  FROM embeddings),
+p AS (SELECT embedding AS qv, bucket AS qbucket
+      FROM bucketed WHERE vec_id = {QUERY_VEC_ID})
+SELECT b.vec_id,
+       CAST(bit_count(xor(b.bucket, p.qbucket)) AS INT) AS hamming,
+       ROUND({_COS_SQL_TEMPLATE.format(a='b.embedding', b='p.qv')}, 9)
+         AS cos_sim
+FROM bucketed b, p
+WHERE b.vec_id != {QUERY_VEC_ID}
+  AND bit_count(xor(b.bucket, p.qbucket)) <= 1
+  AND ROUND({_COS_SQL_TEMPLATE.format(a='b.embedding', b='p.qv')}, 9)
+      >= {RANGE_COS}
+""")

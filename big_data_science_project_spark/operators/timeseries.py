@@ -174,6 +174,103 @@ def ts_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "event_type", "n", "value_sum"))
 
 
+# ---------------------------------------------------------------------------
+# Linear-interpolation gap fill — the companion to ts_resample_ffill:
+# synthesized hours get the straight line between the surrounding
+# observed hourly sums instead of a carried-forward value (leading gaps
+# backfill, trailing gaps forward-fill). Same scale shape as the
+# resampler: the corpus is aggregated to (key, hour) first; the fill is
+# two windows per key over hours only.
+#
+# Determinism: hourly sums are exact (decimal dsum of 2-decimal values),
+# quantized to integer micros, and the interpolation is pure BIGINT
+# arithmetic — (pm·(nh−h) + nm·(h−ph)) DIV (nh−ph) on non-negative
+# operands, where Spark's `div` and DuckDB's `//` agree. The one double
+# op (micros → value) is the same division in both engines.
+# ---------------------------------------------------------------------------
+def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("user_id") < RESAMPLE_MAX_USER))
+    hourly = (ev.groupBy("user_id",
+                         F.date_trunc("hour", "ts").alias("hour"))
+              .agg(dsum("value", "hr_sum")))
+    hourly = hourly.select(
+        "user_id", "hour",
+        F.round(F.col("hr_sum") * 1e6).cast("bigint").alias("vm"))
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR")))
+        .alias("hour"))
+    j = (spine.join(hourly, ["user_id", "hour"], "left")
+         .select("user_id", "hour", "vm",
+                 F.expr("unix_timestamp(hour) div 3600").alias("h")))
+    hs = F.when(F.col("vm").isNotNull(), F.col("h"))
+    wp = (W.partitionBy("user_id").orderBy("hour")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wn = (W.partitionBy("user_id").orderBy("hour")
+          .rowsBetween(W.currentRow, W.unboundedFollowing))
+    filled = j.select(
+        "user_id", "hour", "vm", "h",
+        F.last("vm", ignorenulls=True).over(wp).alias("pm"),
+        F.last(hs, ignorenulls=True).over(wp).alias("ph"),
+        F.first("vm", ignorenulls=True).over(wn).alias("nm"),
+        F.first(hs, ignorenulls=True).over(wn).alias("nh"))
+    interp = (F.when(F.col("vm").isNotNull(), F.col("vm"))
+              .when(F.col("ph").isNull(), F.col("nm"))
+              .when(F.col("nh").isNull(), F.col("pm"))
+              .otherwise(F.expr(
+                  "(pm * (nh - h) + nm * (h - ph)) div (nh - ph)")))
+    return filled.select(
+        "user_id", "hour",
+        (interp.cast("double") / F.lit(1e6)).alias("interp_sum"),
+        F.col("vm").isNull().cast("int").alias("is_gap"))
+
+
+QUERIES["ts_gapfill_interpolate"] = (ts_gapfill_interpolate, f"""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         CAST(ROUND({dsum_expr('value')} * 1e6) AS BIGINT) AS vm
+  FROM events
+  WHERE user_id < {RESAMPLE_MAX_USER}
+  GROUP BY user_id, date_trunc('hour', ts)
+), bounds AS (
+  SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly GROUP BY user_id
+), spine AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM bounds
+), j AS (
+  SELECT s.user_id, s.hour, h.vm,
+         CAST(epoch(s.hour) AS BIGINT) // 3600 AS h
+  FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour
+), filled AS (
+  SELECT user_id, hour, vm, h,
+         LAST_VALUE(vm IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pm,
+         LAST_VALUE(CASE WHEN vm IS NOT NULL THEN h END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+         FIRST_VALUE(vm IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY hour
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nm,
+         FIRST_VALUE(CASE WHEN vm IS NOT NULL THEN h END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY hour
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+  FROM j
+)
+SELECT user_id, hour,
+       CAST(CASE WHEN vm IS NOT NULL THEN vm
+                 WHEN ph IS NULL THEN nm
+                 WHEN nh IS NULL THEN pm
+                 ELSE (pm * (nh - h) + nm * (h - ph)) // (nh - ph)
+            END AS DOUBLE) / 1e6 AS interp_sum,
+       CAST(CASE WHEN vm IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+FROM filled
+""")
+
+
 QUERIES["ts_hypertable_rollup"] = (ts_hypertable_rollup, f"""
 WITH rollup AS (
   SELECT date_trunc('hour', ts) AS hour, event_type,

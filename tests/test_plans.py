@@ -274,3 +274,38 @@ def test_pagerank_no_cartesian_no_python(spark):
     plan = formatted_plan(_fresh(spark, "graph_pagerank"))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_graph_components_no_cartesian_no_python(spark):
+    """graph_components: CC_ITERS join/agg rounds; no cartesian, no
+    Python — pure JVM-side label propagation."""
+    plan = formatted_plan(_fresh(spark, "graph_components"))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_graph_triangles_degree_tables_broadcast(spark):
+    """graph_triangles: the per-vertex degree tables join in as
+    broadcasts (|nodes| ≪ |edges|); the only nested-loop allowed is none —
+    wedge join and closing-edge probe are equi-joins."""
+    df = _fresh(spark, "graph_triangles")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert broadcast_join_count(df) >= 2
+
+
+def test_multiprobe_range_is_single_scan(spark):
+    """ann_multiprobe_range: 1-row probe broadcasts; the corpus is
+    scanned once and never shuffles (no hash exchange of embeddings)."""
+    df = _fresh(spark, "ann_multiprobe_range")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+    assert broadcast_join_count(df) >= 1 or "BroadcastNestedLoopJoin" in plan
+
+
+def test_gapfill_single_corpus_shuffle(spark):
+    """ts_gapfill_interpolate mirrors the resampler: events aggregate to
+    (user, hour) first; everything downstream (spine, windows) runs on
+    hourly rows. The raw corpus crosses exactly one hash exchange."""
+    plan = formatted_plan(_fresh(spark, "ts_gapfill_interpolate"))
+    assert "BatchEvalPython" not in plan

@@ -252,3 +252,81 @@ def test_pq_refine_distances_exact_and_recall_bounded(spark):
                    sorted(truth.items(), key=lambda kv: (kv[1], kv[0]))[:10]}
     recall = len(exact_top10 & {vid for vid, _ in got}) / 10
     assert recall >= 0.5, recall
+
+
+def test_graph_components_match_block_structure(spark):
+    """The synthetic CC fixture has a closed form: component(i) =
+    CC_BLOCK·CC_GROUP·⌊i/(CC_BLOCK·CC_GROUP)⌋ — the propagation result
+    must reproduce it exactly (validates convergence within CC_ITERS)."""
+    import __spark_entry__ as e
+    from big_data_science_project_spark.operators.graph import CC_BLOCK, CC_GROUP
+
+    SF = "/root/testdata/sf0.001"
+    span = CC_BLOCK * CC_GROUP
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    got = {r["component"]: r["n_nodes"]
+           for r in e.queries()["graph_components"](spark, SF).collect()}
+    want = {}
+    for i in range(n_docs):
+        c = span * (i // span)
+        want[c] = want.get(c, 0) + 1
+    assert got == want
+
+
+def test_gapfill_interpolation_properties(spark):
+    """On observed rows interp == the exact hourly sum; on gap rows the
+    value lies within [min(prev, next), max(prev, next)] of the
+    surrounding observations (linearity ⇒ boundedness)."""
+    import __spark_entry__ as e
+
+    SF = "/root/testdata/sf0.001"
+    rows = (e.queries()["ts_gapfill_interpolate"](spark, SF)
+            .orderBy("user_id", "hour").collect())
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    checked_gap = 0
+    for seq in by_user.values():
+        obs = [(i, r["interp_sum"]) for i, r in enumerate(seq)
+               if r["is_gap"] == 0]
+        assert obs, "every user must retain at least one observed hour"
+        for i, r in enumerate(seq):
+            if r["is_gap"] == 0:
+                continue
+            prevs = [v for j, v in obs if j < i]
+            nexts = [v for j, v in obs if j > i]
+            lo_hi = []
+            if prevs:
+                lo_hi.append(prevs[-1])
+            if nexts:
+                lo_hi.append(nexts[0])
+            assert min(lo_hi) - 1e-9 <= r["interp_sum"] <= max(lo_hi) + 1e-9
+            checked_gap += 1
+    assert checked_gap > 0, "fixture should contain gap hours"
+
+
+def test_containment_dominates_jaccard(spark):
+    """For any candidate pair, max(containment) ≥ jaccard (set algebra:
+    |A∩B|/min(|A|,|B|) ≥ |A∩B|/|A∪B|), and both containments recover the
+    same intersection size: c_1in2·|A| == c_2in1·|B| (± rounding)."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+    from big_data_science_project_spark.operators.dedup import (
+        _hashed_shingles_df, _candidate_pairs, _minhash_bands)
+    from big_data_science_project_spark.sources.tables import load_table
+
+    SF = "/root/testdata/sf0.001"
+    d = load_table(spark, SF, "documents")
+    hashed = _hashed_shingles_df(d)
+    sizes = {r["doc_id"]: len(r["hs"]) for r in hashed.collect()}
+    cont = e.queries()["dedup_containment"](spark, SF).collect()
+    ver = {(r["doc_id1"], r["doc_id2"]): r["jaccard"]
+           for r in e.queries()["dedup_minhash_verified"](spark, SF).collect()}
+    for r in cont:
+        k = (r["doc_id1"], r["doc_id2"])
+        cmax = max(r["c_1in2"], r["c_2in1"])
+        if k in ver:
+            assert cmax >= ver[k] - 1e-6
+        i1 = r["c_1in2"] * sizes[r["doc_id1"]]
+        i2 = r["c_2in1"] * sizes[r["doc_id2"]]
+        assert abs(i1 - i2) < 1e-2, (k, i1, i2)
