@@ -155,3 +155,114 @@ def ml_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ml_pca_spectrum"] = (ml_pca_spectrum, None)  # rows-only
+
+
+# ---------------------------------------------------------------------------
+# Distributed Lloyd's k-means over embeddings — the cluster-scale form of
+# the reference's per-image KMeans (image_masking.py:116-138; MLlib twin:
+# segmentation.cells_kmeans_mllib). Each iteration is one map-only
+# assignment pass (centroids inlined as literals — the broadcast-variable
+# pattern, like IVF's collected centroid table) plus one groupBy-K
+# aggregation; the corpus never shuffles wider than K×(D+1) cells.
+#
+# Cross-engine exactness (the reason this has a full value oracle, which
+# float k-means can never have): embeddings quantize to integer micros —
+# floor(x·1e6 + 0.5), the module's standard — distances are int64 sums
+# of squares (associative, partition-order-free), centroid updates are
+# integer truncating division (Spark `div` == DuckDB `//` == the
+# explicit trunc in the driver loop), and ties break on the lower
+# centroid id. Every assignment, centroid, and inertia value is
+# therefore bit-identical in Spark, DuckDB, and the driver at ANY
+# parallelism. The collected per-iteration state is K rows of D ints —
+# bounded index-build state, not a data collect.
+# ---------------------------------------------------------------------------
+KM_K = 4
+KM_ITERS = 2
+
+
+def _km_quant(e: DataFrame) -> DataFrame:
+    return e.select("vec_id", F.expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 1000000"
+        " + 0.5) as bigint))").alias("em"))
+
+
+def _km_trunc_div(s: int, n: int) -> int:
+    q = abs(s) // n
+    return q if s >= 0 else -q
+
+
+def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _km_quant(load_table(spark, sf_dir, "embeddings")).persist()
+    cents = {r["vec_id"]: list(r["em"])
+             for r in pts.filter(F.col("vec_id") < KM_K).collect()}
+
+    def assigned_df():
+        structs = ", ".join(
+            "struct(aggregate(zip_with(em, array({vals}), (a, b) ->"
+            " (a - b) * (a - b)), 0L, (acc, v) -> acc + v) as d,"
+            " {cid} as cid)".format(
+                vals=", ".join(f"{v}L" for v in cents[cid]), cid=cid)
+            for cid in sorted(cents))
+        return pts.select(
+            "vec_id", "em",
+            F.expr(f"array_min(array({structs}))").alias("best"))
+
+    for _ in range(KM_ITERS):
+        sums = (assigned_df()
+                .groupBy(F.col("best.cid").alias("cid"))
+                .agg(F.count(F.lit(1)).alias("n"),
+                     *[F.sum(F.col("em")[j]).alias(f"s{j}")
+                       for j in range(DIM)])
+                .collect())
+        cents = {r["cid"]: [_km_trunc_div(r[f"s{j}"], r["n"])
+                            for j in range(DIM)]
+                 for r in sums}
+
+    return (assigned_df()
+            .groupBy(F.col("best.cid").alias("cluster_id"))
+            .agg(F.count(F.lit(1)).alias("n_points"),
+                 F.sum("best.d").cast("bigint").alias("inertia_u2"))
+            .orderBy("cluster_id"))
+
+
+def _km_sql() -> str:
+    dist = ("CAST(list_aggregate(list_transform(generate_series(1, {dim}),"
+            " j -> (p.em[j] - c.cm[j]) * (p.em[j] - c.cm[j])), 'sum')"
+            " AS BIGINT)").format(dim=DIM)
+    parts = [f"""
+WITH pts AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+           AS em
+  FROM embeddings),
+c0 AS (SELECT vec_id AS cid, em AS cm FROM pts WHERE vec_id < {KM_K})"""]
+    for i in range(KM_ITERS):
+        parts.append(f""",
+a{i} AS (
+  SELECT p.vec_id, p.em, c.cid, {dist} AS d,
+         ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                            ORDER BY {dist}, c.cid) AS rn
+  FROM pts p, c{i} c),
+u{i} AS (
+  SELECT cid, j, CAST(SUM(em[j]) AS BIGINT) AS s, COUNT(*) AS n
+  FROM a{i}, generate_series(1, {DIM}) AS g(j)
+  WHERE rn = 1 GROUP BY cid, j),
+c{i + 1} AS (
+  SELECT cid, list(s // n ORDER BY j) AS cm
+  FROM u{i} GROUP BY cid)""")
+    last = KM_ITERS
+    parts.append(f""",
+af AS (
+  SELECT p.vec_id, c.cid, {dist} AS d,
+         ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                            ORDER BY {dist}, c.cid) AS rn
+  FROM pts p, c{last} c)
+SELECT cid AS cluster_id, COUNT(*) AS n_points,
+       CAST(SUM(d) AS BIGINT) AS inertia_u2
+FROM af WHERE rn = 1
+GROUP BY cid
+ORDER BY cluster_id""")
+    return "".join(parts)
+
+
+QUERIES["ml_kmeans_lloyd"] = (ml_kmeans_lloyd, _km_sql())

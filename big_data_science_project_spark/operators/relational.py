@@ -2066,3 +2066,87 @@ def q63_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                                AND CURRENT ROW)
     """)
+
+
+# ---------------------------------------------------------------------------
+# q64: nearest as-of join — q16 matches backward only; here each purchase
+# takes the CLOSEST signup in either direction within a tolerance,
+# tie-break backward. Same single-shuffle merge as q16 (signups and
+# probes union-sorted per user; one window pass per direction — Spark
+# plans both over one hash exchange), so no row explosion and no range
+# join: the standard sensor-alignment primitive. Time distances are
+# integer microseconds (unix_micros / epoch_us) — Spark's second-level
+# unix_timestamp would truncate where DuckDB's epoch rounds.
+# ---------------------------------------------------------------------------
+ASOF_TOL_US = 24 * 3600 * 1_000_000  # 1 day
+
+
+@q("q64_asof_nearest", f"""
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+s AS (SELECT * FROM events WHERE event_type = 'signup'),
+b AS (
+  SELECT p.event_id, s.ts AS bts, s.value AS bval
+  FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts),
+f AS (
+  SELECT p.event_id, s.ts AS fts, s.value AS fval
+  FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts <= s.ts),
+j AS (
+  SELECT p.event_id, p.user_id, p.ts,
+         epoch_us(p.ts) - epoch_us(b.bts) AS bdt,
+         epoch_us(f.fts) - epoch_us(p.ts) AS fdt,
+         b.bval, f.fval
+  FROM p JOIN b USING (event_id) JOIN f USING (event_id)),
+picked AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN bdt IS NOT NULL AND bdt <= {ASOF_TOL_US}
+                   AND (fdt IS NULL OR fdt > {ASOF_TOL_US} OR bdt <= fdt)
+              THEN 'prev'
+              WHEN fdt IS NOT NULL AND fdt <= {ASOF_TOL_US} THEN 'next'
+         END AS dir,
+         bdt, fdt, bval, fval
+  FROM j)
+SELECT event_id, user_id, CAST(ts AS VARCHAR) AS ts_s,
+       dir,
+       CAST(CASE dir WHEN 'prev' THEN bdt WHEN 'next' THEN fdt END
+            AS BIGINT) AS dt_us,
+       CASE dir WHEN 'prev' THEN bval WHEN 'next' THEN fval END
+         AS signup_value
+FROM picked
+""")
+def q64_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.lit(None).cast("struct<us:bigint,value:double>").alias("s_row"),
+        F.lit(1).alias("is_probe"))
+    signups = e.filter(F.col("event_type") == "signup").select(
+        F.lit(None).cast("long").alias("event_id"), "user_id", "ts",
+        F.struct(F.unix_micros("ts").alias("us"),
+                 F.col("value").alias("value")).alias("s_row"),
+        F.lit(0).alias("is_probe"))
+    unioned = purchases.unionByName(signups)
+    # backward: signups sort BEFORE probes at equal ts (prior-or-equal);
+    # forward: probes sort before signups, so an equal-ts signup is ahead
+    wb = (W.partitionBy("user_id").orderBy("ts", "is_probe")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wf = (W.partitionBy("user_id").orderBy("ts", F.desc("is_probe"))
+          .rowsBetween(W.currentRow, W.unboundedFollowing))
+    us = F.unix_micros("ts")
+    both = (unioned
+            .withColumn("b_row", F.last("s_row", ignorenulls=True).over(wb))
+            .withColumn("f_row", F.first("s_row", ignorenulls=True).over(wf))
+            .filter(F.col("is_probe") == 1))
+    bdt = us - F.col("b_row.us")
+    fdt = F.col("f_row.us") - us
+    tol = F.lit(ASOF_TOL_US)
+    direction = (
+        F.when(bdt.isNotNull() & (bdt <= tol)
+               & (fdt.isNull() | (fdt > tol) | (bdt <= fdt)), F.lit("prev"))
+        .when(fdt.isNotNull() & (fdt <= tol), F.lit("next")))
+    return both.select(
+        "event_id", "user_id", F.col("ts").cast("string").alias("ts_s"),
+        direction.alias("dir"),
+        (F.when(direction == "prev", bdt)
+         .when(direction == "next", fdt)).cast("bigint").alias("dt_us"),
+        (F.when(direction == "prev", F.col("b_row.value"))
+         .when(direction == "next", F.col("f_row.value"))).alias("signup_value"))

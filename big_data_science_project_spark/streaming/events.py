@@ -454,3 +454,45 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """)
+
+
+# ---------------------------------------------------------------------------
+# chained time-window aggregations (Spark 3.4+): hourly sums roll up to
+# daily totals INSIDE one streaming query — two stateful aggregation
+# operators back to back, the streaming form of ts_hypertable_rollup's
+# hierarchy. `window_time(w)` re-keys the closed hourly windows so the
+# daily aggregate consumes hourly partials (24 rows/day/type), never raw
+# events — at scale the second state store holds days×types entries.
+# Append semantics: a daily window emits once the watermark passes its
+# end, so the stream result excludes the final partial day; the oracle
+# applies the identical watermark cut (max ts − 1 h) analytically.
+# Intermediate sums stay DECIMAL across both stateful stages — a double
+# hourly subtotal re-summed per day would reintroduce merge-order noise.
+# ---------------------------------------------------------------------------
+def stream_window_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _stream_events(spark, sf_dir)
+    hourly = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(28,6)")).alias("svd"))
+    )
+    daily = (
+        hourly.groupBy(F.window(F.window_time("w"), "1 day").alias("d"),
+                       "event_type")
+        .agg(F.sum("n").cast("bigint").alias("n"),
+             F.sum("svd").cast("double").alias("sum_value"))
+        .select(F.col("d.start").cast("string").alias("day_s"),
+                "event_type", "n", "sum_value")
+    )
+    return _run_to_table(daily, "append", "window_chain")
+
+
+QUERIES["stream_window_chain"] = (stream_window_chain, f"""
+WITH cut AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS wm FROM events)
+SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS day_s,
+       event_type, COUNT(*) AS n, {dsum_expr('value')} AS sum_value
+FROM events, cut
+GROUP BY date_trunc('day', ts), event_type, wm
+HAVING date_trunc('day', ts) + INTERVAL 1 DAY <= wm
+""")

@@ -309,3 +309,14 @@ def test_gapfill_single_corpus_shuffle(spark):
     hourly rows. The raw corpus crosses exactly one hash exchange."""
     plan = formatted_plan(_fresh(spark, "ts_gapfill_interpolate"))
     assert "BatchEvalPython" not in plan
+
+
+def test_kmeans_assignment_is_map_only(spark):
+    """ml_kmeans_lloyd: per-iteration assignment inlines centroids as
+    literals — the scored corpus reaches its groupBy through a map-only
+    pass (one exchange for the K-group aggregate; no join, no cartesian,
+    no Python)."""
+    plan = formatted_plan(_fresh(spark, "ml_kmeans_lloyd"))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan

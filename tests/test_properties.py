@@ -330,3 +330,50 @@ def test_containment_dominates_jaccard(spark):
         i1 = r["c_1in2"] * sizes[r["doc_id1"]]
         i2 = r["c_2in1"] * sizes[r["doc_id2"]]
         assert abs(i1 - i2) < 1e-2, (k, i1, i2)
+
+
+def test_kmeans_lloyd_matches_local_mirror(spark):
+    """The distributed integer k-means equals a single-process numpy
+    mirror of the same algorithm (quantize → argmin by (dist, cid) →
+    truncating-mean update, KM_ITERS rounds) — partition-independence of
+    every assignment, centroid, and the final inertia."""
+    import numpy as np
+
+    import __spark_entry__ as e
+    from big_data_science_project_spark.operators.linear import (
+        KM_ITERS, KM_K, _km_trunc_div)
+
+    SF = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet") \
+        .select("vec_id", "embedding").collect()
+    em = {r["vec_id"]: np.floor(
+        np.asarray(r["embedding"], dtype=np.float64) * 1e6 + 0.5
+    ).astype(np.int64) for r in rows}
+    cents = {cid: em[cid].copy() for cid in range(KM_K)}
+
+    def assign():
+        out = {}
+        for vid, v in em.items():
+            best = min((int(((v - cm) ** 2).sum()), cid)
+                       for cid, cm in cents.items())
+            out[vid] = best
+        return out
+
+    for _ in range(KM_ITERS):
+        a = assign()
+        for cid in sorted(cents):
+            members = [em[v] for v, (_, c) in a.items() if c == cid]
+            if members:
+                s = np.sum(members, axis=0, dtype=np.int64)
+                cents[cid] = np.array(
+                    [_km_trunc_div(int(x), len(members)) for x in s],
+                    dtype=np.int64)
+    final = assign()
+    want = {}
+    for vid, (d, cid) in final.items():
+        n, inertia = want.get(cid, (0, 0))
+        want[cid] = (n + 1, inertia + d)
+
+    got = {r["cluster_id"]: (r["n_points"], r["inertia_u2"])
+           for r in e.queries()["ml_kmeans_lloyd"](spark, SF).collect()}
+    assert got == want

@@ -199,3 +199,57 @@ def test_session_window_merges_across_batches(spark):
     batch = sorted((r["user_id"], r["w"]["start"], r["w"]["end"], r["n"])
                    for r in batch_df.collect() if r["w"]["end"] <= wm)
     assert got == batch
+
+
+def test_window_chain_across_batches(spark):
+    """Chained hourly→daily window aggregation (two stateful operators in
+    one query) with time-ordered multi-batch arrival: the drained daily
+    rows equal the batch daily aggregate under the same watermark cut
+    (days whose end ≤ max ts − 1 h), and hourly partials produced in
+    different micro-batches roll up into the same day."""
+    import time as _time
+
+    d = tempfile.mkdtemp(prefix="events_chain_")
+    ev = load_table(spark, SF, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 4
+    for i in range(4):
+        part = ev.filter(
+            (F.col("ts") >= F.lit(lo + i * span))
+            & (F.col("ts") <= F.lit(hi) if i == 3
+               else F.col("ts") < F.lit(lo + (i + 1) * span)))
+        p = os.path.join(d, f"f{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(p)
+        t = _time.time() - 300 + i * 60
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (t, t))
+    src = os.path.join(d, "*")
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+
+    hourly = (stream.withWatermark("ts", "1 hour")
+              .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n")))
+    daily = (hourly.groupBy(
+                 F.window(F.window_time("w"), "1 day").alias("dw"),
+                 "event_type")
+             .agg(F.sum("n").cast("bigint").alias("n"))
+             .select(F.col("dw.start").alias("day"), "event_type", "n"))
+    q = (daily.writeStream.format("memory").queryName("inc_chain")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 3, n_batches
+
+    got = {(r["day"], r["event_type"]): r["n"]
+           for r in spark.table("inc_chain").collect()}
+    import datetime as _dt
+    cut = hi - _dt.timedelta(hours=1)
+    want = {(r["day"], r["event_type"]): r["n"]
+            for r in ev.groupBy(F.date_trunc("day", "ts").alias("day"),
+                                "event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .filter(F.col("day") + F.expr("INTERVAL 1 DAY") <= F.lit(cut))
+            .collect()}
+    assert got == want
