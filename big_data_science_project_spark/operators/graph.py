@@ -174,10 +174,11 @@ ORDER BY component
 # organic graph, no synthetic edges).
 #
 # The Spark side orients each edge from its lower-(degree, id) endpoint
-# to the higher one before the wedge join — the standard trick (cf.
-# Schank/Wagner "forward" algorithm; GraphX/Giraph do the same) that
-# bounds per-vertex join fan-out by out-degree ≤ O(sqrt(m)) instead of
-# raw degree, so one hub vertex can't explode the wedge join at 100 TB.
+# to the higher one, then counts per-edge out-neighbor intersections —
+# the standard distributed algorithm (Schank/Wagner "forward"; what
+# GraphX's TriangleCount does): orientation bounds out-degree by
+# O(sqrt(m)) so adjacency arrays stay small even for hub vertices, and
+# edge-centric intersection never materializes wedges at all.
 # The triangle count is orientation-invariant, so the DuckDB oracle uses
 # the simpler id-orientation and must agree exactly. Wedges are counted
 # from raw degrees (Σ deg·(deg−1)/2), also orientation-free.
@@ -202,20 +203,26 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
     ed = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
     fwd = F.struct("du", "u") < F.struct("dv", "v")
+    # persisted: feeds both the adjacency build and the per-edge probe
     oriented = ed.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("ddst"))
-    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
-    # wedge (src; d1 < d2 by the same (deg, id) order) + closing edge probe
-    wedge = (e1.join(e2, (F.col("e1.src") == F.col("e2.src"))
-                     & (F.struct("e1.ddst", "e1.dst")
-                        < F.struct("e2.ddst", "e2.dst")))
-             .select(F.col("e1.dst").alias("src"),
-                     F.col("e2.dst").alias("dst")))
-    closing = oriented.select("src", "dst")
-    tri = (wedge.join(closing, ["src", "dst"], "left_semi")
-           .agg(F.count(F.lit(1)).cast("bigint").alias("t")))
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst")).persist()
+    # edge-centric counting: per-edge |N⁺(src) ∩ N⁺(dst)| over SORTED
+    # out-adjacency arrays. Each triangle (DAG-oriented u→v→w) is counted
+    # exactly once, at its base edge u→v. Nothing wider than an edge ever
+    # shuffles — the earlier exploded wedge-join formulation moved
+    # Σ outdeg² rows (~50M at sf0.1, 26s); this moves 2·|E| adjacency
+    # rows (sub-second at the same scale) and the intersections run as
+    # hash probes inside the join projection.
+    adj = (oriented.groupBy("src")
+           .agg(F.sort_array(F.collect_list("dst")).alias("nbrs")))
+    au = adj.select(F.col("src").alias("u_"), F.col("nbrs").alias("u_nbrs"))
+    av = adj.select(F.col("src").alias("v_"), F.col("nbrs").alias("v_nbrs"))
+    tri = (oriented
+           .join(au, F.col("src") == F.col("u_"))
+           .join(av, F.col("dst") == F.col("v_"))
+           .select(F.size(F.array_intersect("u_nbrs", "v_nbrs")).alias("c"))
+           .agg(F.sum("c").cast("bigint").alias("t")))
     n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
     return (n_nodes.crossJoin(n_edges).crossJoin(wedges).crossJoin(tri)
