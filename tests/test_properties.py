@@ -377,3 +377,15 @@ def test_kmeans_lloyd_matches_local_mirror(spark):
     got = {r["cluster_id"]: (r["n_points"], r["inertia_u2"])
            for r in e.queries()["ml_kmeans_lloyd"](spark, SF).collect()}
     assert got == want
+
+
+def test_mode_deterministic_tie_breaks_to_lowest(spark):
+    """q62's oracle resolves mode ties as (highest count, lowest value);
+    this pins Spark's mode(col, deterministic=true) to the same rule on
+    a crafted 2-way tie — the fixture happens to contain a real tie
+    (sf0.001 returnflag 'N'), but this keeps the contract explicit."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1,), (1,), (3,), (3,), (2,)], "x int")
+    got = df.agg(F.mode("x", True).alias("m")).collect()[0]["m"]
+    assert got == 1
