@@ -222,15 +222,18 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
            .join(au, F.col("src") == F.col("u_"))
            .join(av, F.col("dst") == F.col("v_"))
            .select(F.size(F.array_intersect("u_nbrs", "v_nbrs")).alias("c"))
-           .agg(F.sum("c").cast("bigint").alias("t")))
+           # coalesce: a graph whose oriented edges all end in sinks joins
+           # to zero rows; the count must be 0, not NULL (oracle COUNT(*))
+           .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("t")))
     n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
     return (n_nodes.crossJoin(n_edges).crossJoin(wedges).crossJoin(tri)
             .select(F.col("n").alias("n_nodes"), F.col("m").alias("n_edges"),
                     F.col("w").alias("n_wedges"),
                     F.col("t").alias("n_triangles"),
-                    F.round(F.lit(3.0) * F.col("t") / F.col("w"),
-                            9).alias("transitivity")))
+                    F.when(F.col("w") > 0,
+                           F.round(F.lit(3.0) * F.col("t") / F.col("w"), 9))
+                    .alias("transitivity")))
 
 
 QUERIES["graph_triangles"] = (graph_triangles, """
@@ -253,6 +256,8 @@ SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
        CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
        w AS n_wedges,
        t AS n_triangles,
-       ROUND(CAST(3.0 * t AS DOUBLE) / CAST(w AS DOUBLE), 9) AS transitivity
+       CASE WHEN w > 0
+            THEN ROUND(CAST(3.0 * t AS DOUBLE) / CAST(w AS DOUBLE), 9)
+       END AS transitivity
 FROM tri, wedges
 """)

@@ -2006,7 +2006,7 @@ def q61_grouped_map_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @q("q62_mode_median", """
 WITH counts AS (
-  SELECT l_returnflag, CAST(l_quantity AS INT) AS qty, COUNT(*) AS c
+  SELECT l_returnflag, CAST(FLOOR(l_quantity) AS INT) AS qty, COUNT(*) AS c
   FROM lineitem GROUP BY 1, 2
 ), best AS (
   SELECT l_returnflag, qty,
@@ -2019,15 +2019,18 @@ SELECT b.l_returnflag,
        CAST(m.med AS DOUBLE) AS median_qty,
        CAST(m.n AS BIGINT) AS n
 FROM best b
-JOIN (SELECT l_returnflag, median(CAST(l_quantity AS INT)) AS med,
+JOIN (SELECT l_returnflag, median(CAST(FLOOR(l_quantity) AS INT)) AS med,
              COUNT(*) AS n
       FROM lineitem GROUP BY 1) m USING (l_returnflag)
 WHERE b.rn = 1
 ORDER BY l_returnflag
 """)
 def q62_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explicit floor: Spark's double→int cast truncates while DuckDB's
+    # rounds — floor on both sides removes the divergence (latent only:
+    # fixture quantities are integral)
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", F.col("l_quantity").cast("int").alias("qty"))
+        "l_returnflag", F.floor("l_quantity").cast("int").alias("qty"))
     return (li.groupBy("l_returnflag")
             .agg(F.mode("qty", True).alias("mode_qty"),
                  F.median("qty").alias("median_qty"),
@@ -2077,6 +2080,13 @@ def q63_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 # join: the standard sensor-alignment primitive. Time distances are
 # integer microseconds (unix_micros / epoch_us) — Spark's second-level
 # unix_timestamp would truncate where DuckDB's epoch rounds.
+#
+# Determinism boundary (shared with q16 and with DuckDB's own ASOF):
+# if two signups carried identical (user_id, ts), which one's value is
+# carried would be arbitrary on BOTH engines. The fixtures contain no
+# duplicate (user_id, ts) at any SF (verified 0.001/0.01/0.1); a
+# production deployment would add a final unique column to the sort key
+# and a MAX_BY rule to the oracle.
 # ---------------------------------------------------------------------------
 ASOF_TOL_US = 24 * 3600 * 1_000_000  # 1 day
 

@@ -295,19 +295,23 @@ def test_graph_triangles_degree_tables_broadcast(spark):
 
 
 def test_multiprobe_range_is_single_scan(spark):
-    """ann_multiprobe_range: 1-row probe broadcasts; the corpus is
-    scanned once and never shuffles (no hash exchange of embeddings)."""
-    df = _fresh(spark, "ann_multiprobe_range")
-    plan = formatted_plan(df)
-    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
-    assert broadcast_join_count(df) >= 1 or "BroadcastNestedLoopJoin" in plan
+    """ann_multiprobe_range: the 1-row probe joins as a broadcast
+    nested loop (non-equi Hamming predicate) and the corpus never
+    crosses a hash exchange — zero shuffles, one scan."""
+    plan = formatted_plan(_fresh(spark, "ann_multiprobe_range"))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
 
 
 def test_gapfill_single_corpus_shuffle(spark):
-    """ts_gapfill_interpolate mirrors the resampler: events aggregate to
-    (user, hour) first; everything downstream (spine, windows) runs on
-    hourly rows. The raw corpus crosses exactly one hash exchange."""
+    """ts_gapfill_interpolate mirrors the resampler's shuffle budget
+    (same assertion as test_resample_single_corpus_shuffle): the raw
+    corpus crosses one hash exchange (hourly agg); bounds partials and
+    the window sort run on compacted hourly rows."""
     plan = formatted_plan(_fresh(spark, "ts_gapfill_interpolate"))
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
 
 

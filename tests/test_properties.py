@@ -368,6 +368,10 @@ def test_kmeans_lloyd_matches_local_mirror(spark):
                 cents[cid] = np.array(
                     [_km_trunc_div(int(x), len(members)) for x in s],
                     dtype=np.int64)
+            else:
+                # engines rebuild centroids only from non-empty groups —
+                # an empty cluster disappears, it is not carried stale
+                del cents[cid]
     final = assign()
     want = {}
     for vid, (d, cid) in final.items():
