@@ -32,9 +32,11 @@ from dataclasses import dataclass
 import pyarrow as pa
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    DataSourceStreamReader, EqualTo, Filter,
-                                    GreaterThan, GreaterThanOrEqual,
-                                    InputPartition, LessThan, LessThanOrEqual)
+                                    DataSourceStreamReader, DataSourceWriter,
+                                    EqualTo, Filter, GreaterThan,
+                                    GreaterThanOrEqual, InputPartition,
+                                    LessThan, LessThanOrEqual,
+                                    WriterCommitMessage)
 from pyspark.sql.types import (ArrayType, BooleanType, DoubleType,
                                IntegerType, LongType, StructField, StructType)
 
@@ -96,6 +98,9 @@ class CellsDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> "CellsStreamReader":
         return CellsStreamReader(self._opts(), schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "CellsWriter":
+        return CellsWriter(dict(self.options), schema, overwrite)
 
 
 class CellsReader(DataSourceReader):
@@ -226,7 +231,124 @@ class CellsStreamReader(DataSourceStreamReader):
         pass
 
 
+@dataclass
+class _WroteContainer(WriterCommitMessage):
+    path: str
+    n_rows: int
+
+
+class CellsWriter(DataSourceWriter):
+    """``df.write.format("cells")`` — the sink half of the custom source
+    (Spark 4 Python DataSourceWriter), the engine's answer to the
+    reference's image sink (S5, ``feature extraction.py:89-91``) done
+    RIGHT: the reference's ``cv.imwrite`` inside a distributed map wrote
+    every task to the same relative path (Pitfall 9); here each task
+    writes its own uniquely-named ``.npz`` container (task id + uuid, so
+    speculative/retried attempts can't collide), and the two-phase
+    commit protocol is real — ``write`` returns a commit message per
+    task, the driver's ``commit`` publishes the manifest only when every
+    task succeeded, and ``abort`` removes the orphans. Containers use
+    the same layout as :mod:`.cells_binary`, so anything written here is
+    readable by the binaryFile→decode scan path."""
+
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("cells writer requires .option('path', dir)")
+        self.cols = [f.name for f in schema.fields]
+        for need in ("image_id", "n_channels", "width", "height", "data"):
+            if need not in self.cols:
+                raise ValueError(f"cells writer: missing column {need}")
+        import os
+        import shutil
+        if overwrite and os.path.isdir(self.path):
+            shutil.rmtree(self.path)
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, rows) -> _WroteContainer:
+        import os
+        import uuid
+
+        import numpy as np
+        from pyspark import TaskContext
+
+        ids, data, mask = [], [], []
+        for r in rows:
+            c, w, h = int(r.n_channels), int(r.width), int(r.height)
+            ids.append(int(r.image_id))
+            data.append(np.asarray(r.data, dtype=np.float64).reshape(c, w, h))
+            mask.append(np.asarray(
+                r.mask if "mask" in self.cols else
+                np.zeros(c * w * h, dtype=bool), dtype=bool).reshape(c, w, h))
+        if not ids:
+            return _WroteContainer("", 0)
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        final = os.path.join(
+            self.path, f"cells-{pid:05d}-{uuid.uuid4().hex[:12]}.npz")
+        tmp = final + ".inprogress"
+        with open(tmp, "wb") as fh:
+            np.savez(fh, image_ids=np.asarray(ids, dtype=np.int64),
+                     data=np.stack(data), mask=np.stack(mask))
+        os.replace(tmp, final)
+        return _WroteContainer(final, len(ids))
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+        files = sorted((m.path, m.n_rows) for m in messages if m.n_rows)
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+            json.dump({"containers": [p for p, _ in files],
+                       "n_rows": sum(n for _, n in files)}, fh)
+
+    def abort(self, messages) -> None:
+        import os
+        for m in messages:
+            if m and m.path and os.path.exists(m.path):
+                os.remove(m.path)
+
+
 QUERIES: dict = {}
+
+
+def cells_datasource_write(spark, sf_dir: str = ""):
+    """Registry query: full write→read round trip through the custom
+    sink — scan 48 synthetic cells from the DataSource reader, write
+    them through the DataSource writer (4 containers + manifest), read
+    the bytes back via binaryFile + the shared npz decoder, and return
+    the per-channel rollup of the DECODED rows. Identity with the
+    source rows is asserted in tests/test_cells_datasource.py."""
+    import json
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..functions import image_kernels as K
+    from .cells_binary import CELLS_SCHEMA, _decode_npz
+
+    register(spark)
+    out = tempfile.mkdtemp(prefix="cells_dsw_")
+    src = (spark.read.format("cells")
+           .option("n_images", 48).option("numpartitions", 4).load())
+    (src.write.format("cells").option("path", out).mode("append").save())
+    with open(os.path.join(out, "_MANIFEST.json")) as fh:
+        man = json.load(fh)
+    if man["n_rows"] != 48:
+        raise AssertionError(f"manifest rows {man['n_rows']} != 48")
+    back = (spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.npz").load(out)
+            .select("content").mapInPandas(_decode_npz, CELLS_SCHEMA))
+    wh = F.col("width") * F.col("height")
+    per_ch = back.select(
+        "image_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_channels") - 1)).alias("channel"),
+        K.channel_slice(F.col("mask"), F.col("channel"), wh).alias("mask_ch"))
+    return (per_ch.groupBy("channel")
+            .agg(F.sum(K.area(F.col("mask_ch"))).alias("total_area"),
+                 F.count(F.lit(1)).alias("n_images")))
+
+
+QUERIES["cells_datasource_write"] = (cells_datasource_write, None)  # rows-only
 
 
 def cells_source_scan(spark, sf_dir: str = ""):

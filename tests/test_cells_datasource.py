@@ -100,3 +100,54 @@ def test_stream_reader_offsets_and_partitions():
     assert covered[0][0] == 40 and covered[-1][1] == 80
     assert all(a < b for a, b in covered)
     assert r.partitions({"next": 100}, {"next": 100}) == []
+
+
+def test_writer_roundtrip_row_identity(spark):
+    """df.write.format("cells") → .npz containers + manifest →
+    binaryFile decode returns the EXACT source rows (every pixel and
+    mask bit), and the manifest covers all containers/rows."""
+    import json
+    import os
+    import tempfile
+
+    from big_data_science_project_spark.sources.cells_binary import (
+        CELLS_SCHEMA, _decode_npz)
+
+    CD.register(spark)
+    out = tempfile.mkdtemp(prefix="cells_dsw_test_")
+    src = (spark.read.format("cells")
+           .option("n_images", 20).option("numpartitions", 3).load())
+    src.write.format("cells").option("path", out).mode("append").save()
+
+    with open(os.path.join(out, "_MANIFEST.json")) as fh:
+        man = json.load(fh)
+    assert man["n_rows"] == 20
+    on_disk = sorted(os.path.join(out, f) for f in os.listdir(out)
+                     if f.endswith(".npz"))
+    assert sorted(man["containers"]) == on_disk
+    assert len(on_disk) == 3  # one container per non-empty task
+
+    back = (spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.npz").load(out)
+            .select("content").mapInPandas(_decode_npz, CELLS_SCHEMA))
+    want = sorted(tuple(r) for r in src.collect())
+    got = sorted(tuple(r) for r in back.collect())
+    assert got == want
+
+
+def test_writer_overwrite_replaces_previous_containers(spark):
+    """mode("overwrite") clears prior containers; a second write leaves
+    exactly the new file set, not an accumulation."""
+    import os
+    import tempfile
+
+    CD.register(spark)
+    out = tempfile.mkdtemp(prefix="cells_dsw_ovw_")
+    src = (spark.read.format("cells")
+           .option("n_images", 12).option("numpartitions", 2).load())
+    src.write.format("cells").option("path", out).mode("append").save()
+    first = set(os.listdir(out))
+    src.write.format("cells").option("path", out).mode("overwrite").save()
+    second = {f for f in os.listdir(out) if f.endswith(".npz")}
+    assert len(second) == 2
+    assert not (first & second), "overwrite must not retain old containers"
