@@ -32,7 +32,8 @@ from dataclasses import dataclass
 import pyarrow as pa
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    DataSourceStreamReader, DataSourceWriter,
+                                    DataSourceStreamReader,
+                                    DataSourceStreamWriter, DataSourceWriter,
                                     EqualTo, Filter, GreaterThan,
                                     GreaterThanOrEqual, InputPartition,
                                     LessThan, LessThanOrEqual,
@@ -101,6 +102,10 @@ class CellsDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> "CellsWriter":
         return CellsWriter(dict(self.options), schema, overwrite)
+
+    def streamWriter(self, schema: StructType,
+                     overwrite: bool) -> "CellsStreamWriter":
+        return CellsStreamWriter(dict(self.options), schema, overwrite)
 
 
 class CellsReader(DataSourceReader):
@@ -237,6 +242,35 @@ class _WroteContainer(WriterCommitMessage):
     n_rows: int
 
 
+def _write_rows_container(path: str, cols: list, rows) -> _WroteContainer:
+    """One task → one uniquely-named .npz container (task id + uuid, so
+    retried/speculative attempts can't collide), atomic rename."""
+    import os
+    import uuid
+
+    import numpy as np
+    from pyspark import TaskContext
+
+    ids, data, mask = [], [], []
+    for r in rows:
+        c, w, h = int(r.n_channels), int(r.width), int(r.height)
+        ids.append(int(r.image_id))
+        data.append(np.asarray(r.data, dtype=np.float64).reshape(c, w, h))
+        mask.append(np.asarray(
+            r.mask if "mask" in cols else
+            np.zeros(c * w * h, dtype=bool), dtype=bool).reshape(c, w, h))
+    if not ids:
+        return _WroteContainer("", 0)
+    pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+    final = os.path.join(path, f"cells-{pid:05d}-{uuid.uuid4().hex[:12]}.npz")
+    tmp = final + ".inprogress"
+    with open(tmp, "wb") as fh:
+        np.savez(fh, image_ids=np.asarray(ids, dtype=np.int64),
+                 data=np.stack(data), mask=np.stack(mask))
+    os.replace(tmp, final)
+    return _WroteContainer(final, len(ids))
+
+
 class CellsWriter(DataSourceWriter):
     """``df.write.format("cells")`` — the sink half of the custom source
     (Spark 4 Python DataSourceWriter), the engine's answer to the
@@ -266,31 +300,7 @@ class CellsWriter(DataSourceWriter):
         os.makedirs(self.path, exist_ok=True)
 
     def write(self, rows) -> _WroteContainer:
-        import os
-        import uuid
-
-        import numpy as np
-        from pyspark import TaskContext
-
-        ids, data, mask = [], [], []
-        for r in rows:
-            c, w, h = int(r.n_channels), int(r.width), int(r.height)
-            ids.append(int(r.image_id))
-            data.append(np.asarray(r.data, dtype=np.float64).reshape(c, w, h))
-            mask.append(np.asarray(
-                r.mask if "mask" in self.cols else
-                np.zeros(c * w * h, dtype=bool), dtype=bool).reshape(c, w, h))
-        if not ids:
-            return _WroteContainer("", 0)
-        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
-        final = os.path.join(
-            self.path, f"cells-{pid:05d}-{uuid.uuid4().hex[:12]}.npz")
-        tmp = final + ".inprogress"
-        with open(tmp, "wb") as fh:
-            np.savez(fh, image_ids=np.asarray(ids, dtype=np.int64),
-                     data=np.stack(data), mask=np.stack(mask))
-        os.replace(tmp, final)
-        return _WroteContainer(final, len(ids))
+        return _write_rows_container(self.path, self.cols, rows)
 
     def commit(self, messages) -> None:
         import json
@@ -307,7 +317,118 @@ class CellsWriter(DataSourceWriter):
                 os.remove(m.path)
 
 
+class CellsStreamWriter(DataSourceStreamWriter):
+    """``writeStream.format("cells")`` — the streaming half of the sink
+    (Spark 4 Python DataSourceStreamWriter). Same per-task container
+    write as the batch sink; the epoch boundary is the commit unit: each
+    micro-batch publishes ``_batch-<id>.json`` naming its containers —
+    idempotent by filename, so a retried epoch REPLACES its manifest and
+    orphans from the failed attempt stay unlisted (readers consume the
+    manifest union, the log-structured commit pattern file sinks use).
+    ``abort`` deletes the failed epoch's containers eagerly."""
+
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("cells stream writer requires .option('path')")
+        self.cols = [f.name for f in schema.fields]
+        import os
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, rows) -> _WroteContainer:
+        return _write_rows_container(self.path, self.cols, rows)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+        files = sorted((m.path, m.n_rows) for m in messages
+                       if m and m.n_rows)
+        with open(os.path.join(self.path, f"_batch-{batchId}.json"),
+                  "w") as fh:
+            json.dump({"batch_id": batchId,
+                       "containers": [p for p, _ in files],
+                       "n_rows": sum(n for _, n in files)}, fh)
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+        for m in messages:
+            if m and m.path and os.path.exists(m.path):
+                os.remove(m.path)
+
+
 QUERIES: dict = {}
+
+
+def cells_stream_sink(spark, sf_dir: str = ""):
+    """Registry query: stream→sink round trip across the full custom
+    matrix — readStream from the cells SOURCE (3 micro-batches of 40
+    images through the offset log) into the cells STREAM SINK, then read
+    only the manifest-listed containers back through the npz decoder and
+    roll up per channel. Exactly-once is checked structurally: 3 epoch
+    manifests, 120 manifest rows, decoded rows == source rows."""
+    import contextlib
+    import glob
+    import json
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..functions import image_kernels as K
+    from ..streaming.events import _scratch_checkpoint
+    from .cells_binary import CELLS_SCHEMA, _decode_npz
+
+    register(spark)
+    n_images = 120
+    out = tempfile.mkdtemp(prefix="cells_ssink_")
+    stream = (spark.readStream.format("cells")
+              .option("imagelimit", n_images)
+              .option("numpartitions", 4).option("streambatch", 40).load())
+    def manifest_rows():
+        listed, total = [], 0
+        for mp in sorted(glob.glob(os.path.join(out, "_batch-*.json"))):
+            with open(mp) as fh:
+                m = json.load(fh)
+            listed += m["containers"]
+            total += m["n_rows"]
+        return listed, total
+
+    # the custom source admits streambatch images per trigger, so the
+    # stream needs repeated triggers (availableNow would bound itself to
+    # the first latestOffset) — same drain pattern as cells_stream_scan
+    import time
+    with contextlib.ExitStack() as stack:
+        ckpt = stack.enter_context(_scratch_checkpoint())
+        writer = (stream.writeStream.format("cells").option("path", out)
+                  .option("checkpointLocation",
+                          ckpt or tempfile.mkdtemp(prefix="ck_")))
+        q = writer.trigger(processingTime="0 seconds").start()
+        stack.callback(q.awaitTermination)
+        stack.callback(q.stop)
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if manifest_rows()[1] >= n_images:
+                break
+            time.sleep(0.05)
+    listed, total = manifest_rows()
+    if total != n_images:
+        raise AssertionError(f"manifests cover {total}/{n_images} rows")
+    back = (spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.npz").load(out)
+            .filter(F.col("path").isin(
+                [f"file:{p}" for p in listed] + listed))
+            .select("content").mapInPandas(_decode_npz, CELLS_SCHEMA))
+    wh = F.col("width") * F.col("height")
+    per_ch = back.select(
+        "image_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_channels") - 1)).alias("channel"),
+        K.channel_slice(F.col("mask"), F.col("channel"), wh).alias("mask_ch"))
+    return (per_ch.groupBy("channel")
+            .agg(F.sum(K.area(F.col("mask_ch"))).alias("total_area"),
+                 F.count(F.lit(1)).alias("n_images")))
+
+
+QUERIES["cells_stream_sink"] = (cells_stream_sink, None)  # rows-only
 
 
 def cells_datasource_write(spark, sf_dir: str = ""):

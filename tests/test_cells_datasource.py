@@ -151,3 +151,51 @@ def test_writer_overwrite_replaces_previous_containers(spark):
     second = {f for f in os.listdir(out) if f.endswith(".npz")}
     assert len(second) == 2
     assert not (first & second), "overwrite must not retain old containers"
+
+
+def test_stream_sink_roundtrip_and_epoch_manifests(spark):
+    """readStream("cells") → writeStream.format("cells"): 3 epoch
+    manifests (one per 40-image micro-batch), manifest rows cover all
+    images exactly once, and decoding the manifest-listed containers
+    reproduces the batch source rows exactly."""
+    import glob
+    import json
+    import os
+
+    from big_data_science_project_spark.sources import cells_datasource as CD2
+    from big_data_science_project_spark.sources.cells_binary import (
+        CELLS_SCHEMA, _decode_npz)
+
+    df = CD2.QUERIES["cells_stream_sink"][0](spark)
+    rollup = {r["channel"]: (r["total_area"], r["n_images"])
+              for r in df.collect()}
+    assert set(rollup) == {0, 1, 2}
+    assert all(n == 120 for _, n in rollup.values())
+
+    # strongest check: decoded rows == batch DataSource rows
+    out = None
+    import tempfile
+    for d in sorted(glob.glob(os.path.join(tempfile.gettempdir(),
+                                           "cells_ssink_*")),
+                    key=os.path.getmtime):
+        if glob.glob(os.path.join(d, "_batch-*.json")):
+            out = d
+    assert out is not None
+    manifests = sorted(glob.glob(os.path.join(out, "_batch-*.json")))
+    assert len(manifests) == 3
+    ids = []
+    for mp in manifests:
+        with open(mp) as fh:
+            m = json.load(fh)
+        assert m["containers"], mp
+        ids.append(m["n_rows"])
+    assert sum(ids) == 120
+
+    back = (spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.npz").load(out)
+            .select("content").mapInPandas(_decode_npz, CELLS_SCHEMA))
+    CD2.register(spark)
+    src = (spark.read.format("cells")
+           .option("imagelimit", 120).option("numpartitions", 4).load())
+    assert sorted(tuple(r) for r in back.collect()) == \
+        sorted(tuple(r) for r in src.collect())
