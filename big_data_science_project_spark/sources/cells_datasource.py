@@ -242,9 +242,11 @@ class _WroteContainer(WriterCommitMessage):
     n_rows: int
 
 
-def _write_rows_container(path: str, cols: list, rows) -> _WroteContainer:
-    """One task → one uniquely-named .npz container (task id + uuid, so
-    retried/speculative attempts can't collide), atomic rename."""
+def _write_rows_container(path: str, cols: list, rows,
+                          tag: str) -> _WroteContainer:
+    """One task → one uniquely-named .npz container (job tag + task id +
+    uuid, so retried/speculative attempts can't collide and the job's
+    files are identifiable for abort cleanup), atomic rename."""
     import os
     import uuid
 
@@ -262,7 +264,8 @@ def _write_rows_container(path: str, cols: list, rows) -> _WroteContainer:
     if not ids:
         return _WroteContainer("", 0)
     pid = TaskContext.get().partitionId() if TaskContext.get() else 0
-    final = os.path.join(path, f"cells-{pid:05d}-{uuid.uuid4().hex[:12]}.npz")
+    final = os.path.join(
+        path, f"cells-{tag}-{pid:05d}-{uuid.uuid4().hex[:12]}.npz")
     tmp = final + ".inprogress"
     with open(tmp, "wb") as fh:
         np.savez(fh, image_ids=np.asarray(ids, dtype=np.int64),
@@ -281,9 +284,14 @@ class CellsWriter(DataSourceWriter):
     speculative/retried attempts can't collide), and the two-phase
     commit protocol is real — ``write`` returns a commit message per
     task, the driver's ``commit`` publishes the manifest only when every
-    task succeeded, and ``abort`` removes the orphans. Containers use
-    the same layout as :mod:`.cells_binary`, so anything written here is
-    readable by the binaryFile→decode scan path."""
+    task succeeded, and ``abort`` removes the orphans. Spark's Python
+    write path hands ``abort`` only ``None`` messages (successful tasks'
+    messages are dropped on job failure — verified empirically), so
+    cleanup uses the standard job-staging pattern instead: the driver
+    mints a job tag at writer construction, every container name carries
+    it, and abort sweeps the tag's files. Containers use the same layout
+    as :mod:`.cells_binary`, so anything written here is readable by the
+    binaryFile→decode scan path."""
 
     def __init__(self, options: dict, schema: StructType, overwrite: bool):
         self.path = options.get("path")
@@ -295,12 +303,14 @@ class CellsWriter(DataSourceWriter):
                 raise ValueError(f"cells writer: missing column {need}")
         import os
         import shutil
+        import uuid
+        self.tag = uuid.uuid4().hex[:8]  # this job's staging identity
         if overwrite and os.path.isdir(self.path):
             shutil.rmtree(self.path)
         os.makedirs(self.path, exist_ok=True)
 
     def write(self, rows) -> _WroteContainer:
-        return _write_rows_container(self.path, self.cols, rows)
+        return _write_rows_container(self.path, self.cols, rows, self.tag)
 
     def commit(self, messages) -> None:
         import json
@@ -311,10 +321,12 @@ class CellsWriter(DataSourceWriter):
                        "n_rows": sum(n for _, n in files)}, fh)
 
     def abort(self, messages) -> None:
+        # messages are all None here (see class docstring) — sweep by tag
+        import glob
         import os
-        for m in messages:
-            if m and m.path and os.path.exists(m.path):
-                os.remove(m.path)
+        for f in glob.glob(os.path.join(self.path,
+                                        f"cells-{self.tag}-*.npz")):
+            os.remove(f)
 
 
 class CellsStreamWriter(DataSourceStreamWriter):
@@ -333,10 +345,12 @@ class CellsStreamWriter(DataSourceStreamWriter):
             raise ValueError("cells stream writer requires .option('path')")
         self.cols = [f.name for f in schema.fields]
         import os
+        import uuid
+        self.tag = uuid.uuid4().hex[:8]
         os.makedirs(self.path, exist_ok=True)
 
     def write(self, rows) -> _WroteContainer:
-        return _write_rows_container(self.path, self.cols, rows)
+        return _write_rows_container(self.path, self.cols, rows, self.tag)
 
     def commit(self, messages, batchId: int) -> None:
         import json
@@ -350,10 +364,19 @@ class CellsStreamWriter(DataSourceStreamWriter):
                        "n_rows": sum(n for _, n in files)}, fh)
 
     def abort(self, messages, batchId: int) -> None:
+        # task messages may be None on failure; sweep this writer's tag,
+        # sparing anything an already-committed epoch manifest lists
+        import glob
+        import json
         import os
-        for m in messages:
-            if m and m.path and os.path.exists(m.path):
-                os.remove(m.path)
+        committed = set()
+        for mp in glob.glob(os.path.join(self.path, "_batch-*.json")):
+            with open(mp) as fh:
+                committed.update(json.load(fh)["containers"])
+        for f in glob.glob(os.path.join(self.path,
+                                        f"cells-{self.tag}-*.npz")):
+            if f not in committed:
+                os.remove(f)
 
 
 QUERIES: dict = {}

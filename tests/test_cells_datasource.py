@@ -199,3 +199,33 @@ def test_stream_sink_roundtrip_and_epoch_manifests(spark):
            .option("imagelimit", 120).option("numpartitions", 4).load())
     assert sorted(tuple(r) for r in back.collect()) == \
         sorted(tuple(r) for r in src.collect())
+
+
+def test_writer_abort_removes_orphans_and_skips_manifest(spark):
+    """Two-phase commit, unhappy path: if any task fails, the driver
+    must NOT publish a manifest and abort() must remove the containers
+    successful tasks already wrote."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    CD.register(spark)
+    out = tempfile.mkdtemp(prefix="cells_dsw_abort_")
+    src = (spark.read.format("cells")
+           .option("n_images", 20).option("numpartitions", 4).load())
+
+    @F.udf("long")
+    def boom(i):
+        if i >= 15:  # fails only the last partition's rows
+            raise ValueError("synthetic task failure")
+        return i
+
+    bad = src.withColumn("image_id", boom("image_id"))
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        bad.write.format("cells").option("path", out).mode("append").save()
+
+    assert not os.path.exists(os.path.join(out, "_MANIFEST.json"))
+    leftover = [f for f in os.listdir(out) if f.endswith(".npz")]
+    assert leftover == [], f"abort left orphans: {leftover}"
