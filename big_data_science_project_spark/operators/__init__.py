@@ -40,7 +40,8 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # also impure by construction: text_udtf_chunk registers a UDTF +
     # temp view; ann_pq_topk collects the PQ codebook at build time —
     # leaving them unwrapped keeps bench reps honest about that cost
-    impure_names = {"multimodal_export", "text_udtf_chunk", "ann_pq_topk",
+    impure_names = {"multimodal_export", "text_udtf_chunk",
+                    "text_udtf_ngrams", "ann_pq_topk",
                     "ann_pq_refine", "ml_kmeans_lloyd"}
 
     queries: dict[str, QueryFn] = {}

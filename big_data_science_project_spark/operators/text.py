@@ -513,3 +513,64 @@ FROM scored GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id
 LIMIT 20
 """)
+
+
+# ---------------------------------------------------------------------------
+# Polymorphic Python UDTF (Spark 4): the output schema is DERIVED at
+# plan time by a static analyze() from the constant n argument — the
+# n-gram width chooses how many token columns exist. This is the one
+# §2.9 surface element a fixed returnType can't express; eval() then
+# yields one row per n-gram position with each token in its own column.
+# Same registration caveat as text_udtf_chunk: plan-time side effects,
+# so the registry leaves it un-plan-cached (impure_names).
+# ---------------------------------------------------------------------------
+UDTF_NGRAM_N = 3
+UDTF_NGRAM_DOCS = 20
+
+
+def text_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (IntegerType, LongType, StringType,
+                                   StructType)
+    from pyspark.sql.udtf import AnalyzeResult
+
+    @udtf(useArrow=True)
+    class NGramsUdtf:
+        @staticmethod
+        def analyze(doc_id, text, n):
+            width = int(n.value)  # constant-foldable arg drives the schema
+            schema = (StructType()
+                      .add("doc_id", LongType())
+                      .add("pos", IntegerType()))
+            for i in range(width):
+                schema = schema.add(f"g{i + 1}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, doc_id, text, n):
+            toks = text.split(" ")
+            for p in range(len(toks) - n + 1):
+                yield (doc_id, p, *toks[p:p + n])
+
+    spark.udtf.register("ngrams_udtf", NGramsUdtf)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(f"""
+      SELECT g.*
+      FROM documents d,
+           LATERAL ngrams_udtf(d.doc_id, d.text, {UDTF_NGRAM_N}) g
+      WHERE d.doc_id < {UDTF_NGRAM_DOCS}
+    """)
+
+
+QUERIES["text_udtf_ngrams"] = (text_udtf_ngrams, f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE doc_id < {UDTF_NGRAM_DOCS}),
+p AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, len(toks) - {UDTF_NGRAM_N - 1})) AS p1
+  FROM t WHERE len(toks) >= {UDTF_NGRAM_N})
+SELECT doc_id, CAST(p1 - 1 AS INT) AS pos,
+       {", ".join(f"toks[p1 + {i}] AS g{i + 1}"
+                  for i in range(UDTF_NGRAM_N))}
+FROM p
+""")
