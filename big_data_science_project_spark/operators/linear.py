@@ -266,3 +266,75 @@ ORDER BY cluster_id""")
 
 
 QUERIES["ml_kmeans_lloyd"] = (ml_kmeans_lloyd, _km_sql())
+
+
+# ---------------------------------------------------------------------------
+# Exact AUC (Mann-Whitney) — the eval metric a training pipeline runs
+# after every probe/classifier fit, computed distributed and EXACTLY:
+# scores are integer-micro projections of the embeddings (deterministic
+# pseudo-random weights, same recipe as the LSH hyperplanes), ranks come
+# from one global sort window, ties use average ranks via the
+# (min+max)-of-tie-group identity kept in INTEGER form (2·avg_rank =
+# min_rn + max_rn), so the entire statistic is integer arithmetic until
+# one final division — bit-identical at any parallelism, full oracle.
+# At 100 TB the single global sort is the cost (as for any exact AUC);
+# the standard approximation is a fixed-grid score histogram (the
+# histogram operator) feeding the same rank formula.
+# ---------------------------------------------------------------------------
+AUC_POS_MIN = 5  # labels 0-9 → positives are 5..9
+
+
+def _auc_score_expr() -> str:
+    return ("aggregate(transform(embedding, (x, i) ->"
+            " cast(floor(cast(x as double) * 1000000 + 0.5) as bigint)"
+            " * ((i * 19349663 + 83492791) % 2001 - 1000)),"
+            " 0L, (acc, v) -> acc + v)")
+
+
+def ml_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    e = load_table(spark, sf_dir, "embeddings")
+    scored = e.select(
+        "vec_id", (F.col("label") >= AUC_POS_MIN).alias("pos"),
+        F.expr(_auc_score_expr()).alias("s"))
+    rn = F.row_number().over(W.orderBy("s", "vec_id"))
+    ranked = scored.select("pos", "s", rn.alias("rn"))
+    grp = W.partitionBy("s")
+    r2 = (F.min("rn").over(grp) + F.max("rn").over(grp)).alias("r2")
+    agg = (ranked.select("pos", r2)
+           .agg(F.sum(F.when(F.col("pos"), F.col("r2"))).alias("r2_pos"),
+                F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("p"),
+                F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("n")))
+    return agg.select(
+        F.col("p").cast("bigint").alias("n_pos"),
+        F.col("n").cast("bigint").alias("n_neg"),
+        F.round((F.col("r2_pos") - F.col("p") * (F.col("p") + 1))
+                .cast("double")
+                / (F.lit(2.0) * F.col("p") * F.col("n")), 9).alias("auc"))
+
+
+QUERIES["ml_auc_exact"] = (ml_auc_exact, f"""
+WITH scored AS (
+  SELECT vec_id, label >= {AUC_POS_MIN} AS pos,
+         CAST(list_aggregate(list_transform(
+            generate_series(1, len(embedding)),
+            j -> CAST(FLOOR(CAST(embedding[j] AS DOUBLE) * 1000000 + 0.5)
+                      AS BIGINT)
+                 * (((j - 1) * 19349663 + 83492791) % 2001 - 1000)),
+           'sum') AS BIGINT) AS s
+  FROM embeddings),
+ranked AS (
+  SELECT pos, s, ROW_NUMBER() OVER (ORDER BY s, vec_id) AS rn FROM scored),
+r2 AS (
+  SELECT pos,
+         MIN(rn) OVER (PARTITION BY s) + MAX(rn) OVER (PARTITION BY s) AS r2
+  FROM ranked),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN pos THEN r2 END) AS BIGINT) AS r2_pos,
+         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p,
+         CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n
+  FROM r2)
+SELECT p AS n_pos, n AS n_neg,
+       ROUND(CAST(r2_pos - p * (p + 1) AS DOUBLE) / (2.0 * p * n), 9) AS auc
+FROM agg
+""")

@@ -574,3 +574,105 @@ SELECT doc_id, CAST(p1 - 1 AS INT) AS pos,
                   for i in range(UDTF_NGRAM_N))}
 FROM p
 """)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge steps — the tokenizer-training primitive: count adjacent
+# symbol pairs over the word-frequency table (classic BPE trains on
+# distinct words weighted by count, so the corpus collapses to the
+# vocabulary before any pair work), pick the top merge, apply it, and
+# recount. Two iterations run loop-free inside one plan: the 1-row top
+# merge broadcasts back onto the vocabulary (crossJoin of a 1-row
+# dimension), so no driver round-trip and no collect. At 100 TB the
+# vocab table is the working set (≪ corpus) and each iteration is one
+# ≤|vocab-pairs|-sized aggregate — which is why real BPE trainers also
+# iterate on the word-count table, not raw text.
+#
+# Merge application is a deterministic double string-replace over the
+# spaced symbol sequence (the second pass closes space-sharing adjacent
+# occurrences); both engines implement the same left-to-right
+# non-overlapping replace, so the oracle is value-exact. (Divergence
+# note vs classic left-greedy BPE: an odd run like "a a a" merges the
+# same pairs here, but pathological self-overlapping patterns could
+# differ from HF-BPE's scan — the operator's rule is the one stated,
+# and both engines agree on it.)
+# ---------------------------------------------------------------------------
+BPE_ITERS = 2
+
+
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = (d.select(F.explode(F.split("text", " ")).alias("w"))
+             .filter(F.length("w") > 0)
+             .groupBy("w").agg(F.count(F.lit(1)).alias("n")))
+    # ' h e l l o ' — spaced symbol sequence with sentinel spaces
+    seqs = words.select(
+        F.concat(F.lit(" "),
+                 F.expr(r"regexp_replace(w, '(.)', '$1 ')")).alias("seq"),
+        "n").persist()
+
+    def pair_counts(sdf):
+        a = F.split(F.trim(F.col("seq")), " ")
+        pairs = F.expr(
+            "transform(sequence(0, size(split(trim(seq), ' ')) - 2),"
+            " i -> struct(split(trim(seq), ' ')[i] as s1,"
+            "             split(trim(seq), ' ')[i + 1] as s2))")
+        return (sdf.filter(F.size(a) >= 2)
+                .select(F.explode(pairs).alias("p"), "n")
+                .groupBy("p.s1", "p.s2")
+                .agg(F.sum("n").cast("bigint").alias("pair_count")))
+
+    def top1(counts):
+        return (counts.orderBy(F.desc("pair_count"), "s1", "s2").limit(1))
+
+    out = None
+    cur = seqs
+    for it in range(1, BPE_ITERS + 1):
+        t = top1(pair_counts(cur)).select(
+            F.lit(it).alias("iteration"), "s1", "s2", "pair_count")
+        out = t if out is None else out.unionByName(t)
+        if it < BPE_ITERS:
+            tb = F.broadcast(t.select(F.col("s1").alias("m1"),
+                                      F.col("s2").alias("m2")))
+            pat = F.concat(F.lit(" "), F.col("m1"), F.lit(" "),
+                           F.col("m2"), F.lit(" "))
+            rep = F.concat(F.lit(" "), F.col("m1"), F.col("m2"), F.lit(" "))
+            cur = (cur.crossJoin(tb)
+                   .select(F.replace(F.replace("seq", pat, rep),
+                                     pat, rep).alias("seq"), "n"))
+    return out
+
+
+QUERIES["text_bpe_merges"] = (text_bpe_merges, f"""
+WITH words AS (
+  SELECT w, COUNT(*) AS n FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE LENGTH(w) > 0 GROUP BY w),
+seq0 AS (
+  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq, n FROM words),
+pc1 AS (
+  SELECT a[i] AS s1, a[i + 1] AS s2, CAST(SUM(n) AS BIGINT) AS pair_count
+  FROM (SELECT string_split(trim(seq), ' ') AS a, n FROM seq0),
+       LATERAL (SELECT unnest(generate_series(1, len(a) - 1)) AS i) g
+  WHERE len(a) >= 2
+  GROUP BY 1, 2),
+t1 AS (
+  SELECT 1 AS iteration, s1, s2, pair_count FROM pc1
+  ORDER BY pair_count DESC, s1, s2 LIMIT 1),
+seq1 AS (
+  SELECT replace(replace(s.seq, ' ' || t.s1 || ' ' || t.s2 || ' ',
+                         ' ' || t.s1 || t.s2 || ' '),
+                 ' ' || t.s1 || ' ' || t.s2 || ' ',
+                 ' ' || t.s1 || t.s2 || ' ') AS seq, s.n
+  FROM seq0 s, t1 t),
+pc2 AS (
+  SELECT a[i] AS s1, a[i + 1] AS s2, CAST(SUM(n) AS BIGINT) AS pair_count
+  FROM (SELECT string_split(trim(seq), ' ') AS a, n FROM seq1),
+       LATERAL (SELECT unnest(generate_series(1, len(a) - 1)) AS i) g
+  WHERE len(a) >= 2
+  GROUP BY 1, 2),
+t2 AS (
+  SELECT 2 AS iteration, s1, s2, pair_count FROM pc2
+  ORDER BY pair_count DESC, s1, s2 LIMIT 1)
+SELECT * FROM t1 UNION ALL SELECT * FROM t2
+""")
