@@ -357,11 +357,16 @@ class CellsStreamWriter(DataSourceStreamWriter):
         import os
         files = sorted((m.path, m.n_rows) for m in messages
                        if m and m.n_rows)
-        with open(os.path.join(self.path, f"_batch-{batchId}.json"),
-                  "w") as fh:
+        final = os.path.join(self.path, f"_batch-{batchId}.json")
+        tmp = final + ".inprogress"
+        # atomic publish: concurrent manifest readers must never observe
+        # a half-written epoch (caught live: a drain poller hit an empty
+        # file mid-json.dump under a slow 3-thread session)
+        with open(tmp, "w") as fh:
             json.dump({"batch_id": batchId,
                        "containers": [p for p, _ in files],
                        "n_rows": sum(n for _, n in files)}, fh)
+        os.replace(tmp, final)
 
     def abort(self, messages, batchId: int) -> None:
         # task messages may be None on failure; sweep this writer's tag,
@@ -410,8 +415,11 @@ def cells_stream_sink(spark, sf_dir: str = ""):
     def manifest_rows():
         listed, total = [], 0
         for mp in sorted(glob.glob(os.path.join(out, "_batch-*.json"))):
-            with open(mp) as fh:
-                m = json.load(fh)
+            try:
+                with open(mp) as fh:
+                    m = json.load(fh)
+            except (json.JSONDecodeError, OSError):
+                continue  # epoch publish in flight; next poll sees it
             listed += m["containers"]
             total += m["n_rows"]
         return listed, total
