@@ -227,3 +227,61 @@ def multimodal_export(spark: SparkSession, sf_dir: str = "") -> DataFrame:
 QUERIES["multimodal_features"] = (multimodal_features, None)
 QUERIES["multimodal_resize"] = (multimodal_resize_stats, None)
 QUERIES["multimodal_export"] = (multimodal_export, None)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup — the image-modality member of the dedup
+# family (exact/minhash/simhash/containment cover text; embedding_neardup
+# covers vectors). aHash: decode channel 0, 2×2 block-mean down to 8×8,
+# threshold at the block mean → 64-bit fingerprint; re-encodes and
+# low-amplitude noise land on the SAME hash, so near-dup detection is a
+# plain groupBy on an 8-byte key — at 100 TB the shuffle carries hashes,
+# never pixels (same digest-only-shuffle design as dedup_exact).
+# The fixture plants PHASH_DUPS noisy copies (+0.4 intensity, well below
+# the block-mean threshold step) with offset ids; the operator must find
+# exactly those pairs — asserted in tests/test_multimodal.py.
+# ---------------------------------------------------------------------------
+PHASH_DUPS = 10
+PHASH_ID_OFFSET = 10_000
+
+
+@F.pandas_udf(T.LongType())
+def _ahash64(payload: pd.Series, n_channels: pd.Series,
+             width: pd.Series, height: pd.Series) -> pd.Series:
+    out = []
+    for buf, c, w, h in zip(payload, n_channels, width, height):
+        px = np.frombuffer(buf, dtype=np.float32).astype(np.float64)
+        ch0 = px.reshape(int(c), int(w), int(h))[0]
+        bw, bh = int(w) // 8, int(h) // 8
+        small = ch0.reshape(8, bw, 8, bh).mean(axis=(1, 3))
+        bits = (small > small.mean()).reshape(-1)
+        out.append(int(sum(1 << i for i, b in enumerate(bits) if b)))
+    return pd.Series(out, dtype="int64")
+
+
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    base = encode_cells(load_cells(spark))
+
+    @F.pandas_udf(T.BinaryType())
+    def perturb(payload: pd.Series) -> pd.Series:
+        return payload.map(
+            lambda b: (np.frombuffer(b, dtype=np.float32) + np.float32(0.4))
+            .tobytes())
+
+    dups = (base.filter(F.col("image_id") < PHASH_DUPS)
+            .select((F.col("image_id") + PHASH_ID_OFFSET).alias("image_id"),
+                    "n_channels", "width", "height",
+                    perturb(F.col("payload")).alias("payload")))
+    allimg = base.unionByName(dups)
+    hashed = allimg.select(
+        "image_id",
+        _ahash64("payload", "n_channels", "width", "height").alias("phash"))
+    return (hashed.groupBy("phash")
+            .agg(F.count(F.lit(1)).alias("n_images"),
+                 F.min("image_id").alias("min_image_id"),
+                 F.max("image_id").alias("max_image_id"))
+            .filter(F.col("n_images") > 1)
+            .orderBy("min_image_id"))
+
+
+QUERIES["multimodal_phash_dedup"] = (multimodal_phash_dedup, None)  # rows-only

@@ -73,3 +73,36 @@ def test_external_decode_udf(spark):
         F.col("payload")).alias("v")).collect()
     assert out[0]["v"] == out[1]["v"]  # deterministic
     assert len(out[0]["v"]) == 16
+
+
+def test_phash_dedup_finds_planted_noisy_copies(spark):
+    """Every planted noisy copy (id + offset, +0.4 intensity) must land
+    on the SAME aHash as its source image, and the group output must be
+    internally consistent."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from big_data_science_project_spark.operators.multimodal import (
+        PHASH_DUPS, PHASH_ID_OFFSET, _ahash64, encode_cells,
+        multimodal_phash_dedup)
+    from big_data_science_project_spark.sources.cells import load_cells
+
+    base = encode_cells(load_cells(spark))
+    src_hash = {r["image_id"]: r["h"] for r in base.select(
+        "image_id", _ahash64("payload", "n_channels", "width",
+                             "height").alias("h")).collect()}
+
+    groups = multimodal_phash_dedup(spark).collect()
+    assert groups
+    planted_ids = set()
+    for g in groups:
+        assert g["n_images"] > 1
+        if g["max_image_id"] >= PHASH_ID_OFFSET:
+            # a planted copy's group must reach below the offset — i.e.
+            # it collided with a genuine source image
+            assert g["min_image_id"] < PHASH_ID_OFFSET
+            planted_ids.add(g["max_image_id"] - PHASH_ID_OFFSET)
+            # and the group's hash is the SOURCE image's hash
+            assert g["phash"] == src_hash[g["max_image_id"] - PHASH_ID_OFFSET]
+    assert planted_ids == set(range(PHASH_DUPS)), planted_ids
