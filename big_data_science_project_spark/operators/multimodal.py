@@ -285,3 +285,85 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str = "") -> DataFrame:
 
 
 QUERIES["multimodal_phash_dedup"] = (multimodal_phash_dedup, None)  # rows-only
+
+
+# ---------------------------------------------------------------------------
+# Audio modality — opaque PCM payloads with typed metadata, the audio
+# member of the multimodal surface (mandate: "image/audio/video as
+# opaque binary columns"). Payloads are deterministic synthetic int16
+# PCM (tones + silence gaps keyed by clip_id — no audio libs needed;
+# a real decoder slots in exactly where np.frombuffer sits). The kernel
+# is the canonical audio-curation primitive: per-window RMS energy →
+# voice-activity segmentation → per-clip speech/silence accounting, the
+# trim step every speech-training pipeline runs before transcription.
+# All integer arithmetic (int16 squares summed in int64, thresholds in
+# energy micro-units), so results are partition-invariant and the
+# pytest golden replays them bit-for-bit.
+# ---------------------------------------------------------------------------
+AUDIO_CLIPS = 40
+AUDIO_SR = 8_000
+AUDIO_WIN = 400          # 50 ms windows
+AUDIO_SEC = 2
+AUDIO_RMS_GATE = 500     # int16 RMS gate for "speech"
+
+
+def _gen_pcm(clip_id: int) -> np.ndarray:
+    """~2 s of int16 PCM: a tone with clip-keyed frequency/amplitude,
+    silenced over a clip-keyed stretch (the 'pause' to detect)."""
+    n = AUDIO_SR * AUDIO_SEC
+    t = np.arange(n, dtype=np.float64)
+    freq = 100.0 + 7.0 * (clip_id % 13)
+    amp = 3000.0 + 150.0 * (clip_id % 5)
+    x = amp * np.sin(2.0 * np.pi * freq * t / AUDIO_SR)
+    gap_start = (clip_id * 997) % (n // 2)
+    gap_len = AUDIO_WIN * (2 + clip_id % 4)
+    x[gap_start:gap_start + gap_len] = 0.0
+    return x.astype(np.int16)
+
+
+def load_audio(spark: SparkSession) -> DataFrame:
+    ids = spark.range(0, AUDIO_CLIPS, 1, 4).select(
+        F.col("id").alias("clip_id"))
+
+    @F.pandas_udf(T.BinaryType())
+    def synth(cid: pd.Series) -> pd.Series:
+        return cid.map(lambda c: _gen_pcm(int(c)).tobytes())
+
+    return ids.select(
+        "clip_id", F.lit(AUDIO_SR).alias("sample_rate"),
+        F.lit(AUDIO_SR * AUDIO_SEC).alias("n_samples"),
+        synth(F.col("clip_id")).alias("pcm"))
+
+
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    """Per-clip voice-activity accounting: window the PCM, gate on
+    integer RMS, report speech windows / silent windows / the longest
+    silent run (what a trim step would cut)."""
+    audio = load_audio(spark)
+
+    @F.pandas_udf("speech_windows int, silent_windows int, longest_silence int")
+    def vad(pcm: pd.Series) -> pd.DataFrame:
+        rows = []
+        for buf in pcm:
+            x = np.frombuffer(buf, dtype=np.int16).astype(np.int64)
+            n_win = len(x) // AUDIO_WIN
+            w = x[:n_win * AUDIO_WIN].reshape(n_win, AUDIO_WIN)
+            # integer mean-square per window; gate compares in int64
+            ms = (w * w).sum(axis=1) // AUDIO_WIN
+            speech = ms >= AUDIO_RMS_GATE * AUDIO_RMS_GATE
+            runs, cur = [], 0
+            for s in speech:
+                cur = 0 if s else cur + 1
+                runs.append(cur)
+            rows.append((int(speech.sum()), int(n_win - speech.sum()),
+                         int(max(runs) if runs else 0)))
+        return pd.DataFrame(rows, columns=[
+            "speech_windows", "silent_windows", "longest_silence"])
+
+    return (audio.select("clip_id", vad("pcm").alias("v"))
+            .select("clip_id", "v.speech_windows", "v.silent_windows",
+                    "v.longest_silence")
+            .orderBy("clip_id"))
+
+
+QUERIES["multimodal_audio_vad"] = (multimodal_audio_vad, None)  # rows-only

@@ -106,3 +106,33 @@ def test_phash_dedup_finds_planted_noisy_copies(spark):
             # and the group's hash is the SOURCE image's hash
             assert g["phash"] == src_hash[g["max_image_id"] - PHASH_ID_OFFSET]
     assert planted_ids == set(range(PHASH_DUPS)), planted_ids
+
+
+def test_audio_vad_matches_local_mirror(spark):
+    """Distributed VAD == a local numpy replay of the same integer
+    arithmetic, and each clip's planted silence gap is detected (the
+    longest silent run spans at least gap_len/AUDIO_WIN − 1 windows)."""
+    import numpy as np
+
+    from big_data_science_project_spark.operators.multimodal import (
+        AUDIO_CLIPS, AUDIO_RMS_GATE, AUDIO_WIN, _gen_pcm,
+        multimodal_audio_vad)
+
+    got = {r["clip_id"]: (r["speech_windows"], r["silent_windows"],
+                          r["longest_silence"])
+           for r in multimodal_audio_vad(spark).collect()}
+    assert len(got) == AUDIO_CLIPS
+    for cid in range(AUDIO_CLIPS):
+        x = _gen_pcm(cid).astype(np.int64)
+        n_win = len(x) // AUDIO_WIN
+        w = x[:n_win * AUDIO_WIN].reshape(n_win, AUDIO_WIN)
+        ms = (w * w).sum(axis=1) // AUDIO_WIN
+        speech = ms >= AUDIO_RMS_GATE * AUDIO_RMS_GATE
+        runs, cur, mx = [], 0, 0
+        for s in speech:
+            cur = 0 if s else cur + 1
+            mx = max(mx, cur)
+        want = (int(speech.sum()), int(n_win - speech.sum()), mx)
+        assert got[cid] == want, (cid, got[cid], want)
+        gap_windows = (2 + cid % 4)
+        assert got[cid][2] >= gap_windows - 1, (cid, got[cid])
