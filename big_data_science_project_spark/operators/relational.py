@@ -2160,3 +2160,84 @@ def q64_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
          .when(direction == "next", fdt)).cast("bigint").alias("dt_us"),
         (F.when(direction == "prev", F.col("b_row.value"))
          .when(direction == "next", F.col("f_row.value"))).alias("signup_value"))
+
+
+# ---------------------------------------------------------------------------
+# q65: DYNAMIC-gap session windows — the gap is a per-event expression
+# (interactive clicks/views time out in 5 min, background types in 15),
+# which plain sessionize (q35, fixed 30 min) can't express. Spark:
+# session_window with a CalendarInterval gap expression (make_interval —
+# day-time interval types are rejected). Oracle: sessions merge while
+# the next event starts before the running MAX of (ts + gap) — windows
+# are [ts, ts+gap), touching endpoints do NOT merge (>= starts a new
+# session; semantics confirmed empirically against session_window). All
+# integer microseconds; the session id cumsum is CAST BIGINT (the q35
+# HUGEINT lesson).
+# ---------------------------------------------------------------------------
+DYN_GAP_FAST_S = 300   # click/view
+DYN_GAP_SLOW_S = 900   # everything else
+
+
+@q("q65_dynamic_session", f"""
+WITH e AS (
+  SELECT user_id, ts, epoch_us(ts) AS eu,
+         CASE WHEN event_type IN ('click', 'view')
+              THEN {DYN_GAP_FAST_S}::BIGINT * 1000000
+              ELSE {DYN_GAP_SLOW_S}::BIGINT * 1000000 END AS gap_us
+  FROM events),
+o AS (
+  SELECT user_id, ts, eu, gap_us,
+         MAX(eu + gap_us) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+  FROM e),
+s AS (
+  SELECT user_id, ts, eu, gap_us,
+         CAST(SUM(CASE WHEN mx IS NULL OR eu >= mx THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS sid
+  FROM o)
+SELECT user_id,
+       CAST(MIN(ts) AS VARCHAR) AS session_start_s,
+       CAST(make_timestamp(MAX(eu + gap_us)) AS VARCHAR) AS session_end_s,
+       COUNT(*) AS n_events
+FROM s
+GROUP BY user_id, sid
+""")
+def q65_dynamic_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.expr(
+        f"make_interval(0, 0, 0, 0, 0, 0, case when event_type in"
+        f" ('click', 'view') then {DYN_GAP_FAST_S} else {DYN_GAP_SLOW_S}"
+        f" end)")
+    return (ev.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id",
+                    F.col("w.start").cast("string").alias("session_start_s"),
+                    F.col("w.end").cast("string").alias("session_end_s"),
+                    "n_events"))
+
+
+# ---------------------------------------------------------------------------
+# q66: GROUP BY ALL / ORDER BY ALL — the DuckDB-originated shorthand
+# Spark 4 adopted; like q40, the IDENTICAL ANSI text runs through both
+# engines (spark.sql over registered views and DuckDB), proving the SQL
+# front-end accepts the modern dialect, not just classic GROUP BY
+# ordinals. Plan-wise it's q01's partial+final hash aggregate.
+# ---------------------------------------------------------------------------
+_Q66_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n,
+       {dsum_expr('l_quantity')} AS sum_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@q("q66_group_by_all", _Q66_SQL)
+def q66_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(_Q66_SQL)
