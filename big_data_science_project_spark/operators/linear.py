@@ -285,9 +285,14 @@ AUC_POS_MIN = 5  # labels 0-9 → positives are 5..9
 
 
 def _auc_score_expr() -> str:
+    # the index is cast to BIGINT before the multiply: the transform
+    # lambda's i is INT, and i * 19349663 overflows 32 bits at i ≥ 111
+    # (ANSI mode would error; non-ANSI would silently diverge from the
+    # oracle, whose generate_series already yields BIGINT)
     return ("aggregate(transform(embedding, (x, i) ->"
             " cast(floor(cast(x as double) * 1000000 + 0.5) as bigint)"
-            " * ((i * 19349663 + 83492791) % 2001 - 1000)),"
+            " * ((cast(i as bigint) * 19349663L + 83492791L) % 2001L"
+            " - 1000L)),"
             " 0L, (acc, v) -> acc + v)")
 
 

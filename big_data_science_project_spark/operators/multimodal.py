@@ -249,13 +249,21 @@ PHASH_ID_OFFSET = 10_000
 def _ahash64(payload: pd.Series, n_channels: pd.Series,
              width: pd.Series, height: pd.Series) -> pd.Series:
     out = []
+    weights = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
     for buf, c, w, h in zip(payload, n_channels, width, height):
         px = np.frombuffer(buf, dtype=np.float32).astype(np.float64)
         ch0 = px.reshape(int(c), int(w), int(h))[0]
         bw, bh = int(w) // 8, int(h) // 8
+        if bw == 0 or bh == 0:
+            raise ValueError(f"aHash needs ≥8×8 images, got {w}×{h}")
+        # trim to a multiple of 8 so any geometry block-means cleanly
+        ch0 = ch0[:bw * 8, :bh * 8]
         small = ch0.reshape(8, bw, 8, bh).mean(axis=(1, 3))
         bits = (small > small.mean()).reshape(-1)
-        out.append(int(sum(1 << i for i, b in enumerate(bits) if b)))
+        # pack in uint64 then reinterpret as int64: bit 63 set would
+        # overflow a Python-int → int64 Series (pandas raises)
+        out.append(np.int64((weights[bits]).sum(dtype=np.uint64)
+                            .astype(np.uint64).view(np.int64)))
     return pd.Series(out, dtype="int64")
 
 

@@ -30,6 +30,24 @@ from .tables import plan_cached
 
 QUERIES: dict = {}
 
+
+def per_channel_mask_rollup(df: DataFrame) -> DataFrame:
+    """Per-channel (total_area, n_images) over a cells DataFrame — the
+    shared verification rollup every scan/sink round-trip query returns,
+    factored once so the five call sites can't drift."""
+    from ..functions import image_kernels as K
+
+    wh = F.col("width") * F.col("height")
+    per_ch = df.select(
+        "image_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_channels") - 1))
+        .alias("channel"),
+        K.channel_slice(F.col("mask"), F.col("channel"), wh)
+        .alias("mask_ch"))
+    return (per_ch.groupBy("channel")
+            .agg(F.sum(K.area(F.col("mask_ch"))).alias("total_area"),
+                 F.count(F.lit(1)).alias("n_images")))
+
 CELLS_SCHEMA = T.StructType([
     T.StructField("image_id", T.LongType(), False),
     T.StructField("n_channels", T.IntegerType(), False),

@@ -140,19 +140,10 @@ def cells_binary_scan(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     channel area rollup over 120 images, channels 0-1) but fed from real
     container bytes through binaryFile — the two paths are directly
     comparable."""
-    from pyspark.sql import functions as F
-
-    from ..functions import image_kernels as K
+    from .cells import per_channel_mask_rollup
 
     cells = select_channels(load_cells_binary(spark, n_images=120), [0, 1])
-    wh = F.col("width") * F.col("height")
-    per_ch = cells.select(
-        "image_id",
-        F.explode(F.sequence(F.lit(0), F.col("n_channels") - 1)).alias("channel"),
-        K.channel_slice(F.col("mask"), F.col("channel"), wh).alias("mask_ch"))
-    return (per_ch.groupBy("channel")
-            .agg(F.sum(K.area(F.col("mask_ch"))).alias("total_area"),
-                 F.count(F.lit(1)).alias("n_images")))
+    return per_channel_mask_rollup(cells)
 
 
 QUERIES["cells_binary_scan"] = (cells_binary_scan, None)  # rows-only

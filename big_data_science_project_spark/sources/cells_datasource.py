@@ -289,9 +289,15 @@ class CellsWriter(DataSourceWriter):
     messages are dropped on job failure — verified empirically), so
     cleanup uses the standard job-staging pattern instead: the driver
     mints a job tag at writer construction, every container name carries
-    it, and abort sweeps the tag's files. Containers use the same layout
-    as :mod:`.cells_binary`, so anything written here is readable by the
-    binaryFile→decode scan path."""
+    it, and abort sweeps the tag's files (finished and .inprogress).
+    Overwrite is two-phase too: new containers stage alongside the old
+    data and the swap (delete-old + publish-manifest) happens only in
+    ``commit`` — a failed overwrite leaves the previous dataset and its
+    manifest untouched. Append merges the prior manifest, so a second
+    append lists BOTH jobs' containers. The manifest is the read
+    contract: readers take ``containers`` from it, never a bare glob.
+    Containers use the same layout as :mod:`.cells_binary`, so anything
+    written here is readable by the binaryFile→decode scan path."""
 
     def __init__(self, options: dict, schema: StructType, overwrite: bool):
         self.path = options.get("path")
@@ -302,31 +308,48 @@ class CellsWriter(DataSourceWriter):
             if need not in self.cols:
                 raise ValueError(f"cells writer: missing column {need}")
         import os
-        import shutil
         import uuid
+        self.overwrite = overwrite
         self.tag = uuid.uuid4().hex[:8]  # this job's staging identity
-        if overwrite and os.path.isdir(self.path):
-            shutil.rmtree(self.path)
         os.makedirs(self.path, exist_ok=True)
 
     def write(self, rows) -> _WroteContainer:
         return _write_rows_container(self.path, self.cols, rows, self.tag)
 
     def commit(self, messages) -> None:
+        import glob
         import json
         import os
         files = sorted((m.path, m.n_rows) for m in messages if m.n_rows)
-        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
-            json.dump({"containers": [p for p, _ in files],
-                       "n_rows": sum(n for _, n in files)}, fh)
+        containers = [p for p, _ in files]
+        n_rows = sum(n for _, n in files)
+        manifest_path = os.path.join(self.path, "_MANIFEST.json")
+        if self.overwrite:
+            # the swap half of two-phase overwrite: old containers go
+            # only now, after every task succeeded
+            for f in glob.glob(os.path.join(self.path, "cells-*.npz")):
+                if f"cells-{self.tag}-" not in f:
+                    os.remove(f)
+        elif os.path.exists(manifest_path):
+            # append: the manifest accumulates across jobs
+            with open(manifest_path) as fh:
+                prev = json.load(fh)
+            containers = sorted(set(prev["containers"]) | set(containers))
+            n_rows += prev["n_rows"]
+        tmp = manifest_path + ".inprogress"
+        with open(tmp, "w") as fh:  # atomic publish, same as containers
+            json.dump({"containers": containers, "n_rows": n_rows}, fh)
+        os.replace(tmp, manifest_path)
 
     def abort(self, messages) -> None:
-        # messages are all None here (see class docstring) — sweep by tag
+        # messages are all None here (see class docstring) — sweep by tag,
+        # including temp files from tasks killed mid-write
         import glob
         import os
-        for f in glob.glob(os.path.join(self.path,
-                                        f"cells-{self.tag}-*.npz")):
-            os.remove(f)
+        for pat in (f"cells-{self.tag}-*.npz",
+                    f"cells-{self.tag}-*.npz.inprogress"):
+            for f in glob.glob(os.path.join(self.path, pat)):
+                os.remove(f)
 
 
 class CellsStreamWriter(DataSourceStreamWriter):
@@ -369,8 +392,9 @@ class CellsStreamWriter(DataSourceStreamWriter):
         os.replace(tmp, final)
 
     def abort(self, messages, batchId: int) -> None:
-        # task messages may be None on failure; sweep this writer's tag,
-        # sparing anything an already-committed epoch manifest lists
+        # task messages may be None on failure; sweep this writer's tag
+        # (finished and mid-write temp files), sparing anything an
+        # already-committed epoch manifest lists
         import glob
         import json
         import os
@@ -378,10 +402,11 @@ class CellsStreamWriter(DataSourceStreamWriter):
         for mp in glob.glob(os.path.join(self.path, "_batch-*.json")):
             with open(mp) as fh:
                 committed.update(json.load(fh)["containers"])
-        for f in glob.glob(os.path.join(self.path,
-                                        f"cells-{self.tag}-*.npz")):
-            if f not in committed:
-                os.remove(f)
+        for pat in (f"cells-{self.tag}-*.npz",
+                    f"cells-{self.tag}-*.npz.inprogress"):
+            for f in glob.glob(os.path.join(self.path, pat)):
+                if f not in committed:
+                    os.remove(f)
 
 
 QUERIES: dict = {}
@@ -402,8 +427,8 @@ def cells_stream_sink(spark, sf_dir: str = ""):
 
     from pyspark.sql import functions as F
 
-    from ..functions import image_kernels as K
     from ..streaming.events import _scratch_checkpoint
+    from .cells import per_channel_mask_rollup
     from .cells_binary import CELLS_SCHEMA, _decode_npz
 
     register(spark)
@@ -427,12 +452,15 @@ def cells_stream_sink(spark, sf_dir: str = ""):
     # the custom source admits streambatch images per trigger, so the
     # stream needs repeated triggers (availableNow would bound itself to
     # the first latestOffset) — same drain pattern as cells_stream_scan
+    import shutil
     import time
     with contextlib.ExitStack() as stack:
         ckpt = stack.enter_context(_scratch_checkpoint())
+        if not ckpt:  # no /dev/shm: own the fallback dir's cleanup too
+            ckpt = tempfile.mkdtemp(prefix="ck_")
+            stack.callback(shutil.rmtree, ckpt, True)
         writer = (stream.writeStream.format("cells").option("path", out)
-                  .option("checkpointLocation",
-                          ckpt or tempfile.mkdtemp(prefix="ck_")))
+                  .option("checkpointLocation", ckpt))
         q = writer.trigger(processingTime="0 seconds").start()
         stack.callback(q.awaitTermination)
         stack.callback(q.stop)
@@ -449,14 +477,7 @@ def cells_stream_sink(spark, sf_dir: str = ""):
             .filter(F.col("path").isin(
                 [f"file:{p}" for p in listed] + listed))
             .select("content").mapInPandas(_decode_npz, CELLS_SCHEMA))
-    wh = F.col("width") * F.col("height")
-    per_ch = back.select(
-        "image_id",
-        F.explode(F.sequence(F.lit(0), F.col("n_channels") - 1)).alias("channel"),
-        K.channel_slice(F.col("mask"), F.col("channel"), wh).alias("mask_ch"))
-    return (per_ch.groupBy("channel")
-            .agg(F.sum(K.area(F.col("mask_ch"))).alias("total_area"),
-                 F.count(F.lit(1)).alias("n_images")))
+    return per_channel_mask_rollup(back)
 
 
 QUERIES["cells_stream_sink"] = (cells_stream_sink, None)  # rows-only
@@ -475,7 +496,7 @@ def cells_datasource_write(spark, sf_dir: str = ""):
 
     from pyspark.sql import functions as F
 
-    from ..functions import image_kernels as K
+    from .cells import per_channel_mask_rollup
     from .cells_binary import CELLS_SCHEMA, _decode_npz
 
     register(spark)
@@ -487,17 +508,15 @@ def cells_datasource_write(spark, sf_dir: str = ""):
         man = json.load(fh)
     if man["n_rows"] != 48:
         raise AssertionError(f"manifest rows {man['n_rows']} != 48")
+    # the manifest IS the read contract: only committed containers are
+    # decoded (a retried task's orphan would otherwise double-count)
+    listed = man["containers"]
     back = (spark.read.format("binaryFile")
             .option("pathGlobFilter", "*.npz").load(out)
+            .filter(F.col("path").isin([f"file:{p}" for p in listed]
+                                       + listed))
             .select("content").mapInPandas(_decode_npz, CELLS_SCHEMA))
-    wh = F.col("width") * F.col("height")
-    per_ch = back.select(
-        "image_id",
-        F.explode(F.sequence(F.lit(0), F.col("n_channels") - 1)).alias("channel"),
-        K.channel_slice(F.col("mask"), F.col("channel"), wh).alias("mask_ch"))
-    return (per_ch.groupBy("channel")
-            .agg(F.sum(K.area(F.col("mask_ch"))).alias("total_area"),
-                 F.count(F.lit(1)).alias("n_images")))
+    return per_channel_mask_rollup(back)
 
 
 QUERIES["cells_datasource_write"] = (cells_datasource_write, None)  # rows-only
@@ -507,22 +526,13 @@ def cells_source_scan(spark, sf_dir: str = ""):
     """Registry query: the reference smoke path (test.py:10 — load with
     imagelimit + channel subset, then inspect) through the DataSource,
     ending in per-channel area totals."""
-    from pyspark.sql import functions as F
-
-    from ..functions import image_kernels as K
+    from .cells import per_channel_mask_rollup
 
     register(spark)
     df = (spark.read.format("cells")
           .option("imagelimit", 120).option("channels", "0,1")
           .option("numpartitions", 4).load())
-    wh = F.col("width") * F.col("height")
-    per_ch = df.select(
-        "image_id",
-        F.explode(F.sequence(F.lit(0), F.col("n_channels") - 1)).alias("channel"),
-        K.channel_slice(F.col("mask"), F.col("channel"), wh).alias("mask_ch"))
-    return (per_ch.groupBy("channel")
-            .agg(F.sum(K.area(F.col("mask_ch"))).alias("total_area"),
-                 F.count(F.lit(1)).alias("n_images")))
+    return per_channel_mask_rollup(df)
 
 
 QUERIES["cells_source_scan"] = (cells_source_scan, None)  # rows-only

@@ -229,3 +229,26 @@ def test_writer_abort_removes_orphans_and_skips_manifest(spark):
     assert not os.path.exists(os.path.join(out, "_MANIFEST.json"))
     leftover = [f for f in os.listdir(out) if f.endswith(".npz")]
     assert leftover == [], f"abort left orphans: {leftover}"
+
+
+def test_writer_append_merges_manifest(spark):
+    """Two mode("append") jobs into the same path: the manifest must list
+    BOTH jobs' containers and the summed row count — append may not
+    silently drop the first job from the read contract."""
+    import json
+    import os
+    import tempfile
+
+    CD.register(spark)
+    out = tempfile.mkdtemp(prefix="cells_dsw_app_")
+    src = (spark.read.format("cells")
+           .option("n_images", 10).option("numpartitions", 2).load())
+    src.write.format("cells").option("path", out).mode("append").save()
+    src.write.format("cells").option("path", out).mode("append").save()
+    with open(os.path.join(out, "_MANIFEST.json")) as fh:
+        man = json.load(fh)
+    on_disk = {os.path.join(out, f) for f in os.listdir(out)
+               if f.endswith(".npz")}
+    assert man["n_rows"] == 20
+    assert set(man["containers"]) == on_disk
+    assert len(on_disk) == 4
