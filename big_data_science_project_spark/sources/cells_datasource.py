@@ -326,7 +326,9 @@ class CellsWriter(DataSourceWriter):
         manifest_path = os.path.join(self.path, "_MANIFEST.json")
         if self.overwrite:
             # the swap half of two-phase overwrite: old containers go
-            # only now, after every task succeeded
+            # only now, after every task succeeded. Overwrite reclaims
+            # immediately, so snapshots before it become unreadable
+            # (documented; retention would defer this delete).
             for f in glob.glob(os.path.join(self.path, "cells-*.npz")):
                 if f"cells-{self.tag}-" not in f:
                     os.remove(f)
@@ -336,10 +338,21 @@ class CellsWriter(DataSourceWriter):
                 prev = json.load(fh)
             containers = sorted(set(prev["containers"]) | set(containers))
             n_rows += prev["n_rows"]
-        tmp = manifest_path + ".inprogress"
-        with open(tmp, "w") as fh:  # atomic publish, same as containers
-            json.dump({"containers": containers, "n_rows": n_rows}, fh)
-        os.replace(tmp, manifest_path)
+        # snapshot layer (time travel): every commit publishes a
+        # SELF-CONTAINED _snapshot-<v>.json with the full listing as of
+        # that commit (the Iceberg snapshot-manifest model); _MANIFEST
+        # mirrors the latest one as the "current" pointer.
+        versions = [int(f.rsplit("-", 1)[1].split(".")[0])
+                    for f in glob.glob(os.path.join(self.path,
+                                                    "_snapshot-*.json"))]
+        v = max(versions, default=0) + 1
+        body = {"version": v, "containers": containers, "n_rows": n_rows}
+        for dest in (os.path.join(self.path, f"_snapshot-{v}.json"),
+                     manifest_path):
+            tmp = dest + ".inprogress"
+            with open(tmp, "w") as fh:  # atomic publish
+                json.dump(body, fh)
+            os.replace(tmp, dest)
 
     def abort(self, messages) -> None:
         # messages are all None here (see class docstring) — sweep by tag,
@@ -520,6 +533,61 @@ def cells_datasource_write(spark, sf_dir: str = ""):
 
 
 QUERIES["cells_datasource_write"] = (cells_datasource_write, None)  # rows-only
+
+
+def read_snapshot(spark, path: str, version: int | None = None):
+    """Time-travel read of a cells sink directory: decode exactly the
+    containers the requested snapshot (default: latest) lists."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .cells_binary import CELLS_SCHEMA, _decode_npz
+
+    name = ("_MANIFEST.json" if version is None
+            else f"_snapshot-{version}.json")
+    with open(os.path.join(path, name)) as fh:
+        man = json.load(fh)
+    listed = man["containers"]
+    return (spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.npz").load(path)
+            .filter(F.col("path").isin([f"file:{p}" for p in listed]
+                                       + listed))
+            .select("content").mapInPandas(_decode_npz, CELLS_SCHEMA))
+
+
+def cells_snapshot_timetravel(spark, sf_dir: str = ""):
+    """Registry query: snapshot isolation / time travel on the custom
+    sink — two append jobs create snapshots v1 (images 0-9) and v2
+    (0-19); reading AS OF v1 must return only the first job's rows while
+    the latest read sees both. Output: one row per snapshot with its
+    row count and id bounds."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    register(spark)
+    out = tempfile.mkdtemp(prefix="cells_tt_")
+    first = (spark.read.format("cells")
+             .option("imagelimit", 10).option("numpartitions", 2).load())
+    second = (spark.read.format("cells")
+              .option("imagelimit", 20).option("numpartitions", 2).load()
+              .filter(F.col("image_id") >= 10))
+    first.write.format("cells").option("path", out).mode("append").save()
+    second.write.format("cells").option("path", out).mode("append").save()
+    outs = []
+    for v in (1, 2):
+        outs.append(
+            read_snapshot(spark, out, version=v)
+            .agg(F.lit(v).alias("snapshot"),
+                 F.count(F.lit(1)).alias("n_rows"),
+                 F.min("image_id").alias("min_id"),
+                 F.max("image_id").alias("max_id")))
+    return outs[0].unionByName(outs[1]).orderBy("snapshot")
+
+
+QUERIES["cells_snapshot_timetravel"] = (cells_snapshot_timetravel, None)
 
 
 def cells_source_scan(spark, sf_dir: str = ""):

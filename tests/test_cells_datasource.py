@@ -252,3 +252,31 @@ def test_writer_append_merges_manifest(spark):
     assert man["n_rows"] == 20
     assert set(man["containers"]) == on_disk
     assert len(on_disk) == 4
+
+
+def test_snapshot_time_travel_reads_exact_versions(spark):
+    """Snapshot v1 returns exactly the first append's rows; v2 and the
+    current manifest return both; row content is identical to the
+    sources."""
+    import tempfile
+
+    from big_data_science_project_spark.sources.cells_datasource import (
+        read_snapshot)
+
+    CD.register(spark)
+    out = tempfile.mkdtemp(prefix="cells_tt_test_")
+    first = (spark.read.format("cells")
+             .option("imagelimit", 8).option("numpartitions", 2).load())
+    second = (spark.read.format("cells")
+              .option("imagelimit", 16).option("numpartitions", 2).load()
+              .filter(F.col("image_id") >= 8))
+    first.write.format("cells").option("path", out).mode("append").save()
+    second.write.format("cells").option("path", out).mode("append").save()
+
+    v1 = sorted(tuple(r) for r in read_snapshot(spark, out, 1).collect())
+    v2 = sorted(tuple(r) for r in read_snapshot(spark, out, 2).collect())
+    cur = sorted(tuple(r) for r in read_snapshot(spark, out).collect())
+    want1 = sorted(tuple(r) for r in first.collect())
+    want2 = sorted(want1 + [tuple(r) for r in second.collect()])
+    assert v1 == want1
+    assert v2 == want2 == cur
