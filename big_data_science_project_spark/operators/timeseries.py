@@ -289,3 +289,61 @@ SELECT CAST(hour AS VARCHAR) AS hour_s, event_type,
 FROM merged
 GROUP BY hour, event_type
 """)
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier screen — median/MAD instead of the mean/σ vote (q17):
+# the resistant statistics a telemetry pipeline uses when heavy tails
+# would poison the moments. Exactness design: values quantize to integer
+# cents; the median of ints lands on the half-integer grid and the MAD
+# (median of |v − med|) on the quarter-integer grid — both exact in
+# double in BOTH engines, so even the strict `> 3·MAD` comparison is
+# deterministic (no 1-ulp interpolation drift, no rounding needed).
+# Shuffle profile: one partial+final percentile aggregate per type, then
+# a broadcast of the 5-row stats table back onto the stream — the same
+# two-pass fit/score shape as q17.
+# ---------------------------------------------------------------------------
+def ts_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("vc"))
+    med = ev.groupBy("event_type").agg(F.median("vc").alias("med_c"))
+    dd = (ev.join(F.broadcast(med), "event_type")
+          .select("event_type", "vc",
+                  F.abs(F.col("vc") - F.col("med_c")).alias("dd")))
+    mad = dd.groupBy("event_type").agg(F.median("dd").alias("mad_c"))
+    return (dd.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum((F.col("dd") > 3.0 * F.col("mad_c"))
+                       .cast("int")).cast("bigint").alias("n_outliers"))
+            .join(F.broadcast(med), "event_type")
+            .join(F.broadcast(mad), "event_type")
+            .select("event_type", "n",
+                    F.col("med_c").cast("double").alias("median_cents"),
+                    F.col("mad_c").cast("double").alias("mad_cents"),
+                    "n_outliers")
+            .orderBy("event_type"))
+
+
+QUERIES["ts_robust_mad"] = (ts_robust_mad, """
+WITH ev AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS vc FROM events),
+med AS (
+  SELECT event_type, median(vc) AS med_c FROM ev GROUP BY event_type),
+dd AS (
+  SELECT e.event_type, ABS(e.vc - m.med_c) AS dd
+  FROM ev e JOIN med m USING (event_type)),
+mad AS (
+  SELECT event_type, median(dd) AS mad_c FROM dd GROUP BY event_type)
+SELECT d.event_type,
+       COUNT(*) AS n,
+       CAST(m.med_c AS DOUBLE) AS median_cents,
+       CAST(a.mad_c AS DOUBLE) AS mad_cents,
+       CAST(SUM(CASE WHEN d.dd > 3.0 * a.mad_c THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dd d
+JOIN med m USING (event_type)
+JOIN mad a USING (event_type)
+GROUP BY d.event_type, m.med_c, a.mad_c
+ORDER BY d.event_type
+""")

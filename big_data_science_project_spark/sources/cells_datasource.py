@@ -590,6 +590,33 @@ def cells_snapshot_timetravel(spark, sf_dir: str = ""):
 QUERIES["cells_snapshot_timetravel"] = (cells_snapshot_timetravel, None)
 
 
+def read_stream_epochs(spark, path: str, up_to_batch: int | None = None):
+    """Epoch-bounded read of a cells STREAM sink: decode the containers
+    listed by epoch manifests with batch_id ≤ up_to_batch (default: all
+    committed epochs) — the streaming analogue of snapshot time travel,
+    and exactly how a downstream batch consumer tails the sink with
+    read-committed semantics."""
+    import glob
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .cells_binary import CELLS_SCHEMA, _decode_npz
+
+    listed = []
+    for mp in sorted(glob.glob(os.path.join(path, "_batch-*.json"))):
+        with open(mp) as fh:
+            m = json.load(fh)
+        if up_to_batch is None or m["batch_id"] <= up_to_batch:
+            listed += m["containers"]
+    return (spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.npz").load(path)
+            .filter(F.col("path").isin([f"file:{p}" for p in listed]
+                                       + listed))
+            .select("content").mapInPandas(_decode_npz, CELLS_SCHEMA))
+
+
 def cells_source_scan(spark, sf_dir: str = ""):
     """Registry query: the reference smoke path (test.py:10 — load with
     imagelimit + channel subset, then inspect) through the DataSource,

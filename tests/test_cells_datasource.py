@@ -280,3 +280,32 @@ def test_snapshot_time_travel_reads_exact_versions(spark):
     want2 = sorted(want1 + [tuple(r) for r in second.collect()])
     assert v1 == want1
     assert v2 == want2 == cur
+
+
+def test_stream_sink_epoch_bounded_read(spark):
+    """read_stream_epochs(up_to_batch=0) returns exactly the first
+    epoch's rows (40 images); unbounded returns all 120 — read-committed
+    tailing over the epoch manifests."""
+    import glob
+    import os
+    import tempfile
+
+    from big_data_science_project_spark.sources import cells_datasource as CD2
+    from big_data_science_project_spark.sources.cells_datasource import (
+        read_stream_epochs)
+
+    # drive the stream sink once via the registry query (fresh dir)
+    CD2.QUERIES["cells_stream_sink"][0](spark).collect()
+    out = None
+    for d in sorted(glob.glob(os.path.join(tempfile.gettempdir(),
+                                           "cells_ssink_*")),
+                    key=os.path.getmtime):
+        if glob.glob(os.path.join(d, "_batch-*.json")):
+            out = d
+    assert out
+
+    first = read_stream_epochs(spark, out, up_to_batch=0)
+    ids0 = sorted(r["image_id"] for r in first.collect())
+    assert len(ids0) == 40 and max(ids0) < 40  # offsets admit in id order
+    all_rows = read_stream_epochs(spark, out)
+    assert all_rows.count() == 120
