@@ -324,3 +324,30 @@ def test_kmeans_assignment_is_map_only(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "Join" not in plan
+
+
+def test_q64_asof_nearest_single_user_exchange(spark):
+    """q64: the union-sort merge shuffles on the user key; both window
+    passes ride the same partitioning — no range join, no cartesian."""
+    plan = formatted_plan(_fresh(spark, "q64_asof_nearest"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_q65_dynamic_session_no_cartesian(spark):
+    """q65: session_window with an expression gap plans as one stateless
+    session aggregation — no join of any kind."""
+    plan = formatted_plan(_fresh(spark, "q65_dynamic_session"))
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_mad_medians_broadcast_back(spark):
+    """ts_robust_mad: the per-type median/MAD stats join back as
+    broadcasts (5-row dims) — the corpus never shuffles for the join."""
+    df = _fresh(spark, "ts_robust_mad")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert broadcast_join_count(df) >= 2
