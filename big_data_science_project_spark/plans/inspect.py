@@ -7,6 +7,8 @@ broadcast, no Python row-at-a-time operators in hot paths.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 
@@ -20,8 +22,24 @@ def has_pushed_filters(df: DataFrame) -> bool:
     return "PushedFilters: [" in plan and "PushedFilters: []" not in plan
 
 
+def node_count(plan: str, name: str) -> int:
+    """Count physical-plan NODES by their detail-section header
+    ``(N) <Name>``. A plain substring count double-counts (the tree AND
+    the detail section mention each node), and operator arguments like
+    ``hashpartitioning(...)`` are printed on separate lines — substring
+    patterns such as "Exchange hashpartitioning" never match formatted
+    output at all (a vacuity a review pass caught live)."""
+    return len(re.findall(rf"^\(\d+\) {name}\b", plan, flags=re.M))
+
+
 def broadcast_join_count(df: DataFrame) -> int:
-    return formatted_plan(df).count("BroadcastHashJoin")
+    return node_count(formatted_plan(df), "BroadcastHashJoin")
+
+
+def shuffle_exchange_count(df: DataFrame) -> int:
+    """Shuffle exchanges only — BroadcastExchange nodes are named
+    distinctly and are excluded by the word boundary."""
+    return node_count(formatted_plan(df), "Exchange")
 
 
 def python_op_count(df: DataFrame) -> int:

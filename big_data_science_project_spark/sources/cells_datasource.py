@@ -332,20 +332,24 @@ class CellsWriter(DataSourceWriter):
             for f in glob.glob(os.path.join(self.path, "cells-*.npz")):
                 if f"cells-{self.tag}-" not in f:
                     os.remove(f)
-        elif os.path.exists(manifest_path):
-            # append: the manifest accumulates across jobs
-            with open(manifest_path) as fh:
-                prev = json.load(fh)
-            containers = sorted(set(prev["containers"]) | set(containers))
-            n_rows += prev["n_rows"]
         # snapshot layer (time travel): every commit publishes a
         # SELF-CONTAINED _snapshot-<v>.json with the full listing as of
         # that commit (the Iceberg snapshot-manifest model); _MANIFEST
-        # mirrors the latest one as the "current" pointer.
-        versions = [int(f.rsplit("-", 1)[1].split(".")[0])
-                    for f in glob.glob(os.path.join(self.path,
-                                                    "_snapshot-*.json"))]
-        v = max(versions, default=0) + 1
+        # mirrors the latest one as the "current" pointer. Version
+        # allocation assumes a single concurrent writer per path (as do
+        # file sinks without a locking catalog); appends merge lineage
+        # from the MAX-VERSION SNAPSHOT, not _MANIFEST, so a crash
+        # between the two publishes below cannot drop a committed
+        # snapshot's containers from subsequent history.
+        snaps = {int(f.rsplit("-", 1)[1].split(".")[0]): f
+                 for f in glob.glob(os.path.join(self.path,
+                                                 "_snapshot-*.json"))}
+        if not self.overwrite and snaps:
+            with open(snaps[max(snaps)]) as fh:
+                prev = json.load(fh)
+            containers = sorted(set(prev["containers"]) | set(containers))
+            n_rows += prev["n_rows"]
+        v = max(snaps, default=0) + 1
         body = {"version": v, "containers": containers, "n_rows": n_rows}
         for dest in (os.path.join(self.path, f"_snapshot-{v}.json"),
                      manifest_path):
@@ -424,6 +428,34 @@ class CellsStreamWriter(DataSourceStreamWriter):
 
 QUERIES: dict = {}
 
+LAST_STREAM_SINK_DIR: str | None = None
+
+
+def _decode_listed(spark, path: str, listed: list, require_all: bool = True):
+    """Decode exactly the manifest-listed containers under ``path``.
+    The ``file:`` prefix matches binaryFile's Hadoop-URI path form; with
+    ``require_all`` a listed-but-missing container raises instead of
+    silently shrinking the dataset (e.g. a snapshot whose files a later
+    overwrite reclaimed)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .cells_binary import CELLS_SCHEMA, _decode_npz
+
+    if require_all:
+        missing = [p for p in listed if not os.path.exists(p)]
+        if missing:
+            raise FileNotFoundError(
+                f"{len(missing)} listed container(s) no longer exist "
+                f"(reclaimed by a later overwrite?): {missing[:3]}")
+    return (spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.npz").load(path)
+            .filter(F.col("path").isin([f"file:{p}" for p in listed]
+                                       + listed))
+            .select("content").mapInPandas(_decode_npz, CELLS_SCHEMA))
+
+
 
 def cells_stream_sink(spark, sf_dir: str = ""):
     """Registry query: stream→sink round trip across the full custom
@@ -485,11 +517,9 @@ def cells_stream_sink(spark, sf_dir: str = ""):
     listed, total = manifest_rows()
     if total != n_images:
         raise AssertionError(f"manifests cover {total}/{n_images} rows")
-    back = (spark.read.format("binaryFile")
-            .option("pathGlobFilter", "*.npz").load(out)
-            .filter(F.col("path").isin(
-                [f"file:{p}" for p in listed] + listed))
-            .select("content").mapInPandas(_decode_npz, CELLS_SCHEMA))
+    global LAST_STREAM_SINK_DIR
+    LAST_STREAM_SINK_DIR = out  # deterministic handle for tests/consumers
+    back = _decode_listed(spark, out, listed)
     return per_channel_mask_rollup(back)
 
 
@@ -523,12 +553,7 @@ def cells_datasource_write(spark, sf_dir: str = ""):
         raise AssertionError(f"manifest rows {man['n_rows']} != 48")
     # the manifest IS the read contract: only committed containers are
     # decoded (a retried task's orphan would otherwise double-count)
-    listed = man["containers"]
-    back = (spark.read.format("binaryFile")
-            .option("pathGlobFilter", "*.npz").load(out)
-            .filter(F.col("path").isin([f"file:{p}" for p in listed]
-                                       + listed))
-            .select("content").mapInPandas(_decode_npz, CELLS_SCHEMA))
+    back = _decode_listed(spark, out, man["containers"])
     return per_channel_mask_rollup(back)
 
 
@@ -549,12 +574,9 @@ def read_snapshot(spark, path: str, version: int | None = None):
             else f"_snapshot-{version}.json")
     with open(os.path.join(path, name)) as fh:
         man = json.load(fh)
-    listed = man["containers"]
-    return (spark.read.format("binaryFile")
-            .option("pathGlobFilter", "*.npz").load(path)
-            .filter(F.col("path").isin([f"file:{p}" for p in listed]
-                                       + listed))
-            .select("content").mapInPandas(_decode_npz, CELLS_SCHEMA))
+    # require_all: a snapshot whose containers a later overwrite
+    # reclaimed must FAIL loudly, not return a silently-empty frame
+    return _decode_listed(spark, path, man["containers"])
 
 
 def cells_snapshot_timetravel(spark, sf_dir: str = ""):
@@ -610,11 +632,7 @@ def read_stream_epochs(spark, path: str, up_to_batch: int | None = None):
             m = json.load(fh)
         if up_to_batch is None or m["batch_id"] <= up_to_batch:
             listed += m["containers"]
-    return (spark.read.format("binaryFile")
-            .option("pathGlobFilter", "*.npz").load(path)
-            .filter(F.col("path").isin([f"file:{p}" for p in listed]
-                                       + listed))
-            .select("content").mapInPandas(_decode_npz, CELLS_SCHEMA))
+    return _decode_listed(spark, path, listed)
 
 
 def cells_source_scan(spark, sf_dir: str = ""):

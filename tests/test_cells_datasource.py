@@ -173,13 +173,7 @@ def test_stream_sink_roundtrip_and_epoch_manifests(spark):
     assert all(n == 120 for _, n in rollup.values())
 
     # strongest check: decoded rows == batch DataSource rows
-    out = None
-    import tempfile
-    for d in sorted(glob.glob(os.path.join(tempfile.gettempdir(),
-                                           "cells_ssink_*")),
-                    key=os.path.getmtime):
-        if glob.glob(os.path.join(d, "_batch-*.json")):
-            out = d
+    out = CD2.LAST_STREAM_SINK_DIR
     assert out is not None
     manifests = sorted(glob.glob(os.path.join(out, "_batch-*.json")))
     assert len(manifests) == 3
@@ -294,18 +288,36 @@ def test_stream_sink_epoch_bounded_read(spark):
     from big_data_science_project_spark.sources.cells_datasource import (
         read_stream_epochs)
 
-    # drive the stream sink once via the registry query (fresh dir)
+    # drive the stream sink once via the registry query; the query
+    # records its own output dir — no racy tempdir scanning
     CD2.QUERIES["cells_stream_sink"][0](spark).collect()
-    out = None
-    for d in sorted(glob.glob(os.path.join(tempfile.gettempdir(),
-                                           "cells_ssink_*")),
-                    key=os.path.getmtime):
-        if glob.glob(os.path.join(d, "_batch-*.json")):
-            out = d
-    assert out
+    out = CD2.LAST_STREAM_SINK_DIR
+    assert out and glob.glob(os.path.join(out, "_batch-*.json"))
 
     first = read_stream_epochs(spark, out, up_to_batch=0)
     ids0 = sorted(r["image_id"] for r in first.collect())
     assert len(ids0) == 40 and max(ids0) < 40  # offsets admit in id order
     all_rows = read_stream_epochs(spark, out)
     assert all_rows.count() == 120
+
+
+def test_snapshot_read_after_overwrite_fails_loudly(spark):
+    """A snapshot whose containers a later overwrite reclaimed must
+    raise, not return a silently-empty DataFrame."""
+    import tempfile
+
+    import pytest as _pytest
+
+    from big_data_science_project_spark.sources.cells_datasource import (
+        read_snapshot)
+
+    CD.register(spark)
+    out = tempfile.mkdtemp(prefix="cells_tt_ovw_")
+    src = (spark.read.format("cells")
+           .option("imagelimit", 6).option("numpartitions", 2).load())
+    src.write.format("cells").option("path", out).mode("append").save()
+    src.write.format("cells").option("path", out).mode("overwrite").save()
+    with _pytest.raises(FileNotFoundError, match="no longer exist"):
+        read_snapshot(spark, out, version=1)
+    # the post-overwrite snapshot still reads fine
+    assert read_snapshot(spark, out).count() == 6
