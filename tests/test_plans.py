@@ -124,10 +124,11 @@ def test_resample_single_corpus_shuffle(spark):
     """ts_resample_ffill shuffles the corpus exactly once (the hourly
     aggregate's partial→final exchange); bounds/spine/window all run on
     compacted data. More corpus-sized exchanges = scale regression."""
-    df = QUERIES["ts_resample_ffill"](spark, SF)
-    plan = formatted_plan(df)
+    plan = formatted_plan(_fresh(spark, "ts_resample_ffill"))
     # exchanges: hourly agg, bounds min/max partials, window sort — the
-    # raw-events-sized one appears once (hash by user_id+hour)
+    # raw-events-sized one appears once (hash by user_id+hour). _fresh:
+    # an already-collected cached plan formats AQE-finalized with extra
+    # exchange nodes, so the count must run on an un-executed build.
     assert node_count(plan, "Exchange") <= 3, plan
     assert "CartesianProduct" not in plan
 
