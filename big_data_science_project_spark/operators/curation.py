@@ -443,3 +443,71 @@ SELECT lang,
 FROM kept
 GROUP BY lang
 """)
+
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir sampling (A-ES / Efraimidis-Spirakis, exact integer
+# form) — sample K docs without replacement with probability proportional
+# to an integer weight, deterministically. A-ES keys each item by
+# u^(1/w); this engine uses the equivalent identity max(u_1..u_w) ~
+# u^(1/w): explode each doc into w hash draws md5(doc_id '#' c), keep the
+# per-doc MAX, take the global top-K by that 48-bit integer key. No RNG,
+# no floats — the sample is a pure function of doc_id, identical across
+# engines, retries, and repartitioning (same determinism contract as
+# curate_split). Scale shape: the explode is map-side and bounded by
+# max weight (<= 8 copies), the per-doc max is a partial aggregate, and
+# the top-K is TakeOrdered — no corpus-sized shuffle, O(n x w) hashes.
+# Weights derive from n_chars (longer docs up-weighted), the standard
+# quality-weighted sampling recipe.
+# ---------------------------------------------------------------------------
+SAMPLE_K = 50
+MAX_W = 8
+
+
+def _wkey(doc: Column, c: Column) -> Column:
+    """48-bit integer hash draw for copy c of a doc."""
+    return (F.conv(F.substring(
+        F.md5(F.concat_ws("#", doc.cast("string"), c.cast("string"))),
+        1, 12), 16, 10).cast("bigint"))
+
+
+def curate_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # FLOOR before the cast: Spark's double->bigint cast truncates while
+    # DuckDB's rounds, so the division must land on the grid explicitly
+    w = (F.least(F.lit(MAX_W).cast("bigint"),
+                 F.lit(1) + F.floor(F.col("n_chars") / 64).cast("bigint"))
+         .alias("w"))
+    drawn = (d.select("doc_id", "lang", w)
+             .select("doc_id", "lang", "w",
+                     F.explode(F.sequence(F.lit(1), F.col("w")))
+                     .alias("c"))
+             .select("doc_id", "lang", "w",
+                     _wkey(F.col("doc_id"), F.col("c")).alias("draw")))
+    keyed = (drawn.groupBy("doc_id", "lang", "w")
+             .agg(F.max("draw").alias("skey")))
+    return (keyed.orderBy(F.col("skey").desc(), "doc_id")
+            .limit(SAMPLE_K))
+
+
+QUERIES["curate_weighted_sample"] = (curate_weighted_sample, f"""
+WITH wt AS (
+  SELECT doc_id, lang,
+         LEAST({MAX_W}, 1 + CAST(FLOOR(n_chars / 64) AS BIGINT)) AS w
+  FROM documents),
+drawn AS (
+  SELECT doc_id, lang, w,
+         CAST(('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR) || '#' ||
+                                     CAST(c AS VARCHAR)), 1, 12))
+              AS BIGINT) AS draw
+  FROM (SELECT doc_id, lang, w,
+               unnest(generate_series(1, w)) AS c
+        FROM wt)),
+keyed AS (
+  SELECT doc_id, lang, w, MAX(draw) AS skey
+  FROM drawn GROUP BY doc_id, lang, w)
+SELECT doc_id, lang, w, skey
+FROM keyed
+ORDER BY skey DESC, doc_id
+LIMIT {SAMPLE_K}
+""")

@@ -539,3 +539,90 @@ FROM d a JOIN d b
   ON a.pfx = b.pfx AND a.lang = b.lang AND a.doc_id < b.doc_id
 WHERE levenshtein(a.win, b.win) <= {LEV_MAX}
 """)
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filter set-similarity join (AllPairs/PPJoin family) — the other
+# classic sub-O(n^2) dedup algorithm beside LSH banding: order every
+# doc's distinct tokens by global rarity (document frequency asc, token
+# asc), keep only the first |d| - ceil(t*|d|) + 1 tokens as the "prefix",
+# and join docs on shared PREFIX tokens. The prefix-filter theorem
+# guarantees any pair with Jaccard >= t shares at least one prefix token,
+# so the candidate set has NO false negatives; an exact set-intersection
+# verify then removes false positives. The oracle is the brute-force
+# all-pairs Jaccard join, so equality with it proves the losslessness of
+# the filter, not just the verify arithmetic.
+#
+# Scale shape: token df is a vocabulary-sized aggregate broadcast back
+# onto the corpus; the per-doc prefix rank is a window partitioned by
+# doc (state = one doc's tokens); the candidate join shuffles prefix
+# tokens only — rare-first ordering makes prefix buckets small (the
+# hottest, most common tokens never enter a prefix). Candidates are
+# additionally blocked on source (dedup within a crawl shard — the
+# standard production blocking key; cross-shard dups are the exact tier's
+# job). Everything integer: the Jaccard threshold test is
+# cross-multiplied (1e6*shared >= t_micro*union), no float comparison.
+# ---------------------------------------------------------------------------
+JAC_T_MICRO = 900_000  # Jaccard threshold t = 0.9, in integer micros
+
+
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = (d.select("doc_id", "source",
+                    F.explode(F.array_distinct(F.split("text", " ")))
+                    .alias("tk")))
+    dfreq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("df"))
+    sized = tok.withColumn("na", F.count(F.lit(1)).over(
+        W.partitionBy("doc_id")))
+    ranked = (sized.join(F.broadcast(dfreq), "tk")
+              .withColumn("pos", F.row_number().over(
+                  W.partitionBy("doc_id").orderBy("df", "tk"))))
+    # prefix length |d| - ceil(t*|d|) + 1; ceil(0.9n) = (9n+9) div 10
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("na")
+        - F.expr("(9 * na + 9) div 10") + F.lit(1))
+    cand = (prefix.alias("a").join(
+        prefix.alias("b"),
+        (F.col("a.tk") == F.col("b.tk"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.na").alias("na"), F.col("b.na").alias("nb"))
+        .distinct())
+    shared = (cand.join(tok.alias("ta"),
+                        F.col("ta.doc_id") == F.col("doc_a"))
+              .join(tok.alias("tb"),
+                    (F.col("tb.doc_id") == F.col("doc_b"))
+                    & (F.col("tb.tk") == F.col("ta.tk")))
+              .groupBy("doc_a", "doc_b", "na", "nb")
+              .agg(F.count(F.lit(1)).alias("shared")))
+    return (shared.filter(
+        F.lit(1_000_000) * F.col("shared")
+        >= F.lit(JAC_T_MICRO) * (F.col("na") + F.col("nb")
+                                 - F.col("shared")))
+        .select("doc_a", "doc_b", "na", "nb", "shared",
+                F.expr("(1000000 * shared) div (na + nb - shared)")
+                .alias("jac_micro")))
+
+
+QUERIES["dedup_prefix_jaccard"] = (dedup_prefix_jaccard, f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS tk
+  FROM documents),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM tok a JOIN tok b ON a.tk = b.tk AND a.source = b.source
+                       AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT s.doc_a, s.doc_b,
+       sa.n AS na, sb.n AS nb, s.shared,
+       (1000000 * s.shared) // (sa.n + sb.n - s.shared) AS jac_micro
+FROM shared s
+JOIN sz sa ON sa.doc_id = s.doc_a
+JOIN sz sb ON sb.doc_id = s.doc_b
+WHERE 1000000 * s.shared >= {JAC_T_MICRO} * (sa.n + sb.n - s.shared)
+""")

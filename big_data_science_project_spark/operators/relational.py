@@ -2241,3 +2241,49 @@ ORDER BY ALL
 def q66_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, "lineitem")
     return spark.sql(_Q66_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q67: approx_top_k heavy hitters — the third sketch family beside HLL
+# (q54) and count-min (q59): Spark 4's DataSketches frequent-items
+# aggregate. Validation follows the q54/q59 pattern: the sketch result is
+# compared against the exact answer IN-QUERY and only tie-invariant
+# aggregates are emitted. With maxItemsTracked >= distinct keys the
+# sketch never evicts, so every returned (item, count) is exact and the
+# only nondeterminism left is WHICH of several count-tied items fill the
+# k-th slots — so the query emits the k-th count and the top-k count sum
+# (identical for any tie choice), never the boundary items themselves.
+# At 100 TB the capacity would be << distinct keys and the counts become
+# one-sided estimates; the merge stays a fixed-size sketch union — the
+# same O(partitions x capacity) shuffle profile as the HLL partials.
+# ---------------------------------------------------------------------------
+TOPK_K = 50
+TOPK_CAP = 100_000  # >= distinct user_ids at every test sf => exact counts
+
+
+@q("q67_approx_topk", f"""
+WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+top AS (SELECT n FROM c ORDER BY n DESC LIMIT {TOPK_K})
+SELECT CAST({TOPK_K} AS INT) AS k,
+       CAST((SELECT COUNT(*) FROM top) AS BIGINT) AS n_returned,
+       CAST((SELECT MIN(n) FROM top) AS BIGINT) AS kth_count,
+       CAST((SELECT SUM(CAST(n AS BIGINT)) FROM top) AS BIGINT)
+         AS topk_count_sum,
+       TRUE AS sketch_exact
+""")
+def q67_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "events")
+    return spark.sql(f"""
+WITH sk AS (SELECT approx_top_k(user_id, {TOPK_K}, {TOPK_CAP}) AS tk
+            FROM events),
+items AS (SELECT inline(tk) FROM sk),
+ex AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+ext AS (SELECT n FROM ex ORDER BY n DESC LIMIT {TOPK_K})
+SELECT CAST({TOPK_K} AS INT) AS k,
+       CAST((SELECT COUNT(*) FROM items) AS BIGINT) AS n_returned,
+       CAST((SELECT MIN(count) FROM items) AS BIGINT) AS kth_count,
+       CAST((SELECT SUM(count) FROM items) AS BIGINT) AS topk_count_sum,
+       CAST((SELECT MIN(count) FROM items) = (SELECT MIN(n) FROM ext)
+            AND (SELECT SUM(count) FROM items) = (SELECT SUM(n) FROM ext)
+            AS BOOLEAN) AS sketch_exact
+""")

@@ -676,3 +676,50 @@ t2 AS (
   ORDER BY pair_count DESC, s1, s2 LIMIT 1)
 SELECT * FROM t1 UNION ALL SELECT * FROM t2
 """)
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index build — the retrieval-side complement of text_bm25_search:
+# materialize per-term posting lists (document frequency, total term
+# frequency, and the first POSTINGS_CAP doc ids in ascending order).
+# Scale shape: one explode of the corpus into (term, doc) pairs, a
+# per-(term, doc) partial count map-side, then ONE shuffle keyed by term
+# — shuffle volume is the posting data itself, which is what an index
+# build moves by definition. The stored posting list is capped
+# (slice after sort_array), the cap a real index would page by; df/tf
+# totals still cover every posting. Postings render as a joined string so
+# the driver's hasher sees a scalar column, and ordering inside the list
+# is ascending doc_id — deterministic under any partitioning.
+# ---------------------------------------------------------------------------
+POSTINGS_CAP = 8
+
+
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens("text")).alias("term"))
+    per_doc = (tok.groupBy("term", "doc_id")
+               .agg(F.count(F.lit(1)).alias("tf")))
+    return (per_doc.groupBy("term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("df"),
+                 F.sum("tf").cast("bigint").alias("total_tf"),
+                 F.concat_ws(
+                     ",",
+                     F.slice(F.sort_array(F.collect_list("doc_id")),
+                             1, POSTINGS_CAP).cast("array<string>"))
+                 .alias("postings_head")))
+
+
+QUERIES["text_inverted_index"] = (text_inverted_index, f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+per_doc AS (
+  SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY term, doc_id)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS total_tf,
+       array_to_string(
+         (list(doc_id ORDER BY doc_id))[1:{POSTINGS_CAP}], ',')
+         AS postings_head
+FROM per_doc
+GROUP BY term
+""")

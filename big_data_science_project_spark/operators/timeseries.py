@@ -347,3 +347,77 @@ JOIN mad a USING (event_type)
 GROUP BY d.event_type, m.med_c, a.mad_c
 ORDER BY d.event_type
 """)
+
+
+# ---------------------------------------------------------------------------
+# Exact bounded EWMA — exponentially-weighted moving average with decay
+# 1/2 over each user's hourly sums, truncated to the last EWMA_LAGS
+# observations (the standard practical truncation: dropped terms carry
+# < 2^-16 of the mass). Recursive smoothing normally can't be oracled
+# bit-exactly (float fold order differs per engine); here the weights are
+# powers of two and the inputs integer micros, so numerator and
+# denominator are EXACT BIGINTs — N = Σ_j lag_j(vm)·2^(L-1-j),
+# D = Σ_j 2^(L-1-j) over the lags that exist — and the one double op
+# (N/D) is the same IEEE division in both engines. Scale shape: one
+# corpus-sized aggregate to (user, hour), then a single window per user
+# whose state is L lags — the same profile as ts_resample_ffill; the lag
+# pyramid is 2·L window expressions sharing ONE sort/exchange (one
+# Window node, asserted by the plan suite's shared-window convention).
+# ---------------------------------------------------------------------------
+EWMA_LAGS = 16
+
+
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("user_id") < RESAMPLE_MAX_USER))
+    hourly = (ev.groupBy("user_id",
+                         F.date_trunc("hour", "ts").alias("hour"))
+              .agg(dsum("value", "hr_sum")))
+    hourly = hourly.select(
+        "user_id", "hour",
+        F.round(F.col("hr_sum") * 1e6).cast("bigint").alias("vm"))
+    w = W.partitionBy("user_id").orderBy("hour")
+    num = sum(
+        (F.coalesce(F.lag("vm", j).over(w), F.lit(0))
+         * F.lit(2 ** (EWMA_LAGS - 1 - j)).cast("bigint")
+         for j in range(1, EWMA_LAGS)),
+        start=F.col("vm") * F.lit(2 ** (EWMA_LAGS - 1)).cast("bigint"))
+    den = sum(
+        (F.when(F.lag("vm", j).over(w).isNotNull(),
+                F.lit(2 ** (EWMA_LAGS - 1 - j)).cast("bigint"))
+         .otherwise(F.lit(0)) for j in range(1, EWMA_LAGS)),
+        start=F.lit(2 ** (EWMA_LAGS - 1)).cast("bigint"))
+    return (hourly.select(
+        "user_id", "hour",
+        num.alias("ewma_num"), den.alias("ewma_den"))
+        .withColumn("ewma",
+                    F.col("ewma_num").cast("double") / F.col("ewma_den")
+                    / F.lit(1e6)))
+
+
+_EWMA_NUM_SQL = " + ".join(
+    [f"vm * {2 ** (EWMA_LAGS - 1)}"]
+    + [f"COALESCE(LAG(vm, {j}) OVER w, 0) * {2 ** (EWMA_LAGS - 1 - j)}"
+       for j in range(1, EWMA_LAGS)])
+_EWMA_DEN_SQL = " + ".join(
+    [f"{2 ** (EWMA_LAGS - 1)}"]
+    + [f"CASE WHEN LAG(vm, {j}) OVER w IS NOT NULL"
+       f" THEN {2 ** (EWMA_LAGS - 1 - j)} ELSE 0 END"
+       for j in range(1, EWMA_LAGS)])
+
+QUERIES["ts_ewma"] = (ts_ewma, f"""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         CAST(ROUND({dsum_expr('value')} * 1e6) AS BIGINT) AS vm
+  FROM events
+  WHERE user_id < {RESAMPLE_MAX_USER}
+  GROUP BY user_id, date_trunc('hour', ts)
+)
+SELECT user_id, hour,
+       CAST({_EWMA_NUM_SQL} AS BIGINT) AS ewma_num,
+       CAST({_EWMA_DEN_SQL} AS BIGINT) AS ewma_den,
+       CAST({_EWMA_NUM_SQL} AS DOUBLE)
+         / CAST({_EWMA_DEN_SQL} AS BIGINT) / 1e6 AS ewma
+FROM hourly
+WINDOW w AS (PARTITION BY user_id ORDER BY hour)
+""")

@@ -352,3 +352,29 @@ def test_mad_medians_broadcast_back(spark):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert broadcast_join_count(df) >= 2
+
+
+def test_ewma_lag_pyramid_single_window(spark):
+    """all 2*L lag expressions share one window spec → exactly one
+    Window node; no Python anywhere in the smoothing path."""
+    plan = formatted_plan(_fresh(spark, "ts_ewma"))
+    assert _nodes(plan, "Window") == 1, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_weighted_sample_topk_no_full_sort(spark):
+    """the global top-K by sample key must plan as TakeOrdered, never a
+    full sort of the drawn keys; the weight explode stays map-side."""
+    plan = formatted_plan(_fresh(spark, "curate_weighted_sample"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert _nodes(plan, "Sort") == 0, plan
+
+
+def test_prefix_jaccard_df_broadcasts_no_cartesian(spark):
+    """the vocabulary-sized df table broadcasts back onto the token
+    stream, and the prefix self-join is an equi hash join on (token,
+    source) — never a cartesian."""
+    df = _fresh(spark, "dedup_prefix_jaccard")
+    plan = formatted_plan(df)
+    assert broadcast_join_count(df) >= 1, plan
+    assert "CartesianProduct" not in plan, plan
