@@ -41,8 +41,8 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # temp view; ann_pq_topk collects the PQ codebook at build time —
     # leaving them unwrapped keeps bench reps honest about that cost
     impure_names = {"multimodal_export", "text_udtf_chunk",
-                    "text_udtf_ngrams", "ann_pq_topk",
-                    "ann_pq_refine", "ml_kmeans_lloyd"}
+                    "text_udtf_ngrams", "text_udtf_table_arg",
+                    "ann_pq_topk", "ann_pq_refine", "ml_kmeans_lloyd"}
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}

@@ -2287,3 +2287,46 @@ SELECT CAST({TOPK_K} AS INT) AS k,
             AND (SELECT SUM(count) FROM items) = (SELECT SUM(n) FROM ext)
             AS BOOLEAN) AS sketch_exact
 """)
+
+
+# ---------------------------------------------------------------------------
+# q68: bag-semantics set operators — INTERSECT ALL / EXCEPT ALL, the
+# multiplicity-preserving complements of q10's distinct set ops. Spark
+# plans both as a single hash aggregate over the union with per-side
+# counts (min/difference of multiplicities), not a join — shuffle keyed
+# by the row value, O(distinct values) state. The result is rolled up to
+# (custkey, op, n) so the multiplicities themselves are what the oracle
+# certifies. 1995 buyers ∩ (all) 1996 buyers with repetition = customers
+# ordering in both years, counted min(n95, n96) times — the bag algebra
+# DISTINCT erases.
+# ---------------------------------------------------------------------------
+@q("q68_bag_set_ops", """
+WITH a AS (SELECT o_custkey FROM orders
+           WHERE o_orderdate >= DATE '1995-01-01'
+             AND o_orderdate < DATE '1996-01-01'),
+b AS (SELECT o_custkey FROM orders
+      WHERE o_orderdate >= DATE '1996-01-01'
+        AND o_orderdate < DATE '1997-01-01'),
+ia AS (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b),
+ea AS (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b)
+SELECT 'intersect_all' AS op, o_custkey, COUNT(*) AS n
+FROM ia GROUP BY o_custkey
+UNION ALL
+SELECT 'except_all' AS op, o_custkey, COUNT(*) AS n
+FROM ea GROUP BY o_custkey
+""")
+def q68_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = (o.filter((F.col("o_orderdate") >= "1995-01-01")
+                  & (F.col("o_orderdate") < "1996-01-01"))
+         .select("o_custkey"))
+    b = (o.filter((F.col("o_orderdate") >= "1996-01-01")
+                  & (F.col("o_orderdate") < "1997-01-01"))
+         .select("o_custkey"))
+    ia = (a.intersectAll(b).groupBy("o_custkey")
+          .agg(F.count(F.lit(1)).alias("n"))
+          .select(F.lit("intersect_all").alias("op"), "o_custkey", "n"))
+    ea = (a.exceptAll(b).groupBy("o_custkey")
+          .agg(F.count(F.lit(1)).alias("n"))
+          .select(F.lit("except_all").alias("op"), "o_custkey", "n"))
+    return ia.unionByName(ea)

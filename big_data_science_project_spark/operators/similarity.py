@@ -809,3 +809,96 @@ WHERE b.vec_id != {QUERY_VEC_ID}
   AND ROUND({_COS_SQL_TEMPLATE.format(a='b.embedding', b='p.qv')}, 9)
       >= {RANGE_COS}
 """)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval via Reciprocal Rank Fusion — the standard way a
+# production RAG/search stack combines a lexical ranker (BM25) with a
+# vector ranker (cosine ANN): score = Σ 1/(C + rank) over the rankers
+# that returned the doc, C = 60 (the constant from the original RRF
+# paper). Fusion is rank-based, so the two score scales never need
+# calibration — and it is EXACT here: ranks are integers with pinned
+# tie-breaks, and each contribution is the integer division
+# 1e6 div (60 + rank), identical in both engines. Scale shape: each
+# ranker is its own bounded top-POOL retrieval (BM25: broadcast
+# df/stats; ANN: broadcast 1-row query); fusion then full-outer-joins
+# two POOL-row tables — driver-scale, no corpus shuffle beyond what the
+# rankers already do. documents.doc_id and embeddings.vec_id share the
+# id space, the fixture's text↔embedding correspondence.
+# ---------------------------------------------------------------------------
+RRF_C = 60
+RRF_POOL = 20
+
+
+def ann_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from .text import text_bm25_search
+
+    lex = text_bm25_search(spark, sf_dir)  # top-20 (doc_id, n_terms, bm25)
+    lexr = lex.select(
+        "doc_id",
+        F.row_number().over(W.orderBy(F.desc("bm25"), "doc_id"))
+        .cast("bigint").alias("lex_rank"))
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _norm_udf(F.col("embedding")).alias("nrm"))
+    qvec = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv"), F.col("nrm").alias("qn"))
+    vec = (e.filter(F.col("vec_id") != QUERY_VEC_ID)
+           .crossJoin(F.broadcast(qvec))
+           .select("vec_id",
+                   F.round(_cos_pair_udf(F.col("embedding"), F.col("qv"),
+                                         F.col("nrm"), F.col("qn")), 9)
+                   .alias("cos_sim"))
+           .orderBy(F.desc("cos_sim"), "vec_id").limit(RRF_POOL))
+    vecr = vec.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(W.orderBy(F.desc("cos_sim"), "vec_id"))
+        .cast("bigint").alias("vec_rank"))
+
+    fused = lexr.join(vecr, "doc_id", "full")
+    rrf = (F.coalesce(F.expr(f"1000000 div ({RRF_C} + lex_rank)"), F.lit(0))
+           + F.coalesce(F.expr(f"1000000 div ({RRF_C} + vec_rank)"),
+                        F.lit(0))).cast("bigint")
+    return (fused.select("doc_id", "lex_rank", "vec_rank",
+                         rrf.alias("rrf_micro"))
+            .orderBy(F.desc("rrf_micro"), "doc_id").limit(RRF_POOL))
+
+
+def _hybrid_rrf_sql() -> str:
+    from .text import QUERIES as TEXT_QUERIES
+
+    bm25_sql = TEXT_QUERIES["text_bm25_search"][1]
+    return f"""
+WITH lexq AS ({bm25_sql}),
+lex AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+           AS lex_rank
+  FROM lexq),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+vec0 AS (
+  SELECT e.vec_id,
+         ROUND({_COS_SQL_TEMPLATE.format(a='e.embedding', b='q.qv')}, 9)
+           AS cos_sim
+  FROM embeddings e, q
+  WHERE e.vec_id != {QUERY_VEC_ID}
+  ORDER BY cos_sim DESC, e.vec_id
+  LIMIT {RRF_POOL}),
+vec AS (
+  SELECT vec_id AS doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT)
+           AS vec_rank
+  FROM vec0)
+SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+       CAST(COALESCE(1000000 // ({RRF_C} + l.lex_rank), 0)
+            + COALESCE(1000000 // ({RRF_C} + v.vec_rank), 0) AS BIGINT)
+         AS rrf_micro
+FROM lex l FULL JOIN vec v ON l.doc_id = v.doc_id
+ORDER BY rrf_micro DESC, doc_id
+LIMIT {RRF_POOL}
+"""
+
+
+QUERIES["ann_hybrid_rrf"] = (ann_hybrid_rrf, _hybrid_rrf_sql())

@@ -723,3 +723,58 @@ SELECT term,
 FROM per_doc
 GROUP BY term
 """)
+
+
+# ---------------------------------------------------------------------------
+# UDTF over a partitioned TABLE argument (Spark 4 §2.9 surface): the
+# function consumes `TABLE(documents) PARTITION BY source` — the engine
+# routes every row of one source to ONE UDTF instance, eval() folds
+# order-insensitive partials (count/sum/min/max), terminate() emits the
+# partition summary. This is the table-function analogue of
+# applyInPandas: custom per-group logic whose grouping the SQL planner
+# itself arranges (a hash exchange on the partition key feeds the UDTF —
+# arbitrary scale-out across sources). Only commutative state is kept,
+# so the result is row-arrival-order independent; the oracle is the
+# plain GROUP BY the fold reimplements.
+# ---------------------------------------------------------------------------
+def text_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=("source string, n_docs bigint, total_chars bigint,"
+                      " min_doc bigint, max_doc bigint"))
+    class SourceProfile:
+        def __init__(self):
+            self.src = None
+            self.n = 0
+            self.chars = 0
+            self.lo = None
+            self.hi = None
+
+        def eval(self, row):
+            self.src = row["source"]
+            self.n += 1
+            self.chars += row["n_chars"]
+            d = row["doc_id"]
+            self.lo = d if self.lo is None else min(self.lo, d)
+            self.hi = d if self.hi is None else max(self.hi, d)
+
+        def terminate(self):
+            if self.src is not None:
+                yield self.src, self.n, self.chars, self.lo, self.hi
+
+    spark.udtf.register("source_profile", SourceProfile)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents")
+    return spark.sql(
+        "SELECT * FROM source_profile(TABLE(documents) PARTITION BY source)")
+
+
+QUERIES["text_udtf_table_arg"] = (text_udtf_table_arg, """
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents
+GROUP BY source
+""")

@@ -496,3 +496,31 @@ FROM events, cut
 GROUP BY date_trunc('day', ts), event_type, wm
 HAVING date_trunc('day', ts) + INTERVAL 1 DAY <= wm
 """)
+
+
+# ---------------------------------------------------------------------------
+# dropDuplicatesWithinWatermark (Spark 3.5+): dedup on a BUSINESS key
+# (user_id, event_type) with TTL'd state — unlike dropDuplicates, whose
+# state for keys lacking the event-time column lives forever, this
+# expires each key once the watermark passes its first-seen time. That
+# is the production-correct shape for at-least-once ingestion retries:
+# duplicates arrive within a bounded delay, so state is bounded by
+# (keys active per watermark horizon), not (all keys ever). Only the key
+# columns are emitted — WHICH physical row survives a within-batch tie
+# is arbitrary, the surviving KEY set is exact — so the availableNow run
+# is oracle-equal to SELECT DISTINCT over the fixture.
+# ---------------------------------------------------------------------------
+def stream_dedup_within_watermark(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    ev = _stream_events(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run_to_table(deduped, "append", "dedup_within_wm")
+
+
+QUERIES["stream_dedup_within_watermark"] = (stream_dedup_within_watermark, """
+SELECT DISTINCT user_id, event_type FROM events
+""")

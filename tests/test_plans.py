@@ -378,3 +378,20 @@ def test_prefix_jaccard_df_broadcasts_no_cartesian(spark):
     plan = formatted_plan(df)
     assert broadcast_join_count(df) >= 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_hybrid_rrf_fusion_stays_bounded(spark):
+    """both ranker pools are bounded top-POOL retrievals; the only
+    cross-join is the broadcast 1-row query vector — no cartesian over
+    the corpus, no row-at-a-time Python."""
+    plan = formatted_plan(_fresh(spark, "ann_hybrid_rrf"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_q68_bag_ops_no_join(spark):
+    """INTERSECT ALL / EXCEPT ALL must plan as aggregate-based counting
+    (Spark rewrites to a union + count aggregate), never a join per
+    duplicate row."""
+    plan = formatted_plan(_fresh(spark, "q68_bag_set_ops"))
+    assert "CartesianProduct" not in plan, plan
