@@ -511,3 +511,63 @@ FROM keyed
 ORDER BY skey DESC, doc_id
 LIMIT {SAMPLE_K}
 """)
+
+
+# ---------------------------------------------------------------------------
+# Token-budget selection — assemble a training mix under a fixed token
+# budget per language: rank docs by quality (longest-first here — any
+# deterministic score plugs in), take docs while the running token total
+# stays under budget. The greedy-knapsack recipe every "data mixing
+# under a budget" pipeline runs. One window per lang (cumsum over the
+# ranked docs — state per task is one lang's docs), then a per-lang
+# rollup; the corpus shuffles once, on the lang key. The budget is an
+# absolute token count, so output stays lang-cardinality-sized at any
+# sf. Integer tokens + pinned (n_chars DESC, doc_id) order make the
+# selected set exact.
+# ---------------------------------------------------------------------------
+TOKEN_BUDGET = 1500
+
+
+def curate_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"))
+    w = (W.partitionBy("lang")
+         .orderBy(F.desc("n_chars"), "doc_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    ranked = (d.select("doc_id", "lang", "n_chars")
+              .join(toks.select("doc_id", "n_tok"), "doc_id")
+              .withColumn("cum_tok", F.sum("n_tok").over(w)))
+    return (ranked.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs_total"),
+                 F.sum((F.col("cum_tok") <= TOKEN_BUDGET).cast("int"))
+                 .cast("bigint").alias("n_selected"),
+                 F.max(F.when(F.col("cum_tok") <= TOKEN_BUDGET,
+                              F.col("cum_tok"))).cast("bigint")
+                 .alias("tokens_used")))
+
+
+QUERIES["curate_token_budget"] = (curate_token_budget, f"""
+WITH toks AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+ranked AS (
+  SELECT lang, n_tok,
+         SUM(n_tok) OVER (PARTITION BY lang
+                          ORDER BY n_chars DESC, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tok
+  FROM toks)
+SELECT lang,
+       COUNT(*) AS n_docs_total,
+       CAST(SUM(CASE WHEN cum_tok <= {TOKEN_BUDGET} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_selected,
+       CAST(MAX(CASE WHEN cum_tok <= {TOKEN_BUDGET} THEN cum_tok END)
+            AS BIGINT) AS tokens_used
+FROM ranked
+GROUP BY lang
+""")

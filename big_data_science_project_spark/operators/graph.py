@@ -261,3 +261,75 @@ SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
        END AS transitivity
 FROM tri, wedges
 """)
+
+
+# ---------------------------------------------------------------------------
+# BFS shortest-path levels — single-source unweighted shortest paths by
+# level-synchronous frontier expansion: K rounds of
+#   frontier ⋈ edges → candidate dsts → anti-join visited → new frontier
+# The classic Pregel iteration as pure DataFrame ops; each round's
+# shuffle is the frontier (not the graph), and the visited set grows
+# monotonically — the same bucketed-join co-location notes as PageRank
+# apply at scale. Levels are small ints, so the whole result is exact;
+# the oracle walks the same frontier with a recursive CTE taking
+# MIN(level) per node. Same deterministic synthetic graph as PageRank
+# (out-degree 3: dst = (src*7 + 13k) mod n).
+# ---------------------------------------------------------------------------
+BFS_SOURCE = 0
+BFS_MAX_LEVEL = 4
+
+
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    nodes = docs.select("doc_id")
+    total = nodes.agg(F.count(F.lit(1)).alias("n"))
+    edges = (nodes.crossJoin(F.broadcast(total))
+             .select(F.col("doc_id").alias("src"),
+                     F.explode(F.array(*[
+                         (F.col("doc_id") * 7 + 13 * k) % F.col("n")
+                         for k in range(1, PR_OUT_DEG + 1)])).alias("dst"))
+             .distinct()
+             .persist())
+    visited = spark.createDataFrame(
+        [(BFS_SOURCE, 0)], "doc_id bigint, level int")
+    frontier = visited
+    for lvl in range(1, BFS_MAX_LEVEL + 1):
+        nxt = (edges.join(frontier.withColumnRenamed("doc_id", "src"),
+                          "src")
+               .select(F.col("dst").alias("doc_id"))
+               .distinct()
+               .join(visited.select("doc_id"), "doc_id", "left_anti")
+               .select("doc_id", F.lit(lvl).cast("int").alias("level")))
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return (visited.groupBy("level")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+                 F.min("doc_id").alias("min_node"),
+                 F.max("doc_id").alias("max_node")))
+
+
+def _bfs_sql() -> str:
+    edge_dsts = ", ".join(
+        f"(doc_id * 7 + {13 * k}) % n" for k in range(1, PR_OUT_DEG + 1))
+    return f"""
+WITH RECURSIVE nodes AS (SELECT doc_id FROM documents),
+tot AS (SELECT COUNT(*) AS n FROM nodes),
+edges AS (SELECT DISTINCT doc_id AS src,
+                 unnest([{edge_dsts}]) AS dst FROM nodes, tot),
+walk(doc_id, level) AS (
+  SELECT CAST({BFS_SOURCE} AS BIGINT), 0
+  UNION ALL
+  SELECT e.dst, w.level + 1
+  FROM walk w JOIN edges e ON e.src = w.doc_id
+  WHERE w.level < {BFS_MAX_LEVEL}),
+lv AS (SELECT doc_id, MIN(level) AS level FROM walk GROUP BY doc_id)
+SELECT CAST(level AS INT) AS level,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       MIN(doc_id) AS min_node,
+       MAX(doc_id) AS max_node
+FROM lv
+GROUP BY level
+"""
+
+
+QUERIES["graph_bfs_levels"] = (graph_bfs_levels, _bfs_sql())

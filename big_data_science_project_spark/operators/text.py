@@ -778,3 +778,113 @@ SELECT source,
 FROM documents
 GROUP BY source
 """)
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes language classifier — a fully distributed
+# train + score pipeline beside the rule-based lang_id heuristic:
+# train on docs with doc_id % 5 != 0 (Laplace-smoothed token
+# likelihoods + class priors), score the held-out fifth, emit the
+# confusion matrix. Exactness: each log-likelihood ln((c+1)/(T+V)) and
+# prior ln(n_lang/n_docs) is quantized to integer micros IMMEDIATELY
+# after the single ln() (the text_unigram_logprob convention), so the
+# per-doc score is an exact BIGINT sum — argmax with a lang tie-break is
+# then bit-deterministic cross-engine. Scale shape: the model
+# (langs × vocab counts) is a broadcast-sized table; scoring joins test
+# tokens against it map-side after a langs-sized explode; nothing
+# corpus-sized shuffles twice. Fixture labels are synthetic, so the
+# matrix is near-uniform — the mechanics, not the accuracy, are under
+# test.
+# ---------------------------------------------------------------------------
+def text_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    test = d.filter(F.col("doc_id") % 5 == 0)
+
+    tr_tok = train.select("lang", F.explode(_tokens("text")).alias("tok"))
+    counts = tr_tok.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("lang").agg(F.sum("c").alias("t"))
+    vocab = tr_tok.select("tok").distinct().agg(
+        F.count(F.lit(1)).alias("v"))
+    priors = (train.groupBy("lang")
+              .agg(F.count(F.lit(1)).alias("n_lang"))
+              .crossJoin(F.broadcast(
+                  train.agg(F.count(F.lit(1)).alias("n_tr"))))
+              .select("lang", F.round(F.log(F.col("n_lang")
+                                            / F.col("n_tr")) * 1e6)
+                      .cast("bigint").alias("prior_micro")))
+
+    te_tok = (test.select(F.col("doc_id"), F.col("lang").alias("true_lang"),
+                          F.explode(_tokens("text")).alias("tok"))
+              .groupBy("doc_id", "true_lang", "tok")
+              .agg(F.count(F.lit(1)).alias("tf")))
+    langs = priors.select(F.col("lang").alias("cl"), "prior_micro")
+    scored = (te_tok.crossJoin(F.broadcast(langs))
+              .join(F.broadcast(counts),
+                    (F.col("cl") == counts.lang)
+                    & (te_tok.tok == counts.tok), "left")
+              .join(F.broadcast(totals), F.col("cl") == totals.lang)
+              .crossJoin(F.broadcast(vocab))
+              .select("doc_id", "true_lang", "cl", "prior_micro",
+                      (F.col("tf")
+                       * F.round(F.log((F.coalesce(F.col("c"), F.lit(0))
+                                        + 1).cast("double")
+                                       / (F.col("t") + F.col("v"))) * 1e6)
+                       .cast("bigint")).alias("lp")))
+    doc_scores = (scored.groupBy("doc_id", "true_lang", "cl", "prior_micro")
+                  .agg(F.sum("lp").alias("ll"))
+                  .select("doc_id", "true_lang", "cl",
+                          (F.col("prior_micro") + F.col("ll"))
+                          .alias("score")))
+    pred = (doc_scores.withColumn(
+        "rn", F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.desc("score"), "cl")))
+        .filter(F.col("rn") == 1))
+    return (pred.groupBy("true_lang", F.col("cl").alias("pred_lang"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+
+
+QUERIES["text_naive_bayes_langid"] = (text_naive_bayes_langid, """
+WITH train AS (SELECT * FROM documents WHERE doc_id % 5 != 0),
+test AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+tr_tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM train),
+counts AS (SELECT lang, tok, COUNT(*) AS c FROM tr_tok GROUP BY 1, 2),
+totals AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t FROM counts GROUP BY 1),
+vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM tr_tok),
+priors AS (
+  SELECT lang,
+         CAST(ROUND(ln(CAST(COUNT(*) AS DOUBLE)
+                       / (SELECT COUNT(*) FROM train)) * 1e6) AS BIGINT)
+           AS prior_micro
+  FROM train GROUP BY lang),
+te_tok AS (
+  SELECT doc_id, lang AS true_lang, unnest(string_split(text, ' ')) AS tok
+  FROM test),
+tf AS (SELECT doc_id, true_lang, tok, COUNT(*) AS tf
+       FROM te_tok GROUP BY 1, 2, 3),
+scored AS (
+  SELECT f.doc_id, f.true_lang, p.lang AS cl, p.prior_micro,
+         f.tf * CAST(ROUND(ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+                              / (t.t + v.v)) * 1e6) AS BIGINT) AS lp
+  FROM tf f
+  CROSS JOIN priors p
+  LEFT JOIN counts c ON c.lang = p.lang AND c.tok = f.tok
+  JOIN totals t ON t.lang = p.lang
+  CROSS JOIN vocab v),
+doc_scores AS (
+  SELECT doc_id, true_lang, cl,
+         prior_micro + CAST(SUM(lp) AS BIGINT) AS score
+  FROM scored GROUP BY doc_id, true_lang, cl, prior_micro),
+pred AS (
+  SELECT doc_id, true_lang, cl,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cl) AS rn
+  FROM doc_scores)
+SELECT true_lang, cl AS pred_lang, COUNT(*) AS n
+FROM pred WHERE rn = 1
+GROUP BY true_lang, cl
+""")

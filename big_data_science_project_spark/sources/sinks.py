@@ -414,3 +414,34 @@ SELECT COUNT(*) AS n_rows,
        {dsum_expr('l_extendedprice')} AS revenue
 FROM lineitem
 """)
+
+
+# ---------------------------------------------------------------------------
+# ORC round trip — the third columnar format beside parquet (ORC is
+# built into Spark; the Hive-ecosystem interchange format). Same
+# contract as the CSV/JSON sinks: write a real aggregate, read it back
+# through the format, and let the oracle certify the values survived —
+# including DATE and DOUBLE fidelity through ORC's type system. The
+# re-read supplies no schema: ORC is self-describing (schema in the
+# footer like parquet), which is exactly what the text formats above
+# cannot do.
+# ---------------------------------------------------------------------------
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    result = (
+        li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"),
+             dsum("l_extendedprice", "total_price"),
+             F.max(F.col("l_shipdate").cast("date")).alias("last_ship")))
+    path = _dir("orc", sf_dir)
+    result.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+QUERIES["sink_orc_roundtrip"] = (sink_orc_roundtrip, f"""
+SELECT l_returnflag, COUNT(*) AS n,
+       {dsum_expr('l_extendedprice')} AS total_price,
+       CAST(MAX(l_shipdate) AS DATE) AS last_ship
+FROM lineitem
+GROUP BY l_returnflag
+""")

@@ -395,3 +395,23 @@ def test_q68_bag_ops_no_join(spark):
     duplicate row."""
     plan = formatted_plan(_fresh(spark, "q68_bag_set_ops"))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bfs_frontier_expansion_no_cartesian(spark):
+    """each BFS round joins the frontier against the persisted edge
+    table — equi joins only, no cartesian, no Python ops."""
+    plan = formatted_plan(_fresh(spark, "graph_bfs_levels"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_naive_bayes_model_broadcasts(spark):
+    """the trained model (counts/totals/priors/vocab) must broadcast
+    onto the test tokens — the corpus-sized side never shuffles for the
+    scoring join."""
+    df = _fresh(spark, "text_naive_bayes_langid")
+    plan = formatted_plan(df)
+    # counts/totals hash-broadcast; priors/vocab are 1-row broadcast
+    # nested-loop crosses — no join may sort-merge the token stream
+    assert broadcast_join_count(df) >= 2, plan
+    assert _nodes(plan, "SortMergeJoin") == 0, plan
