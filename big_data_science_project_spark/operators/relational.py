@@ -2330,3 +2330,149 @@ def q68_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
           .agg(F.count(F.lit(1)).alias("n"))
           .select(F.lit("except_all").alias("op"), "o_custkey", "n"))
     return ia.unionByName(ea)
+
+
+# ---------------------------------------------------------------------------
+# q69: SQL UDF (Spark 4 CREATE FUNCTION ... RETURN) — business logic
+# defined ONCE in the catalog and reused across queries, instead of
+# copy-pasted expressions. Catalyst INLINES the function body at plan
+# time, so this is pure codegen'd arithmetic — zero UDF-call overhead,
+# unlike external UDFs (the right default for scalar logic; Python
+# enters only when expressions can't say it). The oracle inlines the
+# same bodies, proving the catalog indirection changes nothing.
+# Registration is a construction-time catalog effect → impure_names.
+# ---------------------------------------------------------------------------
+@q("q69_sql_udf", f"""
+SELECT l_returnflag,
+       {dsum_expr('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {dsum_expr('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}
+         AS sum_charge
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag
+""")
+def q69_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "lineitem")
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
+      RETURNS DOUBLE RETURN p * (1 - d)""")
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY FUNCTION charge(
+        p DOUBLE, d DOUBLE, t DOUBLE)
+      RETURNS DOUBLE RETURN p * (1 - d) * (1 + t)""")
+    return spark.sql("""
+      SELECT l_returnflag,
+             CAST(SUM(CAST(disc_price(l_extendedprice, l_discount)
+                           AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+             CAST(SUM(CAST(charge(l_extendedprice, l_discount, l_tax)
+                           AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag""")
+
+
+# ---------------------------------------------------------------------------
+# q70: parameterized SQL — spark.sql(text, args={...}) named-marker
+# binding: the TEXT stays constant (one plan-cache entry, no SQL
+# injection surface) while literals bind at parse time; the bound plan
+# still constant-folds and pushes the predicates to the scan like
+# hand-inlined literals. The oracle is the same query with the
+# parameters inlined — equality proves binding is semantically
+# transparent.
+# ---------------------------------------------------------------------------
+_Q70_PARAMS = {"lo": "1995-06-01", "hi": "1995-09-01", "minqty": 25}
+
+
+@q("q70_named_params", f"""
+SELECT l_returnflag, COUNT(*) AS n, {dsum_expr('l_quantity')} AS sum_qty
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{_Q70_PARAMS["lo"]} 00:00:00'
+  AND l_shipdate < TIMESTAMP '{_Q70_PARAMS["hi"]} 00:00:00'
+  AND l_quantity >= {_Q70_PARAMS["minqty"]}
+GROUP BY l_returnflag
+""")
+def q70_named_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                 AS sum_qty
+        FROM lineitem
+        WHERE l_shipdate >= CAST(:lo AS TIMESTAMP)
+          AND l_shipdate < CAST(:hi AS TIMESTAMP)
+          AND l_quantity >= :minqty
+        GROUP BY l_returnflag""",
+        args={"lo": f"{_Q70_PARAMS['lo']} 00:00:00",
+              "hi": f"{_Q70_PARAMS['hi']} 00:00:00",
+              "minqty": _Q70_PARAMS["minqty"]})
+
+
+# ---------------------------------------------------------------------------
+# q71: runtime-adaptive salted aggregation — the dynamic version of
+# q27's static salt recipe: a first bounded job reads per-key counts
+# (rows = key cardinality), the driver derives each key's salt factor
+# (ceil(count/target), capped), and the main aggregate pre-shuffles on
+# (key, salt) before merging per key. The hottest key gets the most
+# subtasks; keys under target stay unsalted — no tuning constant to
+# guess. The salt is md5(event_id) — deterministic, and the final
+# re-aggregate makes the result independent of the salt entirely (the
+# oracle is the plain GROUP BY). The stats collect() is bounded by key
+# cardinality — the same broadcast-sized-artifact rule as the IVF
+# centroids. Construction-time job → impure_names.
+# ---------------------------------------------------------------------------
+SALT_TARGET_ROWS = 500
+SALT_CAP = 16
+
+
+@q("q71_skew_autosalt", f"""
+SELECT event_type, COUNT(*) AS n, {dsum_expr('value')} AS sum_value
+FROM events
+GROUP BY event_type
+""")
+def q71_skew_autosalt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = (ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+             .collect())  # rows = key cardinality (5) — broadcast-sized
+    factors = {r["event_type"]:
+               max(1, min(SALT_CAP, -(-r["c"] // SALT_TARGET_ROWS)))
+               for r in stats}
+    fcol = F.lit(1)
+    for k, v in sorted(factors.items()):
+        fcol = F.when(F.col("event_type") == k, F.lit(v)).otherwise(fcol)
+    salt = (F.conv(F.substring(F.md5(F.col("event_id").cast("string")),
+                               1, 8), 16, 10).cast("bigint") % fcol)
+    partial = (ev.select("event_type", salt.alias("salt"), "value")
+               .groupBy("event_type", "salt")
+               .agg(F.count(F.lit(1)).alias("pn"),
+                    F.sum(F.col("value").cast("decimal(28,6)")).alias("pv")))
+    return (partial.groupBy("event_type")
+            .agg(F.sum("pn").cast("bigint").alias("n"),
+                 F.sum("pv").cast("double").alias("sum_value")))
+
+
+# ---------------------------------------------------------------------------
+# q72: session variables (Spark 4 DECLARE / SET VAR) — the scripting
+# surface for multi-statement flows: a first statement computes a
+# scalar into a session variable, the second uses it as a predicate.
+# The variable is resolved to a literal at parse time of the consuming
+# query, so the filter pushes to the scan exactly like a constant. The
+# oracle inlines the defining subquery. DECLARE/SET execute at
+# construction → impure_names.
+# ---------------------------------------------------------------------------
+@q("q72_session_variable", f"""
+SELECT COUNT(*) AS n_above,
+       ROUND(MAX(o_totalprice) / 2, 6) AS cutoff
+FROM orders
+WHERE o_totalprice > (SELECT MAX(o_totalprice) / 2 FROM orders)
+""")
+def q72_session_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE price_cut DOUBLE")
+    spark.sql(
+        "SET VAR price_cut = (SELECT MAX(o_totalprice) / 2 FROM orders)")
+    return spark.sql("""
+      SELECT COUNT(*) AS n_above,
+             ROUND(MAX(o_totalprice) / 2, 6) AS cutoff
+      FROM orders
+      WHERE o_totalprice > price_cut""")

@@ -415,3 +415,21 @@ def test_naive_bayes_model_broadcasts(spark):
     # nested-loop crosses — no join may sort-merge the token stream
     assert broadcast_join_count(df) >= 2, plan
     assert _nodes(plan, "SortMergeJoin") == 0, plan
+
+
+def test_q70_bound_params_push_to_scan(spark):
+    """named-parameter binding must be transparent to the optimizer:
+    the bound date/quantity predicates reach the parquet scan as pushed
+    filters, same as hand-inlined literals."""
+    df = _fresh(spark, "q70_named_params")
+    assert has_pushed_filters(df), formatted_plan(df)
+
+
+def test_q71_autosalt_two_stage_aggregate(spark):
+    """the salted plan must show BOTH aggregate stages: the (key, salt)
+    partial and the per-key final merge — at least two shuffle
+    exchanges bracketing them, and no Python ops."""
+    df = _fresh(spark, "q71_skew_autosalt")
+    plan = formatted_plan(df)
+    assert _nodes(plan, "HashAggregate") >= 4, plan  # partial+final × 2
+    assert "BatchEvalPython" not in plan, plan
