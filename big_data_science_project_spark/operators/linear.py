@@ -343,3 +343,176 @@ SELECT p AS n_pos, n AS n_neg,
        ROUND(CAST(r2_pos - p * (p + 1) AS DOUBLE) / (2.0 * p * n), 9) AS auc
 FROM agg
 """)
+
+
+# ---------------------------------------------------------------------------
+# Logistic regression by IRLS — the engine's iterative GLM trainer, and
+# the proof that even a NONLINEAR iterative optimizer can carry a full
+# value oracle. Model: P(y=1|x) = sigmoid(w0 + w1·x1 + w2·x2) over the
+# first two embedding dims, y = label parity. Each IRLS step aggregates
+# the 3×3 Hessian X^T W X and gradient X^T (y−p) as exact BIGINT sums of
+# per-row integer-micro contributions (one round() per row after a
+# deterministic double expression — the ml_gram_matrix convention), then
+# solves the 3×3 system in closed form (cofactors) INSIDE the plan — no
+# driver-side solve, so the whole two-step trainer is one SQL-mirrorable
+# DAG. Step 1 starts at w=0 where p=0.5 exactly (no exp at all); step 2
+# quantizes each row's sigmoid to micros before it enters any sum, so
+# partition order can never leak into the result. Scale: two corpus
+# passes (one per step), shuffle = 9 integer cells each; the weight
+# vector re-enters as a 1-row broadcast.
+# ---------------------------------------------------------------------------
+def _lr_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        (F.col("label") % 2).cast("double").alias("y"),
+        F.round(F.element_at("embedding", 1).cast("double") * 1e6)
+        .cast("bigint").alias("x1m"),
+        F.round(F.element_at("embedding", 2).cast("double") * 1e6)
+        .cast("bigint").alias("x2m"))
+
+
+_LR_FEATS_SQL = """
+  SELECT CAST(label % 2 AS DOUBLE) AS y,
+         CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT) AS x1m,
+         CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 1e6) AS BIGINT) AS x2m
+  FROM embeddings
+"""
+
+# closed-form 3x3 solve via cofactors on the aggregate names
+# h{ij}/g{i}; all operands are exact integers rendered as doubles, so
+# the arithmetic is deterministic IEEE in both engines.
+_LR_SOLVE = """
+  det  AS (h11*(h22*h33 - h23*h23) - h12*(h12*h33 - h23*h13)
+           + h13*(h12*h23 - h22*h13)),
+  d1 AS (g1*(h22*h33 - h23*h23) - h12*(g2*h33 - h23*g3)
+         + h13*(g2*h23 - h22*g3)),
+  d2 AS (h11*(g2*h33 - g3*h23) - g1*(h12*h33 - h23*h13)
+         + h13*(h12*g3 - g2*h13)),
+  d3 AS (h11*(h22*g3 - h23*g2) - h12*(h12*g3 - h23*g1)
+         + g1*(h12*h23 - h22*h13))
+"""
+
+
+def ml_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = _lr_feats(spark, sf_dir)
+
+    def step(fdf, w):
+        """One IRLS aggregate given weight columns (micros) on fdf."""
+        x1 = F.col("x1m").cast("double") / 1e6
+        x2 = F.col("x2m").cast("double") / 1e6
+        if w is None:
+            pd_ = F.lit(0.5)
+        else:
+            # z = (w0m*1e6 + w1m*x1m + w2m*x2m) / 1e12: integer-exact
+            # numerator (< 2^53), ONE division, then sigmoid; quantize
+            # to micros before anything is summed
+            z = (F.col("w0m") * F.lit(1_000_000)
+                 + F.col("w1m") * F.col("x1m")
+                 + F.col("w2m") * F.col("x2m")).cast("double") / F.lit(1e12)
+            pd_ = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) * 1e6) / 1e6
+        wgt = pd_ * (F.lit(1.0) - pd_)
+        r = F.col("y") - pd_
+
+        def q6(c):
+            return F.round(c * 1e6).cast("bigint")
+
+        return fdf.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(q6(wgt)).alias("h11"),
+            F.sum(q6(x1 * wgt)).alias("h12"),
+            F.sum(q6(x2 * wgt)).alias("h13"),
+            F.sum(q6(x1 * x1 * wgt)).alias("h22"),
+            F.sum(q6(x1 * x2 * wgt)).alias("h23"),
+            F.sum(q6(x2 * x2 * wgt)).alias("h33"),
+            F.sum(q6(r)).alias("g1"),
+            F.sum(q6(x1 * r)).alias("g2"),
+            F.sum(q6(x2 * r)).alias("g3"))
+
+    def solve(agg, prev):
+        """delta = H^-1 g via cofactors; new w = prev + delta (micros)."""
+        c = {k: F.col(k).cast("double") for k in
+             ("h11", "h12", "h13", "h22", "h23", "h33", "g1", "g2", "g3")}
+        det = (c["h11"] * (c["h22"] * c["h33"] - c["h23"] * c["h23"])
+               - c["h12"] * (c["h12"] * c["h33"] - c["h23"] * c["h13"])
+               + c["h13"] * (c["h12"] * c["h23"] - c["h22"] * c["h13"]))
+        d1 = (c["g1"] * (c["h22"] * c["h33"] - c["h23"] * c["h23"])
+              - c["h12"] * (c["g2"] * c["h33"] - c["h23"] * c["g3"])
+              + c["h13"] * (c["g2"] * c["h23"] - c["h22"] * c["g3"]))
+        d2 = (c["h11"] * (c["g2"] * c["h33"] - c["g3"] * c["h23"])
+              - c["g1"] * (c["h12"] * c["h33"] - c["h23"] * c["h13"])
+              + c["h13"] * (c["h12"] * c["g3"] - c["g2"] * c["h13"]))
+        d3 = (c["h11"] * (c["h22"] * c["g3"] - c["h23"] * c["g2"])
+              - c["h12"] * (c["h12"] * c["g3"] - c["h23"] * c["g1"])
+              + c["g1"] * (c["h12"] * c["h23"] - c["h22"] * c["h13"]))
+        p0, p1, p2 = (F.lit(0), F.lit(0), F.lit(0)) if prev is None else (
+            F.col("w0m"), F.col("w1m"), F.col("w2m"))
+        return agg.select(
+            "n",
+            (p0 + F.round(d1 / det * 1e6)).cast("bigint").alias("w0m"),
+            (p1 + F.round(d2 / det * 1e6)).cast("bigint").alias("w1m"),
+            (p2 + F.round(d3 / det * 1e6)).cast("bigint").alias("w2m"))
+
+    feats = feats  # one logical source, scanned once per step
+    w1 = solve(step(feats, None), None)
+    with_w = feats.crossJoin(F.broadcast(
+        w1.select("w0m", "w1m", "w2m")))
+    w2 = solve(step(with_w, True).crossJoin(
+        F.broadcast(w1.select("w0m", "w1m", "w2m"))), True)
+    return w2
+
+
+def _logreg_sql() -> str:
+    def step_sql(src, pd_expr):
+        return f"""
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND((pd*(1-pd)) * 1e6) AS BIGINT)) AS BIGINT) AS h11,
+         CAST(SUM(CAST(ROUND((x1*(pd*(1-pd))) * 1e6) AS BIGINT)) AS BIGINT) AS h12,
+         CAST(SUM(CAST(ROUND((x2*(pd*(1-pd))) * 1e6) AS BIGINT)) AS BIGINT) AS h13,
+         CAST(SUM(CAST(ROUND((x1*x1*(pd*(1-pd))) * 1e6) AS BIGINT)) AS BIGINT) AS h22,
+         CAST(SUM(CAST(ROUND((x1*x2*(pd*(1-pd))) * 1e6) AS BIGINT)) AS BIGINT) AS h23,
+         CAST(SUM(CAST(ROUND((x2*x2*(pd*(1-pd))) * 1e6) AS BIGINT)) AS BIGINT) AS h33,
+         CAST(SUM(CAST(ROUND((y - pd) * 1e6) AS BIGINT)) AS BIGINT) AS g1,
+         CAST(SUM(CAST(ROUND((x1*(y - pd)) * 1e6) AS BIGINT)) AS BIGINT) AS g2,
+         CAST(SUM(CAST(ROUND((x2*(y - pd)) * 1e6) AS BIGINT)) AS BIGINT) AS g3
+  FROM (SELECT *, CAST(x1m AS DOUBLE)/1e6 AS x1, CAST(x2m AS DOUBLE)/1e6 AS x2,
+               {pd_expr} AS pd FROM {src}) s
+"""
+
+    # cofactor solve over DOUBLE-cast aggregates (the exact integers are
+    # representable in double; DuckDB would overflow INT64 if the raw
+    # BIGINTs were multiplied directly — the Spark side casts identically)
+    cast_agg = ("(SELECT n, " + ", ".join(
+        f"CAST({k} AS DOUBLE) AS {k}"
+        for k in ("h11", "h12", "h13", "h22", "h23", "h33",
+                  "g1", "g2", "g3")) + " FROM {src})")
+    solve_cols = """
+    CAST({p0} + ROUND((g1*(h22*h33 - h23*h23)
+         - h12*(g2*h33 - h23*g3) + h13*(g2*h23 - h22*g3))
+         / (h11*(h22*h33 - h23*h23) - h12*(h12*h33 - h23*h13)
+            + h13*(h12*h23 - h22*h13)) * 1e6) AS BIGINT) AS w0m,
+    CAST({p1} + ROUND((h11*(g2*h33 - g3*h23)
+         - g1*(h12*h33 - h23*h13) + h13*(h12*g3 - g2*h13))
+         / (h11*(h22*h33 - h23*h23) - h12*(h12*h33 - h23*h13)
+            + h13*(h12*h23 - h22*h13)) * 1e6) AS BIGINT) AS w1m,
+    CAST({p2} + ROUND((h11*(h22*g3 - h23*g2)
+         - h12*(h12*g3 - h23*g1) + g1*(h12*h23 - h22*h13))
+         / (h11*(h22*h33 - h23*h23) - h12*(h12*h33 - h23*h13)
+            + h13*(h12*h23 - h22*h13)) * 1e6) AS BIGINT) AS w2m
+"""
+    pd2 = ("ROUND(1.0/(1.0 + EXP(-(CAST(w0m*1000000 + w1m*x1m + w2m*x2m "
+           "AS DOUBLE)/1e12))) * 1e6)/1e6")
+    return f"""
+WITH feats AS ({_LR_FEATS_SQL}),
+agg1 AS ({step_sql("feats", "0.5")}),
+w1 AS (
+  SELECT n, {solve_cols.format(p0="0", p1="0", p2="0")}
+  FROM {cast_agg.format(src="agg1")}),
+withw AS (SELECT f.*, w.w0m, w.w1m, w.w2m FROM feats f, w1 w),
+agg2 AS ({step_sql("withw", pd2)})
+SELECT a.n,
+       {solve_cols.format(p0="w.w0m", p1="w.w1m", p2="w.w2m")}
+FROM {cast_agg.format(src="agg2")} a, w1 w
+"""
+
+
+QUERIES["ml_logreg_irls"] = (ml_logreg_irls, _logreg_sql())

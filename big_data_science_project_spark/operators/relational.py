@@ -2476,3 +2476,56 @@ def q72_session_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND(MAX(o_totalprice) / 2, 6) AS cutoff
       FROM orders
       WHERE o_totalprice > price_cut""")
+
+
+# ---------------------------------------------------------------------------
+# q73: rolling 7-day distinct users per event type — windowed
+# COUNT(DISTINCT) over event time, the retention/engagement metric
+# ("7-day actives") every analytics stack computes. Distinct-inside-a-
+# sliding-window can't partial-aggregate directly, so the scalable shape
+# is: (1) collapse the corpus to the (type, day, user) distinct grid —
+# the ONLY corpus-sized shuffle; (2) range-join that compacted grid to
+# the day spine (7 days per row); (3) count distinct users per (type,
+# day) — all post-corpus work is |types × days × actives| sized. At
+# 100 TB step (1)'s output is orders of magnitude smaller than the
+# input, which is what makes the rolling distinct feasible at all.
+# ---------------------------------------------------------------------------
+ROLL_DAYS = 7
+
+
+@q("q73_rolling_distinct", f"""
+WITH grid AS (
+  SELECT DISTINCT event_type, date_trunc('day', ts) AS day, user_id
+  FROM events),
+days AS (SELECT DISTINCT event_type, day FROM grid)
+SELECT d.event_type,
+       CAST(CAST(d.day AS TIMESTAMP) AS VARCHAR) AS day_s,
+       CAST(COUNT(DISTINCT g.user_id) AS BIGINT) AS actives_7d
+FROM days d
+JOIN grid g
+  ON g.event_type = d.event_type
+ AND g.day > d.day - INTERVAL {ROLL_DAYS} DAY
+ AND g.day <= d.day
+GROUP BY d.event_type, d.day
+""")
+def q73_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    grid = (ev.select("event_type",
+                      F.date_trunc("day", "ts").alias("day"),
+                      "user_id")
+            .distinct())
+    days = grid.select("event_type", "day").distinct()
+    g = grid.alias("g")
+    d = days.alias("d")
+    return (d.join(g,
+                   (F.col("g.event_type") == F.col("d.event_type"))
+                   & (F.col("g.day")
+                      > F.col("d.day") - F.expr(f"INTERVAL {ROLL_DAYS} DAY"))
+                   & (F.col("g.day") <= F.col("d.day")))
+            .groupBy(F.col("d.event_type").alias("event_type"),
+                     F.col("d.day").alias("day"))
+            .agg(F.countDistinct("g.user_id").cast("bigint")
+                 .alias("actives_7d"))
+            .select("event_type",
+                    F.col("day").cast("string").alias("day_s"),
+                    "actives_7d"))

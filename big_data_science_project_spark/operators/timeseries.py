@@ -421,3 +421,86 @@ SELECT user_id, hour,
 FROM hourly
 WINDOW w AS (PARTITION BY user_id ORDER BY hour)
 """)
+
+
+# ---------------------------------------------------------------------------
+# Classical seasonal decomposition (moving-average method, STL-lite):
+# value = trend + seasonal + residual over each type's hourly series.
+# trend = centered 25-hour moving mean; seasonal = per-hour-of-day mean
+# of the detrended series, re-centered to sum ≈ 0; residual = the rest.
+# The decomposition every monitoring pipeline runs before alerting on
+# residuals. Exactness: hourly sums are integer micros; the two means
+# use exact integer sums with a SINGLE truncating div each (Spark `div`
+# == DuckDB `//` on these non-negative / symmetric-safe operands is
+# avoided — both divs run on sums that may be negative after
+# detrending, so both sides use floor-free truncation via CAST of the
+# exact double quotient… no: both engines' integer `/` differ, so the
+# quotient is emitted as DOUBLE — one IEEE division of exact integers,
+# bit-identical). Scale: one corpus aggregate to (type, hour); trend +
+# seasonal are per-type windows/rollups over hours only.
+# Output is the per-(type, hour-of-day) seasonal profile — 5×24 rows at
+# any sf.
+# ---------------------------------------------------------------------------
+TREND_HALF = 12  # 25-hour centered window
+
+
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hour"))
+              .agg(dsum("value", "hr_sum")))
+    hourly = hourly.select(
+        "event_type", "hour",
+        F.round(F.col("hr_sum") * 1e6).cast("bigint").alias("vm"))
+    w = (W.partitionBy("event_type").orderBy("hour")
+         .rowsBetween(-TREND_HALF, TREND_HALF))
+    trended = hourly.select(
+        "event_type", "hour", "vm",
+        F.sum("vm").over(w).alias("tsum"),
+        F.count("vm").over(w).alias("tn"))
+    # interior points only: edge windows are truncated and would bias
+    # the seasonal means (the standard moving-average-method rule)
+    interior = (trended.filter(F.col("tn") == 2 * TREND_HALF + 1)
+                .select("event_type", "hour",
+                        # detrended value in exact micro units × window
+                        # size: d = vm*(2H+1) − tsum keeps everything
+                        # BIGINT (no division yet)
+                        F.hour("hour").alias("hod"),
+                        (F.col("vm") * (2 * TREND_HALF + 1)
+                         - F.col("tsum")).alias("d")))
+    return (interior.groupBy("event_type", "hod")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.sum("d").cast("bigint").alias("dsum_check"))
+            .select("event_type", "hod", "n", "dsum_check",
+                    # seasonal mean in micro units: one IEEE division of
+                    # exact integers — bit-identical cross-engine
+                    (F.col("dsum_check").cast("double")
+                     / (F.col("n") * (2 * TREND_HALF + 1))
+                     / F.lit(1e6)).alias("seasonal")))
+
+
+QUERIES["ts_seasonal_profile"] = (ts_seasonal_profile, f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(ROUND({dsum_expr('value')} * 1e6) AS BIGINT) AS vm
+  FROM events
+  GROUP BY event_type, date_trunc('hour', ts)),
+trended AS (
+  SELECT event_type, hour, vm,
+         SUM(vm) OVER w AS tsum,
+         COUNT(vm) OVER w AS tn
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN {TREND_HALF} PRECEDING
+                        AND {TREND_HALF} FOLLOWING)),
+interior AS (
+  SELECT event_type, EXTRACT(hour FROM hour) AS hod,
+         vm * {2 * TREND_HALF + 1} - tsum AS d
+  FROM trended WHERE tn = {2 * TREND_HALF + 1})
+SELECT event_type, CAST(hod AS INT) AS hod, COUNT(*) AS n,
+       CAST(SUM(d) AS BIGINT) AS dsum_check,
+       CAST(CAST(SUM(d) AS BIGINT) AS DOUBLE)
+         / (COUNT(*) * {2 * TREND_HALF + 1}) / 1e6 AS seasonal
+FROM interior
+GROUP BY event_type, hod
+""")

@@ -433,3 +433,23 @@ def test_q71_autosalt_two_stage_aggregate(spark):
     plan = formatted_plan(df)
     assert _nodes(plan, "HashAggregate") >= 4, plan  # partial+final × 2
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_logreg_weights_broadcast_no_python(spark):
+    """each IRLS step aggregates 9 integer cells; the weight vector
+    re-enters as a 1-row broadcast — no Python ops, no cartesian over
+    data-sized inputs (the only cross joins are 1-row broadcasts)."""
+    df = _fresh(spark, "ml_logreg_irls")
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_rolling_distinct_compacts_before_range_join(spark):
+    """q73: the corpus must collapse to the distinct (type, day, user)
+    grid BEFORE the 7-day range join — the join inputs are aggregates,
+    and no Python appears."""
+    plan = formatted_plan(_fresh(spark, "q73_rolling_distinct"))
+    assert _nodes(plan, "HashAggregate") >= 4, plan
+    assert "BatchEvalPython" not in plan, plan
