@@ -741,7 +741,7 @@ def text_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf
 
     @udtf(returnType=("source string, n_docs bigint, total_chars bigint,"
-                      " min_doc bigint, max_doc bigint"))
+                      " min_doc bigint, max_doc bigint"), useArrow=True)
     class SourceProfile:
         def __init__(self):
             self.src = None
