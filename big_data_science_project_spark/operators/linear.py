@@ -378,21 +378,6 @@ _LR_FEATS_SQL = """
   FROM embeddings
 """
 
-# closed-form 3x3 solve via cofactors on the aggregate names
-# h{ij}/g{i}; all operands are exact integers rendered as doubles, so
-# the arithmetic is deterministic IEEE in both engines.
-_LR_SOLVE = """
-  det  AS (h11*(h22*h33 - h23*h23) - h12*(h12*h33 - h23*h13)
-           + h13*(h12*h23 - h22*h13)),
-  d1 AS (g1*(h22*h33 - h23*h23) - h12*(g2*h33 - h23*g3)
-         + h13*(g2*h23 - h22*g3)),
-  d2 AS (h11*(g2*h33 - g3*h23) - g1*(h12*h33 - h23*h13)
-         + h13*(h12*g3 - g2*h13)),
-  d3 AS (h11*(h22*g3 - h23*g2) - h12*(h12*g3 - h23*g1)
-         + g1*(h12*h23 - h22*h13))
-"""
-
-
 def ml_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = _lr_feats(spark, sf_dir)
 
@@ -452,7 +437,6 @@ def ml_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
             (p1 + F.round(d2 / det * 1e6)).cast("bigint").alias("w1m"),
             (p2 + F.round(d3 / det * 1e6)).cast("bigint").alias("w2m"))
 
-    feats = feats  # one logical source, scanned once per step
     w1 = solve(step(feats, None), None)
     with_w = feats.crossJoin(F.broadcast(
         w1.select("w0m", "w1m", "w2m")))
