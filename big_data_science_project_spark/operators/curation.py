@@ -533,14 +533,12 @@ def curate_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
-        "doc_id", "lang",
+        "doc_id", "lang", "n_chars",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tok"))
     w = (W.partitionBy("lang")
          .orderBy(F.desc("n_chars"), "doc_id")
          .rowsBetween(W.unboundedPreceding, W.currentRow))
-    ranked = (d.select("doc_id", "lang", "n_chars")
-              .join(toks.select("doc_id", "n_tok"), "doc_id")
-              .withColumn("cum_tok", F.sum("n_tok").over(w)))
+    ranked = toks.withColumn("cum_tok", F.sum("n_tok").over(w))
     return (ranked.groupBy("lang")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs_total"),
                  F.sum((F.col("cum_tok") <= TOKEN_BUDGET).cast("int"))

@@ -427,7 +427,7 @@ def ml_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
               - c["g1"] * (c["h12"] * c["h33"] - c["h23"] * c["h13"])
               + c["h13"] * (c["h12"] * c["g3"] - c["g2"] * c["h13"]))
         d3 = (c["h11"] * (c["h22"] * c["g3"] - c["h23"] * c["g2"])
-              - c["h12"] * (c["h12"] * c["g3"] - c["h23"] * c["g1"])
+              - c["h12"] * (c["h12"] * c["g3"] - c["g2"] * c["h13"])
               + c["g1"] * (c["h12"] * c["h23"] - c["h22"] * c["h13"]))
         p0, p1, p2 = (F.lit(0), F.lit(0), F.lit(0)) if prev is None else (
             F.col("w0m"), F.col("w1m"), F.col("w2m"))
@@ -479,7 +479,7 @@ def _logreg_sql() -> str:
          / (h11*(h22*h33 - h23*h23) - h12*(h12*h33 - h23*h13)
             + h13*(h12*h23 - h22*h13)) * 1e6) AS BIGINT) AS w1m,
     CAST({p2} + ROUND((h11*(h22*g3 - h23*g2)
-         - h12*(h12*g3 - h23*g1) + g1*(h12*h23 - h22*h13))
+         - h12*(h12*g3 - g2*h13) + g1*(h12*h23 - h22*h13))
          / (h11*(h22*h33 - h23*h23) - h12*(h12*h33 - h23*h13)
             + h13*(h12*h23 - h22*h13)) * 1e6) AS BIGINT) AS w2m
 """

@@ -457,10 +457,17 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     trended = hourly.select(
         "event_type", "hour", "vm",
         F.sum("vm").over(w).alias("tsum"),
-        F.count("vm").over(w).alias("tn"))
-    # interior points only: edge windows are truncated and would bias
-    # the seasonal means (the standard moving-average-method rule)
-    interior = (trended.filter(F.col("tn") == 2 * TREND_HALF + 1)
+        F.count("vm").over(w).alias("tn"),
+        F.min("hour").over(w).alias("h_lo"),
+        F.max("hour").over(w).alias("h_hi"))
+    # interior AND dense windows only: tn == 25 removes truncated edge
+    # windows, and the 24-hour span check rejects ROWS windows that
+    # straddle a gap in the hourly series (25 rows spanning >25 hours
+    # would compute the trend over a lopsided time span)
+    interior = (trended.filter(
+        (F.col("tn") == 2 * TREND_HALF + 1)
+        & (F.unix_timestamp("h_hi") - F.unix_timestamp("h_lo")
+           == 2 * TREND_HALF * 3600))
                 .select("event_type", "hour",
                         # detrended value in exact micro units × window
                         # size: d = vm*(2H+1) − tsum keeps everything
@@ -488,7 +495,9 @@ WITH hourly AS (
 trended AS (
   SELECT event_type, hour, vm,
          SUM(vm) OVER w AS tsum,
-         COUNT(vm) OVER w AS tn
+         COUNT(vm) OVER w AS tn,
+         MIN(hour) OVER w AS h_lo,
+         MAX(hour) OVER w AS h_hi
   FROM hourly
   WINDOW w AS (PARTITION BY event_type ORDER BY hour
                ROWS BETWEEN {TREND_HALF} PRECEDING
@@ -496,7 +505,9 @@ trended AS (
 interior AS (
   SELECT event_type, EXTRACT(hour FROM hour) AS hod,
          vm * {2 * TREND_HALF + 1} - tsum AS d
-  FROM trended WHERE tn = {2 * TREND_HALF + 1})
+  FROM trended
+  WHERE tn = {2 * TREND_HALF + 1}
+    AND epoch(h_hi) - epoch(h_lo) = {2 * TREND_HALF} * 3600)
 SELECT event_type, CAST(hod AS INT) AS hod, COUNT(*) AS n,
        CAST(SUM(d) AS BIGINT) AS dsum_check,
        CAST(CAST(SUM(d) AS BIGINT) AS DOUBLE)
