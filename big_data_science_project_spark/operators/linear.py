@@ -378,6 +378,28 @@ _LR_FEATS_SQL = """
   FROM embeddings
 """
 
+def cramer3(c):
+    """Cramer's-rule numerators + determinant for the symmetric 3x3
+    system H d = g, over a dict of Column (or float) operands named
+    h11..h33 / g1..g3. Module-level so the unit suite can evaluate the
+    SAME expressions against numpy on random systems — the algebra here
+    once carried a wrong cofactor that oracle equality could not see
+    (the oracle mirrored it); tests/test_linear.py now pins it."""
+    det = (c["h11"] * (c["h22"] * c["h33"] - c["h23"] * c["h23"])
+           - c["h12"] * (c["h12"] * c["h33"] - c["h23"] * c["h13"])
+           + c["h13"] * (c["h12"] * c["h23"] - c["h22"] * c["h13"]))
+    d1 = (c["g1"] * (c["h22"] * c["h33"] - c["h23"] * c["h23"])
+          - c["h12"] * (c["g2"] * c["h33"] - c["h23"] * c["g3"])
+          + c["h13"] * (c["g2"] * c["h23"] - c["h22"] * c["g3"]))
+    d2 = (c["h11"] * (c["g2"] * c["h33"] - c["g3"] * c["h23"])
+          - c["g1"] * (c["h12"] * c["h33"] - c["h23"] * c["h13"])
+          + c["h13"] * (c["h12"] * c["g3"] - c["g2"] * c["h13"]))
+    d3 = (c["h11"] * (c["h22"] * c["g3"] - c["h23"] * c["g2"])
+          - c["h12"] * (c["h12"] * c["g3"] - c["g2"] * c["h13"])
+          + c["g1"] * (c["h12"] * c["h23"] - c["h22"] * c["h13"]))
+    return d1, d2, d3, det
+
+
 def ml_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = _lr_feats(spark, sf_dir)
 
@@ -417,18 +439,7 @@ def ml_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         """delta = H^-1 g via cofactors; new w = prev + delta (micros)."""
         c = {k: F.col(k).cast("double") for k in
              ("h11", "h12", "h13", "h22", "h23", "h33", "g1", "g2", "g3")}
-        det = (c["h11"] * (c["h22"] * c["h33"] - c["h23"] * c["h23"])
-               - c["h12"] * (c["h12"] * c["h33"] - c["h23"] * c["h13"])
-               + c["h13"] * (c["h12"] * c["h23"] - c["h22"] * c["h13"]))
-        d1 = (c["g1"] * (c["h22"] * c["h33"] - c["h23"] * c["h23"])
-              - c["h12"] * (c["g2"] * c["h33"] - c["h23"] * c["g3"])
-              + c["h13"] * (c["g2"] * c["h23"] - c["h22"] * c["g3"]))
-        d2 = (c["h11"] * (c["g2"] * c["h33"] - c["g3"] * c["h23"])
-              - c["g1"] * (c["h12"] * c["h33"] - c["h23"] * c["h13"])
-              + c["h13"] * (c["h12"] * c["g3"] - c["g2"] * c["h13"]))
-        d3 = (c["h11"] * (c["h22"] * c["g3"] - c["h23"] * c["g2"])
-              - c["h12"] * (c["h12"] * c["g3"] - c["g2"] * c["h13"])
-              + c["g1"] * (c["h12"] * c["h23"] - c["h22"] * c["h13"]))
+        d1, d2, d3, det = cramer3(c)
         p0, p1, p2 = (F.lit(0), F.lit(0), F.lit(0)) if prev is None else (
             F.col("w0m"), F.col("w1m"), F.col("w2m"))
         return agg.select(

@@ -902,3 +902,58 @@ LIMIT {RRF_POOL}
 
 
 QUERIES["ann_hybrid_rrf"] = (ann_hybrid_rrf, _hybrid_rrf_sql())
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation — the evaluation harness every approximate-index
+# deployment runs before trusting its ladder: recall@k of each
+# approximate retriever (sign-LSH bucket probe, IVF nprobe scan)
+# against the exact brute-force top-k, computed IN ONE QUERY. Each
+# branch is the ladder's own plan; recall is |approx ∩ exact| / k via
+# semi-join-shaped inner joins on the bounded top-k tables (k-row
+# inputs — driver-scale). Deterministic end to end because every branch
+# is. Construction collects the IVF centroid table → impure_names.
+# ---------------------------------------------------------------------------
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = ann_bruteforce_topk(spark, sf_dir).select("vec_id")
+    branches = []
+    for method, fn in (("lsh", ann_lsh_topk), ("ivf", ann_ivf_topk)):
+        approx = fn(spark, sf_dir).select("vec_id")
+        n_ret = approx.count()  # bounded: <= 10 rows
+        hits = approx.join(exact, "vec_id")
+        branches.append(hits.agg(
+            F.lit(method).alias("method"),
+            F.lit(10).cast("int").alias("k"),
+            F.lit(n_ret).cast("bigint").alias("n_returned"),
+            F.count(F.lit(1)).cast("bigint").alias("hits"),
+            F.expr("(100 * count(1)) div 10").cast("bigint")
+            .alias("recall_pct")))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def _recall_sql() -> str:
+    bf = QUERIES["ann_bruteforce_topk"][1]
+    lsh = QUERIES["ann_lsh_topk"][1]
+    ivf = QUERIES["ann_ivf_topk"][1]
+    return f"""
+WITH exact_q AS ({bf}),
+lsh_q AS ({lsh}),
+ivf_q AS ({ivf})
+SELECT 'lsh' AS method, CAST(10 AS INT) AS k,
+       CAST((SELECT COUNT(*) FROM lsh_q) AS BIGINT) AS n_returned,
+       CAST(COUNT(*) AS BIGINT) AS hits,
+       CAST((100 * COUNT(*)) // 10 AS BIGINT) AS recall_pct
+FROM lsh_q l JOIN exact_q e ON l.vec_id = e.vec_id
+UNION ALL
+SELECT 'ivf' AS method, CAST(10 AS INT) AS k,
+       CAST((SELECT COUNT(*) FROM ivf_q) AS BIGINT) AS n_returned,
+       CAST(COUNT(*) AS BIGINT) AS hits,
+       CAST((100 * COUNT(*)) // 10 AS BIGINT) AS recall_pct
+FROM ivf_q i JOIN exact_q e ON i.vec_id = e.vec_id
+"""
+
+
+QUERIES["ann_recall_eval"] = (ann_recall_eval, _recall_sql())
