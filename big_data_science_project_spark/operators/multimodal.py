@@ -375,3 +375,94 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str = "") -> DataFrame:
 
 
 QUERIES["multimodal_audio_vad"] = (multimodal_audio_vad, None)  # rows-only
+
+
+# ---------------------------------------------------------------------------
+# Video scene-cut detection — the third opaque-payload modality beside
+# image decode and audio VAD: shot-boundary detection by inter-frame
+# difference, the first pass of every video-training-data pipeline
+# (split footage into shots before sampling/captioning). Payload is raw
+# uint8 frames (W*H bytes per frame, frame-major — the demo codec; a
+# real deployment swaps pyav decode into the same UDF). A cut is a
+# frame whose mean absolute difference from its predecessor exceeds the
+# gate — integer arithmetic end to end, so the planted cuts are
+# recovered exactly. Scale shape: clips are rows, detection is an
+# Arrow-batched scalar UDF — parallelism is the clip count, pixels
+# never shuffle (the aHash/VAD contract).
+# ---------------------------------------------------------------------------
+VIDEO_CLIPS = 24
+VID_W, VID_H = 32, 24
+VID_FRAMES = 48
+VID_CUT_GATE = 20  # mean-abs-diff gate (uint8 units)
+
+
+def _gen_video(clip_id: int) -> np.ndarray:
+    """Synthetic clip: smooth per-frame brightness drift with 1-3
+    planted hard scene changes at clip-keyed frame indices."""
+    base = (37 * clip_id) % 128
+    frames = np.empty((VID_FRAMES, VID_H, VID_W), dtype=np.uint8)
+    cuts = {8 + (clip_id * 7) % 30}
+    if clip_id % 2:
+        cuts.add(20 + (clip_id * 11) % 25)
+    if clip_id % 3 == 0:
+        cuts.add(5 + (clip_id * 13) % 40)
+    # wrap-free construction: monotone +1 drift plus a +80 offset that
+    # toggles at each cut — max pixel 127+47+80+7 = 261-capped design
+    # stays < 256, so the ONLY frame pairs whose MAD clears the gate
+    # are the planted toggles (a modular wrap would fabricate a 199-
+    # or 255-sized "cut"; caught by the planted-set recovery test)
+    offset = 0
+    for f in range(VID_FRAMES):
+        if f in cuts:
+            offset = 80 - offset
+        level = base // 2 + f + offset
+        g = np.fromfunction(
+            lambda y, x: level + ((x + y + clip_id) % 8), (VID_H, VID_W))
+        frames[f] = g.astype(np.uint8)
+    return frames
+
+
+def scene_cuts_np(frames: np.ndarray) -> list[int]:
+    """Frame indices whose mean abs diff from the previous frame
+    exceeds the gate — pure integer arithmetic (shared by the UDF and
+    the local-mirror test)."""
+    d = np.abs(frames[1:].astype(np.int64) - frames[:-1].astype(np.int64))
+    mad = d.reshape(len(d), -1).sum(axis=1) // (VID_W * VID_H)
+    return [int(i + 1) for i in np.nonzero(mad > VID_CUT_GATE)[0]]
+
+
+def load_video(spark: SparkSession) -> DataFrame:
+    ids = spark.range(0, VIDEO_CLIPS, 1, 4).select(
+        F.col("id").alias("clip_id"))
+
+    @F.pandas_udf(T.BinaryType())
+    def synth(cid: pd.Series) -> pd.Series:
+        return cid.map(lambda c: _gen_video(int(c)).tobytes())
+
+    return ids.select(
+        "clip_id", F.lit(VID_W).alias("width"), F.lit(VID_H).alias("height"),
+        F.lit(VID_FRAMES).alias("n_frames"),
+        synth(F.col("clip_id")).alias("frames"))
+
+
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    video = load_video(spark)
+
+    @F.pandas_udf("n_cuts int, first_cut int, cut_frames string")
+    def detect(frames: pd.Series) -> pd.DataFrame:
+        rows = []
+        for buf in frames:
+            fr = np.frombuffer(buf, dtype=np.uint8).reshape(
+                VID_FRAMES, VID_H, VID_W)
+            cuts = scene_cuts_np(fr)
+            rows.append((len(cuts), cuts[0] if cuts else -1,
+                         ",".join(map(str, cuts))))
+        return pd.DataFrame(rows, columns=[
+            "n_cuts", "first_cut", "cut_frames"])
+
+    return (video.select("clip_id", detect("frames").alias("c"))
+            .select("clip_id", "c.n_cuts", "c.first_cut", "c.cut_frames")
+            .orderBy("clip_id"))
+
+
+QUERIES["multimodal_scene_cuts"] = (multimodal_scene_cuts, None)  # rows-only

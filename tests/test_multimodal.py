@@ -145,3 +145,26 @@ def test_audio_vad_matches_local_mirror(spark):
         assert got[cid] == want, (cid, got[cid], want)
         gap_windows = (2 + cid % 4)
         assert got[cid][2] >= gap_windows - 1, (cid, got[cid])
+
+
+def test_scene_cuts_recover_planted_boundaries(spark):
+    """The distributed detector must recover EXACTLY the planted scene
+    changes for every clip (the generator is wrap-free by construction,
+    so no other frame pair can clear the MAD gate), and match the
+    shared numpy kernel bit-for-bit."""
+    from big_data_science_project_spark.operators.multimodal import (
+        VIDEO_CLIPS, _gen_video, multimodal_scene_cuts, scene_cuts_np)
+
+    rows = multimodal_scene_cuts(spark).collect()
+    assert len(rows) == VIDEO_CLIPS
+    for r in rows:
+        got = [int(x) for x in r.cut_frames.split(",")] if r.cut_frames \
+            else []
+        assert got == scene_cuts_np(_gen_video(r.clip_id)), r
+        planted = {8 + (r.clip_id * 7) % 30}
+        if r.clip_id % 2:
+            planted.add(20 + (r.clip_id * 11) % 25)
+        if r.clip_id % 3 == 0:
+            planted.add(5 + (r.clip_id * 13) % 40)
+        assert got == sorted(planted), r
+        assert r.n_cuts == len(got) and r.first_cut == got[0]
