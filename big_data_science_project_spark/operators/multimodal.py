@@ -407,10 +407,11 @@ def _gen_video(clip_id: int) -> np.ndarray:
     if clip_id % 3 == 0:
         cuts.add(5 + (clip_id * 13) % 40)
     # wrap-free construction: monotone +1 drift plus a +80 offset that
-    # toggles at each cut — max pixel 127+47+80+7 = 261-capped design
-    # stays < 256, so the ONLY frame pairs whose MAD clears the gate
-    # are the planted toggles (a modular wrap would fabricate a 199-
-    # or 255-sized "cut"; caught by the planted-set recovery test)
+    # toggles at each cut — max pixel = base//2 (<=63) + f (<=47) +
+    # offset (<=80) + pattern (<=7) = 197 < 256, so the ONLY frame
+    # pairs whose MAD clears the gate are the planted toggles (a
+    # modular wrap would fabricate a 199- or 255-sized "cut"; caught
+    # by the planted-set recovery test)
     offset = 0
     for f in range(VID_FRAMES):
         if f in cuts:
@@ -427,7 +428,8 @@ def scene_cuts_np(frames: np.ndarray) -> list[int]:
     exceeds the gate — pure integer arithmetic (shared by the UDF and
     the local-mirror test)."""
     d = np.abs(frames[1:].astype(np.int64) - frames[:-1].astype(np.int64))
-    mad = d.reshape(len(d), -1).sum(axis=1) // (VID_W * VID_H)
+    n_px = frames.shape[1] * frames.shape[2]
+    mad = d.reshape(len(d), -1).sum(axis=1) // n_px
     return [int(i + 1) for i in np.nonzero(mad > VID_CUT_GATE)[0]]
 
 
@@ -449,18 +451,23 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     video = load_video(spark)
 
     @F.pandas_udf("n_cuts int, first_cut int, cut_frames string")
-    def detect(frames: pd.Series) -> pd.DataFrame:
+    def detect(frames: pd.Series, width: pd.Series, height: pd.Series,
+               n_frames: pd.Series) -> pd.DataFrame:
         rows = []
-        for buf in frames:
+        for buf, w, h, nf in zip(frames, width, height, n_frames):
+            # honor each clip's own geometry metadata — payloads are
+            # opaque, the schema is the contract
             fr = np.frombuffer(buf, dtype=np.uint8).reshape(
-                VID_FRAMES, VID_H, VID_W)
+                int(nf), int(h), int(w))
             cuts = scene_cuts_np(fr)
             rows.append((len(cuts), cuts[0] if cuts else -1,
                          ",".join(map(str, cuts))))
         return pd.DataFrame(rows, columns=[
             "n_cuts", "first_cut", "cut_frames"])
 
-    return (video.select("clip_id", detect("frames").alias("c"))
+    return (video.select(
+                "clip_id",
+                detect("frames", "width", "height", "n_frames").alias("c"))
             .select("clip_id", "c.n_cuts", "c.first_cut", "c.cut_frames")
             .orderBy("clip_id"))
 

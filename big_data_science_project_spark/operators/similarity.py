@@ -915,18 +915,21 @@ QUERIES["ann_hybrid_rrf"] = (ann_hybrid_rrf, _hybrid_rrf_sql())
 # is. Construction collects the IVF centroid table → impure_names.
 # ---------------------------------------------------------------------------
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact = ann_bruteforce_topk(spark, sf_dir).select("vec_id")
+    exact = (ann_bruteforce_topk(spark, sf_dir)
+             .select("vec_id", F.lit(1).alias("hit")))
     branches = []
     for method, fn in (("lsh", ann_lsh_topk), ("ivf", ann_ivf_topk)):
-        approx = fn(spark, sf_dir).select("vec_id")
-        n_ret = approx.count()  # bounded: <= 10 rows
-        hits = approx.join(exact, "vec_id")
-        branches.append(hits.agg(
+        # one pass per branch: left join marks hits, the aggregate
+        # counts returned rows and hits together — no eager action, no
+        # re-execution of the ranker pipelines
+        joined = fn(spark, sf_dir).select("vec_id").join(
+            exact, "vec_id", "left")
+        branches.append(joined.agg(
             F.lit(method).alias("method"),
             F.lit(10).cast("int").alias("k"),
-            F.lit(n_ret).cast("bigint").alias("n_returned"),
-            F.count(F.lit(1)).cast("bigint").alias("hits"),
-            F.expr("(100 * count(1)) div 10").cast("bigint")
+            F.count(F.lit(1)).cast("bigint").alias("n_returned"),
+            F.count("hit").cast("bigint").alias("hits"),
+            F.expr("(100 * count(hit)) div 10").cast("bigint")
             .alias("recall_pct")))
     out = branches[0]
     for b in branches[1:]:

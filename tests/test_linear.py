@@ -125,7 +125,11 @@ def test_logreg_irls_matches_numpy_mirror(spark):
     def step(pd_):
         wgt = pd_ * (1 - pd_)
         r = y - pd_
-        q = lambda v: np.round(v * 1e6).astype(np.int64)
+        # HALF_UP away from zero like Spark round / DuckDB ROUND —
+        # np.round is half-to-even and floor(v+0.5) rounds negative
+        # halves toward +inf; both diverge at .5 micro boundaries
+        q = lambda v: (np.sign(v)
+                       * np.floor(np.abs(v) * 1e6 + 0.5)).astype(np.int64)
         H = np.array([
             [q(wgt).sum(), q(x1 * wgt).sum(), q(x2 * wgt).sum()],
             [q(x1 * wgt).sum(), q(x1 * x1 * wgt).sum(),
@@ -136,10 +140,12 @@ def test_logreg_irls_matches_numpy_mirror(spark):
                      dtype=np.float64)
         return np.linalg.solve(H, g)
 
-    w1 = np.round(step(np.full_like(y, 0.5)) * 1e6).astype(np.int64)
+    half_up = lambda v: (np.sign(v)
+                         * np.floor(np.abs(v) * 1e6 + 0.5)).astype(np.int64)
+    w1 = half_up(step(np.full_like(y, 0.5)))
     z = (w1[0] * 1_000_000 + w1[1] * x1m + w1[2] * x2m) / 1e12
-    p2 = np.round(1.0 / (1.0 + np.exp(-z)) * 1e6) / 1e6
-    w2 = w1 + np.round(step(p2) * 1e6).astype(np.int64)
+    p2 = np.floor(1.0 / (1.0 + np.exp(-z)) * 1e6 + 0.5) / 1e6  # p >= 0
+    w2 = w1 + half_up(step(p2))
 
     row = ml_logreg_irls(spark, SF).collect()[0]
     got = np.array([row.w0m, row.w1m, row.w2m], dtype=np.int64)
