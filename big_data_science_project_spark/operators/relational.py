@@ -2529,3 +2529,44 @@ def q73_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type",
                     F.col("day").cast("string").alias("day_s"),
                     "actives_7d"))
+
+
+# ---------------------------------------------------------------------------
+# q74: multi-aggregate pivot — each declared pivot value produces
+# SEVERAL output columns (count + exact-decimal revenue), the wide
+# report shape q33's single-agg pivot can't express. Spark plans the
+# whole thing as ONE partial+final aggregate whose expressions are the
+# pivot-value filters (no per-value scans); the oracle is DuckDB's
+# FILTER-clause equivalent of the same single pass. Values are
+# declared, never discovered — no extra job at any scale.
+# ---------------------------------------------------------------------------
+PIV_STATUSES = ("F", "O", "P")
+
+
+_Q74_COLS = ", ".join(
+    "COUNT(*) FILTER (o_orderstatus = '{s}') AS n_{s}, ".format(s=s)
+    + dsum_expr("CASE WHEN o_orderstatus = '{s}' THEN o_totalprice "
+                "ELSE 0 END".format(s=s))
+    + " AS rev_{s}".format(s=s)
+    for s in PIV_STATUSES)
+
+
+@q("q74_pivot_multiagg", f"""
+SELECT o_orderpriority, {_Q74_COLS}
+FROM orders
+GROUP BY o_orderpriority
+""")
+def q74_pivot_multiagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    wide = (o.groupBy("o_orderpriority")
+            .pivot("o_orderstatus", list(PIV_STATUSES))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum(F.when(F.col("o_orderstatus").isNotNull(),
+                             F.col("o_totalprice")).otherwise(0), "rev")))
+    cols = [F.col("o_orderpriority")]
+    for s in PIV_STATUSES:
+        cols.append(F.coalesce(F.col(f"`{s}_n`"), F.lit(0))
+                    .cast("bigint").alias(f"n_{s}"))
+        cols.append(F.coalesce(F.col(f"`{s}_rev`"), F.lit(0.0))
+                    .alias(f"rev_{s}"))
+    return wide.select(*cols)

@@ -888,3 +888,89 @@ SELECT true_lang, cl AS pred_lang, COUNT(*) AS n
 FROM pred WHERE rn = 1
 GROUP BY true_lang, cl
 """)
+
+
+# ---------------------------------------------------------------------------
+# Sparse TF-IDF cosine similarity — the inverted-index counterpart of
+# the dense ANN ladder: doc vectors are (term → tf·ln(N/df)) sparse
+# maps, and the doc-doc dot product materializes through a TERM-keyed
+# join (docs only meet on shared terms — the sparse-join identity that
+# makes all-pairs text similarity feasible; blocked on source like the
+# prefix-filter join). Exactness: each weight quantizes to integer
+# micros right after its single ln(); dots and squared norms are exact
+# BIGINT sums; the one float step is IEEE-correctly-rounded sqrt +
+# division, bit-identical cross-engine. Output: global top-20 pairs by
+# cosine with pinned tie-breaks.
+# ---------------------------------------------------------------------------
+SPARSE_TOPK = 20
+
+
+def text_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "source",
+                   F.explode(_tokens("text")).alias("term"))
+    tf = (tok.groupBy("doc_id", "source", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n"))
+    w = (tf.join(F.broadcast(dfreq), "term")
+         .crossJoin(F.broadcast(n_docs))
+         .select("doc_id", "source", "term",
+                 F.round(F.col("tf") * F.log(F.col("n") / F.col("df"))
+                         * 1e6).cast("bigint").alias("wm"))
+         .filter(F.col("wm") != 0))
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("wm") * F.col("wm")).alias("n2"))
+    dots = (w.alias("a").join(
+        w.alias("b"),
+        (F.col("a.term") == F.col("b.term"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.sum(F.col("a.wm") * F.col("b.wm")).alias("dot")))
+    return (dots
+            .join(norms.withColumnRenamed("doc_id", "doc_a")
+                  .withColumnRenamed("n2", "na2"), "doc_a")
+            .join(norms.withColumnRenamed("doc_id", "doc_b")
+                  .withColumnRenamed("n2", "nb2"), "doc_b")
+            .select("doc_a", "doc_b",
+                    F.round(F.col("dot").cast("double")
+                            / (F.sqrt(F.col("na2").cast("double"))
+                               * F.sqrt(F.col("nb2").cast("double"))), 9)
+                    .alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), "doc_a", "doc_b")
+            .limit(SPARSE_TOPK))
+
+
+QUERIES["text_sparse_cosine_topk"] = (text_sparse_cosine_topk, f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, source, term, COUNT(*) AS tf
+       FROM tok GROUP BY 1, 2, 3),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+w AS (
+  SELECT doc_id, source, term,
+         CAST(ROUND(tf * ln(CAST(n AS DOUBLE) / df) * 1e6) AS BIGINT) AS wm
+  FROM tf JOIN dfreq USING (term), nd),
+w2 AS (SELECT * FROM w WHERE wm != 0),
+norms AS (SELECT doc_id, CAST(SUM(wm * wm) AS BIGINT) AS n2
+          FROM w2 GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(a.wm * b.wm) AS BIGINT) AS dot
+  FROM w2 a JOIN w2 b ON a.term = b.term AND a.source = b.source
+                     AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       ROUND(CAST(dot AS DOUBLE)
+             / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))),
+             9) AS cos_sim
+FROM dots
+JOIN norms na ON na.doc_id = doc_a
+JOIN norms nb ON nb.doc_id = doc_b
+ORDER BY cos_sim DESC, doc_a, doc_b
+LIMIT {SPARSE_TOPK}
+""")

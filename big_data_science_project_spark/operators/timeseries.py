@@ -515,3 +515,119 @@ SELECT event_type, CAST(hod AS INT) AS hod, COUNT(*) AS n,
 FROM interior
 GROUP BY event_type, hod
 """)
+
+
+# ---------------------------------------------------------------------------
+# Triangle-area downsampling (parallel LTTB variant) — pick, per fixed
+# bucket of the hourly series, the point with the largest triangle area
+# against the NEIGHBOR BUCKET AVERAGES. Classic LTTB anchors on the
+# previously *selected* point (inherently sequential); anchoring both
+# sides on bucket averages keeps the visual-salience property while
+# every bucket selects independently — the parallelizable form a
+# distributed engine should run. Exactness: values in integer cents,
+# hour indexes integer, both anchor averages cleared of division by
+# scaling all coordinates by n_prev·n_next — the area comparison is
+# pure BIGINT cross-multiplication (|x| < 2^40), and the winner per
+# bucket has a pinned hour tie-break. Edge buckets keep their first /
+# last point (the LTTB endpoint convention). One corpus aggregate to
+# (type, hour), then windows over hours only.
+# ---------------------------------------------------------------------------
+LTTB_BUCKET = 6  # hours per bucket
+
+
+def ts_downsample_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hour"))
+              .agg(dsum("value", "hr_sum")))
+    pts = hourly.select(
+        "event_type", "hour",
+        F.expr("unix_timestamp(hour) div 3600").alias("h"),
+        F.round(F.col("hr_sum") * 100).cast("bigint").alias("vc"))
+    pts = pts.withColumn("bucket", F.expr(f"h div {LTTB_BUCKET}"))
+    agg = (pts.groupBy("event_type", "bucket")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("h").alias("sh"), F.sum("vc").alias("sv")))
+    w = W.partitionBy("event_type").orderBy("bucket")
+    nb = (agg.select(
+        "event_type", "bucket", "n", "sh", "sv",
+        F.lag("n").over(w).alias("pn"), F.lag("sh").over(w).alias("psh"),
+        F.lag("sv").over(w).alias("psv"),
+        F.lead("n").over(w).alias("nn"), F.lead("sh").over(w).alias("nsh"),
+        F.lead("sv").over(w).alias("nsv")))
+    cand = pts.join(nb.drop("n", "sh", "sv"), ["event_type", "bucket"])
+    # coordinates scaled by pn*nn: anchors (psh*nn, psv*nn) and
+    # (nsh*pn, nsv*pn); candidate (h*pn*nn, vc*pn*nn)
+    area = F.expr("""
+      abs((psh * nn - h * pn * nn) * (nsv * pn - vc * pn * nn)
+        - (psv * nn - vc * pn * nn) * (nsh * pn - h * pn * nn))""")
+    interior = (cand.filter(F.col("pn").isNotNull()
+                            & F.col("nn").isNotNull())
+                .withColumn("area", area)
+                .withColumn("rn", F.row_number().over(
+                    W.partitionBy("event_type", "bucket")
+                    .orderBy(F.desc("area"), "h")))
+                .filter(F.col("rn") == 1)
+                .select("event_type", "bucket", "h", "vc"))
+    first_b = (cand.filter(F.col("pn").isNull())
+               .withColumn("rn", F.row_number().over(
+                   W.partitionBy("event_type", "bucket").orderBy("h")))
+               .filter(F.col("rn") == 1)
+               .select("event_type", "bucket", "h", "vc"))
+    last_b = (cand.filter(F.col("nn").isNull())
+              .withColumn("rn", F.row_number().over(
+                  W.partitionBy("event_type", "bucket")
+                  .orderBy(F.desc("h"))))
+              .filter(F.col("rn") == 1)
+              .select("event_type", "bucket", "h", "vc"))
+    return (interior.unionByName(first_b).unionByName(last_b)
+            .select("event_type", "bucket", "h",
+                    (F.col("vc").cast("double") / 100).alias("value")))
+
+
+QUERIES["ts_downsample_triangle"] = (ts_downsample_triangle, f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         {dsum_expr('value')} AS hr_sum
+  FROM events GROUP BY 1, 2),
+pts AS (
+  SELECT event_type,
+         CAST(epoch(hour) AS BIGINT) // 3600 AS h,
+         CAST(ROUND(hr_sum * 100) AS BIGINT) AS vc,
+         (CAST(epoch(hour) AS BIGINT) // 3600) // {LTTB_BUCKET} AS bucket
+  FROM hourly),
+agg AS (
+  SELECT event_type, bucket, COUNT(*) AS n,
+         CAST(SUM(h) AS BIGINT) AS sh, CAST(SUM(vc) AS BIGINT) AS sv
+  FROM pts GROUP BY 1, 2),
+nb AS (
+  SELECT event_type, bucket,
+         LAG(n) OVER w AS pn, LAG(sh) OVER w AS psh, LAG(sv) OVER w AS psv,
+         LEAD(n) OVER w AS nn, LEAD(sh) OVER w AS nsh, LEAD(sv) OVER w AS nsv
+  FROM agg
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+cand AS (
+  SELECT p.*, nb.pn, nb.psh, nb.psv, nb.nn, nb.nsh, nb.nsv
+  FROM pts p JOIN nb USING (event_type, bucket)),
+interior AS (
+  SELECT event_type, bucket, h, vc,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type, bucket
+           ORDER BY abs((psh * nn - h * pn * nn) * (nsv * pn - vc * pn * nn)
+                      - (psv * nn - vc * pn * nn) * (nsh * pn - h * pn * nn))
+                    DESC, h) AS rn
+  FROM cand WHERE pn IS NOT NULL AND nn IS NOT NULL),
+first_b AS (
+  SELECT event_type, bucket, h, vc,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bucket ORDER BY h) AS rn
+  FROM cand WHERE pn IS NULL),
+last_b AS (
+  SELECT event_type, bucket, h, vc,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                            ORDER BY h DESC) AS rn
+  FROM cand WHERE nn IS NULL)
+SELECT event_type, bucket, h, CAST(vc AS DOUBLE) / 100 AS value
+FROM (SELECT * FROM interior WHERE rn = 1
+      UNION ALL SELECT * FROM first_b WHERE rn = 1
+      UNION ALL SELECT * FROM last_b WHERE rn = 1)
+""")

@@ -453,3 +453,15 @@ def test_rolling_distinct_compacts_before_range_join(spark):
     plan = formatted_plan(_fresh(spark, "q73_rolling_distinct"))
     assert _nodes(plan, "HashAggregate") >= 4, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_sparse_cosine_df_broadcasts_no_cartesian(spark):
+    """tf-idf weights join term df via broadcast; the doc-doc dot
+    product is an equi join on (term, source) — no cartesian, no
+    Python."""
+    df = _fresh(spark, "text_sparse_cosine_topk")
+    plan = formatted_plan(df)
+    assert broadcast_join_count(df) >= 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
