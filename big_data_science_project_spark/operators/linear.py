@@ -511,3 +511,83 @@ FROM {cast_agg.format(src="agg2")} a, w1 w
 
 
 QUERIES["ml_logreg_irls"] = (ml_logreg_irls, _logreg_sql())
+
+
+# ---------------------------------------------------------------------------
+# Decision-stump learner — the histogram-based split search at the core
+# of every distributed GBDT (LightGBM/XGBoost-style): explode each row
+# into (feature, value) pairs, cross every candidate threshold from a
+# FIXED grid (broadcast — the "histogram bins" that make tree learning
+# one aggregate instead of a sort per feature), count (feature,
+# threshold, side, label) cells in one partial+final aggregate, and
+# pick the split whose majority-vote accuracy is highest. The 0-1-loss
+# criterion keeps the whole search in exact BIGINT arithmetic (a
+# Gini/entropy gain needs per-candidate rational comparisons); argmax
+# tie-breaks are pinned (correct desc, feature, threshold). Shuffle =
+# features × thresholds × 2 × 2 cells, independent of corpus size.
+# ---------------------------------------------------------------------------
+STUMP_FEATURES = 4
+STUMP_THRESHOLDS_MICRO = tuple(
+    int(t * 1e6) for t in (-0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3))
+
+
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    feats = e.select(
+        (F.col("label") % 2).cast("int").alias("y"),
+        F.explode(F.array(*[
+            F.struct(F.lit(j + 1).alias("j"),
+                     F.round(F.element_at("embedding", j + 1)
+                             .cast("double") * 1e6).cast("bigint")
+                     .alias("xm"))
+            for j in range(STUMP_FEATURES)])).alias("f"))
+    feats = feats.select("y", "f.j", "f.xm")
+    ths = F.explode(F.array(*[
+        F.lit(t).cast("bigint") for t in STUMP_THRESHOLDS_MICRO]))
+    cells = (feats.select("y", "j", "xm", ths.alias("t"))
+             .groupBy("j", "t", (F.col("xm") <= F.col("t")).alias("left"),
+                      "y")
+             .agg(F.count(F.lit(1)).alias("c")))
+    side_best = (cells.groupBy("j", "t", "left")
+                 .agg(F.max("c").alias("best"), F.sum("c").alias("n")))
+    scored = (side_best.groupBy("j", "t")
+              .agg(F.sum("best").cast("bigint").alias("n_correct"),
+                   F.sum("n").cast("bigint").alias("n_total")))
+    from pyspark.sql import Window as W
+    return (scored.withColumn(
+        "rn", F.row_number().over(
+            W.orderBy(F.desc("n_correct"), "j", "t")))
+        .filter(F.col("rn") == 1)
+        .select(F.col("j").alias("feature"),
+                (F.col("t").cast("double") / 1e6).alias("threshold"),
+                "n_correct", "n_total"))
+
+
+_STUMP_TS = ", ".join(f"({t})" for t in STUMP_THRESHOLDS_MICRO)
+_STUMP_FEATS = ", ".join(
+    f"({j + 1}, CAST(ROUND(CAST(embedding[{j + 1}] AS DOUBLE) * 1e6) "
+    f"AS BIGINT))" for j in range(STUMP_FEATURES))
+
+QUERIES["ml_decision_stump"] = (ml_decision_stump, f"""
+WITH feats AS (
+  SELECT CAST(label % 2 AS INT) AS y, f.j, f.xm
+  FROM embeddings,
+       LATERAL (SELECT * FROM (VALUES {_STUMP_FEATS}) v(j, xm)) f(j, xm)),
+cells AS (
+  SELECT j, t.t, (xm <= t.t) AS lft, y, COUNT(*) AS c
+  FROM feats, (VALUES {_STUMP_TS}) t(t)
+  GROUP BY 1, 2, 3, 4),
+side_best AS (
+  SELECT j, t, lft, MAX(c) AS best, SUM(c) AS n
+  FROM cells GROUP BY 1, 2, 3),
+scored AS (
+  SELECT j, t, CAST(SUM(best) AS BIGINT) AS n_correct,
+         CAST(SUM(n) AS BIGINT) AS n_total
+  FROM side_best GROUP BY 1, 2),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n_correct DESC, j, t) AS rn
+  FROM scored)
+SELECT CAST(j AS INT) AS feature, CAST(t AS DOUBLE) / 1e6 AS threshold,
+       n_correct, n_total
+FROM ranked WHERE rn = 1
+""")
