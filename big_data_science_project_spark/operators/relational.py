@@ -2561,8 +2561,7 @@ def q74_pivot_multiagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = (o.groupBy("o_orderpriority")
             .pivot("o_orderstatus", list(PIV_STATUSES))
             .agg(F.count(F.lit(1)).alias("n"),
-                 dsum(F.when(F.col("o_orderstatus").isNotNull(),
-                             F.col("o_totalprice")).otherwise(0), "rev")))
+                 dsum("o_totalprice", "rev")))
     cols = [F.col("o_orderpriority")]
     for s in PIV_STATUSES:
         cols.append(F.coalesce(F.col(f"`{s}_n`"), F.lit(0))

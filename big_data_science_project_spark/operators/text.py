@@ -896,10 +896,14 @@ GROUP BY true_lang, cl
 # maps, and the doc-doc dot product materializes through a TERM-keyed
 # join (docs only meet on shared terms — the sparse-join identity that
 # makes all-pairs text similarity feasible; blocked on source like the
-# prefix-filter join). Exactness: each weight quantizes to integer
-# micros right after its single ln(); dots and squared norms are exact
-# BIGINT sums; the one float step is IEEE-correctly-rounded sqrt +
-# division, bit-identical cross-engine. Output: global top-20 pairs by
+# prefix-filter join). Weights are SUBLINEAR tf-idf,
+# (1+ln(tf))*ln(N/df), quantized to integer MILLIS right after the
+# ln()s — sublinear tf bounds wm by ~(1+ln 1e9)*ln(1e9)*1e3 < 5e5 at
+# any corpus size, so wm^2 < 2.5e11 and even 1e5-shared-term dots stay
+# far below 2^63 (linear-tf micro weights overflow BIGINT at
+# tf*idf ~ 3e3: Spark would wrap silently where DuckDB raises). Dots
+# and squared norms are exact BIGINT sums; the one float step is
+# IEEE-correctly-rounded sqrt + division, bit-identical cross-engine. Output: global top-20 pairs by
 # cosine with pinned tie-breaks.
 # ---------------------------------------------------------------------------
 SPARSE_TOPK = 20
@@ -916,8 +920,9 @@ def text_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (tf.join(F.broadcast(dfreq), "term")
          .crossJoin(F.broadcast(n_docs))
          .select("doc_id", "source", "term",
-                 F.round(F.col("tf") * F.log(F.col("n") / F.col("df"))
-                         * 1e6).cast("bigint").alias("wm"))
+                 F.round((1 + F.log("tf"))
+                         * F.log(F.col("n") / F.col("df"))
+                         * 1e3).cast("bigint").alias("wm"))
          .filter(F.col("wm") != 0))
     norms = w.groupBy("doc_id").agg(
         F.sum(F.col("wm") * F.col("wm")).alias("n2"))
@@ -953,7 +958,8 @@ dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
 nd AS (SELECT COUNT(*) AS n FROM documents),
 w AS (
   SELECT doc_id, source, term,
-         CAST(ROUND(tf * ln(CAST(n AS DOUBLE) / df) * 1e6) AS BIGINT) AS wm
+         CAST(ROUND((1 + ln(tf)) * ln(CAST(n AS DOUBLE) / df) * 1e3)
+              AS BIGINT) AS wm
   FROM tf JOIN dfreq USING (term), nd),
 w2 AS (SELECT * FROM w WHERE wm != 0),
 norms AS (SELECT doc_id, CAST(SUM(wm * wm) AS BIGINT) AS n2

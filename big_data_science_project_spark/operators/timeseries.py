@@ -541,48 +541,39 @@ def ts_downsample_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.date_trunc("hour", "ts").alias("hour"))
               .agg(dsum("value", "hr_sum")))
     pts = hourly.select(
-        "event_type", "hour",
+        "event_type",
         F.expr("unix_timestamp(hour) div 3600").alias("h"),
         F.round(F.col("hr_sum") * 100).cast("bigint").alias("vc"))
     pts = pts.withColumn("bucket", F.expr(f"h div {LTTB_BUCKET}"))
     agg = (pts.groupBy("event_type", "bucket")
-           .agg(F.count(F.lit(1)).alias("n"),
-                F.sum("h").alias("sh"), F.sum("vc").alias("sv")))
+           .agg(F.sum("h").alias("sh"), F.sum("vc").alias("sv"),
+                F.count(F.lit(1)).alias("n")))
     w = W.partitionBy("event_type").orderBy("bucket")
-    nb = (agg.select(
-        "event_type", "bucket", "n", "sh", "sv",
+    nb = agg.select(
+        "event_type", "bucket",
         F.lag("n").over(w).alias("pn"), F.lag("sh").over(w).alias("psh"),
         F.lag("sv").over(w).alias("psv"),
         F.lead("n").over(w).alias("nn"), F.lead("sh").over(w).alias("nsh"),
-        F.lead("sv").over(w).alias("nsv")))
-    cand = pts.join(nb.drop("n", "sh", "sv"), ["event_type", "bucket"])
-    # coordinates scaled by pn*nn: anchors (psh*nn, psv*nn) and
-    # (nsh*pn, nsv*pn); candidate (h*pn*nn, vc*pn*nn)
+        F.lead("sv").over(w).alias("nsv"))
+    cand = pts.join(nb, ["event_type", "bucket"])
+    # one ranking pass for every bucket kind: interior buckets rank by
+    # triangle area (coordinates scaled by pn*nn to clear the anchor
+    # divisions — pure BIGINT), the series' first bucket keeps its first
+    # point, the last keeps its last (a single-bucket series keeps its
+    # first point). The branch is constant within a bucket, so mixing
+    # key magnitudes across CASE arms never compares across branches.
     area = F.expr("""
       abs((psh * nn - h * pn * nn) * (nsv * pn - vc * pn * nn)
         - (psv * nn - vc * pn * nn) * (nsh * pn - h * pn * nn))""")
-    interior = (cand.filter(F.col("pn").isNotNull()
-                            & F.col("nn").isNotNull())
-                .withColumn("area", area)
-                .withColumn("rn", F.row_number().over(
-                    W.partitionBy("event_type", "bucket")
-                    .orderBy(F.desc("area"), "h")))
-                .filter(F.col("rn") == 1)
-                .select("event_type", "bucket", "h", "vc"))
-    first_b = (cand.filter(F.col("pn").isNull())
-               .withColumn("rn", F.row_number().over(
-                   W.partitionBy("event_type", "bucket").orderBy("h")))
-               .filter(F.col("rn") == 1)
-               .select("event_type", "bucket", "h", "vc"))
-    last_b = (cand.filter(F.col("nn").isNull())
-              .withColumn("rn", F.row_number().over(
-                  W.partitionBy("event_type", "bucket")
-                  .orderBy(F.desc("h"))))
-              .filter(F.col("rn") == 1)
-              .select("event_type", "bucket", "h", "vc"))
-    return (interior.unionByName(first_b).unionByName(last_b)
-            .select("event_type", "bucket", "h",
-                    (F.col("vc").cast("double") / 100).alias("value")))
+    order_key = (F.when(F.col("pn").isNotNull() & F.col("nn").isNotNull(),
+                        -area)
+                 .when(F.col("pn").isNull(), F.col("h"))
+                 .otherwise(-F.col("h")))
+    return (cand.withColumn("rn", F.row_number().over(
+        W.partitionBy("event_type", "bucket").orderBy(order_key, "h")))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "bucket", "h",
+                (F.col("vc").cast("double") / 100).alias("value")))
 
 
 QUERIES["ts_downsample_triangle"] = (ts_downsample_triangle, f"""
@@ -597,8 +588,9 @@ pts AS (
          (CAST(epoch(hour) AS BIGINT) // 3600) // {LTTB_BUCKET} AS bucket
   FROM hourly),
 agg AS (
-  SELECT event_type, bucket, COUNT(*) AS n,
-         CAST(SUM(h) AS BIGINT) AS sh, CAST(SUM(vc) AS BIGINT) AS sv
+  SELECT event_type, bucket,
+         CAST(SUM(h) AS BIGINT) AS sh, CAST(SUM(vc) AS BIGINT) AS sv,
+         COUNT(*) AS n
   FROM pts GROUP BY 1, 2),
 nb AS (
   SELECT event_type, bucket,
@@ -609,25 +601,17 @@ nb AS (
 cand AS (
   SELECT p.*, nb.pn, nb.psh, nb.psv, nb.nn, nb.nsh, nb.nsv
   FROM pts p JOIN nb USING (event_type, bucket)),
-interior AS (
+ranked AS (
   SELECT event_type, bucket, h, vc,
          ROW_NUMBER() OVER (
            PARTITION BY event_type, bucket
-           ORDER BY abs((psh * nn - h * pn * nn) * (nsv * pn - vc * pn * nn)
-                      - (psv * nn - vc * pn * nn) * (nsh * pn - h * pn * nn))
-                    DESC, h) AS rn
-  FROM cand WHERE pn IS NOT NULL AND nn IS NOT NULL),
-first_b AS (
-  SELECT event_type, bucket, h, vc,
-         ROW_NUMBER() OVER (PARTITION BY event_type, bucket ORDER BY h) AS rn
-  FROM cand WHERE pn IS NULL),
-last_b AS (
-  SELECT event_type, bucket, h, vc,
-         ROW_NUMBER() OVER (PARTITION BY event_type, bucket
-                            ORDER BY h DESC) AS rn
-  FROM cand WHERE nn IS NULL)
+           ORDER BY CASE
+             WHEN pn IS NOT NULL AND nn IS NOT NULL THEN
+               -abs((psh * nn - h * pn * nn) * (nsv * pn - vc * pn * nn)
+                  - (psv * nn - vc * pn * nn) * (nsh * pn - h * pn * nn))
+             WHEN pn IS NULL THEN h
+             ELSE -h END, h) AS rn
+  FROM cand)
 SELECT event_type, bucket, h, CAST(vc AS DOUBLE) / 100 AS value
-FROM (SELECT * FROM interior WHERE rn = 1
-      UNION ALL SELECT * FROM first_b WHERE rn = 1
-      UNION ALL SELECT * FROM last_b WHERE rn = 1)
+FROM ranked WHERE rn = 1
 """)

@@ -465,3 +465,29 @@ def test_sparse_cosine_df_broadcasts_no_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q74_pivot_single_aggregate_pass(spark):
+    """multi-agg pivot must plan as ONE partial+final aggregate over
+    ONE scan — never a job per pivot value."""
+    plan = formatted_plan(_fresh(spark, "q74_pivot_multiagg"))
+    assert _nodes(plan, "Scan parquet") == 1, plan
+    # Spark plans pivot as two chained aggregates (pre-agg + pivot
+    # agg), each partial+final — but still ONE scan, no per-value jobs
+    assert _nodes(plan, "HashAggregate") <= 4, plan
+
+
+def test_stump_histogram_no_python(spark):
+    """the split search is explode + broadcast-grid + one cell
+    aggregate — JVM-side end to end."""
+    plan = formatted_plan(_fresh(spark, "ml_decision_stump"))
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_downsample_single_corpus_aggregate(spark):
+    """ts_downsample_triangle touches the raw events once (the hourly
+    aggregate); buckets/windows run on hours only, no Python."""
+    plan = formatted_plan(_fresh(spark, "ts_downsample_triangle"))
+    assert _nodes(plan, "Scan parquet") <= 2, plan
+    assert "BatchEvalPython" not in plan, plan
