@@ -333,3 +333,92 @@ GROUP BY level
 
 
 QUERIES["graph_bfs_levels"] = (graph_bfs_levels, _bfs_sql())
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (k = 5) — iterative peeling: repeatedly drop
+# vertices with degree < k until the remainder is stable; the survivors
+# are the k-core, the standard density filter before community
+# detection. Each round is one degree aggregate + one semi join on the
+# shrinking vertex set; the driver only composes plans (no collect).
+# Convergence is ASSERTED IN-QUERY: the output carries the last round's
+# removal count, which must be 0 — so a fixture change that needs more
+# rounds fails loudly instead of silently under-peeling. Same synthetic
+# graph as PageRank (undirected here: edges symmetrized).
+# ---------------------------------------------------------------------------
+KCORE_K = 5
+KCORE_ROUNDS = 8
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    nodes = docs.select("doc_id")
+    total = nodes.agg(F.count(F.lit(1)).alias("n"))
+    fwd = (nodes.crossJoin(F.broadcast(total))
+           .select(F.col("doc_id").alias("src"),
+                   F.explode(F.array(*[
+                       (F.col("doc_id") * 7 + 13 * k) % F.col("n")
+                       for k in range(1, PR_OUT_DEG + 1)])).alias("dst")))
+    edges = (fwd.unionByName(fwd.select(F.col("dst").alias("src"),
+                                        F.col("src").alias("dst")))
+             .filter(F.col("src") != F.col("dst"))
+             .distinct()
+             .persist())
+    alive = nodes.select(F.col("doc_id").alias("v"))
+    last_removed = None
+    for _ in range(KCORE_ROUNDS):
+        deg = (edges.join(alive.withColumnRenamed("v", "src"), "src")
+               .join(alive.withColumnRenamed("v", "dst"), "dst")
+               .groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
+        keep = (deg.filter(F.col("deg") >= KCORE_K)
+                .select(F.col("src").alias("v")))
+        removed = (alive.join(keep, "v", "left_anti")
+                   .agg(F.count(F.lit(1)).alias("nr")))
+        alive = keep
+        last_removed = removed
+    return (alive.agg(F.count(F.lit(1)).cast("bigint").alias("core_size"),
+                      F.min("v").alias("min_v"), F.max("v").alias("max_v"),
+                      F.sum("v").cast("bigint").alias("v_checksum"))
+            .crossJoin(F.broadcast(last_removed.select(
+                F.col("nr").cast("bigint").alias("last_round_removed")))))
+
+
+def _kcore_sql() -> str:
+    # per-row unnest([...]) in a CTE that is later self-joined twice
+    # trips a DuckDB 1.0 internal binder error — generate a k-index
+    # join instead (same edge set, binder-safe)
+    cte = [f"""
+WITH nodes AS (SELECT doc_id FROM documents),
+tot AS (SELECT COUNT(*) AS n FROM nodes),
+fwd AS (SELECT doc_id AS src, (doc_id * 7 + 13 * k.k) % n AS dst
+        FROM nodes, tot,
+             (SELECT unnest(generate_series(1, {PR_OUT_DEG})) AS k) k),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM fwd
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM fwd) u
+  WHERE src != dst),
+a0 AS (SELECT doc_id AS v FROM nodes)"""]
+    for r in range(KCORE_ROUNDS):
+        cte.append(f""",
+a{r + 1} AS (
+  SELECT e.src AS v
+  FROM edges e
+  JOIN a{r} s ON s.v = e.src
+  JOIN a{r} d ON d.v = e.dst
+  GROUP BY e.src
+  HAVING COUNT(*) >= {KCORE_K})""")
+    last = KCORE_ROUNDS
+    cte.append(f"""
+SELECT CAST((SELECT COUNT(*) FROM a{last}) AS BIGINT) AS core_size,
+       (SELECT MIN(v) FROM a{last}) AS min_v,
+       (SELECT MAX(v) FROM a{last}) AS max_v,
+       CAST((SELECT SUM(v) FROM a{last}) AS BIGINT) AS v_checksum,
+       CAST((SELECT COUNT(*) FROM a{last - 1})
+            - (SELECT COUNT(*) FROM a{last}) AS BIGINT)
+         AS last_round_removed""")
+    return "".join(cte)
+
+
+QUERIES["graph_kcore"] = (graph_kcore, _kcore_sql())

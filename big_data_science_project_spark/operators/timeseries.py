@@ -615,3 +615,75 @@ ranked AS (
 SELECT event_type, bucket, h, CAST(vc AS DOUBLE) / 100 AS value
 FROM ranked WHERE rn = 1
 """)
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection — the classic single-change locator: the
+# hour t maximizing |CUSUM_t| = |prefix_t − t·mean| marks the most
+# likely level shift in each type's hourly series. Exactness: the mean
+# is cleared by scaling through T (the series length) — the statistic
+# becomes |T·prefix_t − t·total|, pure BIGINT on integer-micro hourly
+# sums (|stat| < T·Σ|vm| ≈ 2.4e15 at sf0.1, far under 2^63); argmax
+# tie-breaks on the earliest hour. One corpus aggregate to (type,
+# hour), one prefix window + one ranked window per type.
+# ---------------------------------------------------------------------------
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hour"))
+              .agg(dsum("value", "hr_sum")))
+    hourly = hourly.select(
+        "event_type", "hour",
+        F.round(F.col("hr_sum") * 1e6).cast("bigint").alias("vm"))
+    wseq = W.partitionBy("event_type").orderBy("hour")
+    wall = (W.partitionBy("event_type")
+            .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    scored = hourly.select(
+        "event_type", "hour",
+        F.row_number().over(wseq).alias("t"),
+        F.sum("vm").over(wseq.rowsBetween(W.unboundedPreceding,
+                                          W.currentRow)).alias("prefix"),
+        F.sum("vm").over(wall).alias("total"),
+        F.count(F.lit(1)).over(wall).alias("tn"))
+    stat = F.abs(F.col("tn") * F.col("prefix") - F.col("t") * F.col("total"))
+    return (scored.withColumn("stat", stat)
+            .withColumn("rn", F.row_number().over(
+                W.partitionBy("event_type")
+                .orderBy(F.desc("stat"), "hour")))
+            .filter(F.col("rn") == 1)
+            .select("event_type",
+                    F.col("hour").cast("string").alias("change_hour_s"),
+                    F.col("t").cast("bigint").alias("t"),
+                    F.col("tn").cast("bigint").alias("n_hours"),
+                    F.col("stat").cast("bigint").alias("cusum_stat")))
+
+
+QUERIES["ts_cusum_changepoint"] = (ts_cusum_changepoint, f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(ROUND({dsum_expr('value')} * 1e6) AS BIGINT) AS vm
+  FROM events GROUP BY 1, 2),
+scored AS (
+  SELECT event_type, hour,
+         ROW_NUMBER() OVER wseq AS t,
+         SUM(vm) OVER (PARTITION BY event_type ORDER BY hour
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS prefix,
+         SUM(vm) OVER (PARTITION BY event_type) AS total,
+         COUNT(*) OVER (PARTITION BY event_type) AS tn
+  FROM hourly
+  WINDOW wseq AS (PARTITION BY event_type ORDER BY hour)),
+ranked AS (
+  SELECT *,
+         abs(tn * prefix - t * total) AS stat,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY abs(tn * prefix - t * total) DESC,
+                                     hour) AS rn
+  FROM scored)
+SELECT event_type,
+       CAST(hour AS VARCHAR) AS change_hour_s,
+       CAST(t AS BIGINT) AS t,
+       CAST(tn AS BIGINT) AS n_hours,
+       CAST(stat AS BIGINT) AS cusum_stat
+FROM ranked WHERE rn = 1
+""")
