@@ -491,3 +491,19 @@ def test_downsample_single_corpus_aggregate(spark):
     plan = formatted_plan(_fresh(spark, "ts_downsample_triangle"))
     assert _nodes(plan, "Scan parquet") <= 2, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_kcore_peeling_no_cartesian_no_python(spark):
+    """each peel round is degree-aggregate + semi-join on the shrinking
+    vertex set — equi joins only; the edge table is persisted once."""
+    plan = formatted_plan(_fresh(spark, "graph_kcore"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_cusum_single_corpus_aggregate(spark):
+    """ts_cusum_changepoint reads events once into the hourly
+    aggregate; prefix/total/rank all run on hours."""
+    plan = formatted_plan(_fresh(spark, "ts_cusum_changepoint"))
+    assert _nodes(plan, "Scan parquet") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
