@@ -687,3 +687,85 @@ SELECT event_type,
        CAST(stat AS BIGINT) AS cusum_stat
 FROM ranked WHERE rn = 1
 """)
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function (lags 1-3) — the seasonality/persistence
+# probe run before fitting any forecaster. Exactness: on integer-CENT
+# hourly sums, all four sufficient statistics (T, Σv, Σv², Σ v_t·v_{t−k})
+# are exact BIGINTs (cents keep v² ≈ 2.5e11 and T·Σv² ≈ 1e17 far below
+# 2^63); the mean is cleared by scaling through T so
+# acf_k = (T·S_k − Sv²) / (T·S2 − Sv²) is ONE double expression over
+# exact integers — deterministic IEEE, bit-identical cross-engine.
+# One corpus aggregate to (type, hour); lags/sums run on hours only.
+# ---------------------------------------------------------------------------
+ACF_LAGS = 3
+
+
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hour"))
+              .agg(dsum("value", "hr_sum")))
+    hourly = hourly.select(
+        "event_type", "hour",
+        F.round(F.col("hr_sum") * 100).cast("bigint").alias("vc"))
+    wseq = W.partitionBy("event_type").orderBy("hour")
+    lagged = hourly.select(
+        "event_type", "vc",
+        *[F.lag("vc", k).over(wseq).alias(f"l{k}")
+          for k in range(1, ACF_LAGS + 1)])
+    agg = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum("vc").alias("sv"),
+        F.sum(F.col("vc") * F.col("vc")).alias("s2"),
+        *[F.sum(F.col("vc") * F.col(f"l{k}")).alias(f"sk{k}")
+          for k in range(1, ACF_LAGS + 1)])
+    rows = []
+    for k in range(1, ACF_LAGS + 1):
+        rows.append(agg.select(
+            "event_type", F.lit(k).cast("int").alias("lag"),
+            F.col("t").cast("bigint").alias("n_hours"),
+            F.round((F.col("t") * F.col(f"sk{k}")
+                     - F.col("sv") * F.col("sv")).cast("double")
+                    / (F.col("t") * F.col("s2")
+                       - F.col("sv") * F.col("sv")).cast("double"), 9)
+            .alias("acf")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+_ACF_KS = ", ".join(
+    f"ROUND(CAST(t * sk{k} - sv * sv AS DOUBLE)"
+    f" / CAST(t * s2 - sv * sv AS DOUBLE), 9)" for k in range(1, ACF_LAGS + 1))
+
+QUERIES["ts_autocorrelation"] = (ts_autocorrelation, f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(ROUND({dsum_expr('value')} * 100) AS BIGINT) AS vc
+  FROM events GROUP BY 1, 2),
+lagged AS (
+  SELECT event_type, vc,
+         {", ".join(f"LAG(vc, {k}) OVER w AS l{k}"
+                    for k in range(1, ACF_LAGS + 1))}
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour)),
+agg AS (
+  SELECT event_type, COUNT(*) AS t,
+         CAST(SUM(vc) AS BIGINT) AS sv,
+         CAST(SUM(vc * vc) AS BIGINT) AS s2,
+         {", ".join(f"CAST(SUM(vc * l{k}) AS BIGINT) AS sk{k}"
+                    for k in range(1, ACF_LAGS + 1))}
+  FROM lagged GROUP BY event_type),
+ks AS (SELECT unnest(generate_series(1, {ACF_LAGS})) AS lag)
+SELECT a.event_type, CAST(ks.lag AS INT) AS lag,
+       CAST(a.t AS BIGINT) AS n_hours,
+       CASE ks.lag
+         {" ".join(f"WHEN {k} THEN ROUND(CAST(t * sk{k} - sv * sv AS DOUBLE)"
+                    f" / CAST(t * s2 - sv * sv AS DOUBLE), 9)"
+                    for k in range(1, ACF_LAGS + 1))}
+       END AS acf
+FROM agg a, ks
+""")
