@@ -39,19 +39,26 @@ PR_OUT_DEG = 3
 PR_TOPK = 15
 
 
+def _synthetic_fwd_edges(nodes: DataFrame) -> DataFrame:
+    """The shared deterministic out-degree-3 edge table
+    dst = (src*7 + 13k) mod n — one definition for PageRank, BFS,
+    and k-core (their oracles restate it in SQL; the k-core oracle
+    uses a generate_series join because DuckDB 1.0's binder
+    mishandles per-row unnest in a twice-joined CTE)."""
+    total = nodes.agg(F.count(F.lit(1)).alias("n"))
+    return (nodes.crossJoin(F.broadcast(total))
+            .select(F.col("doc_id").alias("src"),
+                    F.explode(F.array(*[
+                        (F.col("doc_id") * 7 + 13 * k) % F.col("n")
+                        for k in range(1, PR_OUT_DEG + 1)])).alias("dst")))
+
+
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     nodes = docs.select("doc_id")
-    total = nodes.agg(F.count(F.lit(1)).alias("n"))
-    # 3 deterministic out-edges per node: dst = (src*7 + k*13) mod n
-    edges = (nodes.crossJoin(F.broadcast(total))
-             .select(F.col("doc_id").alias("src"),
-                     F.explode(F.array(*[
-                         (F.col("doc_id") * 7 + 13 * k) % F.col("n")
-                         for k in range(1, PR_OUT_DEG + 1)])).alias("dst"))
-             # reused by every iteration: persist so K rounds scan the
-             # edge table instead of re-deriving it through the lineage
-             .persist())
+    # reused by every iteration: persist so K rounds scan the edge
+    # table instead of re-deriving it through the lineage
+    edges = _synthetic_fwd_edges(nodes).persist()
     ranks = nodes.select("doc_id", F.lit(1000000).cast("bigint").alias("r"))
     for _ in range(PR_ITERS):
         contribs = (edges.join(ranks, edges.src == ranks.doc_id)
@@ -282,14 +289,7 @@ BFS_MAX_LEVEL = 4
 def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     nodes = docs.select("doc_id")
-    total = nodes.agg(F.count(F.lit(1)).alias("n"))
-    edges = (nodes.crossJoin(F.broadcast(total))
-             .select(F.col("doc_id").alias("src"),
-                     F.explode(F.array(*[
-                         (F.col("doc_id") * 7 + 13 * k) % F.col("n")
-                         for k in range(1, PR_OUT_DEG + 1)])).alias("dst"))
-             .distinct()
-             .persist())
+    edges = _synthetic_fwd_edges(nodes).distinct().persist()
     visited = spark.createDataFrame(
         [(BFS_SOURCE, 0)], "doc_id bigint, level int")
     frontier = visited
@@ -353,12 +353,7 @@ KCORE_ROUNDS = 8
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     nodes = docs.select("doc_id")
-    total = nodes.agg(F.count(F.lit(1)).alias("n"))
-    fwd = (nodes.crossJoin(F.broadcast(total))
-           .select(F.col("doc_id").alias("src"),
-                   F.explode(F.array(*[
-                       (F.col("doc_id") * 7 + 13 * k) % F.col("n")
-                       for k in range(1, PR_OUT_DEG + 1)])).alias("dst")))
+    fwd = _synthetic_fwd_edges(nodes)
     edges = (fwd.unionByName(fwd.select(F.col("dst").alias("src"),
                                         F.col("src").alias("dst")))
              .filter(F.col("src") != F.col("dst"))

@@ -691,13 +691,20 @@ FROM ranked WHERE rn = 1
 
 # ---------------------------------------------------------------------------
 # Autocorrelation function (lags 1-3) — the seasonality/persistence
-# probe run before fitting any forecaster. Exactness: on integer-CENT
-# hourly sums, all four sufficient statistics (T, Σv, Σv², Σ v_t·v_{t−k})
-# are exact BIGINTs (cents keep v² ≈ 2.5e11 and T·Σv² ≈ 1e17 far below
-# 2^63); the mean is cleared by scaling through T so
-# acf_k = (T·S_k − Sv²) / (T·S2 − Sv²) is ONE double expression over
-# exact integers — deterministic IEEE, bit-identical cross-engine.
-# One corpus aggregate to (type, hour); lags/sums run on hours only.
+# probe run before fitting any forecaster. The statistic is the true
+# mean-cleared sample ACF: Σ_{t>k}(v_t−v̄)(v_{t−k}−v̄) / Σ(v_t−v̄)²,
+# expanded so every sufficient statistic is an exact BIGINT on
+# integer-CENT hourly sums — S_k = Σ v_t·v_{t−k}, Sv, Sv², A_k/B_k (the
+# lag-window sums that clear the boundary terms a naive T·S_k − Sv²
+# shortcut gets wrong — caught by review: that shortcut is biased
+# O(k/T) and unbounded for constant series). The final value is ONE
+# fixed double expression over those integers (one interior division
+# for the (T−k)·Sv²/T term, then the outer ratio) — identical IEEE
+# tree in both engines; a zero-variance series yields NULL via
+# nullif(den, 0) on both sides. One corpus aggregate to (type, hour);
+# one hours-only window pass; the three lags unpivot from a single
+# 1-row-per-type aggregate (no recomputation — plan-pinned to one
+# scan).
 # ---------------------------------------------------------------------------
 ACF_LAGS = 3
 
@@ -715,31 +722,40 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "vc",
         *[F.lag("vc", k).over(wseq).alias(f"l{k}")
           for k in range(1, ACF_LAGS + 1)])
-    agg = lagged.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("t"),
-        F.sum("vc").alias("sv"),
-        F.sum(F.col("vc") * F.col("vc")).alias("s2"),
-        *[F.sum(F.col("vc") * F.col(f"l{k}")).alias(f"sk{k}")
-          for k in range(1, ACF_LAGS + 1)])
-    rows = []
+    aggs = [F.count(F.lit(1)).alias("t"),
+            F.sum("vc").alias("sv"),
+            F.sum(F.col("vc") * F.col("vc")).alias("s2")]
     for k in range(1, ACF_LAGS + 1):
-        rows.append(agg.select(
-            "event_type", F.lit(k).cast("int").alias("lag"),
-            F.col("t").cast("bigint").alias("n_hours"),
-            F.round((F.col("t") * F.col(f"sk{k}")
-                     - F.col("sv") * F.col("sv")).cast("double")
-                    / (F.col("t") * F.col("s2")
-                       - F.col("sv") * F.col("sv")).cast("double"), 9)
-            .alias("acf")))
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+        lk = F.col(f"l{k}")
+        aggs += [
+            F.sum(F.col("vc") * lk).alias(f"sk{k}"),
+            F.sum(F.when(lk.isNotNull(), F.col("vc"))).alias(f"a{k}"),
+            F.sum(F.when(lk.isNotNull(), lk)).alias(f"b{k}")]
+    agg = lagged.groupBy("event_type").agg(*aggs)
+
+    def acf(k):
+        num = (F.expr(f"cast(t * sk{k} as double)")
+               - F.expr(f"cast(sv * (a{k} + b{k}) as double)")
+               + F.expr(f"cast((t - {k}) * sv as double)")
+               * F.col("sv") / F.col("t"))
+        den = F.expr("cast(nullif(t * s2 - sv * sv, 0) as double)")
+        return F.round(num / den, 9)
+
+    stacked = agg.select(
+        "event_type", F.col("t").cast("bigint").alias("n_hours"),
+        F.posexplode(F.array(*[acf(k) for k in range(1, ACF_LAGS + 1)]))
+        .alias("pos", "acf"))
+    return stacked.select(
+        "event_type", (F.col("pos") + 1).cast("int").alias("lag"),
+        "n_hours", "acf")
 
 
-_ACF_KS = ", ".join(
-    f"ROUND(CAST(t * sk{k} - sv * sv AS DOUBLE)"
-    f" / CAST(t * s2 - sv * sv AS DOUBLE), 9)" for k in range(1, ACF_LAGS + 1))
+_ACF_CASE = " ".join(
+    f"WHEN {k} THEN ROUND((CAST(t * sk{k} AS DOUBLE)"
+    f" - CAST(sv * (a{k} + b{k}) AS DOUBLE)"
+    f" + CAST((t - {k}) * sv AS DOUBLE) * sv / t)"
+    f" / CAST(nullif(t * s2 - sv * sv, 0) AS DOUBLE), 9)"
+    for k in range(1, ACF_LAGS + 1))
 
 QUERIES["ts_autocorrelation"] = (ts_autocorrelation, f"""
 WITH hourly AS (
@@ -756,16 +772,16 @@ agg AS (
   SELECT event_type, COUNT(*) AS t,
          CAST(SUM(vc) AS BIGINT) AS sv,
          CAST(SUM(vc * vc) AS BIGINT) AS s2,
-         {", ".join(f"CAST(SUM(vc * l{k}) AS BIGINT) AS sk{k}"
-                    for k in range(1, ACF_LAGS + 1))}
+         {", ".join(
+             f"CAST(SUM(vc * l{k}) AS BIGINT) AS sk{k}, "
+             f"CAST(SUM(CASE WHEN l{k} IS NOT NULL THEN vc END) AS BIGINT)"
+             f" AS a{k}, "
+             f"CAST(SUM(l{k}) AS BIGINT) AS b{k}"
+             for k in range(1, ACF_LAGS + 1))}
   FROM lagged GROUP BY event_type),
 ks AS (SELECT unnest(generate_series(1, {ACF_LAGS})) AS lag)
 SELECT a.event_type, CAST(ks.lag AS INT) AS lag,
        CAST(a.t AS BIGINT) AS n_hours,
-       CASE ks.lag
-         {" ".join(f"WHEN {k} THEN ROUND(CAST(t * sk{k} - sv * sv AS DOUBLE)"
-                    f" / CAST(t * s2 - sv * sv AS DOUBLE), 9)"
-                    for k in range(1, ACF_LAGS + 1))}
-       END AS acf
+       CASE ks.lag {_ACF_CASE} END AS acf
 FROM agg a, ks
 """)

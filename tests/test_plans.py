@@ -507,3 +507,12 @@ def test_cusum_single_corpus_aggregate(spark):
     plan = formatted_plan(_fresh(spark, "ts_cusum_changepoint"))
     assert _nodes(plan, "Scan parquet") == 1, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_acf_single_corpus_aggregate(spark):
+    """ts_autocorrelation reads events ONCE; all three lags unpivot
+    from one 1-row-per-type aggregate (a 3-branch union that recomputes
+    the corpus per lag was caught by review — this pins the fix)."""
+    plan = formatted_plan(_fresh(spark, "ts_autocorrelation"))
+    assert _nodes(plan, "Scan parquet") == 1, plan
+    assert "BatchEvalPython" not in plan, plan

@@ -393,3 +393,42 @@ def test_mode_deterministic_tie_breaks_to_lowest(spark):
     df = spark.createDataFrame([(1,), (1,), (3,), (3,), (2,)], "x int")
     got = df.agg(F.mode("x", True).alias("m")).collect()[0]["m"]
     assert got == 1
+
+
+def test_kcore_converges_and_peels(spark):
+    """graph_kcore's convergence claim is load-bearing: the last peel
+    round must remove nothing (fixpoint reached inside KCORE_ROUNDS)
+    and the k=5 core must actually exclude the low-degree tail."""
+    import __spark_entry__ as em
+
+    row = em.queries()["graph_kcore"](
+        spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.last_round_removed == 0, row
+    assert 0 < row.core_size < 500, row
+
+
+def test_acf_matches_numpy_mean_cleared(spark):
+    """The ACF values must equal an independent numpy mean-cleared
+    sample autocorrelation on the same hourly series (guards the
+    boundary-term algebra — a T*S_k − Sv² shortcut is biased O(k/T)
+    and was caught by review)."""
+    import duckdb
+    import numpy as np
+
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    pdf = duckdb.sql(f"""
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                        * 100) AS BIGINT) AS vc
+      FROM '{sf}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2""").df()
+    got = {(r.event_type, r.lag): r.acf
+           for r in em.queries()["ts_autocorrelation"](spark, sf).collect()}
+    for et, g in pdf.groupby("event_type"):
+        v = g.sort_values("hour")["vc"].to_numpy(dtype=np.float64)
+        vbar = v.mean()
+        den = ((v - vbar) ** 2).sum()
+        for k in (1, 2, 3):
+            want = (((v[k:] - vbar) * (v[:-k] - vbar)).sum()) / den
+            assert abs(got[(et, k)] - round(want, 9)) <= 2e-9, (et, k)
