@@ -427,7 +427,10 @@ WINDOW w AS (PARTITION BY user_id ORDER BY hour)
 # Classical seasonal decomposition (moving-average method, STL-lite):
 # value = trend + seasonal + residual over each type's hourly series.
 # trend = centered 25-hour moving mean; seasonal = per-hour-of-day mean
-# of the detrended series, re-centered to sum ≈ 0; residual = the rest.
+# of the detrended series (raw — NOT re-centered to sum 0; classical
+# STL subtracts the cross-hod mean, this profile reports the per-hod
+# means directly and leaves any centering to the consumer); residual =
+# the rest.
 # The decomposition every monitoring pipeline runs before alerting on
 # residuals. Exactness: hourly sums are integer micros; the two means
 # use exact integer sums with a SINGLE truncating div each (Spark `div`
@@ -733,12 +736,21 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(lk.isNotNull(), lk)).alias(f"b{k}")]
     agg = lagged.groupBy("event_type").agg(*aggs)
 
+    # Every operand is cast to DOUBLE BEFORE any product is formed: the
+    # raw integers (t, sv, s2, sk, a, b) each fit exactly in a double,
+    # but their BIGINT products (sv*(a+b), t*s2) can exceed INT64 at
+    # larger scale factors — DuckDB would raise on overflow while Spark
+    # wraps silently, so the double-first tree is the only form that is
+    # both safe and engine-identical (same fix ml_logreg_irls applies
+    # to its cofactor arithmetic).
     def acf(k):
-        num = (F.expr(f"cast(t * sk{k} as double)")
-               - F.expr(f"cast(sv * (a{k} + b{k}) as double)")
-               + F.expr(f"cast((t - {k}) * sv as double)")
-               * F.col("sv") / F.col("t"))
-        den = F.expr("cast(nullif(t * s2 - sv * sv, 0) as double)")
+        num = (F.expr(f"cast(t as double) * cast(sk{k} as double)")
+               - F.expr(f"cast(sv as double)"
+                        f" * (cast(a{k} as double) + cast(b{k} as double))")
+               + F.expr(f"(cast(t as double) - {k}) * cast(sv as double)")
+               * F.expr("cast(sv as double)") / F.expr("cast(t as double)"))
+        den = F.expr("nullif(cast(t as double) * cast(s2 as double)"
+                     " - cast(sv as double) * cast(sv as double), 0.0d)")
         return F.round(num / den, 9)
 
     stacked = agg.select(
@@ -751,10 +763,13 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ACF_CASE = " ".join(
-    f"WHEN {k} THEN ROUND((CAST(t * sk{k} AS DOUBLE)"
-    f" - CAST(sv * (a{k} + b{k}) AS DOUBLE)"
-    f" + CAST((t - {k}) * sv AS DOUBLE) * sv / t)"
-    f" / CAST(nullif(t * s2 - sv * sv, 0) AS DOUBLE), 9)"
+    f"WHEN {k} THEN ROUND((CAST(t AS DOUBLE) * CAST(sk{k} AS DOUBLE)"
+    f" - CAST(sv AS DOUBLE)"
+    f" * (CAST(a{k} AS DOUBLE) + CAST(b{k} AS DOUBLE))"
+    f" + (CAST(t AS DOUBLE) - {k}) * CAST(sv AS DOUBLE)"
+    f" * CAST(sv AS DOUBLE) / CAST(t AS DOUBLE))"
+    f" / nullif(CAST(t AS DOUBLE) * CAST(s2 AS DOUBLE)"
+    f" - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE), 0.0), 9)"
     for k in range(1, ACF_LAGS + 1))
 
 QUERIES["ts_autocorrelation"] = (ts_autocorrelation, f"""

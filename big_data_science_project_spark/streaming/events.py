@@ -509,6 +509,16 @@ HAVING date_trunc('day', ts) + INTERVAL 1 DAY <= wm
 # columns are emitted — WHICH physical row survives a within-batch tie
 # is arbitrary, the surviving KEY set is exact — so the availableNow run
 # is oracle-equal to SELECT DISTINCT over the fixture.
+#
+# SINGLE-BATCH ASSUMPTION (load-bearing for the oracle): the fixture is
+# one parquet file behind a symlink dir with no maxFilesPerTrigger, so
+# availableNow delivers it in ONE micro-batch and no key's TTL state can
+# expire mid-run. Under multi-batch delivery, a key recurring > 1 hour
+# after its first-seen time would have its state watermark-expired and
+# be RE-emitted — correct streaming semantics, but then the output is a
+# superset of SELECT DISTINCT. The assert below turns that silent
+# oracle break into a loud failure (the emitted table is bounded by the
+# distinct-key count, so the two driver-local counts are cheap).
 # ---------------------------------------------------------------------------
 def stream_dedup_within_watermark(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
@@ -518,7 +528,14 @@ def stream_dedup_within_watermark(spark: SparkSession,
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    return _run_to_table(deduped, "append", "dedup_within_wm")
+    out = _run_to_table(deduped, "append", "dedup_within_wm")
+    n, nd = out.count(), out.distinct().count()
+    if n != nd:
+        raise AssertionError(
+            f"dedup_within_watermark re-emitted {n - nd} expired keys — "
+            "delivery is no longer single-batch; the SELECT DISTINCT "
+            "oracle does not hold under multi-batch delivery")
+    return out
 
 
 QUERIES["stream_dedup_within_watermark"] = (stream_dedup_within_watermark, """
