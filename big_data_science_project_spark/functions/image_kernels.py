@@ -127,14 +127,38 @@ def accuracy(tp: Column, fp: Column, tn: Column, fn: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
-# Canny mask kernel (K7): auto-detects OpenCV. With cv2 present, this is
-# the reference's exact recipe — cv.Canny then MORPH_CLOSE with a
-# MORPH_ELLIPSE kernel (image_masking.py:78-81 canny_masking +
-# :38-41 apply_opening, whose name says "opening" but whose body closes —
-# reference Pitfall; we reproduce the close). Without cv2 (this
-# container), a deterministic fake stands in: threshold + 1-pixel binary
-# close. Both run behind the same pandas-UDF plumbing (schema, batching,
-# per-channel params), so swapping kernels never touches the plan.
+# Canny mask kernel (K7): the reference's exact recipe — cv.Canny then
+# MORPH_CLOSE with a MORPH_ELLIPSE kernel (image_masking.py:78-81
+# canny_masking + :38-41 apply_opening, whose name says "opening" but
+# whose body closes — reference Pitfall; we reproduce the close).
+#
+# Two interchangeable kernels behind one dispatcher:
+# - cv2 present → literally the reference's calls.
+# - cv2 absent (this container) → a pure-numpy implementation of the
+#   SAME published algorithm OpenCV documents for Canny with the
+#   defaults cv.Canny uses here (apertureSize=3, L2gradient=False):
+#   3×3 Sobel with replicated borders → L1 gradient magnitude →
+#   non-maximum suppression in OpenCV's four integer-arithmetic sectors
+#   (tan 22.5° fixed-point split, the > / >= tie-break asymmetry per
+#   side) → double-threshold hysteresis grown 8-connected from strong
+#   seeds through weak candidates. The morphological close mirrors
+#   cv2.getStructuringElement(MORPH_ELLIPSE)'s row-wise integer ellipse
+#   rasterization and cv2's border conventions (-inf pad for dilate,
+#   +inf for erode, kernel+anchor reflected for dilate).
+#   Fidelity caveat, disclosed: cv2 is not installable in this
+#   container, so the numpy kernel is pinned against (a) an independent
+#   per-pixel transliteration of the published algorithm
+#   (tests/test_kernels.py) and (b) committed golden edge maps — not
+#   against a live cv2 run. The dispatcher prefers cv2 wherever it IS
+#   installed, so any residual sub-pixel divergence never shadows the
+#   real library.
+#
+# uint8 conversion: the reference's row_to_image does a raw
+# .astype('uint8') (image_masking.py:28-29), which WRAPS out-of-range
+# floats modulo 256 — latent Pitfall, never triggered because its .cif
+# source is already 8-bit. Our fixtures carry float intensities up to
+# ~900, so this kernel saturates (clip 0..255) like OpenCV's own
+# saturate_cast would, and documents the divergence here.
 # ---------------------------------------------------------------------------
 try:  # cv2 absent in this container; auto-enables where installed
     import cv2 as _cv2
@@ -144,37 +168,135 @@ except ImportError:  # pragma: no cover - exercised via canny_mask_np fallback
 HAVE_CV2 = _cv2 is not None
 
 
+def _to_uint8(img: np.ndarray) -> np.ndarray:
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
 def _cv2_canny_np(img: np.ndarray, t1: float, t2: float,
                   shape: tuple[int, int] = (8, 8)) -> np.ndarray:
     """Reference canny_masking: Canny on uint8, float32 MORPH_CLOSE."""
-    edges = _cv2.Canny(img.astype(np.uint8), threshold1=t1, threshold2=t2)
+    edges = _cv2.Canny(_to_uint8(img), threshold1=t1, threshold2=t2)
     kernel = _cv2.getStructuringElement(_cv2.MORPH_ELLIPSE, shape)
     closed = _cv2.morphologyEx(edges.astype(np.float32), _cv2.MORPH_CLOSE,
                                kernel)
     return closed.astype(bool)
 
 
-def canny_mask_np(img: np.ndarray, t1: float, t2: float) -> np.ndarray:
-    """K7 dispatcher: real cv2 path when importable, else the fake."""
+# fixed-point tan(22.5°) << 15 — OpenCV's sector split constant
+_TG22 = 13573
+
+
+def _canny_edges_np(img_u8: np.ndarray, t1: float, t2: float) -> np.ndarray:
+    """uint8 image → bool edge map, OpenCV-Canny semantics (aperture 3,
+    L1 norm). Fully vectorized; the per-pixel mirror lives in the tests."""
+    low, high = sorted((int(np.floor(t1)), int(np.floor(t2))))
+    src = img_u8.astype(np.int64)
+    p = np.pad(src, 1, mode="edge")
+    # 3×3 Sobel, y axis = rows (downward positive), x axis = columns
+    dx = ((p[:-2, 2:] + 2 * p[1:-1, 2:] + p[2:, 2:])
+          - (p[:-2, :-2] + 2 * p[1:-1, :-2] + p[2:, :-2]))
+    dy = ((p[2:, :-2] + 2 * p[2:, 1:-1] + p[2:, 2:])
+          - (p[:-2, :-2] + 2 * p[:-2, 1:-1] + p[:-2, 2:]))
+    mag = np.abs(dx) + np.abs(dy)  # L1 (L2gradient=False)
+
+    # non-maximum suppression: magnitude map padded with 0 outside the
+    # image (OpenCV's border rows), neighbors picked by gradient sector
+    m = np.pad(mag, 1, constant_values=0)
+    c = m[1:-1, 1:-1]
+    ax, ay = np.abs(dx), np.abs(dy) << 15
+    tg22x = ax * _TG22
+    tg67x = tg22x + (ax << 16)
+    horiz = ay < tg22x
+    vert = ay > tg67x
+    sign_differs = (dx ^ dy) < 0
+    pass_h = (c > m[1:-1, :-2]) & (c >= m[1:-1, 2:])
+    pass_v = (c > m[:-2, 1:-1]) & (c >= m[2:, 1:-1])
+    pass_d_same = (c > m[:-2, :-2]) & (c >= m[2:, 2:])   # s = +1: ↖ / ↘
+    pass_d_diff = (c > m[:-2, 2:]) & (c >= m[2:, :-2])   # s = −1: ↗ / ↙
+    nms = np.where(horiz, pass_h,
+                   np.where(vert, pass_v,
+                            np.where(sign_differs, pass_d_diff,
+                                     pass_d_same)))
+    cand = (mag > low) & nms
+    strong = cand & (mag > high)
+
+    # hysteresis: grow strong seeds through weak candidates, 8-connected;
+    # each pass is one vectorized 3×3 dilation, iterations bounded by the
+    # longest weak chain (≤ W·H)
+    edges = strong.copy()
+    while True:
+        e = np.pad(edges, 1, constant_values=False)
+        grown = np.zeros_like(edges)
+        for di in range(3):
+            for dj in range(3):
+                grown |= e[di:di + edges.shape[0], dj:dj + edges.shape[1]]
+        grown = grown & cand & ~edges
+        if not grown.any():
+            return edges
+        edges |= grown
+
+
+def _ellipse_element_np(shape: tuple[int, int]) -> np.ndarray:
+    """cv2.getStructuringElement(MORPH_ELLIPSE, (w, h)) — the row-wise
+    integer ellipse rasterization (anchor = (w//2, h//2), round-half-even
+    like saturate_cast<int>)."""
+    w, h = int(shape[0]), int(shape[1])
+    r, cc = h // 2, w // 2
+    inv_r2 = 1.0 / (r * r) if r else 0.0
+    el = np.zeros((h, w), dtype=bool)
+    for i in range(h):
+        dy = i - r
+        if abs(dy) <= r:
+            dxs = int(np.rint(cc * math.sqrt(max(r * r - dy * dy, 0)
+                                             * inv_r2)))
+            el[i, max(cc - dxs, 0):min(cc + dxs + 1, w)] = True
+    return el
+
+
+def _morph_np(img: np.ndarray, element: np.ndarray, op: str) -> np.ndarray:
+    """cv2 erode/dilate on float input, default border semantics: pad
+    +inf for erode / −inf for dilate; dilate reflects element+anchor."""
+    el = element
+    kh, kw = el.shape
+    ay, axc = kh // 2, kw // 2  # default anchor = element center
+    if op == "dilate":
+        el = el[::-1, ::-1]
+        ay, axc = kh - 1 - ay, kw - 1 - axc
+        pad_val, agg = -np.inf, np.maximum
+    else:
+        pad_val, agg = np.inf, np.minimum
+    hh, ww = img.shape
+    padded = np.pad(img.astype(np.float32),
+                    ((ay, kh - 1 - ay), (axc, kw - 1 - axc)),
+                    constant_values=pad_val)
+    out = np.full((hh, ww), pad_val, dtype=np.float32)
+    for i, j in zip(*np.nonzero(el)):
+        out = agg(out, padded[i:i + hh, j:j + ww])
+    return out
+
+
+def _morph_close_np(img: np.ndarray,
+                    shape: tuple[int, int] = (8, 8)) -> np.ndarray:
+    el = _ellipse_element_np(shape)
+    return _morph_np(_morph_np(img, el, "dilate"), el, "erode")
+
+
+def _numpy_canny_np(img: np.ndarray, t1: float, t2: float,
+                    shape: tuple[int, int] = (8, 8)) -> np.ndarray:
+    """Pure-numpy twin of _cv2_canny_np (same recipe, same conventions:
+    edges as 0/255 float32 into the close, nonzero → True)."""
+    edges = _canny_edges_np(_to_uint8(img), t1, t2)
+    closed = _morph_close_np(np.where(edges, np.float32(255),
+                                      np.float32(0)), shape)
+    return closed.astype(bool)
+
+
+def canny_mask_np(img: np.ndarray, t1: float, t2: float,
+                  shape: tuple[int, int] = (8, 8)) -> np.ndarray:
+    """K7 dispatcher: real cv2 when importable, else the numpy twin."""
     if HAVE_CV2:
-        return _cv2_canny_np(img, t1, t2)
-    return _fake_canny_np(img, t1, t2)
-
-
-def _fake_canny_np(img: np.ndarray, t1: float, t2: float) -> np.ndarray:
-    m = img >= ((t1 + t2) / 2.0)
-    # 1-iteration binary closing with a 3×3 cross (dilate then erode)
-    def dilate(x):
-        y = x.copy()
-        y[1:, :] |= x[:-1, :]; y[:-1, :] |= x[1:, :]
-        y[:, 1:] |= x[:, :-1]; y[:, :-1] |= x[:, 1:]
-        return y
-    def erode(x):
-        y = x.copy()
-        y[1:, :] &= x[:-1, :]; y[:-1, :] &= x[1:, :]
-        y[:, 1:] &= x[:, :-1]; y[:, :-1] &= x[:, 1:]
-        return y
-    return erode(dilate(m))
+        return _cv2_canny_np(img, t1, t2, shape)
+    return _numpy_canny_np(img, t1, t2, shape)
 
 
 def make_threshold_mask_udf(t1: float, t2: float):

@@ -302,8 +302,104 @@ def grid_search_threshold(cells: DataFrame,
                  .alias("best_bacc")))
 
 
-def cells_grid_search(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+def cells_grid_search_threshold(spark: SparkSession,
+                                sf_dir: str = "") -> DataFrame:
     return grid_search_threshold(load_cells(spark))
+
+
+QUERIES["cells_grid_search_threshold"] = (
+    cells_grid_search_threshold, None)  # rows-only
+
+
+# ---------------------------------------------------------------------------
+# Canny grid-search trainer — the reference's FULL M3 search space:
+# threshold1 × threshold2 × opening_shape over Canny masks
+# (CannyEdgeMaskingModel.train, image_masking.py:112-139, which runs one
+# RDD job per combination — 2,205 jobs in the notebook run — and keeps,
+# per channel, the first combo whose mean balanced accuracy strictly
+# beats the best so far). Here the whole grid is ONE job: broadcast the
+# combo table, crossJoin, compute each (cell, channel, combo) mask in an
+# Arrow-batched pandas UDF (the Canny kernel is per-pixel Python by
+# nature — exactly the work the reference does per combo, distributed
+# across partitions instead of serialized through the driver), score
+# with the K9/K10 confusion expressions JVM-side, and take the
+# per-channel argmax with max_by. Tie-break mirrors the reference's
+# strict `>` update: ties go to the EARLIEST combo in its loop order
+# (t1 asc, t2 asc, shape asc), encoded as max_by over
+# struct(mean_bacc, -t1, -t2, -sw, -sh).
+# Scale: |cells|×|grid| mask evaluations is the irreducible cost of grid
+# search; this plan shuffles only the (channel × combo) score table
+# (tiny), never pixels.
+# ---------------------------------------------------------------------------
+CANNY_T1_GRID = [50.0, 100.0]
+CANNY_T2_GRID = [100.0, 200.0]
+CANNY_SHAPE_GRID = [(4, 4), (8, 8)]
+
+
+def make_canny_mask_udf():
+    """(data_ch, width, height, t1, t2, sw, sh) → predicted mask, through
+    the K7 dispatcher (cv2 when installed, numpy twin otherwise).
+
+    The closure binds the dispatcher FUNCTION, not the ``K`` module: the
+    package is registered pickle-by-value, and referencing the module
+    would serialize its whole dict — including ``perimeter_udf``, whose
+    lazily-initialized JVM handle (an RLock) is unpicklable once any
+    query has executed it."""
+    canny = K.canny_mask_np
+
+    @F.pandas_udf(T.ArrayType(T.BooleanType()))
+    def predict(data_ch: pd.Series, width: pd.Series, height: pd.Series,
+                t1: pd.Series, t2: pd.Series,
+                sw: pd.Series, sh: pd.Series) -> pd.Series:
+        out = []
+        for d, w, h, a, b, x, y in zip(data_ch, width, height, t1, t2,
+                                       sw, sh):
+            img = np.asarray(d, dtype=np.float64).reshape(int(w), int(h))
+            out.append(canny(img, float(a), float(b), (int(x), int(y)))
+                       .reshape(-1).tolist())
+        return pd.Series(out)
+
+    return predict
+
+
+def grid_search_canny(cells: DataFrame,
+                      t1_grid=CANNY_T1_GRID,
+                      t2_grid=CANNY_T2_GRID,
+                      shape_grid=CANNY_SHAPE_GRID) -> DataFrame:
+    spark = cells.sparkSession
+    combos = [(float(a), float(b), int(s[0]), int(s[1]))
+              for a in t1_grid for b in t2_grid for s in shape_grid]
+    grid_df = spark.createDataFrame(
+        combos, "t1 double, t2 double, sw int, sh int")
+    per_ch = _per_channel(cells)
+    pred = make_canny_mask_udf()(
+        F.col("data_ch"), F.col("width"), F.col("height"),
+        F.col("t1"), F.col("t2"), F.col("sw"), F.col("sh"))
+    scored = (
+        per_ch.crossJoin(F.broadcast(grid_df))
+        .withColumn("predicted", pred))
+    c = K.confusion(F.col("mask_ch"), F.col("predicted"))
+    scored = scored.select(
+        "channel", "t1", "t2", "sw", "sh",
+        K.balanced_accuracy(c["tp"], c["fp"], c["tn"], c["fn"])
+        .alias("bacc"))
+    per_combo = (scored.groupBy("channel", "t1", "t2", "sw", "sh")
+                 .agg(F.avg("bacc").alias("mean_bacc")))
+    best = per_combo.groupBy("channel").agg(
+        F.expr("max_by(struct(t1, t2, sw, sh),"
+               " struct(mean_bacc, -t1, -t2, -sw, -sh))").alias("p"),
+        F.round(F.max("mean_bacc"), 6).alias("best_bacc"))
+    return best.select(
+        "channel", F.col("p.t1").alias("best_t1"),
+        F.col("p.t2").alias("best_t2"),
+        F.col("p.sw").alias("best_shape_w"),
+        F.col("p.sh").alias("best_shape_h"), "best_bacc")
+
+
+def cells_grid_search(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    # 64 images keep the benched fixture at reference-notebook scale
+    # (images × combos ≈ 64·3·8 mask evaluations per run)
+    return grid_search_canny(load_cells(spark, n_images=64))
 
 
 QUERIES["cells_grid_search"] = (cells_grid_search, None)  # rows-only

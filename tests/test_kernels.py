@@ -187,11 +187,11 @@ def test_short_doc_shingle_guard(spark):
 
 
 # ---------------------------------------------------------------------------
-# K7 Canny dispatcher: same contract under the numpy fake and (when
-# installed) real cv2 — reference canny_masking + apply_opening
+# K7 Canny dispatcher: same contract under the pure-numpy kernel and
+# (when installed) real cv2 — reference canny_masking + apply_opening
 # (image_masking.py:78-81, :38-41; the "opening" that actually closes).
 # ---------------------------------------------------------------------------
-_KERNELS = [("fake", K._fake_canny_np)]
+_KERNELS = [("numpy", K._numpy_canny_np)]
 if K.HAVE_CV2:
     _KERNELS.append(("cv2", K._cv2_canny_np))
 
@@ -218,8 +218,144 @@ def test_canny_dispatcher_selects_available_kernel():
 
     data, _ = _gen_image(7, 1, 16, 16)
     img = data.reshape(16, 16)
-    want = (K._cv2_canny_np if K.HAVE_CV2 else K._fake_canny_np)(img, 100.0, 300.0)
+    want = (K._cv2_canny_np if K.HAVE_CV2 else K._numpy_canny_np)(
+        img, 100.0, 300.0)
     assert np.array_equal(K.canny_mask_np(img, 100.0, 300.0), want)
+
+
+# ---------------------------------------------------------------------------
+# Independent per-pixel transliteration of the published OpenCV Canny
+# algorithm (aperture 3, L1) — the property oracle for the vectorized
+# kernel, playing the role a live cv2 run would (cv2 not installable in
+# this container; the loop below shares NO code with the vectorized
+# implementation).
+# ---------------------------------------------------------------------------
+def _canny_loop_ref(img_u8, t1, t2):
+    h, w = img_u8.shape
+    low, high = sorted((int(np.floor(t1)), int(np.floor(t2))))
+    src = img_u8.astype(np.int64)
+
+    def px(i, j):  # BORDER_REPLICATE
+        return src[min(max(i, 0), h - 1), min(max(j, 0), w - 1)]
+
+    dx = np.zeros((h, w), np.int64)
+    dy = np.zeros((h, w), np.int64)
+    for i in range(h):
+        for j in range(w):
+            dx[i, j] = (px(i - 1, j + 1) + 2 * px(i, j + 1) + px(i + 1, j + 1)
+                        - px(i - 1, j - 1) - 2 * px(i, j - 1) - px(i + 1, j - 1))
+            dy[i, j] = (px(i + 1, j - 1) + 2 * px(i + 1, j) + px(i + 1, j + 1)
+                        - px(i - 1, j - 1) - 2 * px(i - 1, j) - px(i - 1, j + 1))
+    mag = np.abs(dx) + np.abs(dy)
+
+    def m(i, j):  # magnitude, 0 outside the image
+        if 0 <= i < h and 0 <= j < w:
+            return mag[i, j]
+        return 0
+
+    TG22 = 13573
+    cand = np.zeros((h, w), bool)
+    strong = np.zeros((h, w), bool)
+    for i in range(h):
+        for j in range(w):
+            v = mag[i, j]
+            if v <= low:
+                continue
+            x, y = abs(int(dx[i, j])), abs(int(dy[i, j])) << 15
+            tg22x = x * TG22
+            if y < tg22x:
+                ok = v > m(i, j - 1) and v >= m(i, j + 1)
+            else:
+                tg67x = tg22x + (x << 16)
+                if y > tg67x:
+                    ok = v > m(i - 1, j) and v >= m(i + 1, j)
+                else:
+                    s = -1 if (int(dx[i, j]) ^ int(dy[i, j])) < 0 else 1
+                    ok = v > m(i - 1, j - s) and v >= m(i + 1, j + s)
+            if ok:
+                cand[i, j] = True
+                if v > high:
+                    strong[i, j] = True
+    # hysteresis BFS
+    edges = strong.copy()
+    stack = list(zip(*np.nonzero(strong)))
+    while stack:
+        i, j = stack.pop()
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                ni, nj = i + di, j + dj
+                if (0 <= ni < h and 0 <= nj < w and cand[ni, nj]
+                        and not edges[ni, nj]):
+                    edges[ni, nj] = True
+                    stack.append((ni, nj))
+    return edges
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_numpy_canny_equals_perpixel_reference(seed):
+    """Vectorized Canny == the independent per-pixel loop on random and
+    structured images, across threshold settings (incl. swapped t1>t2)."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(20, 17)).astype(np.float64)
+    if seed % 2:  # add structure: a bright block with sharp borders
+        img[4:12, 3:10] = 240.0
+    for t1, t2 in [(50, 100), (100, 50), (10, 200), (80, 80)]:
+        got = K._canny_edges_np(K._to_uint8(img), t1, t2)
+        want = _canny_loop_ref(K._to_uint8(img), t1, t2)
+        assert np.array_equal(got, want), (seed, t1, t2)
+
+
+def test_numpy_canny_goldens():
+    """Pinned behavior: no edges on uniform, a single 1-px NMS ridge on a
+    vertical step (column 7 of a 0|255 split at column 8), ring around a
+    disk that the ellipse close fills to cover the full disk."""
+    assert not K._canny_edges_np(
+        K._to_uint8(np.full((16, 16), 37.0)), 50, 100).any()
+
+    step = np.zeros((16, 16)); step[:, 8:] = 255.0
+    e = K._canny_edges_np(K._to_uint8(step), 50, 100)
+    assert sorted(set(np.nonzero(e)[1].tolist())) == [7]
+    assert int(e.sum()) == 16
+
+    yy, xx = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+    disk = ((xx - 8) ** 2 + (yy - 8) ** 2) <= 16
+    img = 40.0 + disk * 500.0
+    ring = K._canny_edges_np(K._to_uint8(img), 50, 100)
+    assert int(ring.sum()) == 24  # regression pin
+    closed = K._numpy_canny_np(img, 50, 100, (8, 8))
+    assert (closed & disk).sum() == disk.sum()  # close fills the disk
+
+
+def test_ellipse_element_matches_cv2_rasterization():
+    """cv2.getStructuringElement(MORPH_ELLIPSE, (8,8)) computed by hand
+    from the row-wise integer rasterization (dx = rint(c·sqrt((r²−dy²)/r²)))
+    — and live cv2 when available."""
+    el = K._ellipse_element_np((8, 8))
+    want = np.zeros((8, 8), bool)
+    want[0, 4] = True
+    want[1, 1:8] = True; want[2, 1:8] = True
+    want[3, :] = True; want[4, :] = True; want[5, :] = True
+    want[6, 1:8] = True; want[7, 1:8] = True
+    assert np.array_equal(el, want)
+    if K.HAVE_CV2:
+        import cv2
+        assert np.array_equal(
+            el, cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (8, 8)) != 0)
+    el5 = K._ellipse_element_np((5, 5))
+    assert el5[2, :].all() and el5[0, 2] and not el5[0, 0]
+
+
+def test_morph_close_fills_gap_and_is_idempotent_on_solid():
+    """Close bridges a 2-px gap between bars with an (8,8) ellipse; a
+    solid block far from borders is unchanged."""
+    img = np.zeros((20, 20), np.float32)
+    img[5:15, 4] = 255; img[5:15, 7] = 255  # two bars, gap of 2
+    closed = K._morph_close_np(img, (8, 8))
+    assert (closed[9, 5] > 0) and (closed[9, 6] > 0)
+    solid = np.zeros((20, 20), np.float32)
+    solid[6:14, 6:14] = 255
+    again = K._morph_close_np(solid, (3, 3))
+    assert np.array_equal(again >= 255, solid >= 255)
 
 
 def test_threshold_mask_udf_uses_dispatcher(spark):
