@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.png_codec import png_decode, png_encode
 from ..sources.cells import load_cells
 
 QUERIES: dict = {}
@@ -125,16 +126,26 @@ def make_frame_sample_udf(every_k: int):
 
 
 # ---------------------------------------------------------------------------
-# external-codec stub: JPEG/audio decode needs libraries not in this
-# container. The UDF shape is real; the body raises unless the fake is
-# requested, and the fake is deterministic (hash-derived) so tests and
-# oracles are stable.
+# external codecs. PNG is REAL — a stdlib zlib+struct implementation
+# (functions/png_codec.py), closing the reference's PNG sink boundary
+# (feature extraction.py:89-91 cv.imwrite). JPEG/audio decode still
+# needs libraries not in this container: for those the UDF shape is
+# real, the body raises unless the fake is requested, and the fake is
+# deterministic (hash-derived) so tests and oracles are stable.
 # ---------------------------------------------------------------------------
 def decode_external(payload: bytes, codec: str, use_fake: bool = False) -> np.ndarray:
-    """STUB — real implementation would dispatch to PIL/libsndfile/ffmpeg.
+    """Decode an external image/audio payload to a flat float32 array.
 
-    With ``use_fake=True`` returns a deterministic pseudo-decode (first 16
-    bytes of sha256 as float32 levels) so pipeline plumbing is testable."""
+    ``codec="png"`` decodes for real (8-bit gray/RGB, raw 0..255 sample
+    values). Other codecs would dispatch to PIL/libsndfile/ffmpeg —
+    absent here, so they raise unless ``use_fake=True`` (a deterministic
+    pseudo-decode: first 16 bytes of sha256 as float32 levels)."""
+    if codec == "png" and not use_fake:
+        # module-level import: a runtime relative import inside a UDF body
+        # fails on workers that can't import the package by name (the
+        # pickle-by-value registration covers captured objects, not
+        # import statements)
+        return png_decode(payload).astype(np.float32).reshape(-1)
     if not use_fake:
         raise NotImplementedError(
             f"codec {codec!r}: decoder libraries not available in this "
@@ -227,6 +238,90 @@ def multimodal_export(spark: SparkSession, sf_dir: str = "") -> DataFrame:
 QUERIES["multimodal_features"] = (multimodal_features, None)
 QUERIES["multimodal_resize"] = (multimodal_resize_stats, None)
 QUERIES["multimodal_export"] = (multimodal_export, None)
+
+
+# ---------------------------------------------------------------------------
+# real PNG round-trip (reference S5 PNG sink, feature extraction.py:89-91):
+# channel-0 of each cell is quantized to uint8, encoded to a real PNG by
+# the stdlib codec inside the distributed map, written per-image (unique
+# paths — Pitfall 9 fix as in export_payloads), read BACK through
+# Spark's binaryFile source, decoded by the same codec, and compared
+# pixel-for-pixel in-plan against the independently re-quantized
+# originals. Output: one row proving every image round-tripped exactly.
+# ---------------------------------------------------------------------------
+@F.pandas_udf(T.BinaryType())
+def _png_encode_gray(data_ch: pd.Series, width: pd.Series,
+                     height: pd.Series) -> pd.Series:
+    out = []
+    for d, w, h in zip(data_ch, width, height):
+        img = np.asarray(d, dtype=np.float64).reshape(int(w), int(h))
+        out.append(png_encode(np.clip(img, 0, 255).astype(np.uint8)))
+    return pd.Series(out)
+
+
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    import os
+    import tempfile
+
+    from ..functions.image_kernels import channel_slice
+
+    n_images = 32
+    cells = load_cells(spark, n_images=n_images)
+    wh = F.col("width") * F.col("height")
+    ch0 = cells.select(
+        "image_id", "width", "height",
+        channel_slice(F.col("data"), 0, wh).alias("data_ch"))
+    encoded = ch0.select(
+        "image_id",
+        _png_encode_gray("data_ch", "width", "height").alias("payload"))
+
+    base = tempfile.mkdtemp(prefix="png_export_")
+    schema = T.StructType([
+        T.StructField("image_id", T.LongType()),
+        T.StructField("path", T.StringType()),
+    ])
+
+    def write(batches):
+        os.makedirs(base, exist_ok=True)
+        for pdf in batches:
+            paths = []
+            for img_id, payload in zip(pdf["image_id"], pdf["payload"]):
+                p = os.path.join(base, f"cell_{int(img_id):06d}.png")
+                with open(p, "wb") as f:
+                    f.write(bytes(payload))
+                paths.append(p)
+            yield pd.DataFrame({"image_id": pdf["image_id"].astype("int64"),
+                                "path": paths})
+
+    # materialize the writes before binaryFile lists the directory —
+    # bounded driver collect (n_images=32 rows of (id, path))
+    n_written = len(encoded.mapInPandas(write, schema).collect())
+
+    files = (spark.read.format("binaryFile").load(f"{base}/*.png")
+             .select(
+                 F.regexp_extract(F.col("path"), r"cell_(\d+)\.png", 1)
+                 .cast("long").alias("image_id"),
+                 make_external_decode_udf("png", use_fake=False)(
+                     F.col("content")).alias("decoded")))
+    # re-quantize the originals the same way the encoder did: clip to
+    # [0,255] then truncate toward zero (uint8 cast semantics)
+    want = ch0.select(
+        "image_id",
+        F.expr("transform(data_ch, x ->"
+               " cast(greatest(least(x, 255.0D), 0.0D) as int))")
+        .alias("want_px"))
+    joined = files.join(F.broadcast(want), "image_id")
+    exact = F.expr(
+        "forall(zip_with(decoded, want_px,"
+        " (d, w) -> cast(d as int) = w), p -> p)")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.when(exact, 1).otherwise(0)).cast("long")
+        .alias("n_roundtrip_exact"),
+        F.lit(n_written).cast("long").alias("n_written"))
+
+
+QUERIES["multimodal_png_roundtrip"] = (multimodal_png_roundtrip, None)
 
 
 # ---------------------------------------------------------------------------
