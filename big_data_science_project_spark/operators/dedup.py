@@ -24,6 +24,7 @@ JVM-internal.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -169,9 +170,36 @@ def _minhash_bands_sql(hashed_cte: str = "hashed") -> str:
 
 
 # ---------------------------------------------------------------------------
-# MinHash-LSH candidate pairs (doc_id1 < doc_id2, distinct)
+# MinHash-LSH candidate pairs (doc_id1 < doc_id2, distinct).
+#
+# HOT-BUCKET GUARD: the bucket self-join is O(|bucket|²); at corpus
+# scale one boilerplate bucket (license headers, empty docs, scraped
+# nav chrome) is the classic blow-up — 10⁶ docs sharing a band key is
+# 5·10¹¹ pairs from a single bucket. Buckets larger than
+# ``max_bucket`` are DROPPED before the join (broadcast anti-join
+# against the tiny over-cap key set — one extra map-side agg, no new
+# shuffle of the corpus). Recall trade, documented: a pair losing one
+# over-cap bucket can still surface through any of its other
+# ``N_HASHES/BAND_SIZE`` bands; pairs that ONLY collide inside
+# boilerplate buckets are exactly the ones LSH dedup is expected to
+# hand to an exact/url-level pass instead. The drop is deterministic
+# and mirrored in the DuckDB oracles (HAVING COUNT(*) <= cap), and the
+# ``dedup_lsh_hot_buckets`` audit query reports the largest buckets —
+# the no-silent-caps surface (what was dropped is queryable, not
+# logged to a void).
 # ---------------------------------------------------------------------------
-def _candidate_pairs(bands: DataFrame) -> DataFrame:
+LSH_MAX_BUCKET = 256
+
+
+def _candidate_pairs(bands: DataFrame,
+                     max_bucket: int | None = LSH_MAX_BUCKET) -> DataFrame:
+    if max_bucket is not None:
+        hot = (bands.groupBy("band_id", "band_key")
+               .agg(F.count(F.lit(1)).alias("n"))
+               .filter(F.col("n") > max_bucket)
+               .select("band_id", "band_key"))
+        bands = bands.join(F.broadcast(hot), ["band_id", "band_key"],
+                           "left_anti")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -184,6 +212,21 @@ def _candidate_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
+# shared oracle text for the capped candidate CTE (keeps the three
+# dedup oracles from drifting from the Spark-side guard)
+def _cands_sql_capped() -> str:
+    return f"""
+  SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+  JOIN (SELECT band_id, band_key FROM bands
+        GROUP BY band_id, band_key
+        HAVING COUNT(*) <= {LSH_MAX_BUCKET}) ok
+    ON ok.band_id = a.band_id AND ok.band_key = a.band_key
+"""
+
+
 def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return _candidate_pairs(_minhash_bands(_hashed_shingles_df(d)))
@@ -192,10 +235,37 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["dedup_minhash_candidates"] = (dedup_minhash_candidates, f"""
 WITH hashed AS ({_HASHED_SHINGLES_SQL}),
 bands AS ({_minhash_bands_sql()})
-SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
-FROM bands a JOIN bands b
-  ON a.band_id = b.band_id AND a.band_key = b.band_key
- AND a.doc_id < b.doc_id
+{_cands_sql_capped()}
+""")
+
+
+# ---------------------------------------------------------------------------
+# hot-bucket audit — the queryable "what would the guard drop" surface:
+# the 20 largest LSH buckets with their sizes and over-cap flag. In a
+# production run this is the report reviewed before/after a dedup pass
+# (over-cap buckets ≈ boilerplate families); here it also makes the
+# capped candidate queries' behavior observable instead of silent.
+# Deterministic: ties in size break on (band_id, band_key).
+# ---------------------------------------------------------------------------
+def dedup_lsh_hot_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bands = _minhash_bands(_hashed_shingles_df(d))
+    return (bands.groupBy("band_id", "band_key")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .withColumn("over_cap", F.col("n_docs") > LSH_MAX_BUCKET)
+            .orderBy(F.desc("n_docs"), "band_id", "band_key")
+            .limit(20))
+
+
+QUERIES["dedup_lsh_hot_buckets"] = (dedup_lsh_hot_buckets, f"""
+WITH hashed AS ({_HASHED_SHINGLES_SQL}),
+bands AS ({_minhash_bands_sql()})
+SELECT band_id, band_key, COUNT(*) AS n_docs,
+       COUNT(*) > {LSH_MAX_BUCKET} AS over_cap
+FROM bands
+GROUP BY band_id, band_key
+ORDER BY n_docs DESC, band_id, band_key
+LIMIT 20
 """)
 
 
@@ -213,7 +283,12 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # do NOT stack copies — Spark's CacheManager matches the identical
     # analyzed plan and reuses one cache entry per (session, sf_dir)
     # (observed: repeat calls drop 13.8s → 1.4s, storage stays flat)
-    hashed = _hashed_shingles_df(d).persist()
+    # storage level pinned explicitly: MEMORY_AND_DISK_DESER (PySpark's
+    # DataFrame default — partitions that outgrow executor memory spill
+    # to local disk instead of being dropped and re-md5'd; this cache is
+    # corpus-sized, so eviction-and-recompute would be the worst case)
+    hashed = _hashed_shingles_df(d).persist(
+        StorageLevel.MEMORY_AND_DISK_DESER)
     cands = _candidate_pairs(_minhash_bands(hashed))
     a = hashed.select(F.col("doc_id").alias("doc_id1"), F.col("hs").alias("sh1"))
     b = hashed.select(F.col("doc_id").alias("doc_id2"), F.col("hs").alias("sh2"))
@@ -230,12 +305,7 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["dedup_minhash_verified"] = (dedup_minhash_verified, f"""
 WITH hashed AS ({_HASHED_SHINGLES_SQL}),
 bands AS ({_minhash_bands_sql()}),
-cands AS (
-  SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
-  FROM bands a JOIN bands b
-    ON a.band_id = b.band_id AND a.band_key = b.band_key
-   AND a.doc_id < b.doc_id
-)
+cands AS ({_cands_sql_capped()})
 SELECT c.doc_id1, c.doc_id2,
        ROUND(CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)
              / (CAST(len(s1.hs) + len(s2.hs) AS DOUBLE)
@@ -267,7 +337,9 @@ CONTAIN_MIN = 0.8
 
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    hashed = _hashed_shingles_df(d).persist()
+    # corpus-sized: spill, don't evict (rationale at the twin site above)
+    hashed = _hashed_shingles_df(d).persist(
+        StorageLevel.MEMORY_AND_DISK_DESER)
     cands = _candidate_pairs(_minhash_bands(hashed))
     a = hashed.select(F.col("doc_id").alias("doc_id1"), F.col("hs").alias("sh1"))
     b = hashed.select(F.col("doc_id").alias("doc_id2"), F.col("hs").alias("sh2"))
@@ -284,12 +356,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["dedup_containment"] = (dedup_containment, f"""
 WITH hashed AS ({_HASHED_SHINGLES_SQL}),
 bands AS ({_minhash_bands_sql()}),
-cands AS (
-  SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
-  FROM bands a JOIN bands b
-    ON a.band_id = b.band_id AND a.band_key = b.band_key
-   AND a.doc_id < b.doc_id
-),
+cands AS ({_cands_sql_capped()}),
 scored AS (
   SELECT c.doc_id1, c.doc_id2,
          ROUND(CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)
@@ -388,7 +455,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc_id1").alias("src"), F.col("doc_id2").alias("dst"))
         .union(pairs.select(F.col("doc_id2").alias("src"),
                             F.col("doc_id1").alias("dst")))
-        .persist()
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)  # edge list ~ corpus-sized
     )
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .select("node", F.col("node").alias("lbl"))

@@ -27,6 +27,7 @@ the fixture.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -58,7 +59,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = docs.select("doc_id")
     # reused by every iteration: persist so K rounds scan the edge
     # table instead of re-deriving it through the lineage
-    edges = _synthetic_fwd_edges(nodes).persist()
+    edges = _synthetic_fwd_edges(nodes).persist(StorageLevel.MEMORY_AND_DISK_DESER)
     ranks = nodes.select("doc_id", F.lit(1000000).cast("bigint").alias("r"))
     for _ in range(PR_ITERS):
         contribs = (edges.join(ranks, edges.src == ranks.doc_id)
@@ -140,7 +141,7 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _cc_edges(nodes)
     # undirected: propagate along both directions of every edge
     sym = edges.union(edges.select(F.col("v").alias("u"),
-                                   F.col("u").alias("v"))).persist()
+                                   F.col("u").alias("v"))).persist(StorageLevel.MEMORY_AND_DISK_DESER)
     labels = nodes.select("doc_id", F.col("doc_id").alias("lab"))
     for _ in range(CC_ITERS):
         nb = (sym.join(labels, sym.u == labels.doc_id)
@@ -198,7 +199,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & (F.col("a.l_partkey") < F.col("b.l_partkey")))
              .select(F.col("a.l_partkey").alias("u"),
                      F.col("b.l_partkey").alias("v"))
-             .distinct().persist())
+             .distinct().persist(StorageLevel.MEMORY_AND_DISK_DESER))
     deg = (edges.select(F.col("u").alias("node"))
            .union(edges.select(F.col("v").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
@@ -213,7 +214,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: feeds both the adjacency build and the per-edge probe
     oriented = ed.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst")).persist()
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst")).persist(StorageLevel.MEMORY_AND_DISK_DESER)
     # edge-centric counting: per-edge |N⁺(src) ∩ N⁺(dst)| over SORTED
     # out-adjacency arrays. Each triangle (DAG-oriented u→v→w) is counted
     # exactly once, at its base edge u→v. Nothing wider than an edge ever
@@ -289,7 +290,7 @@ BFS_MAX_LEVEL = 4
 def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     nodes = docs.select("doc_id")
-    edges = _synthetic_fwd_edges(nodes).distinct().persist()
+    edges = _synthetic_fwd_edges(nodes).distinct().persist(StorageLevel.MEMORY_AND_DISK_DESER)
     visited = spark.createDataFrame(
         [(BFS_SOURCE, 0)], "doc_id bigint, level int")
     frontier = visited
@@ -358,7 +359,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         F.col("src").alias("dst")))
              .filter(F.col("src") != F.col("dst"))
              .distinct()
-             .persist())
+             .persist(StorageLevel.MEMORY_AND_DISK_DESER))
     alive = nodes.select(F.col("doc_id").alias("v"))
     last_removed = None
     for _ in range(KCORE_ROUNDS):

@@ -28,6 +28,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -192,7 +193,11 @@ def _km_trunc_div(s: int, n: int) -> int:
 
 
 def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = _km_quant(load_table(spark, sf_dir, "embeddings")).persist()
+    # corpus-sized and read every Lloyd's round: spill to disk on memory
+    # pressure rather than evict-and-requantize (MEMORY_AND_DISK_DESER,
+    # PySpark's DataFrame default, pinned explicitly)
+    pts = _km_quant(load_table(spark, sf_dir, "embeddings")).persist(
+        StorageLevel.MEMORY_AND_DISK_DESER)
     cents = {r["vec_id"]: list(r["em"])
              for r in pts.filter(F.col("vec_id") < KM_K).collect()}
 

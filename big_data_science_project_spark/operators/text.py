@@ -8,6 +8,7 @@ whole-stage-codegen'd and scales linearly with input splits.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -609,7 +610,7 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     seqs = words.select(
         F.concat(F.lit(" "),
                  F.expr(r"regexp_replace(w, '(.)', '$1 ')")).alias("seq"),
-        "n").persist()
+        "n").persist(StorageLevel.MEMORY_AND_DISK_DESER)  # vocab-sized; spill > recompute
 
     def pair_counts(sdf):
         a = F.split(F.trim(F.col("seq")), " ")

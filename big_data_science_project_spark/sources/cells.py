@@ -22,6 +22,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -164,7 +165,7 @@ def cell_outlier_filter(spark: SparkSession, sf_dir: str = "") -> DataFrame:
         F.expr("stack(3, 'area', CAST(area AS DOUBLE), "
                "'perimeter', CAST(perimeter AS DOUBLE), "
                "'mean_intensity', mean_intensity) AS (feature, value)"),
-    ).persist()  # consumed twice (fit stats + score fact); without this
+    ).persist(StorageLevel.MEMORY_AND_DISK_DESER)  # consumed twice (fit stats + score fact); without this
     # the generator + feature kernels — the expensive Python stages —
     # run once per branch. The S3 cache analogue for train-then-score.
     model = OutlierModel().fit(tidy)

@@ -432,3 +432,49 @@ def test_acf_matches_numpy_mean_cleared(spark):
         for k in (1, 2, 3):
             want = (((v[k:] - vbar) * (v[:-k] - vbar)).sum()) / den
             assert abs(got[(et, k)] - round(want, 9)) <= 2e-9, (et, k)
+
+
+def test_lsh_hot_bucket_guard_drops_boilerplate_bucket(spark):
+    """Plant one over-cap boilerplate bucket (B docs sharing a band key)
+    next to a small legit bucket: the capped candidate join must emit
+    ONLY the small bucket's pairs (hot bucket contributes zero — never
+    O(B²)), while the uncapped variant would emit all B·(B−1)/2."""
+    from big_data_science_project_spark.operators.dedup import (
+        LSH_MAX_BUCKET, _candidate_pairs)
+
+    B = LSH_MAX_BUCKET + 44  # over cap
+    hot = [(i, 0, 777777) for i in range(B)]
+    small = [(10_000 + i, 0, 123456) for i in range(3)]
+    bands = spark.createDataFrame(
+        hot + small, "doc_id long, band_id int, band_key long")
+
+    capped = _candidate_pairs(bands).collect()
+    assert len(capped) == 3  # C(3,2) from the small bucket only
+    assert all(r.doc_id1 >= 10_000 for r in capped)
+
+    uncapped = _candidate_pairs(bands, max_bucket=None).count()
+    assert uncapped == B * (B - 1) // 2 + 3
+
+    # a doc in the hot bucket that ALSO shares a normal bucket still
+    # surfaces — the guard drops buckets, not documents
+    extra = [(0, 1, 42), (10_000, 1, 42)]
+    bands2 = spark.createDataFrame(
+        hot + small + extra, "doc_id long, band_id int, band_key long")
+    got = {(r.doc_id1, r.doc_id2) for r in _candidate_pairs(bands2).collect()}
+    assert (0, 10_000) in got and len(got) == 4
+
+
+def test_lsh_hot_buckets_audit_flags_over_cap(spark):
+    """The audit query reports bucket sizes with a correct over_cap flag
+    on the real fixtures (none over cap at this sf — asserted, so a
+    fixture change that crosses the cap is noticed, not silent)."""
+    import __spark_entry__ as e
+
+    SF = "/root/testdata/sf0.001"
+    rows = e.queries()["dedup_lsh_hot_buckets"](spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    sizes = [r.n_docs for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
+    from big_data_science_project_spark.operators.dedup import LSH_MAX_BUCKET
+    for r in rows:
+        assert r.over_cap == (r.n_docs > LSH_MAX_BUCKET)
