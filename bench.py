@@ -64,7 +64,11 @@ def main() -> None:
     # three passes, min per query: pass 1 includes JVM/codegen/cache warmup,
     # later passes are steady-state — the min de-noises host-level CPU
     # jitter that otherwise dominates run-to-run variance on this box
-    # (observed 3× swings on identical code between adjacent runs)
+    # (observed 3× swings on identical code between adjacent runs).
+    # q17 drift investigated (r3 recorded 0.964→1.163 s on unchanged
+    # code): solo min-of-5 at sf0.1 on this host is 0.941 s with
+    # steady-state reps spanning 0.94–1.18 s — the in-suite delta is
+    # inside single-query host variance, not a plan regression.
     times: dict[str, float] = {}
     for rep in range(3):
         for name in HEADLINE:

@@ -12,6 +12,18 @@ availableNow trigger into a memory sink, then returns the final table —
 so the driver/oracle can treat it like any batch query while the plan
 exercises real streaming state machinery. On a cluster the same code
 points at a growing directory / Kafka source and just keeps running.
+
+MEMORY SINK IS HARNESS-ONLY. The ``format("memory")`` sink in
+``_run_to_table`` exists so the oracle harness can hash a finite result;
+it materializes every output row on the driver, which is bounded here
+(≤ ~7k windows at sf0.1) but would be a driver OOM at 100× key
+cardinality. The production results path is the other two sinks in this
+surface: ``stream_foreachbatch_sink`` (idempotent per-batch parquet
+writes keyed by batchId — exactly-once on replay, output distributed,
+nothing driver-side) and the custom ``cells`` streaming sink in
+``sources/cells_datasource.py`` (two-phase commit). A deployment swaps
+``_run_to_table`` for one of those and reads the result where it
+landed; every aggregation/state definition above the sink is unchanged.
 """
 
 from __future__ import annotations
