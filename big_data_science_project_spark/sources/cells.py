@@ -18,6 +18,9 @@ tests/test_kernels.py carry the correctness weight, SURVEY.md §5).
 
 from __future__ import annotations
 
+import math
+import os
+import tempfile
 from collections.abc import Iterator
 
 import numpy as np
@@ -172,5 +175,148 @@ def cell_outlier_filter(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     return model.votes(tidy).filter(F.col("votes") < 0)
 
 
-QUERIES["cells_features"] = (cell_features, None)          # rows-only check
-QUERIES["cells_outlier_filter"] = (cell_outlier_filter, None)  # rows-only check
+# ---------------------------------------------------------------------------
+# DuckDB value oracles for the cells kernels. The generator is
+# deterministic, so it is materialized ONCE to a parquet fixture (pure
+# pyarrow — no Spark in the loop, so the oracle's input provably shares
+# no engine code with the query under test) and the DuckDB side
+# recomputes area/perimeter/masked-mean/circularity from raw pixels
+# with list functions. Float parity is exact by construction: the
+# masked mean is a sequential left fold from 0.0 on both engines
+# (F.aggregate ↔ list_reduce with a prepended 0.0 — identical IEEE
+# tree), circularity embeds the same 4π literal and rounds to 9dp.
+# ---------------------------------------------------------------------------
+def cells_fixture_path() -> str:
+    """Materialize the default cells table to parquet (idempotent,
+    atomic) and return the path — referenced by the oracle SQL below."""
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdsp_cells_{DEFAULT_N}x{DEFAULT_C}x{DEFAULT_W}x{DEFAULT_H}.parquet")
+    if not os.path.exists(path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        rows = [_gen_image(i, DEFAULT_C, DEFAULT_W, DEFAULT_H)
+                for i in range(DEFAULT_N)]
+        tb = pa.table({
+            "image_id": pa.array(range(DEFAULT_N), pa.int64()),
+            "n_channels": pa.array([DEFAULT_C] * DEFAULT_N, pa.int32()),
+            "width": pa.array([DEFAULT_W] * DEFAULT_N, pa.int32()),
+            "height": pa.array([DEFAULT_H] * DEFAULT_N, pa.int32()),
+            "data": pa.array([r[0].tolist() for r in rows],
+                             pa.list_(pa.float64())),
+            "mask": pa.array([r[1].tolist() for r in rows],
+                             pa.list_(pa.bool_())),
+        })
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(tb, tmp)
+        os.replace(tmp, path)  # atomic under concurrent materializers
+    return path
+
+
+_FOUR_PI = repr(4.0 * math.pi)  # same double literal on both engines
+
+
+def _features_sql_body() -> str:
+    """feats(image_id, channel, area, perimeter, mean_intensity,
+    circularity) CTE text over the materialized fixture."""
+    return f"""
+cells AS (SELECT * FROM read_parquet('{cells_fixture_path()}')),
+per_ch AS (
+  SELECT image_id, CAST(ch.c AS INT) AS channel, width, height,
+         data[CAST(ch.c*width*height + 1 AS BIGINT)
+              :CAST((ch.c+1)*width*height AS BIGINT)] AS data_ch,
+         mask[CAST(ch.c*width*height + 1 AS BIGINT)
+              :CAST((ch.c+1)*width*height AS BIGINT)] AS mask_ch
+  FROM cells,
+       LATERAL (SELECT unnest(generate_series(0, n_channels - 1)) AS c) ch
+),
+raw_feats AS (
+  SELECT image_id, channel,
+    CAST(len(list_filter(mask_ch, m -> m)) AS BIGINT) AS area,
+    -- perimeter: Σ over fg pixels of in-bounds bg 4-neighbors
+    -- (row-major pos = x·H + y, 1-based list index)
+    CAST(list_sum(list_transform(
+      generate_series(1, CAST(width*height AS BIGINT)), i ->
+      CASE WHEN mask_ch[i] THEN
+        CAST((i - 1) // height > 0 AND NOT mask_ch[i - height] AS INT)
+        + CAST((i - 1) // height < width - 1
+               AND NOT mask_ch[i + height] AS INT)
+        + CAST((i - 1) % height > 0 AND NOT mask_ch[i - 1] AS INT)
+        + CAST((i - 1) % height < height - 1
+               AND NOT mask_ch[i + 1] AS INT)
+      ELSE 0 END)) AS BIGINT) AS perimeter,
+    -- masked mean: sequential fold from 0.0 == Spark F.aggregate order
+    CASE WHEN len(list_filter(mask_ch, m -> NOT m)) > 0 THEN
+      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(generate_series(1, CAST(width*height AS BIGINT)),
+          i -> CASE WHEN mask_ch[i] THEN CAST(0.0 AS DOUBLE)
+               ELSE data_ch[i] END)),
+        (acc, v) -> acc + v)
+      / len(list_filter(mask_ch, m -> NOT m))
+    ELSE NULL END AS mean_intensity
+  FROM per_ch
+),
+feats AS (
+  SELECT image_id, channel, area, perimeter, mean_intensity,
+         ROUND(CASE WHEN perimeter > 0
+               THEN {_FOUR_PI} * area / (perimeter * perimeter)
+               ELSE 0.0 END, 9) AS circularity
+  FROM raw_feats
+)"""
+
+
+def rollup_oracle_sql(max_image_id: int, channels: list[int]) -> str:
+    """Per-channel (total_area, n_images) oracle for the scan/sink
+    round-trip queries — same rollup the five ingestion paths return."""
+    ch_values = ", ".join(f"({c})" for c in channels)
+    return f"""
+WITH cells AS (SELECT * FROM read_parquet('{cells_fixture_path()}')
+               WHERE image_id < {max_image_id})
+SELECT CAST(ch.c AS INT) AS channel,
+       CAST(SUM(len(list_filter(
+           mask[CAST(ch.c*width*height + 1 AS BIGINT)
+                :CAST((ch.c+1)*width*height AS BIGINT)], m -> m)))
+         AS BIGINT) AS total_area,
+       COUNT(*) AS n_images
+FROM cells, (VALUES {ch_values}) ch(c)
+GROUP BY ch.c
+"""
+
+
+QUERIES["cells_features"] = (cell_features, f"""
+WITH {_features_sql_body()}
+SELECT image_id, channel, area, perimeter, mean_intensity, circularity
+FROM feats
+""")
+
+# flagship on image data: features → tidy melt → per-(feature, channel)
+# davg/var_samp stats → ±1 vote band → keep votes < 0 (z = 0.5, the
+# OutlierModel default) — outlier_detection.py's whole lifecycle in SQL
+from ..functions.numeric import davg_expr as _davg_expr  # noqa: E402
+
+QUERIES["cells_outlier_filter"] = (cell_outlier_filter, f"""
+WITH {_features_sql_body()},
+tidy AS (
+  SELECT image_id, channel, 'area' AS feature,
+         CAST(area AS DOUBLE) AS value FROM feats
+  UNION ALL
+  SELECT image_id, channel, 'perimeter',
+         CAST(perimeter AS DOUBLE) FROM feats
+  UNION ALL
+  SELECT image_id, channel, 'mean_intensity', mean_intensity FROM feats
+),
+stats AS (
+  SELECT feature, channel, {_davg_expr('value')} AS mean,
+         var_samp(value) AS variance
+  FROM tidy GROUP BY feature, channel
+)
+SELECT t.image_id,
+       CAST(SUM(CASE WHEN ABS(t.value - s.mean)
+                          < 0.5 * sqrt(s.variance)
+                THEN -1 ELSE 1 END) AS BIGINT) AS votes
+FROM tidy t
+JOIN stats s ON t.feature = s.feature AND t.channel = s.channel
+GROUP BY t.image_id
+HAVING SUM(CASE WHEN ABS(t.value - s.mean) < 0.5 * sqrt(s.variance)
+           THEN -1 ELSE 1 END) < 0
+""")

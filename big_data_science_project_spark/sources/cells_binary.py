@@ -146,7 +146,10 @@ def cells_binary_scan(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     return per_channel_mask_rollup(cells)
 
 
-QUERIES["cells_binary_scan"] = (cells_binary_scan, None)  # rows-only
+from .cells import rollup_oracle_sql as _rollup_sql  # noqa: E402
+
+QUERIES["cells_binary_scan"] = (cells_binary_scan,
+                                _rollup_sql(120, [0, 1]))
 
 
 def cells_binary_stream_scan(spark: SparkSession, sf_dir: str = "") -> DataFrame:
@@ -202,4 +205,5 @@ def cells_binary_stream_scan(spark: SparkSession, sf_dir: str = "") -> DataFrame
                  F.count(F.lit(1)).alias("n_images")))
 
 
-QUERIES["cells_binary_stream_scan"] = (cells_binary_stream_scan, None)
+QUERIES["cells_binary_stream_scan"] = (cells_binary_stream_scan,
+                                       _rollup_sql(120, [0, 1]))

@@ -557,7 +557,10 @@ def cells_datasource_write(spark, sf_dir: str = ""):
     return per_channel_mask_rollup(back)
 
 
-QUERIES["cells_datasource_write"] = (cells_datasource_write, None)  # rows-only
+from .cells import rollup_oracle_sql as _rollup_sql48  # noqa: E402
+
+QUERIES["cells_datasource_write"] = (cells_datasource_write,
+                                     _rollup_sql48(48, [0, 1, 2]))
 
 
 def read_snapshot(spark, path: str, version: int | None = None):
@@ -648,7 +651,10 @@ def cells_source_scan(spark, sf_dir: str = ""):
     return per_channel_mask_rollup(df)
 
 
-QUERIES["cells_source_scan"] = (cells_source_scan, None)  # rows-only
+from .cells import rollup_oracle_sql as _rollup_sql  # noqa: E402
+
+QUERIES["cells_source_scan"] = (cells_source_scan,
+                                _rollup_sql(120, [0, 1]))
 
 
 def cells_stream_scan(spark, sf_dir: str = ""):
@@ -710,7 +716,8 @@ def cells_stream_scan(spark, sf_dir: str = ""):
                  F.count(F.lit(1)).alias("n_images")))
 
 
-QUERIES["cells_stream_scan"] = (cells_stream_scan, None)  # rows-only
+QUERIES["cells_stream_scan"] = (cells_stream_scan,
+                                _rollup_sql(120, [0, 1]))
 
 
 def register(spark) -> None:
