@@ -44,6 +44,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
                     "text_udtf_ngrams", "text_udtf_table_arg",
                     "ann_pq_topk", "ann_pq_refine", "ml_kmeans_lloyd",
                     "q69_sql_udf", "q71_skew_autosalt", "ann_recall_eval",
+                    "ann_recall_sweep",
                     "q72_session_variable"}
 
     queries: dict[str, QueryFn] = {}

@@ -104,23 +104,31 @@ def _cos_pair_udf(a: Column, b: Column, na: Column, nb: Column) -> Column:
     return f(a, b, na, nb)
 
 
-_PLANE_W = np.array(
-    [[((p * 73856093 + 83492791) + i * 19349663) % 2000001 - 1000000
-      for i in range(DIM)] for p in range(N_PLANES)], dtype=np.float64)
+def _plane_weights(n_planes: int) -> np.ndarray:
+    return np.array(
+        [[((p * 73856093 + 83492791) + i * 19349663) % 2000001 - 1000000
+          for i in range(DIM)] for p in range(n_planes)], dtype=np.float64)
 
 
-def _bucket_udf(a: Column | str) -> Column:
+_PLANE_W = _plane_weights(N_PLANES)
+
+
+def _bucket_udf(a: Column | str, n_planes: int = N_PLANES) -> Column:
     """Sign-LSH bucket id, vectorized twin of :func:`_bucket`: weights are
     ≤2^21 integers so every product is exact in double; the per-plane
     cumsum reproduces the fold's summation order, so the sign test — and
-    therefore the bucket id — matches the oracle exactly."""
+    therefore the bucket id — matches the oracle exactly. ``n_planes``
+    widens the code (more planes → smaller buckets → lower recall,
+    lower scan fraction — the sweep query quantifies the trade)."""
+    w = _PLANE_W if n_planes == N_PLANES else _plane_weights(n_planes)
+
     @F.pandas_udf("int")
     def f(v: pd.Series) -> pd.Series:
         m = _mat(v)
-        dots = np.cumsum(m[:, None, :] * _PLANE_W[None, :, :],
+        dots = np.cumsum(m[:, None, :] * w[None, :, :],
                          axis=2)[:, :, -1]
         bits = ((dots >= 0).astype(np.int64)
-                << np.arange(N_PLANES, dtype=np.int64))
+                << np.arange(n_planes, dtype=np.int64))
         return pd.Series(bits.sum(axis=1)).astype("int32")
 
     return f(F.col(a) if isinstance(a, str) else a)
@@ -159,9 +167,9 @@ def _bucket(a: Column) -> Column:
     return out
 
 
-def _bucket_sql(vec: str) -> str:
+def _bucket_sql(vec: str, n_planes: int = N_PLANES) -> str:
     bits = []
-    for p in range(N_PLANES):
+    for p in range(n_planes):
         dot = (f"list_aggregate(list_transform(generate_series(1, len({vec})), "
                f"i -> CAST({vec}[i] AS DOUBLE) * "
                f"((({p * 73856093 + 83492791} + (i-1) * 19349663) % 2000001) - 1000000)"
@@ -960,3 +968,197 @@ FROM ivf_q i JOIN exact_q e ON i.vec_id = e.vec_id
 
 
 QUERIES["ann_recall_eval"] = (ann_recall_eval, _recall_sql())
+
+
+# ---------------------------------------------------------------------------
+# ANN recall/cost SWEEP — the tuning table a deployment reads before
+# picking an operating point: for each ladder rung and parameter
+# setting, recall@10 against the exact top-10 AND the fraction of the
+# corpus whose exact distance was computed (the serving-time cost):
+#   - sign-LSH with 4 vs 8 hyperplanes (wider code → smaller buckets)
+#   - IVF with nprobe 1 / 2 / 4 (posting lists scanned)
+#   - PQ + exact re-rank (constant PQ_RERANK exact scans; the ADC code
+#     scan touches every row but reads 4-byte codes, not vectors — the
+#     scan fraction below counts EXACT-distance work only)
+# All counts are integers and every ranking is the deterministic ladder
+# plan, so the whole table is DuckDB value-oracled. LSH/IVF recall is
+# measured against the exact COSINE top-10 (their metric); PQ-refine
+# against the exact L2 top-10 quantized to integer micros (its metric).
+# ---------------------------------------------------------------------------
+SWEEP_PLANES = (4, 8)
+SWEEP_NPROBE = (1, 2, 4)
+
+
+def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    n_corpus = (e.filter(F.col("vec_id") != QUERY_VEC_ID)
+                .agg(F.count(F.lit(1)).alias("n_corpus")))
+    exact_cos = (ann_bruteforce_topk(spark, sf_dir)
+                 .select("vec_id", F.lit(1).alias("hit")))
+
+    def branch(method, param, cands, top, exact):
+        scanned = cands.agg(F.count(F.lit(1)).cast("bigint")
+                            .alias("n_scanned"))
+        scored = top.select("vec_id").join(exact, "vec_id", "left").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_returned"),
+            F.count("hit").cast("bigint").alias("hits"))
+        return (scanned.crossJoin(scored)
+                .select(F.lit(method).alias("method"),
+                        F.lit(param).cast("int").alias("param"),
+                        "n_scanned", "n_returned", "hits"))
+
+    branches = []
+    # --- sign-LSH plane sweep ---------------------------------------
+    for planes in SWEEP_PLANES:
+        bucketed = e.select(
+            "vec_id", "embedding",
+            _bucket_udf(F.col("embedding"), planes).alias("bucket"),
+            _norm_udf(F.col("embedding")).alias("nrm"))
+        probe = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("embedding").alias("qv"), F.col("bucket").alias("qb"),
+            F.col("nrm").alias("qn"))
+        cands = (bucketed.filter(F.col("vec_id") != QUERY_VEC_ID)
+                 .join(F.broadcast(probe), F.col("bucket") == F.col("qb")))
+        top = (cands.select(
+                   "vec_id",
+                   F.round(_cos_pair_udf(F.col("embedding"), F.col("qv"),
+                                         F.col("nrm"), F.col("qn")), 9)
+                   .alias("cos_sim"))
+               .orderBy(F.desc("cos_sim"), "vec_id").limit(10))
+        branches.append(branch("lsh", planes, cands, top, exact_cos))
+
+    # --- IVF nprobe sweep (assignment shared across settings) --------
+    cids, cmat, cn = _collect_centroids(e)
+    qpos = int(np.where(cids == QUERY_VEC_ID)[0][0])
+    qv, qn = cmat[qpos], float(cn[qpos])
+    cos_c = np.cumsum(cmat * qv[None, :], axis=1)[:, -1] / (cn * qn)
+    order = sorted(range(len(cids)), key=lambda i: (-cos_c[i], -cids[i]))
+    assigned = _assign_centroids(e, (cids, cmat, cn), qpos=qpos)
+    for nprobe in SWEEP_NPROBE:
+        probe_cids = [int(cids[i]) for i in order[:nprobe]]
+        cands = assigned.filter(
+            F.col("centroid_id").isin(probe_cids)
+            & (F.col("vec_id") != QUERY_VEC_ID))
+        top = (cands.select("vec_id",
+                            F.round(F.col("cos_q"), 9).alias("cos_sim"))
+               .orderBy(F.desc("cos_sim"), "vec_id").limit(10))
+        branches.append(branch("ivf", nprobe, cands, top, exact_cos))
+
+    # --- PQ + exact re-rank vs exact L2 top-10 ------------------------
+    scored, qfull = _pq_adc_scored(spark, sf_dir)
+    shortlist = scored.orderBy("pq_dist_micro", "vec_id").limit(PQ_RERANK)
+    dim = qfull.shape[0]
+
+    @F.pandas_udf("bigint")
+    def exact_d2(emb: pd.Series) -> pd.Series:
+        x = np.asarray(emb.tolist(), dtype=np.float64).reshape(-1, dim)
+        d = np.cumsum((x - qfull[None, :]) ** 2, axis=1)[:, -1]
+        return pd.Series(np.floor(d * 1e6).astype(np.int64))
+
+    refined = (shortlist.join(e, "vec_id")
+               .select("vec_id", exact_d2("embedding").alias("d2"))
+               .orderBy("d2", "vec_id").limit(10))
+    exact_l2 = (e.filter(F.col("vec_id") != QUERY_VEC_ID)
+                .select("vec_id", exact_d2("embedding").alias("d2"))
+                .orderBy("d2", "vec_id").limit(10)
+                .select("vec_id", F.lit(1).alias("hit")))
+    branches.append(branch("pq_refine", PQ_RERANK, shortlist, refined,
+                           exact_l2))
+
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return (out.crossJoin(F.broadcast(n_corpus))
+            .select("method", "param", "n_corpus", "n_scanned",
+                    F.expr("(1000000 * n_scanned) div n_corpus")
+                    .cast("bigint").alias("scan_pct_micro"),
+                    "n_returned", "hits",
+                    F.expr("(100 * hits) div 10").cast("bigint")
+                    .alias("recall_pct")))
+
+
+def _sweep_sql() -> str:
+    q = QUERY_VEC_ID
+    cos = _COS_SQL_TEMPLATE
+    lsh_ctes, ivf_ctes, rows = [], [], []
+    for planes in SWEEP_PLANES:
+        lsh_ctes.append(f"""
+b{planes} AS (SELECT vec_id, embedding,
+              {_bucket_sql('embedding', planes)} AS bucket FROM embeddings),
+p{planes} AS (SELECT embedding AS qv, bucket AS qb FROM b{planes}
+              WHERE vec_id = {q}),
+c{planes} AS (SELECT b.vec_id, b.embedding, p.qv FROM b{planes} b, p{planes} p
+              WHERE b.vec_id != {q} AND b.bucket = p.qb),
+t{planes} AS (SELECT vec_id FROM (
+    SELECT c.vec_id, ROUND({cos.format(a='c.embedding', b='c.qv')}, 9) AS cs
+    FROM c{planes} c) s ORDER BY cs DESC, vec_id LIMIT 10)""")
+        rows.append(f"""
+SELECT 'lsh' AS method, CAST({planes} AS INT) AS param,
+       (SELECT COUNT(*) FROM c{planes}) AS n_scanned,
+       (SELECT COUNT(*) FROM t{planes}) AS n_returned,
+       (SELECT COUNT(*) FROM t{planes} JOIN exact_q USING (vec_id)) AS hits""")
+    for nprobe in SWEEP_NPROBE:
+        ivf_ctes.append(f"""
+probe{nprobe} AS (
+  SELECT cid FROM (
+    SELECT c.cid, {cos.format(a='c.cvec', b='q.qv')} AS cos_c
+    FROM (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+          WHERE vec_id < {N_CENTROIDS}) c, q
+  ) t ORDER BY cos_c DESC, cid DESC LIMIT {nprobe}),
+civ{nprobe} AS (SELECT a.vec_id, a.embedding FROM assigned a
+  WHERE a.centroid_id IN (SELECT cid FROM probe{nprobe})
+    AND a.vec_id != {q}),
+tiv{nprobe} AS (SELECT vec_id FROM (
+    SELECT a.vec_id, ROUND({cos.format(a='a.embedding', b='q.qv')}, 9) AS cs
+    FROM civ{nprobe} a, q) s ORDER BY cs DESC, vec_id LIMIT 10)""")
+        rows.append(f"""
+SELECT 'ivf' AS method, CAST({nprobe} AS INT) AS param,
+       (SELECT COUNT(*) FROM civ{nprobe}) AS n_scanned,
+       (SELECT COUNT(*) FROM tiv{nprobe}) AS n_returned,
+       (SELECT COUNT(*) FROM tiv{nprobe} JOIN exact_q USING (vec_id)) AS hits""")
+    dim = _PQ_SEG * PQ_M
+    exact_d2 = f"""CAST(FLOOR(list_aggregate(list_transform(
+        generate_series(1, {dim}),
+        j -> (CAST(e.embedding[j] AS DOUBLE) - CAST(qq.qvec[j] AS DOUBLE))
+           * (CAST(e.embedding[j] AS DOUBLE) - CAST(qq.qvec[j] AS DOUBLE))),
+        'sum') * 1000000) AS BIGINT)"""
+    shortlist = _pq_sql().replace("LIMIT 10", f"LIMIT {PQ_RERANK}")
+    pq_ctes = f"""
+qq AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {q}),
+shortlist AS ({shortlist}),
+refined AS (SELECT vec_id FROM (
+    SELECT s.vec_id, {exact_d2} AS d2
+    FROM shortlist s JOIN embeddings e ON e.vec_id = s.vec_id, qq
+  ) t ORDER BY d2, vec_id LIMIT 10),
+exact_l2 AS (SELECT vec_id FROM (
+    SELECT e.vec_id, {exact_d2} AS d2
+    FROM embeddings e, qq WHERE e.vec_id != {q}
+  ) t ORDER BY d2, vec_id LIMIT 10)"""
+    rows.append(f"""
+SELECT 'pq_refine' AS method, CAST({PQ_RERANK} AS INT) AS param,
+       (SELECT COUNT(*) FROM shortlist) AS n_scanned,
+       (SELECT COUNT(*) FROM refined) AS n_returned,
+       (SELECT COUNT(*) FROM refined JOIN exact_l2 USING (vec_id)) AS hits""")
+    bf = QUERIES["ann_bruteforce_topk"][1]
+    return f"""
+WITH corpus AS (SELECT COUNT(*) AS n_corpus FROM embeddings
+                WHERE vec_id != {q}),
+exact_q AS ({bf}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {q}),
+assigned AS ({_ASSIGN_SQL}),
+{",".join(lsh_ctes)},
+{",".join(ivf_ctes)},
+{pq_ctes},
+rows_u AS ({" UNION ALL ".join(rows)})
+SELECT r.method, r.param, c.n_corpus,
+       CAST(r.n_scanned AS BIGINT) AS n_scanned,
+       CAST((1000000 * r.n_scanned) // c.n_corpus AS BIGINT)
+         AS scan_pct_micro,
+       CAST(r.n_returned AS BIGINT) AS n_returned,
+       CAST(r.hits AS BIGINT) AS hits,
+       CAST((100 * r.hits) // 10 AS BIGINT) AS recall_pct
+FROM rows_u r, corpus c
+"""
+
+
+QUERIES["ann_recall_sweep"] = (ann_recall_sweep, _sweep_sql())
