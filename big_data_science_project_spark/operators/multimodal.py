@@ -469,7 +469,71 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str = "") -> DataFrame:
             .orderBy("clip_id"))
 
 
-QUERIES["multimodal_audio_vad"] = (multimodal_audio_vad, None)  # rows-only
+# DuckDB value oracle over a pyarrow-materialized PCM fixture (same
+# pattern as sources/cells.py: the generator is deterministic, the
+# oracle input shares no engine code with the query). All-integer
+# arithmetic — window mean-square, gate compare, and the longest
+# silent run via gaps-and-islands over the cumulative speech count —
+# so equality is exact at any partitioning.
+def _audio_fixture_path() -> str:
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(),
+                        f"bdsp_audio_{AUDIO_CLIPS}x{AUDIO_SR * AUDIO_SEC}"
+                        ".parquet")
+    if not os.path.exists(path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        tb = pa.table({
+            "clip_id": pa.array(range(AUDIO_CLIPS), pa.int64()),
+            "pcm": pa.array(
+                [_gen_pcm(c).astype(np.int32).tolist()
+                 for c in range(AUDIO_CLIPS)],
+                pa.list_(pa.int32())),
+        })
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(tb, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def _vad_oracle_sql() -> str:
+    n_win = (AUDIO_SR * AUDIO_SEC) // AUDIO_WIN
+    gate2 = AUDIO_RMS_GATE * AUDIO_RMS_GATE
+    return f"""
+WITH audio AS (SELECT * FROM read_parquet('{_audio_fixture_path()}')),
+win AS (
+  SELECT clip_id, CAST(s.j AS INT) AS w,
+         CAST(list_sum(list_transform(generate_series(1, {AUDIO_WIN}),
+             k -> CAST(pcm[s.j*{AUDIO_WIN}+k] AS BIGINT)
+                * CAST(pcm[s.j*{AUDIO_WIN}+k] AS BIGINT)))
+           AS BIGINT) // {AUDIO_WIN} AS ms
+  FROM audio, generate_series(0, {n_win - 1}) s(j)),
+flags AS (SELECT clip_id, w, ms >= {gate2} AS speech FROM win),
+runs AS (
+  SELECT clip_id, w, speech,
+         SUM(CASE WHEN speech THEN 1 ELSE 0 END)
+           OVER (PARTITION BY clip_id ORDER BY w) AS grp
+  FROM flags),
+sil AS (SELECT clip_id, grp, COUNT(*) AS run_len
+        FROM runs WHERE NOT speech GROUP BY clip_id, grp),
+longest AS (SELECT clip_id, MAX(run_len) AS longest_silence FROM sil
+            GROUP BY clip_id)
+SELECT f.clip_id,
+       CAST(SUM(CASE WHEN f.speech THEN 1 ELSE 0 END) AS INT)
+         AS speech_windows,
+       CAST(SUM(CASE WHEN f.speech THEN 0 ELSE 1 END) AS INT)
+         AS silent_windows,
+       CAST(COALESCE(MAX(l.longest_silence), 0) AS INT)
+         AS longest_silence
+FROM flags f LEFT JOIN longest l ON f.clip_id = l.clip_id
+GROUP BY f.clip_id
+ORDER BY f.clip_id
+"""
+
+
+QUERIES["multimodal_audio_vad"] = (multimodal_audio_vad, _vad_oracle_sql())
 
 
 # ---------------------------------------------------------------------------
@@ -567,4 +631,54 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str = "") -> DataFrame:
             .orderBy("clip_id"))
 
 
-QUERIES["multimodal_scene_cuts"] = (multimodal_scene_cuts, None)  # rows-only
+# DuckDB value oracle over a pyarrow-materialized frames fixture —
+# integer mean-abs-diff per adjacent frame pair recomputed with list
+# functions, cut list re-joined with string_agg in frame order.
+def _video_fixture_path() -> str:
+    import os
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdsp_video_{VIDEO_CLIPS}x{VID_FRAMES}x{VID_H}x{VID_W}.parquet")
+    if not os.path.exists(path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        tb = pa.table({
+            "clip_id": pa.array(range(VIDEO_CLIPS), pa.int64()),
+            "px": pa.array(
+                [_gen_video(c).astype(np.int32).reshape(-1).tolist()
+                 for c in range(VIDEO_CLIPS)],
+                pa.list_(pa.int32())),
+        })
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(tb, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def _scene_cuts_oracle_sql() -> str:
+    n_px = VID_W * VID_H
+    return f"""
+WITH video AS (SELECT * FROM read_parquet('{_video_fixture_path()}')),
+mad AS (
+  SELECT clip_id, CAST(s.f AS INT) AS frame,
+         CAST(list_sum(list_transform(generate_series(1, {n_px}),
+             p -> abs(CAST(px[s.f*{n_px}+p] AS BIGINT)
+                    - CAST(px[(s.f-1)*{n_px}+p] AS BIGINT))))
+           AS BIGINT) // {n_px} AS mad
+  FROM video, generate_series(1, {VID_FRAMES - 1}) s(f)),
+cuts AS (SELECT clip_id, frame FROM mad WHERE mad > {VID_CUT_GATE})
+SELECT v.clip_id,
+       CAST(COUNT(c.frame) AS INT) AS n_cuts,
+       CAST(COALESCE(MIN(c.frame), -1) AS INT) AS first_cut,
+       COALESCE(string_agg(CAST(c.frame AS VARCHAR), ','
+                           ORDER BY c.frame), '') AS cut_frames
+FROM video v LEFT JOIN cuts c ON v.clip_id = c.clip_id
+GROUP BY v.clip_id
+ORDER BY v.clip_id
+"""
+
+
+QUERIES["multimodal_scene_cuts"] = (multimodal_scene_cuts,
+                                    _scene_cuts_oracle_sql())
