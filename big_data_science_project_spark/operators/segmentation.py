@@ -258,18 +258,33 @@ def cells_blur_threshold(spark: SparkSession, sf_dir: str = "") -> DataFrame:
             "channel",
             K.balanced_accuracy(c["tp"], c["fp"], c["tn"], c["fn"]).alias("bacc"))
         .groupBy("channel")
-        .agg(F.round(F.avg("bacc"), 6).alias("mean_bacc"),
+        .agg(_mean_bacc_exact().alias("mean_bacc"),
              F.count(F.lit(1)).alias("n_images"))
     )
-
-
-QUERIES["cells_blur_threshold"] = (cells_blur_threshold, None)  # rows-only
 
 
 # ---------------------------------------------------------------------------
 # grid-search trainer (M3) — one job for the whole grid
 # ---------------------------------------------------------------------------
 THRESHOLD_GRID = [100.0, 200.0, 300.0, 400.0, 500.0]
+
+# per-image balanced accuracies are doubles, and a float avg() is
+# partition-order-dependent in its low bits; summing in DECIMAL(38,18)
+# makes the mean (and therefore every argmax on it) deterministic at
+# any parallelism and bit-equal in DuckDB — a double is a finite binary
+# fraction, so rounding it to 18 decimal digits can never hit a
+# .5-tie (that would need the double to be an exact odd multiple of
+# 5·10⁻¹⁹, which no power-of-two denominator can produce), and both
+# engines round identically.
+_BACC_DEC = "decimal(38,18)"
+
+
+def _sum_bacc_exact():
+    return F.sum(F.col("bacc").cast(_BACC_DEC))
+
+
+def _mean_bacc_exact():
+    return F.round(_sum_bacc_exact().cast("double") / F.count(F.lit(1)), 6)
 
 
 def threshold_mask(data_ch, thr):
@@ -294,12 +309,17 @@ def grid_search_threshold(cells: DataFrame,
         .select("image_id", "channel", "thr",
                 K.balanced_accuracy(c["tp"], c["fp"], c["tn"], c["fn"]).alias("bacc"))
     )
+    # argmax on the exact decimal SUM: every combo scores the same image
+    # count, so argmax-by-sum == argmax-by-mean, with no float-merge
+    # nondeterminism in the comparison
     per_combo = (scored.groupBy("channel", "thr")
-                 .agg(F.avg("bacc").alias("mean_bacc")))
+                 .agg(_sum_bacc_exact().alias("sum_bacc"),
+                      F.count(F.lit(1)).alias("n")))
     return (per_combo.groupBy("channel")
-            .agg(F.expr("max_by(thr, struct(mean_bacc, thr))").alias("best_thr"),
-                 F.round(F.max(F.struct("mean_bacc", "thr"))["mean_bacc"], 6)
-                 .alias("best_bacc")))
+            .agg(F.expr("max_by(thr, struct(sum_bacc, thr))")
+                 .alias("best_thr"),
+                 F.expr("max_by(round(cast(sum_bacc as double) / n, 6),"
+                        " struct(sum_bacc, thr))").alias("best_bacc")))
 
 
 def cells_grid_search_threshold(spark: SparkSession,
@@ -307,8 +327,94 @@ def cells_grid_search_threshold(spark: SparkSession,
     return grid_search_threshold(load_cells(spark))
 
 
+# ---------------------------------------------------------------------------
+# DuckDB mirrors over the materialized cells fixture (sources/cells.py).
+# Confusion counts are list_filter lengths, balanced accuracy is the
+# identical double tree, and the mean/argmax run on the exact
+# DECIMAL(38,18) sum — so both the winner and its score hash-match.
+# ---------------------------------------------------------------------------
+def _confusion_sql(data: str, mask: str, pred: str) -> str:
+    """tp/fp/tn/fn count columns; `pred` is a boolean SQL expression over
+    data element `{x}` (e.g. '{x} >= thr')."""
+    def cnt(cond: str) -> str:
+        return (f"CAST(len(list_filter(generate_series(1,"
+                f" CAST(width*height AS BIGINT)), i -> {cond})) AS BIGINT)")
+    p = pred.format(x=f"{data}[i]")
+    return ", ".join([
+        cnt(f"{mask}[i] AND ({p})") + " AS tp",
+        cnt(f"NOT {mask}[i] AND ({p})") + " AS fp",
+        cnt(f"NOT {mask}[i] AND NOT ({p})") + " AS tn",
+        cnt(f"{mask}[i] AND NOT ({p})") + " AS fn",
+    ])
+
+
+_BACC_SQL = """
+  (CASE WHEN tp + fn > 0 THEN tp / (tp + fn) ELSE 1.0 END
+   + CASE WHEN tn + fp > 0 THEN tn / (tn + fp) ELSE 1.0 END) / 2.0
+"""
+
+
+def _grid_threshold_sql() -> str:
+    from ..sources.cells import per_channel_sql_ctes
+
+    # explicit DOUBLE cast: a bare 100.0 VALUES literal is DECIMAL in
+    # DuckDB, which would type-mismatch Spark's double best_thr
+    grid = ", ".join(f"(CAST({t!r} AS DOUBLE))" for t in THRESHOLD_GRID)
+    return f"""
+WITH {per_channel_sql_ctes()},
+counted AS (
+  SELECT p.channel, g.thr,
+         {_confusion_sql('data_ch', 'mask_ch', '{x} >= g.thr')}
+  FROM per_ch p, (VALUES {grid}) g(thr)),
+scored AS (SELECT channel, thr, {_BACC_SQL} AS bacc FROM counted),
+agg AS (SELECT channel, thr,
+               SUM(CAST(bacc AS DECIMAL(38,18))) AS sum_bacc,
+               COUNT(*) AS n
+        FROM scored GROUP BY channel, thr)
+SELECT channel, thr AS best_thr,
+       ROUND(CAST(sum_bacc AS DOUBLE) / n, 6) AS best_bacc
+FROM agg
+QUALIFY ROW_NUMBER() OVER (PARTITION BY channel
+                           ORDER BY sum_bacc DESC, thr DESC) = 1
+"""
+
+
 QUERIES["cells_grid_search_threshold"] = (
-    cells_grid_search_threshold, None)  # rows-only
+    cells_grid_search_threshold, _grid_threshold_sql())
+
+
+def _blur_threshold_sql() -> str:
+    from ..sources.cells import per_channel_sql_ctes
+
+    # 3×3 edge-replicate median at 1-based flat index i
+    # (x = (i-1)//h, y = (i-1)%h; neighbor (t//3-1, t%3-1) clamped)
+    med = """list_aggregate(list_transform(generate_series(0, 8), t ->
+        data_ch[LEAST(GREATEST((i-1)//height + t//3 - 1, 0), width-1)
+                * height
+                + LEAST(GREATEST((i-1)%height + t%3 - 1, 0), height-1)
+                + 1]), 'median')"""
+    return f"""
+WITH {per_channel_sql_ctes(64)},
+blurred AS (
+  SELECT channel, width, height, mask_ch,
+         list_transform(generate_series(1, CAST(width*height AS BIGINT)),
+                        i -> {med}) AS data_ch
+  FROM per_ch),
+counted AS (
+  SELECT channel,
+         {_confusion_sql('data_ch', 'mask_ch', '{x} >= 200.0')}
+  FROM blurred),
+scored AS (SELECT channel, {_BACC_SQL} AS bacc FROM counted)
+SELECT channel,
+       ROUND(CAST(SUM(CAST(bacc AS DECIMAL(38,18))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_bacc,
+       COUNT(*) AS n_images
+FROM scored GROUP BY channel
+"""
+
+
+QUERIES["cells_blur_threshold"] = (cells_blur_threshold,
+                                   _blur_threshold_sql())
 
 
 # ---------------------------------------------------------------------------
@@ -383,12 +489,15 @@ def grid_search_canny(cells: DataFrame,
         "channel", "t1", "t2", "sw", "sh",
         K.balanced_accuracy(c["tp"], c["fp"], c["tn"], c["fn"])
         .alias("bacc"))
+    # exact decimal sum for the argmax (constant image count per combo)
     per_combo = (scored.groupBy("channel", "t1", "t2", "sw", "sh")
-                 .agg(F.avg("bacc").alias("mean_bacc")))
+                 .agg(_sum_bacc_exact().alias("sum_bacc"),
+                      F.count(F.lit(1)).alias("n")))
     best = per_combo.groupBy("channel").agg(
         F.expr("max_by(struct(t1, t2, sw, sh),"
-               " struct(mean_bacc, -t1, -t2, -sw, -sh))").alias("p"),
-        F.round(F.max("mean_bacc"), 6).alias("best_bacc"))
+               " struct(sum_bacc, -t1, -t2, -sw, -sh))").alias("p"),
+        F.expr("max_by(round(cast(sum_bacc as double) / n, 6),"
+               " struct(sum_bacc, -t1, -t2, -sw, -sh))").alias("best_bacc"))
     return best.select(
         "channel", F.col("p.t1").alias("best_t1"),
         F.col("p.t2").alias("best_t2"),

@@ -216,11 +216,12 @@ def cells_fixture_path() -> str:
 _FOUR_PI = repr(4.0 * math.pi)  # same double literal on both engines
 
 
-def _features_sql_body() -> str:
-    """feats(image_id, channel, area, perimeter, mean_intensity,
-    circularity) CTE text over the materialized fixture."""
+def per_channel_sql_ctes(max_image_id: int | None = None) -> str:
+    """cells + per_ch CTE text over the materialized fixture — the
+    shared preamble for every DuckDB mirror of a cells-kernel query."""
+    where = f"WHERE image_id < {max_image_id}" if max_image_id else ""
     return f"""
-cells AS (SELECT * FROM read_parquet('{cells_fixture_path()}')),
+cells AS (SELECT * FROM read_parquet('{cells_fixture_path()}') {where}),
 per_ch AS (
   SELECT image_id, CAST(ch.c AS INT) AS channel, width, height,
          data[CAST(ch.c*width*height + 1 AS BIGINT)
@@ -229,7 +230,13 @@ per_ch AS (
               :CAST((ch.c+1)*width*height AS BIGINT)] AS mask_ch
   FROM cells,
        LATERAL (SELECT unnest(generate_series(0, n_channels - 1)) AS c) ch
-),
+)"""
+
+
+def _features_sql_body() -> str:
+    """feats(image_id, channel, area, perimeter, mean_intensity,
+    circularity) CTE text over the materialized fixture."""
+    return f"""{per_channel_sql_ctes()},
 raw_feats AS (
   SELECT image_id, channel,
     CAST(len(list_filter(mask_ch, m -> m)) AS BIGINT) AS area,
