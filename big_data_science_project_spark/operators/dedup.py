@@ -693,3 +693,74 @@ JOIN sz sa ON sa.doc_id = s.doc_a
 JOIN sz sb ON sb.doc_id = s.doc_b
 WHERE 1000000 * s.shared >= {JAC_T_MICRO} * (sa.n + sb.n - s.shared)
 """)
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (the ExactSubstr-style pass; Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better"): detect
+# documents sharing a VERBATIM run of ≥ SUBSTR_WIN characters — the
+# quote/boilerplate/copy relation that token-set metrics (Jaccard,
+# MinHash) dilute away on long documents, and the pass the containment
+# operator's docstring defers to. Spark-shaped suffix-array substitute:
+# hash every SUBSTR_WIN-char window at SUBSTR_STRIDE offsets (one md5
+# per window → 60-bit int, the shingle trick: an 8-byte shuffle key),
+# bucket on the window hash, and count shared window hashes per doc
+# pair. Any shared ≥(WIN+STRIDE−1)-char run guarantees ≥1 shared
+# aligned window for offset-0-aligned copies and ≥1 shared window for
+# runs ≥ WIN+STRIDE−1 at any alignment, so recall for long clones is
+# structural, not probabilistic. Same hot-bucket guard as LSH: a
+# boilerplate window shared by B docs is B² pairs — buckets over
+# SUBSTR_MAX_BUCKET are dropped, mirrored in the oracle. Shuffle
+# volume: N·(len/STRIDE) 8-byte keys — corpus-linear; no pair ever
+# forms outside a bucket. md5-collision stance matches the MinHash
+# pipeline: the oracle reproduces the identical hashes bit-for-bit.
+# ---------------------------------------------------------------------------
+SUBSTR_WIN = 60
+SUBSTR_STRIDE = 20
+SUBSTR_MAX_BUCKET = 256
+
+
+def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    wins = F.expr(
+        f"transform(sequence(1, length(text) - {SUBSTR_WIN} + 1,"
+        f" {SUBSTR_STRIDE}), s -> substring(text, s, {SUBSTR_WIN}))")
+    hashed = (
+        d.filter(F.length("text") >= SUBSTR_WIN)
+        .select("doc_id", F.explode(wins).alias("w"))
+        .select("doc_id",
+                F.expr(f"cast(conv(substring(md5(w), 1, 15), 16, 10)"
+                       f" as bigint) % {_P}").alias("h"))
+        .distinct())  # one vote per (doc, window-content)
+    hot = (hashed.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+           .filter(F.col("n") > SUBSTR_MAX_BUCKET).select("h"))
+    ok = hashed.join(F.broadcast(hot), "h", "left_anti")
+    a, b = ok.alias("a"), ok.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_id1"),
+                 F.col("b.doc_id").alias("doc_id2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_windows"))
+    )
+
+
+QUERIES["dedup_substring_exact"] = (dedup_substring_exact, f"""
+WITH hashed AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || SUBSTRING(md5(w.w), 1, 15)) AS BIGINT) % {_P} AS h
+  FROM documents,
+       LATERAL (SELECT unnest(list_transform(
+           generate_series(1, length(text) - {SUBSTR_WIN} + 1,
+                           {SUBSTR_STRIDE}),
+           s -> substring(text, s, {SUBSTR_WIN}))) AS w) w
+  WHERE length(text) >= {SUBSTR_WIN}),
+ok AS (
+  SELECT h FROM hashed GROUP BY h HAVING COUNT(*) <= {SUBSTR_MAX_BUCKET})
+SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+       COUNT(*) AS n_shared_windows
+FROM hashed a
+JOIN ok ON ok.h = a.h
+JOIN hashed b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+""")

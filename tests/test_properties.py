@@ -478,3 +478,41 @@ def test_lsh_hot_buckets_audit_flags_over_cap(spark):
     from big_data_science_project_spark.operators.dedup import LSH_MAX_BUCKET
     for r in rows:
         assert r.over_cap == (r.n_docs > LSH_MAX_BUCKET)
+
+
+def test_substring_dedup_finds_long_clone_and_caps_boilerplate(spark):
+    """A verbatim run >= WIN+STRIDE-1 chars must structurally share >= 1
+    window at ANY alignment; unrelated docs share none; a boilerplate
+    window present in > SUBSTR_MAX_BUCKET docs is dropped by the
+    hot-bucket guard (mirroring the LSH cap)."""
+    import uuid
+
+    from big_data_science_project_spark.operators.dedup import (
+        SUBSTR_MAX_BUCKET, SUBSTR_STRIDE, SUBSTR_WIN,
+        dedup_substring_exact)
+
+    run = (SUBSTR_WIN + SUBSTR_STRIDE - 1) * "q"
+    def noise(seed, n):
+        rng = __import__("random").Random(seed)
+        return "".join(rng.choice("abcdefgh ") for _ in range(n))
+
+    docs = [
+        (1, noise(1, 35) + run + noise(2, 40)),   # clone A (odd offset)
+        (2, noise(3, 100) + run),                  # clone B (other offset)
+        (3, noise(4, 200)),                        # unrelated
+    ]
+    boiler = "Z" * SUBSTR_WIN  # exactly one window per doc, same content
+    docs += [(100 + i, boiler) for i in range(SUBSTR_MAX_BUCKET + 10)]
+
+    import pandas as pd
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="substr_fixture_")
+    pd.DataFrame(docs, columns=["doc_id", "text"]).to_parquet(
+        os.path.join(d, "documents.parquet"))
+    # clear the table cache: load_table memoizes per (session, sf_dir)
+    pairs = {(r.doc_id1, r.doc_id2)
+             for r in dedup_substring_exact(spark, d).collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+    # the 266-doc boilerplate bucket must contribute ZERO pairs
+    assert not any(p[0] >= 100 for p in pairs), sorted(pairs)[:5]
