@@ -211,8 +211,11 @@ def _canny_edges_np(img_u8: np.ndarray, t1: float, t2: float) -> np.ndarray:
     sign_differs = (dx ^ dy) < 0
     pass_h = (c > m[1:-1, :-2]) & (c >= m[1:-1, 2:])
     pass_v = (c > m[:-2, 1:-1]) & (c >= m[2:, 1:-1])
-    pass_d_same = (c > m[:-2, :-2]) & (c >= m[2:, 2:])   # s = +1: ↖ / ↘
-    pass_d_diff = (c > m[:-2, 2:]) & (c >= m[2:, :-2])   # s = −1: ↗ / ↙
+    # diagonal sectors compare STRICTLY on both neighbors in canny.cpp
+    # (`m > _mag[...-s] && m > _mag[...+s]`) — only the axial sectors
+    # carry the > / >= asymmetry
+    pass_d_same = (c > m[:-2, :-2]) & (c > m[2:, 2:])    # s = +1: ↖ / ↘
+    pass_d_diff = (c > m[:-2, 2:]) & (c > m[2:, :-2])    # s = −1: ↗ / ↙
     nms = np.where(horiz, pass_h,
                    np.where(vert, pass_v,
                             np.where(sign_differs, pass_d_diff,

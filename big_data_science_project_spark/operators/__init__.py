@@ -40,7 +40,11 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # also impure by construction: text_udtf_chunk registers a UDTF +
     # temp view; ann_pq_topk collects the PQ codebook at build time —
     # leaving them unwrapped keeps bench reps honest about that cost
-    impure_names = {"multimodal_export", "text_udtf_chunk",
+    # multimodal_png_roundtrip materializes per-image PNG files at
+    # construction (mkdtemp + a collected write job) — plan-caching it
+    # would silently skip that cost on repeat invocations
+    impure_names = {"multimodal_export", "multimodal_png_roundtrip",
+                    "text_udtf_chunk",
                     "text_udtf_ngrams", "text_udtf_table_arg",
                     "ann_pq_topk", "ann_pq_refine", "ml_kmeans_lloyd",
                     "q69_sql_udf", "q71_skew_autosalt", "ann_recall_eval",

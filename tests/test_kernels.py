@@ -271,7 +271,9 @@ def _canny_loop_ref(img_u8, t1, t2):
                     ok = v > m(i - 1, j) and v >= m(i + 1, j)
                 else:
                     s = -1 if (int(dx[i, j]) ^ int(dy[i, j])) < 0 else 1
-                    ok = v > m(i - 1, j - s) and v >= m(i + 1, j + s)
+                    # canny.cpp diagonal branch: strict > on BOTH
+                    # neighbors (the >/>= asymmetry is axial-only)
+                    ok = v > m(i - 1, j - s) and v > m(i + 1, j + s)
             if ok:
                 cand[i, j] = True
                 if v > high:
