@@ -701,37 +701,68 @@ WHERE 1000000 * s.shared >= {JAC_T_MICRO} * (sa.n + sb.n - s.shared)
 # documents sharing a VERBATIM run of ≥ SUBSTR_WIN characters — the
 # quote/boilerplate/copy relation that token-set metrics (Jaccard,
 # MinHash) dilute away on long documents, and the pass the containment
-# operator's docstring defers to. Spark-shaped suffix-array substitute:
-# hash every SUBSTR_WIN-char window at SUBSTR_STRIDE offsets (one md5
-# per window → 60-bit int, the shingle trick: an 8-byte shuffle key),
-# bucket on the window hash, and count shared window hashes per doc
-# pair. Any shared ≥(WIN+STRIDE−1)-char run guarantees ≥1 shared
-# aligned window for offset-0-aligned copies and ≥1 shared window for
-# runs ≥ WIN+STRIDE−1 at any alignment, so recall for long clones is
-# structural, not probabilistic. Same hot-bucket guard as LSH: a
-# boilerplate window shared by B docs is B² pairs — buckets over
+# operator's docstring defers to. Spark-shaped suffix-array substitute
+# with CONTENT-DEFINED anchoring (CDC, as in FastCDC/LBFS chunking):
+# a position s is an anchor iff hash(text[s : s+SUBSTR_K]) ≡ 0
+# (mod SUBSTR_STRIDE); each anchored SUBSTR_WIN-char window is hashed
+# (md5 → 60-bit int, the shingle trick: an 8-byte shuffle key),
+# bucketed on the window hash, and shared window hashes counted per doc
+# pair. Because anchors are chosen by CONTENT, both copies of a shared
+# run pick the SAME anchor positions regardless of where the run sits
+# in each document — recall is alignment-INDEPENDENT (a fixed-stride
+# grid would miss ~(STRIDE−1)/STRIDE of unaligned clones). It is
+# probabilistic in content: a shared L-char run is missed only if none
+# of its L−WIN+1 window starts is an anchor, P ≈ (1−1/STRIDE)^(L−WIN+1)
+# — 0.8% at L = WIN + 2·STRIDE·ln(...)≈155, vanishing for real clones;
+# the boundary is pinned by a property test. Same hot-bucket guard as
+# LSH: a boilerplate window shared by B docs is B² pairs — buckets over
 # SUBSTR_MAX_BUCKET are dropped, mirrored in the oracle. Shuffle
-# volume: N·(len/STRIDE) 8-byte keys — corpus-linear; no pair ever
-# forms outside a bucket. md5-collision stance matches the MinHash
-# pipeline: the oracle reproduces the identical hashes bit-for-bit.
+# volume: N·(len/STRIDE expected) 8-byte keys — corpus-linear; no pair
+# ever forms outside a bucket. The anchor predicate is an explicit
+# SUBSTR_K-term polynomial over per-character codes (base 31), NOT a
+# cryptographic hash: higher-order-function lambdas are interpreted
+# (outside whole-stage codegen), so one md5-per-position costs ~4× the
+# whole pass — integer element_at arithmetic over a codes array built
+# once per document (split + ascii) keeps the per-position work to a
+# few long ops, and the identical polynomial is expressible in DuckDB
+# (list indexing + ascii) so the oracle reproduces the exact anchor
+# set bit-for-bit. Window hashes (only ~len/STRIDE of them) stay md5.
 # ---------------------------------------------------------------------------
 SUBSTR_WIN = 60
 SUBSTR_STRIDE = 20
+SUBSTR_K = 8  # anchor-gram length
+SUBSTR_POW = [31 ** (SUBSTR_K - 1 - i) for i in range(SUBSTR_K)]
 SUBSTR_MAX_BUCKET = 256
+
+# max code ~1.1e5 (any BMP char) × 31^7 × 8 terms ≈ 2.4e16 — fits in
+# int64 with no overflow, and is nonnegative so % agrees cross-engine
+_SUBSTR_POLY_SPARK = " + ".join(
+    f"element_at(cs, s + {i}) * {p}L" for i, p in enumerate(SUBSTR_POW))
+_SUBSTR_POLY_DUCK = " + ".join(
+    f"cs[s + {i}] * {p}" for i, p in enumerate(SUBSTR_POW))
 
 
 def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    # CDC anchors: content-selected window starts, then the windows
     wins = F.expr(
-        f"transform(sequence(1, length(text) - {SUBSTR_WIN} + 1,"
-        f" {SUBSTR_STRIDE}), s -> substring(text, s, {SUBSTR_WIN}))")
+        f"transform(filter(sequence(1, length(text) - {SUBSTR_WIN} + 1),"
+        f" s -> ({_SUBSTR_POLY_SPARK}) % {SUBSTR_STRIDE} = 0),"
+        f" s -> substring(text, s, {SUBSTR_WIN}))")
     hashed = (
         d.filter(F.length("text") >= SUBSTR_WIN)
+        .withColumn("cs", F.expr(
+            "transform(split(text, ''), c -> cast(ascii(c) as bigint))"))
         .select("doc_id", F.explode(wins).alias("w"))
         .select("doc_id",
                 F.expr(f"cast(conv(substring(md5(w), 1, 15), 16, 10)"
                        f" as bigint) % {_P}").alias("h"))
-        .distinct())  # one vote per (doc, window-content)
+        .distinct()
+        # this subtree feeds FOUR branches (hot counts, the anti-join
+        # probe, and both sides of the self-join) and the anchor scan is
+        # now the dominant cost — persist once, same CacheManager-dedup
+        # rationale and spill-capable level as the minhash pass above
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER))
     hot = (hashed.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
            .filter(F.col("n") > SUBSTR_MAX_BUCKET).select("h"))
     ok = hashed.join(F.broadcast(hot), "h", "left_anti")
@@ -746,15 +777,23 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["dedup_substring_exact"] = (dedup_substring_exact, f"""
-WITH hashed AS (
+WITH codes AS (
+  SELECT doc_id, text,
+         list_transform(generate_series(1, length(text)),
+             i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)) AS cs
+  FROM documents
+  WHERE length(text) >= {SUBSTR_WIN}),
+anchored AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(generate_series(1, length(text) - {SUBSTR_WIN} + 1),
+             s -> ({_SUBSTR_POLY_DUCK}) % {SUBSTR_STRIDE} = 0),
+           s -> substring(text, s, {SUBSTR_WIN})) AS ws
+  FROM codes),
+hashed AS (
   SELECT DISTINCT doc_id,
          CAST(('0x' || SUBSTRING(md5(w.w), 1, 15)) AS BIGINT) % {_P} AS h
-  FROM documents,
-       LATERAL (SELECT unnest(list_transform(
-           generate_series(1, length(text) - {SUBSTR_WIN} + 1,
-                           {SUBSTR_STRIDE}),
-           s -> substring(text, s, {SUBSTR_WIN}))) AS w) w
-  WHERE length(text) >= {SUBSTR_WIN}),
+  FROM anchored, LATERAL (SELECT unnest(ws) AS w) w),
 ok AS (
   SELECT h FROM hashed GROUP BY h HAVING COUNT(*) <= {SUBSTR_MAX_BUCKET})
 SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,

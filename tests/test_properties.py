@@ -480,39 +480,104 @@ def test_lsh_hot_buckets_audit_flags_over_cap(spark):
         assert r.over_cap == (r.n_docs > LSH_MAX_BUCKET)
 
 
-def test_substring_dedup_finds_long_clone_and_caps_boilerplate(spark):
-    """A verbatim run >= WIN+STRIDE-1 chars must structurally share >= 1
-    window at ANY alignment; unrelated docs share none; a boilerplate
-    window present in > SUBSTR_MAX_BUCKET docs is dropped by the
-    hot-bucket guard (mirroring the LSH cap)."""
-    import uuid
-
+def _cdc_anchors(text):
+    """Python mirror of the CDC anchor predicate (base-31 polynomial of
+    the SUBSTR_K-gram's codepoints, mod STRIDE): 0-based window-start
+    positions selected in `text`."""
     from big_data_science_project_spark.operators.dedup import (
-        SUBSTR_MAX_BUCKET, SUBSTR_STRIDE, SUBSTR_WIN,
-        dedup_substring_exact)
+        SUBSTR_POW, SUBSTR_STRIDE, SUBSTR_WIN)
 
-    run = (SUBSTR_WIN + SUBSTR_STRIDE - 1) * "q"
-    def noise(seed, n):
-        rng = __import__("random").Random(seed)
-        return "".join(rng.choice("abcdefgh ") for _ in range(n))
+    out = []
+    for s in range(len(text) - SUBSTR_WIN + 1):
+        h = sum(ord(c) * p for c, p in zip(text[s:], SUBSTR_POW))
+        if h % SUBSTR_STRIDE == 0:
+            out.append(s)
+    return out
 
-    docs = [
-        (1, noise(1, 35) + run + noise(2, 40)),   # clone A (odd offset)
-        (2, noise(3, 100) + run),                  # clone B (other offset)
-        (3, noise(4, 200)),                        # unrelated
-    ]
-    boiler = "Z" * SUBSTR_WIN  # exactly one window per doc, same content
-    docs += [(100 + i, boiler) for i in range(SUBSTR_MAX_BUCKET + 10)]
+
+def test_substring_dedup_finds_unaligned_nonperiodic_clone(spark):
+    """Content-defined anchoring: a NON-PERIODIC verbatim run planted at
+    offsets that differ by a non-multiple of STRIDE must still be found
+    (a fixed stride-grid would miss ~19/20 of such alignments); docs
+    sharing only a sub-WIN fragment of the run share nothing; a
+    boilerplate window present in > SUBSTR_MAX_BUCKET docs is dropped
+    by the hot-bucket guard (mirroring the LSH cap)."""
+    import hashlib
+    import os
+    import random
+    import tempfile
 
     import pandas as pd
-    import tempfile, os
+
+    from big_data_science_project_spark.operators.dedup import (
+        SUBSTR_K, SUBSTR_MAX_BUCKET, SUBSTR_STRIDE, SUBSTR_WIN,
+        dedup_substring_exact)
+
+    rng = random.Random(20260814)
+    alpha = "abcdefghijklmnop qrstuvwxyz"
+
+    def noise(n):
+        return "".join(rng.choice(alpha) for _ in range(n))
+
+    # non-periodic 200-char run; require >= 1 CDC anchor inside it so
+    # detection is deterministic for THIS fixture (P(no anchor) ~ 7e-4
+    # per draw; the loop just avoids a flaky seed dependency)
+    while True:
+        run = noise(200)
+        if _cdc_anchors(run):
+            break
+    # offsets 0 and 7: 7 % STRIDE != 0 — the old stride-grid scheme
+    # only matched clones whose offsets agreed mod STRIDE
+    docs = [
+        (1, run + noise(40)),                      # clone A at offset 0
+        (2, noise(7) + run + noise(25)),           # clone B at offset 7
+        (3, noise(150) + run[:SUBSTR_WIN - 1]),    # sub-WIN overlap only
+        (4, noise(200)),                           # unrelated
+    ]
+    # boilerplate: anchored at position 0 by construction so every copy
+    # emits the same single window → one over-cap bucket
+    while True:
+        boiler = noise(SUBSTR_WIN)
+        if 0 in _cdc_anchors(boiler):
+            break
+    docs += [(100 + i, boiler) for i in range(SUBSTR_MAX_BUCKET + 10)]
+
     d = tempfile.mkdtemp(prefix="substr_fixture_")
     pd.DataFrame(docs, columns=["doc_id", "text"]).to_parquet(
         os.path.join(d, "documents.parquet"))
-    # clear the table cache: load_table memoizes per (session, sf_dir)
     pairs = {(r.doc_id1, r.doc_id2)
              for r in dedup_substring_exact(spark, d).collect()}
     assert (1, 2) in pairs
-    assert not any(3 in p for p in pairs)
-    # the 266-doc boilerplate bucket must contribute ZERO pairs
+    assert not any(3 in p or 4 in p for p in pairs)
+    # the over-cap boilerplate bucket must contribute ZERO pairs
     assert not any(p[0] >= 100 for p in pairs), sorted(pairs)[:5]
+
+
+def test_substring_dedup_anchor_positions_are_content_defined(spark):
+    """The engine's selected windows == the Python CDC mirror's windows
+    for a handful of random docs — pins the anchor predicate itself
+    (base-31 polynomial of the SUBSTR_K-gram, mod SUBSTR_STRIDE) rather
+    than just its downstream pair effect."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from big_data_science_project_spark.operators import dedup as DD
+    from big_data_science_project_spark.operators.dedup import (
+        SUBSTR_WIN)
+
+    rng = random.Random(7)
+    texts = ["".join(rng.choice("abcde fgh") for _ in range(180))
+             for _ in range(5)]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    wins = F.expr(
+        f"transform(filter(sequence(1, length(text) - {SUBSTR_WIN} + 1),"
+        f" s -> ({DD._SUBSTR_POLY_SPARK}) % {DD.SUBSTR_STRIDE} = 0),"
+        f" s -> substring(text, s, {SUBSTR_WIN}))")
+    got = [r.ws for r in df
+           .withColumn("cs", F.expr(
+               "transform(split(text, ''), c -> cast(ascii(c) as bigint))"))
+           .select(wins.alias("ws")).collect()]
+    for t, g in zip(texts, got):
+        want = [t[s:s + SUBSTR_WIN] for s in _cdc_anchors(t)]
+        assert g == want
