@@ -104,12 +104,15 @@ def ridge_fit(spark: SparkSession, sf_dir: str,
     return np.linalg.solve(xtx + l2 * np.eye(DIM), xty)
 
 
-def ml_ridge_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Score the corpus with the fitted weights: one broadcast of the
-    64-float weight vector, one map-side pandas UDF pass — train is a
-    scan, predict is a scan, nothing else moves. Rows-only (the solve is
-    not SQL-expressible); tests/test_linear.py pins predictions against
-    an in-memory numpy ridge on the same fixture."""
+def ridge_predict_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score the corpus with the fitted 64-dim weights: one broadcast of
+    the weight vector, one map-side pandas UDF pass — train is a scan,
+    predict is a scan, nothing else moves. NOT in the registry (the
+    64×64 solve is not SQL-expressible); tests/test_linear.py pins
+    predictions against an in-memory numpy ridge on the same fixture.
+    The registry's oracled `ml_ridge_predict` below demonstrates the
+    identical train→broadcast→score pipeline fully in-plan on a
+    3-feature model."""
     w = ridge_fit(spark, sf_dir)
 
     @F.pandas_udf("double")
@@ -126,21 +129,227 @@ def ml_ridge_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round(F.abs(F.col("pred") - F.col("label")), 6)))
 
 
-QUERIES["ml_ridge_predict"] = (ml_ridge_predict, None)  # rows-only
+# ---------------------------------------------------------------------------
+# Oracled ridge + PCA (promoted from rows-only): both reduce to the
+# module's proven pattern — integer-exact sufficient statistics, then a
+# closed-form solve INSIDE the plan, with every arithmetic step written
+# once as a dialect-neutral SQL string evaluated verbatim by BOTH Spark
+# (selectExpr) and DuckDB (CTE chain). Shared strings rule out
+# expression-tree drift; the algebra itself is pinned independently
+# against numpy (tests/test_linear.py — the IRLS lesson: an oracle that
+# mirrors the engine's algebra proves equality, not correctness).
+#
+# ml_ridge_predict: 3-feature ridge (first three embedding dims,
+# quantized to micros like the IRLS features). Gram cells are exact
+# BIGINT sums of micro-products, the (G + λI) w = X^T y solve is the
+# same cramer3 cofactor expansion the IRLS trainer uses (evaluated
+# symbolically into SQL), the 1-row weight table broadcasts back onto
+# the corpus, and scoring is a BIGINT dot product — train is a scan,
+# predict is a scan, and every value is bit-reproducible cross-engine.
+# The 64-dim production variant stays as ridge_fit/ridge_predict_full
+# (golden-tested); only the solve width differs.
+# ---------------------------------------------------------------------------
+RIDGE_D = 3
+
+
+def cramer3(c):
+    """Cramer's-rule numerators + determinant for the symmetric 3x3
+    system H d = g, over a dict of Column / float / _Sym operands named
+    h11..h33 / g1..g3. Module-level so the unit suite can evaluate the
+    SAME expressions against numpy on random systems — the algebra here
+    once carried a wrong cofactor that oracle equality could not see
+    (the oracle mirrored it); tests/test_linear.py now pins it."""
+    det = (c["h11"] * (c["h22"] * c["h33"] - c["h23"] * c["h23"])
+           - c["h12"] * (c["h12"] * c["h33"] - c["h23"] * c["h13"])
+           + c["h13"] * (c["h12"] * c["h23"] - c["h22"] * c["h13"]))
+    d1 = (c["g1"] * (c["h22"] * c["h33"] - c["h23"] * c["h23"])
+          - c["h12"] * (c["g2"] * c["h33"] - c["h23"] * c["g3"])
+          + c["h13"] * (c["g2"] * c["h23"] - c["h22"] * c["g3"]))
+    d2 = (c["h11"] * (c["g2"] * c["h33"] - c["g3"] * c["h23"])
+          - c["g1"] * (c["h12"] * c["h33"] - c["h23"] * c["h13"])
+          + c["h13"] * (c["h12"] * c["g3"] - c["g2"] * c["h13"]))
+    d3 = (c["h11"] * (c["h22"] * c["g3"] - c["h23"] * c["g2"])
+          - c["h12"] * (c["h12"] * c["g3"] - c["g2"] * c["h13"])
+          + c["g1"] * (c["h12"] * c["h23"] - c["h22"] * c["h13"]))
+    return d1, d2, d3, det
+
+
+class _Sym:
+    """Symbolic operand: feeds cramer3 to emit its EXACT expression tree
+    as SQL text (same parenthesization both engines evaluate)."""
+    __slots__ = ("s",)
+
+    def __init__(self, s: str):
+        self.s = s
+
+    def __add__(self, o):
+        return _Sym(f"({self.s} + {o.s})")
+
+    def __sub__(self, o):
+        return _Sym(f"({self.s} - {o.s})")
+
+    def __mul__(self, o):
+        return _Sym(f"({self.s} * {o.s})")
+
+
+def _feats3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    # element_at is 1-based like DuckDB's list index (Spark's `arr[j]`
+    # is 0-based — the one asymmetry the shared strings can't cover)
+    return e.selectExpr("vec_id", "label", *[
+        f"CAST(ROUND(CAST(element_at(embedding, {j}) AS DOUBLE) * 1e6)"
+        f" AS BIGINT) AS x{j}m" for j in range(1, RIDGE_D + 1)])
+
+
+_FEATS3_SQL = """
+  SELECT vec_id, label,
+         CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT) AS x1m,
+         CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 1e6) AS BIGINT) AS x2m,
+         CAST(ROUND(CAST(embedding[3] AS DOUBLE) * 1e6) AS BIGINT) AS x3m
+  FROM embeddings
+"""
+
+# exact BIGINT sufficient statistics (DuckDB SUM(BIGINT) is HUGEINT —
+# the CAST normalizes; Spark's is already BIGINT)
+_GRAM3_AGG = tuple(
+    f"CAST(SUM(x{i}m * x{j}m) AS BIGINT) AS s{i}{j}"
+    for i in range(1, RIDGE_D + 1) for j in range(i, RIDGE_D + 1))
+_RIDGE_AGG = _GRAM3_AGG + tuple(
+    f"CAST(SUM(x{i}m * label) AS BIGINT) AS b{i}"
+    for i in range(1, RIDGE_D + 1))
+
+# H = G + λI and g = X^T y in model units: micro-product cells carry
+# a 1e12 scale, the label moment a 1e6 scale
+_RIDGE_HG = (
+    f"CAST(s11 AS DOUBLE) / 1e12 + {RIDGE_L2} AS h11",
+    "CAST(s12 AS DOUBLE) / 1e12 AS h12",
+    "CAST(s13 AS DOUBLE) / 1e12 AS h13",
+    f"CAST(s22 AS DOUBLE) / 1e12 + {RIDGE_L2} AS h22",
+    "CAST(s23 AS DOUBLE) / 1e12 AS h23",
+    f"CAST(s33 AS DOUBLE) / 1e12 + {RIDGE_L2} AS h33",
+    "CAST(b1 AS DOUBLE) / 1e6 AS g1",
+    "CAST(b2 AS DOUBLE) / 1e6 AS g2",
+    "CAST(b3 AS DOUBLE) / 1e6 AS g3",
+)
+
+_D1, _D2, _D3, _DET = cramer3({k: _Sym(k) for k in
+                               ("h11", "h12", "h13", "h22", "h23", "h33",
+                                "g1", "g2", "g3")})
+_RIDGE_W = tuple(
+    f"CAST(ROUND({d.s} / {_DET.s} * 1e6) AS BIGINT) AS w{k}m"
+    for k, d in enumerate((_D1, _D2, _D3)))
+
+_PRED_RAW = ("CAST(x1m * w0m + x2m * w1m + x3m * w2m AS DOUBLE) / 1e12"
+             " AS pred_raw")
+_PRED_OUT = ("vec_id", "label", "ROUND(pred_raw, 6) AS pred",
+             "ROUND(ABS(ROUND(pred_raw, 6) - label), 6) AS abs_err")
+
+
+def ml_ridge_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = _feats3(spark, sf_dir)
+    w = (feats.selectExpr(*_RIDGE_AGG)
+         .selectExpr(*_RIDGE_HG)
+         .selectExpr(*_RIDGE_W))
+    return (feats.crossJoin(F.broadcast(w))
+            .selectExpr("vec_id", "label", _PRED_RAW)
+            .selectExpr(*_PRED_OUT))
+
+
+QUERIES["ml_ridge_predict"] = (ml_ridge_predict, f"""
+WITH feats AS ({_FEATS3_SQL}),
+agg AS (SELECT {", ".join(_RIDGE_AGG)} FROM feats),
+hg AS (SELECT {", ".join(_RIDGE_HG)} FROM agg),
+w AS (SELECT {", ".join(_RIDGE_W)} FROM hg),
+scored AS (
+  SELECT f.vec_id, f.label, {_PRED_RAW.replace("x1m", "f.x1m")
+                             .replace("x2m", "f.x2m")
+                             .replace("x3m", "f.x3m")
+                             .replace("w0m", "w.w0m")
+                             .replace("w1m", "w.w1m")
+                             .replace("w2m", "w.w2m")}
+  FROM feats f, w)
+SELECT {", ".join(_PRED_OUT)} FROM scored
+""")
 
 
 # ---------------------------------------------------------------------------
-# PCA spectrum from the same sufficient statistics: the Gram matrix IS
-# the one-pass input to covariance/PCA, so the eigen-decomposition is
-# another driver-side solve over the distributed cells — zero additional
-# corpus passes when composed with ridge (shared ml_gram_matrix plan).
-# Rows-only (eigen solve is not SQL-expressible); tests pin against
-# numpy on the fixture.
+# ml_pca_spectrum: eigen-spectrum of the 3×3 uncentered second-moment
+# matrix of the same three features, via the closed form for symmetric
+# 3×3 matrices (trace-deviator + trigonometric cubic root — Smith 1961,
+# "Eigenvalues of a symmetric 3×3 matrix"): q = tr/3, p from the
+# deviator norm, φ = acos(det(B)/2)/3, λ₁ = q + 2p·cos(φ),
+# λ₃ = q + 2p·cos(φ + 2π/3), λ₂ = 3q − λ₁ − λ₃ (descending order is
+# structural). Every step is one shared SQL string; the only
+# non-correctly-rounded IEEE ops are ACOS/COS (≤1 ulp libm variance,
+# invisible at the 6-dp output round — and the multi-config selfcheck
+# would surface a boundary hit). The 64-dim top-8 spectrum stays as
+# pca_spectrum_full (golden-tested vs numpy eigvalsh).
 # ---------------------------------------------------------------------------
 PCA_TOP_K = 8
 
+_PCA_AGG = _GRAM3_AGG + ("CAST(COUNT(*) AS BIGINT) AS n",)
+_PCA_A = tuple(
+    f"CAST(s{i}{j} AS DOUBLE) / 1e12 / CAST(n AS DOUBLE) AS a{i}{j}"
+    for i in range(1, RIDGE_D + 1) for j in range(i, RIDGE_D + 1))
+_PCA_STEPS = (
+    ("(a11 + a22 + a33) / 3.0 AS q",
+     "a12 * a12 + a13 * a13 + a23 * a23 AS p1",
+     "a11 + a22 + a33 AS tr"),
+    ("(a11 - q) * (a11 - q) + (a22 - q) * (a22 - q)"
+     " + (a33 - q) * (a33 - q) + 2.0 * p1 AS p2",),
+    ("CASE WHEN p2 <= 0.0 THEN 0.0 ELSE SQRT(p2 / 6.0) END AS p",),
+    ("CASE WHEN p = 0.0 THEN 0.0 ELSE (a11 - q) / p END AS b11",
+     "CASE WHEN p = 0.0 THEN 0.0 ELSE a12 / p END AS b12",
+     "CASE WHEN p = 0.0 THEN 0.0 ELSE a13 / p END AS b13",
+     "CASE WHEN p = 0.0 THEN 0.0 ELSE (a22 - q) / p END AS b22",
+     "CASE WHEN p = 0.0 THEN 0.0 ELSE a23 / p END AS b23",
+     "CASE WHEN p = 0.0 THEN 0.0 ELSE (a33 - q) / p END AS b33"),
+    ("b11 * (b22 * b33 - b23 * b23) - b12 * (b12 * b33 - b23 * b13)"
+     " + b13 * (b12 * b23 - b22 * b13) AS detb",),
+    ("ACOS(LEAST(GREATEST(detb / 2.0, -1.0), 1.0)) / 3.0 AS phi",),
+    ("q + 2.0 * p * COS(phi) AS eig1",
+     "q + 2.0 * p * COS(phi + 2.0943951023931953) AS eig3"),
+    ("3.0 * q - eig1 - eig3 AS eig2",),
+)
+
 
 def ml_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _feats3(spark, sf_dir).selectExpr(*_PCA_AGG).selectExpr(*_PCA_A)
+    for step in _PCA_STEPS:
+        df = df.selectExpr("*", *step)
+    return (df.selectExpr(
+        "explode(array(struct(0 AS component, eig1 AS ev),"
+        " struct(1 AS component, eig2 AS ev),"
+        " struct(2 AS component, eig3 AS ev))) AS s", "tr")
+        .selectExpr("s.component AS component",
+                    "ROUND(s.ev, 6) AS eigenvalue",
+                    "ROUND(s.ev / tr, 6) AS explained_frac"))
+
+
+def _pca_sql() -> str:
+    ctes = [f"feats AS ({_FEATS3_SQL})",
+            f"agg AS (SELECT {', '.join(_PCA_AGG)} FROM feats)",
+            f"a0 AS (SELECT {', '.join(_PCA_A)} FROM agg)"]
+    prev = "a0"
+    for k, step in enumerate(_PCA_STEPS):
+        ctes.append(f"t{k} AS (SELECT *, {', '.join(step)} FROM {prev})")
+        prev = f"t{k}"
+    rows = "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS component,"
+        f" ROUND(eig{e}, 6) AS eigenvalue,"
+        f" ROUND(eig{e} / tr, 6) AS explained_frac FROM {prev}"
+        for k, e in ((0, 1), (1, 2), (2, 3)))
+    return "WITH " + ",\n".join(ctes) + "\n" + rows
+
+
+QUERIES["ml_pca_spectrum"] = (ml_pca_spectrum, _pca_sql())
+
+
+def pca_spectrum_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-PCA_TOP_K spectrum of the full 64-dim second-moment matrix
+    from the distributed ml_gram_matrix cells (driver-side eigvalsh on
+    the 64×64 — index-build-sized, like ridge_fit). NOT in the registry
+    (the 64×64 eigen solve is not SQL-expressible); golden-tested."""
     rows = ml_gram_matrix(spark, sf_dir).collect()
     xtx = np.zeros((DIM, DIM))
     for r in rows:
@@ -153,9 +362,6 @@ def ml_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
            for k, v in enumerate(evals)]
     return spark.createDataFrame(
         out, "component int, eigenvalue double, explained_frac double")
-
-
-QUERIES["ml_pca_spectrum"] = (ml_pca_spectrum, None)  # rows-only
 
 
 # ---------------------------------------------------------------------------
@@ -382,28 +588,6 @@ _LR_FEATS_SQL = """
          CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 1e6) AS BIGINT) AS x2m
   FROM embeddings
 """
-
-def cramer3(c):
-    """Cramer's-rule numerators + determinant for the symmetric 3x3
-    system H d = g, over a dict of Column (or float) operands named
-    h11..h33 / g1..g3. Module-level so the unit suite can evaluate the
-    SAME expressions against numpy on random systems — the algebra here
-    once carried a wrong cofactor that oracle equality could not see
-    (the oracle mirrored it); tests/test_linear.py now pins it."""
-    det = (c["h11"] * (c["h22"] * c["h33"] - c["h23"] * c["h23"])
-           - c["h12"] * (c["h12"] * c["h33"] - c["h23"] * c["h13"])
-           + c["h13"] * (c["h12"] * c["h23"] - c["h22"] * c["h13"]))
-    d1 = (c["g1"] * (c["h22"] * c["h33"] - c["h23"] * c["h23"])
-          - c["h12"] * (c["g2"] * c["h33"] - c["h23"] * c["g3"])
-          + c["h13"] * (c["g2"] * c["h23"] - c["h22"] * c["g3"]))
-    d2 = (c["h11"] * (c["g2"] * c["h33"] - c["g3"] * c["h23"])
-          - c["g1"] * (c["h12"] * c["h33"] - c["h23"] * c["h13"])
-          + c["h13"] * (c["h12"] * c["g3"] - c["g2"] * c["h13"]))
-    d3 = (c["h11"] * (c["h22"] * c["g3"] - c["h23"] * c["g2"])
-          - c["h12"] * (c["h12"] * c["g3"] - c["g2"] * c["h13"])
-          + c["g1"] * (c["h12"] * c["h23"] - c["h22"] * c["h13"]))
-    return d1, d2, d3, det
-
 
 def ml_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = _lr_feats(spark, sf_dir)

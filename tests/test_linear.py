@@ -11,7 +11,7 @@ import numpy as np
 import pandas as pd
 
 from big_data_science_project_spark.operators.linear import (
-    DIM, RIDGE_L2, SCALE, ml_gram_matrix, ml_ridge_predict, ridge_fit)
+    DIM, RIDGE_L2, SCALE, ml_gram_matrix, ridge_fit, ridge_predict_full)
 
 SF = "/root/testdata/sf0.001"
 
@@ -60,7 +60,8 @@ def test_ridge_predictions_match_numpy(spark):
     X, y = _fixture_xy()
     # numpy model on the SAME quantized statistics the engine uses
     w = ridge_fit(spark, SF)
-    preds = {r.vec_id: r.pred for r in ml_ridge_predict(spark, SF).collect()}
+    preds = {r.vec_id: r.pred
+             for r in ridge_predict_full(spark, SF).collect()}
     expect = X @ w
     pdf = pd.read_parquet(f"{SF}/embeddings.parquet")
     for vid, e in zip(pdf["vec_id"], expect):
@@ -83,11 +84,11 @@ def test_ridge_weights_close_to_unquantized(spark):
 
 def test_pca_spectrum_matches_numpy(spark):
     from big_data_science_project_spark.operators.linear import (
-        PCA_TOP_K, ml_pca_spectrum)
+        PCA_TOP_K, pca_spectrum_full)
 
     X, _ = _fixture_xy()
     got = {r.component: (r.eigenvalue, r.explained_frac)
-           for r in ml_pca_spectrum(spark, SF).collect()}
+           for r in pca_spectrum_full(spark, SF).collect()}
     gq = np.floor(X[:, :, None] * X[:, None, :] * SCALE + 0.5) \
            .astype(np.int64).sum(axis=0) / SCALE
     evals = np.linalg.eigvalsh(gq / len(X))[::-1][:PCA_TOP_K]
@@ -100,6 +101,64 @@ def test_pca_spectrum_matches_numpy(spark):
     vals = [got[k][0] for k in range(PCA_TOP_K)]
     assert vals == sorted(vals, reverse=True)
     assert 0 < sum(f for _, f in got.values()) <= 1.0 + 1e-9
+
+
+def _feats3_numpy():
+    """The engine's 3-feature quantization, mirrored independently:
+    micros via HALF_UP away from zero (Spark ROUND / DuckDB ROUND)."""
+    pdf = pd.read_parquet(f"{SF}/embeddings.parquet")
+    E = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)[:, :3]
+    xm = (np.sign(E) * np.floor(np.abs(E) * 1e6 + 0.5)).astype(np.int64)
+    y = pdf["label"].to_numpy(dtype=np.int64)
+    return pdf["vec_id"].to_numpy(), xm, y
+
+
+def test_ridge3_inplan_matches_numpy_solve(spark):
+    """The oracled in-plan ridge must agree with an INDEPENDENT numpy
+    model built from the same quantized statistics (LAPACK solve, not
+    cofactors — oracle equality alone cannot catch a wrong cofactor
+    mirrored into the SQL; this can)."""
+    from big_data_science_project_spark.operators.linear import (
+        RIDGE_L2 as L2, ml_ridge_predict)
+
+    vid, xm, y = _feats3_numpy()
+    G = (xm.T @ xm).astype(np.float64) / 1e12
+    b = (xm.T @ y).astype(np.float64) / 1e6
+    w = np.linalg.solve(G + L2 * np.eye(3), b)
+    wm = (np.sign(w) * np.floor(np.abs(w) * 1e6 + 0.5)).astype(np.int64)
+    pred = (xm @ wm) / 1e12
+
+    got = {r.vec_id: (r.pred, r.abs_err)
+           for r in ml_ridge_predict(spark, SF).collect()}
+    assert len(got) == len(vid)
+    # cofactor vs LAPACK weight rounding can differ by 1 micro per
+    # weight → ≤ 3e-6-ish drift in a prediction on |x| ≤ ~1 features
+    for v, p, yy in zip(vid, pred, y):
+        gp, ge = got[int(v)]
+        assert abs(gp - round(float(p), 6)) <= 5e-6, (v, gp, p)
+        assert abs(ge - abs(gp - yy)) <= 1e-6
+
+
+def test_pca3_inplan_matches_numpy_eigvalsh(spark):
+    """The closed-form 3×3 spectrum must agree with LAPACK eigvalsh on
+    the same quantized second-moment matrix — pins the trigonometric
+    formula independently of the (algebra-mirroring) oracle."""
+    from big_data_science_project_spark.operators.linear import (
+        ml_pca_spectrum)
+
+    _, xm, _ = _feats3_numpy()
+    A = (xm.T @ xm).astype(np.float64) / 1e12 / len(xm)
+    evals = np.linalg.eigvalsh(A)[::-1]
+    tr = float(np.trace(A))
+
+    rows = {r.component: (r.eigenvalue, r.explained_frac)
+            for r in ml_pca_spectrum(spark, SF).collect()}
+    assert sorted(rows) == [0, 1, 2]
+    for k in range(3):
+        assert abs(rows[k][0] - round(float(evals[k]), 6)) <= 2e-6, k
+        assert abs(rows[k][1] - round(float(evals[k] / tr), 6)) <= 2e-6, k
+    vals = [rows[k][0] for k in range(3)]
+    assert vals == sorted(vals, reverse=True)
 
 
 def test_logreg_irls_matches_numpy_mirror(spark):
