@@ -976,13 +976,22 @@ QUERIES["ann_recall_eval"] = (ann_recall_eval, _recall_sql())
 # setting, recall@10 against the exact top-10 AND the fraction of the
 # corpus whose exact distance was computed (the serving-time cost):
 #   - sign-LSH with 4 vs 8 hyperplanes (wider code → smaller buckets)
+#   - multi-probe sign-LSH (query bucket + every Hamming-1 neighbor —
+#     Lv et al. VLDB'07): the documented recovery for the 8-plane
+#     single-bucket recall collapse, measured head-to-head
 #   - IVF with nprobe 1 / 2 / 4 (posting lists scanned)
 #   - PQ + exact re-rank (constant PQ_RERANK exact scans; the ADC code
 #     scan touches every row but reads 4-byte codes, not vectors — the
 #     scan fraction below counts EXACT-distance work only)
+#   - int8 full scan: symmetric per-vector quantization (the
+#     embedding_quantize recipe), scored by the pure-integer dot
+#     cos8 = d8(a,q)/(√d8(a,a)·√d8(q,q)) — the per-vector scales cancel
+#     exactly, so ranking needs no float corpus reads at all. Its
+#     n_scanned counts every corpus row (all rows ARE scored — the
+#     saving is 1-byte lanes, not rows skipped).
 # All counts are integers and every ranking is the deterministic ladder
-# plan, so the whole table is DuckDB value-oracled. LSH/IVF recall is
-# measured against the exact COSINE top-10 (their metric); PQ-refine
+# plan, so the whole table is DuckDB value-oracled. LSH/IVF/int8 recall
+# is measured against the exact COSINE top-10 (their metric); PQ-refine
 # against the exact L2 top-10 quantized to integer micros (its metric).
 # ---------------------------------------------------------------------------
 SWEEP_PLANES = (4, 8)
@@ -1008,7 +1017,7 @@ def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "n_scanned", "n_returned", "hits"))
 
     branches = []
-    # --- sign-LSH plane sweep ---------------------------------------
+    # --- sign-LSH plane sweep: single-probe AND multi-probe ----------
     for planes in SWEEP_PLANES:
         bucketed = e.select(
             "vec_id", "embedding",
@@ -1017,15 +1026,19 @@ def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
             F.col("embedding").alias("qv"), F.col("bucket").alias("qb"),
             F.col("nrm").alias("qn"))
-        cands = (bucketed.filter(F.col("vec_id") != QUERY_VEC_ID)
-                 .join(F.broadcast(probe), F.col("bucket") == F.col("qb")))
-        top = (cands.select(
-                   "vec_id",
-                   F.round(_cos_pair_udf(F.col("embedding"), F.col("qv"),
-                                         F.col("nrm"), F.col("qn")), 9)
-                   .alias("cos_sim"))
-               .orderBy(F.desc("cos_sim"), "vec_id").limit(10))
-        branches.append(branch("lsh", planes, cands, top, exact_cos))
+        ham = F.bit_count(F.col("bucket").bitwiseXOR(F.col("qb")))
+        for method, cond in (("lsh", F.col("bucket") == F.col("qb")),
+                             ("lsh_mp", ham <= 1)):
+            cands = (bucketed.filter(F.col("vec_id") != QUERY_VEC_ID)
+                     .join(F.broadcast(probe), cond))
+            top = (cands.select(
+                       "vec_id",
+                       F.round(_cos_pair_udf(F.col("embedding"),
+                                             F.col("qv"),
+                                             F.col("nrm"), F.col("qn")), 9)
+                       .alias("cos_sim"))
+                   .orderBy(F.desc("cos_sim"), "vec_id").limit(10))
+            branches.append(branch(method, planes, cands, top, exact_cos))
 
     # --- IVF nprobe sweep (assignment shared across settings) --------
     cids, cmat, cn = _collect_centroids(e)
@@ -1065,6 +1078,34 @@ def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     branches.append(branch("pq_refine", PQ_RERANK, shortlist, refined,
                            exact_l2))
 
+    # --- int8 full scan vs exact cosine top-10 ------------------------
+    q8df = (e.select(
+                "vec_id",
+                F.transform("embedding",
+                            lambda x: x.cast("double")).alias("vd"))
+            .withColumn("mx", F.array_max(F.transform("vd", F.abs)))
+            .withColumn("scale",
+                        F.when(F.col("mx") > 0,
+                               F.lit(127.0) / F.col("mx"))
+                        .otherwise(F.lit(1.0)))
+            .select("vec_id", F.expr(
+                "transform(vd, x -> cast(floor(x * scale + 0.5)"
+                " as bigint))").alias("q8")))
+    probe8 = (q8df.filter(F.col("vec_id") == QUERY_VEC_ID)
+              .select(F.col("q8").alias("p8")))
+    cands8 = (q8df.filter(F.col("vec_id") != QUERY_VEC_ID)
+              .crossJoin(F.broadcast(probe8)))
+    cos8 = F.expr(
+        "cast(aggregate(zip_with(q8, p8, (a, b) -> a * b), 0L,"
+        " (acc, v) -> acc + v) as double)"
+        " / (sqrt(cast(aggregate(transform(q8, a -> a * a), 0L,"
+        " (acc, v) -> acc + v) as double))"
+        " * sqrt(cast(aggregate(transform(p8, a -> a * a), 0L,"
+        " (acc, v) -> acc + v) as double)))")
+    top8 = (cands8.select("vec_id", F.round(cos8, 9).alias("cos8"))
+            .orderBy(F.desc("cos8"), "vec_id").limit(10))
+    branches.append(branch("int8", 127, cands8, top8, exact_cos))
+
     out = branches[0]
     for b in branches[1:]:
         out = out.unionByName(b)
@@ -1091,12 +1132,24 @@ c{planes} AS (SELECT b.vec_id, b.embedding, p.qv FROM b{planes} b, p{planes} p
               WHERE b.vec_id != {q} AND b.bucket = p.qb),
 t{planes} AS (SELECT vec_id FROM (
     SELECT c.vec_id, ROUND({cos.format(a='c.embedding', b='c.qv')}, 9) AS cs
-    FROM c{planes} c) s ORDER BY cs DESC, vec_id LIMIT 10)""")
+    FROM c{planes} c) s ORDER BY cs DESC, vec_id LIMIT 10),
+cmp{planes} AS (SELECT b.vec_id, b.embedding, p.qv
+              FROM b{planes} b, p{planes} p
+              WHERE b.vec_id != {q}
+                AND bit_count(xor(b.bucket, p.qb)) <= 1),
+tmp{planes} AS (SELECT vec_id FROM (
+    SELECT c.vec_id, ROUND({cos.format(a='c.embedding', b='c.qv')}, 9) AS cs
+    FROM cmp{planes} c) s ORDER BY cs DESC, vec_id LIMIT 10)""")
         rows.append(f"""
 SELECT 'lsh' AS method, CAST({planes} AS INT) AS param,
        (SELECT COUNT(*) FROM c{planes}) AS n_scanned,
        (SELECT COUNT(*) FROM t{planes}) AS n_returned,
        (SELECT COUNT(*) FROM t{planes} JOIN exact_q USING (vec_id)) AS hits""")
+        rows.append(f"""
+SELECT 'lsh_mp' AS method, CAST({planes} AS INT) AS param,
+       (SELECT COUNT(*) FROM cmp{planes}) AS n_scanned,
+       (SELECT COUNT(*) FROM tmp{planes}) AS n_returned,
+       (SELECT COUNT(*) FROM tmp{planes} JOIN exact_q USING (vec_id)) AS hits""")
     for nprobe in SWEEP_NPROBE:
         ivf_ctes.append(f"""
 probe{nprobe} AS (
@@ -1139,6 +1192,37 @@ SELECT 'pq_refine' AS method, CAST({PQ_RERANK} AS INT) AS param,
        (SELECT COUNT(*) FROM shortlist) AS n_scanned,
        (SELECT COUNT(*) FROM refined) AS n_returned,
        (SELECT COUNT(*) FROM refined JOIN exact_l2 USING (vec_id)) AS hits""")
+    # int8 full scan — mirrors embedding_quantize + the scale-cancelling
+    # integer-dot cosine
+    d8 = ("CAST(list_aggregate(list_transform(generate_series(1, len({a})),"
+          " i -> {a}[i] * {b}[i]), 'sum') AS DOUBLE)")
+    int8_ctes = f"""
+vq8 AS (
+  SELECT vec_id,
+         list_transform(vd, x -> CAST(floor(x * scale + 0.5) AS BIGINT))
+           AS q8
+  FROM (
+    SELECT vec_id, vd,
+           CASE WHEN list_max(list_transform(vd, x -> abs(x))) > 0
+                THEN CAST(127 AS DOUBLE)
+                     / list_max(list_transform(vd, x -> abs(x)))
+                ELSE CAST(1 AS DOUBLE) END AS scale
+    FROM (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+          FROM embeddings) v)),
+pr8 AS (SELECT q8 AS pq8 FROM vq8 WHERE vec_id = {q}),
+cq8 AS (SELECT v.vec_id, v.q8, p.pq8 FROM vq8 v, pr8 p WHERE v.vec_id != {q}),
+tq8 AS (SELECT vec_id FROM (
+    SELECT c.vec_id,
+           ROUND({d8.format(a='c.q8', b='c.pq8')}
+                 / (SQRT({d8.format(a='c.q8', b='c.q8')})
+                    * SQRT({d8.format(a='c.pq8', b='c.pq8')})), 9) AS cs
+    FROM cq8 c) s ORDER BY cs DESC, vec_id LIMIT 10)"""
+    rows.append("""
+SELECT 'int8' AS method, CAST(127 AS INT) AS param,
+       (SELECT COUNT(*) FROM cq8) AS n_scanned,
+       (SELECT COUNT(*) FROM tq8) AS n_returned,
+       (SELECT COUNT(*) FROM tq8 JOIN exact_q USING (vec_id)) AS hits""")
     bf = QUERIES["ann_bruteforce_topk"][1]
     return f"""
 WITH corpus AS (SELECT COUNT(*) AS n_corpus FROM embeddings
@@ -1149,6 +1233,7 @@ assigned AS ({_ASSIGN_SQL}),
 {",".join(lsh_ctes)},
 {",".join(ivf_ctes)},
 {pq_ctes},
+{int8_ctes},
 rows_u AS ({" UNION ALL ".join(rows)})
 SELECT r.method, r.param, c.n_corpus,
        CAST(r.n_scanned AS BIGINT) AS n_scanned,
