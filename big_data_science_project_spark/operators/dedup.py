@@ -388,8 +388,8 @@ WHERE GREATEST(c_1in2, c_2in1) >= {CONTAIN_MIN}
 SIM_BITS = 16
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+def _simhash_fp_df(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash) fingerprints for a documents-shaped DF."""
     toks = F.array_distinct(F.split(F.col("text"), " "))
     tok_hash = F.conv(F.substring(F.md5(F.col("tok")), 1, SIM_BITS // 4), 16, 10).cast("int")
     exploded = (
@@ -406,8 +406,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint = "concat(" + ", ".join(
         f"case when v.b{b} > 0 then '1' else '0' end"
         for b in range(SIM_BITS - 1, -1, -1)) + ")"
+    return votes.select("doc_id", F.expr(fingerprint).alias("simhash"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
     return (
-        votes.select("doc_id", F.expr(fingerprint).alias("simhash"))
+        _simhash_fp_df(d)
         .groupBy("simhash")
         .agg(F.min("doc_id").alias("canonical_id"),
              F.count(F.lit(1)).alias("n_docs"))
@@ -415,7 +420,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_sql() -> str:
+def _simhash_fp_sql(src: str = "documents") -> str:
+    """CTE body text: exploded/votes/fp over ``src`` (fp = (doc_id,
+    simhash)) — shared by the simhash query and the recall sweep."""
     bit_votes = ", ".join(
         f"SUM(CASE WHEN (h & {1 << b}) != 0 THEN 1 ELSE -1 END) AS b{b}"
         for b in range(SIM_BITS)
@@ -425,13 +432,18 @@ def _simhash_sql() -> str:
         for b in range(SIM_BITS - 1, -1, -1)
     )
     return f"""
-WITH exploded AS (
+exploded AS (
   SELECT doc_id,
          CAST(('0x' || SUBSTRING(md5(tok.t), 1, {SIM_BITS // 4})) AS INTEGER) AS h
-  FROM documents, LATERAL unnest(list_distinct(string_split(text, ' '))) AS tok(t)
+  FROM {src}, LATERAL unnest(list_distinct(string_split(text, ' '))) AS tok(t)
 ),
 votes AS (SELECT doc_id, {bit_votes} FROM exploded GROUP BY doc_id),
-fp AS (SELECT doc_id, {fingerprint} AS simhash FROM votes)
+fp AS (SELECT doc_id, {fingerprint} AS simhash FROM votes)"""
+
+
+def _simhash_sql() -> str:
+    return f"""
+WITH {_simhash_fp_sql()}
 SELECT simhash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
 FROM fp GROUP BY simhash HAVING COUNT(*) > 1
 """
@@ -747,8 +759,9 @@ _SUBSTR_POLY_DUCK = " + ".join(
     f"cs[s + {i}] * {p}" for i, p in enumerate(SUBSTR_POW))
 
 
-def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+def _substring_pairs_df(d: DataFrame) -> DataFrame:
+    """(doc_id1, doc_id2, n_shared_windows) for a documents-shaped DF —
+    the CDC-anchored window pipeline, shared with the recall sweep."""
     # CDC anchors: content-selected window starts, then the windows
     wins = F.expr(
         f"transform(filter(sequence(1, length(text) - {SUBSTR_WIN} + 1),"
@@ -784,12 +797,19 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES["dedup_substring_exact"] = (dedup_substring_exact, f"""
+def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _substring_pairs_df(load_table(spark, sf_dir, "documents"))
+
+
+def _substring_pairs_sql(src: str = "documents") -> str:
+    """Full SELECT (with internal WITH) emitting (doc_id1, doc_id2,
+    n_shared_windows) over ``src`` — shared with the recall sweep."""
+    return f"""
 WITH codes AS (
   SELECT doc_id, text,
          list_transform(generate_series(1, length(text)),
              i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)) AS cs
-  FROM documents
+  FROM {src}
   WHERE length(text) >= {SUBSTR_WIN}),
 anchored AS (
   SELECT doc_id,
@@ -798,16 +818,235 @@ anchored AS (
              s -> ({_SUBSTR_POLY_DUCK}) % {SUBSTR_STRIDE} = 0),
            s -> substring(text, s, {SUBSTR_WIN})) AS ws
   FROM codes),
-hashed AS (
+hashedw AS (
   SELECT DISTINCT doc_id,
          CAST(('0x' || SUBSTRING(md5(w.w), 1, 15)) AS BIGINT) % {_P} AS h
   FROM anchored, LATERAL (SELECT unnest(ws) AS w) w),
-ok AS (
-  SELECT h FROM hashed GROUP BY h HAVING COUNT(*) <= {SUBSTR_MAX_BUCKET})
+okw AS (
+  SELECT h FROM hashedw GROUP BY h HAVING COUNT(*) <= {SUBSTR_MAX_BUCKET})
 SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
        COUNT(*) AS n_shared_windows
-FROM hashed a
-JOIN ok ON ok.h = a.h
-JOIN hashed b ON a.h = b.h AND a.doc_id < b.doc_id
+FROM hashedw a
+JOIN okw ON okw.h = a.h
+JOIN hashedw b ON a.h = b.h AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
-""")
+"""
+
+
+QUERIES["dedup_substring_exact"] = (dedup_substring_exact,
+                                    _substring_pairs_sql())
+
+
+# ---------------------------------------------------------------------------
+# Dedup-quality RECALL SWEEP — the mirror of ann_recall_sweep for the
+# dedup ladder: the tiers' recall was argued structurally; this query
+# MEASURES it. Clones of a deterministic base subset are planted
+# in-plan at five controlled mutations:
+#   1 exact_copy   verbatim
+#   2 truncate80   first 80% of characters (re-crawl truncation)
+#   3 edit2pct     every 50th character replaced (light OCR/edit noise)
+#   4 edit10pct    every 10th character replaced (heavy noise)
+#   5 blockswap    halves swapped (section reordering)
+# and every tier (exact digest / fuzzy-levenshtein / MinHash+Jaccard /
+# SimHash / CDC-substring) runs over base ∪ clones; recall per
+# (tier, mutation) = planted pairs recovered. Clone ids are
+# base_id + m·SWEEP_OFF, so a detected pair is planted iff
+# doc_id1 < SWEEP_OFF and the id gap is an exact multiple of SWEEP_OFF
+# — no bookkeeping table needed, and incidental base-base duplicate
+# pairs are excluded by construction. Everything (mutations included)
+# is deterministic SQL in both engines → full value oracle. The table
+# is the committed evidence for where the ladder's thresholds actually
+# sit (e.g. fuzzy's prefix BLOCKING is blind to any edit inside the
+# first BLOCK_PREFIX chars; MinHash's J ≥ 0.5 sits right at the
+# edit-noise shingle-survival boundary).
+# ---------------------------------------------------------------------------
+SWEEP_OFF = 10_000_000
+SWEEP_MUT_NAMES = {1: "exact_copy", 2: "truncate80", 3: "edit2pct",
+                   4: "edit10pct", 5: "blockswap"}
+
+# (mutation id, Spark SQL expr, DuckDB SQL expr) — the engine pair
+# differs only where dialects force it (div vs //, transform vs
+# list_transform); values are identical
+_SWEEP_MUTS = (
+    (1, "text", "text"),
+    (2, "substring(text, 1, (8 * length(text)) div 10)",
+        "substring(text, 1, (8 * length(text)) // 10)"),
+    (3, "concat_ws('', transform(sequence(1, length(text)),"
+        " i -> case when i % 50 = 0 then '~'"
+        " else substring(text, i, 1) end))",
+        "array_to_string(list_transform(generate_series(1, length(text)),"
+        " i -> CASE WHEN i % 50 = 0 THEN '~'"
+        " ELSE substring(text, i, 1) END), '')"),
+    (4, "concat_ws('', transform(sequence(1, length(text)),"
+        " i -> case when i % 10 = 0 then '~'"
+        " else substring(text, i, 1) end))",
+        "array_to_string(list_transform(generate_series(1, length(text)),"
+        " i -> CASE WHEN i % 10 = 0 THEN '~'"
+        " ELSE substring(text, i, 1) END), '')"),
+    (5, "concat(substring(text, length(text) div 2 + 1), ' ',"
+        " substring(text, 1, length(text) div 2))",
+        "substring(text, length(text) // 2 + 1) || ' ' ||"
+        " substring(text, 1, length(text) // 2)"),
+)
+
+_SWEEP_BASE_PRED_SPARK = "doc_id % 13 = 3 AND length(text) >= 240"
+_SWEEP_BASE_PRED_DUCK = _SWEEP_BASE_PRED_SPARK
+_SWEEP_TIERS = ("exact", "fuzzy", "minhash", "simhash", "substring")
+
+
+def dedup_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = (d.filter(F.expr(_SWEEP_BASE_PRED_SPARK))
+            .select("doc_id", "lang", "text"))
+    corpus = base
+    for m, spark_expr, _ in _SWEEP_MUTS:
+        corpus = corpus.unionByName(base.selectExpr(
+            f"doc_id + {m * SWEEP_OFF}L AS doc_id", "lang",
+            f"{spark_expr} AS text"))
+    # feeds five detectors (several self-joining): build the mutated
+    # texts once, spill-capable (same rationale as the minhash persist)
+    corpus = corpus.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+
+    # tier detectors → (doc_id1, doc_id2) pair DFs
+    ca, cb = corpus.alias("a"), corpus.alias("b")
+    p_exact = (ca.join(cb, (F.md5(F.col("a.text")) == F.md5(F.col("b.text")))
+                       & (F.col("a.doc_id") < F.col("b.doc_id")))
+               .select(F.col("a.doc_id").alias("doc_id1"),
+                       F.col("b.doc_id").alias("doc_id2")))
+
+    fz = corpus.select(
+        "doc_id", "lang",
+        F.substring("text", 1, BLOCK_PREFIX).alias("pfx"),
+        F.substring("text", 1, LEV_WINDOW).alias("win"))
+    fa, fb = fz.alias("a"), fz.alias("b")
+    p_fuzzy = (fa.join(fb, (F.col("a.pfx") == F.col("b.pfx"))
+                       & (F.col("a.lang") == F.col("b.lang"))
+                       & (F.col("a.doc_id") < F.col("b.doc_id")))
+               .filter(F.levenshtein(F.col("a.win"), F.col("b.win"))
+                       <= LEV_MAX)
+               .select(F.col("a.doc_id").alias("doc_id1"),
+                       F.col("b.doc_id").alias("doc_id2")))
+
+    hashed = _hashed_shingles_df(corpus).persist(
+        StorageLevel.MEMORY_AND_DISK_DESER)
+    cands = _candidate_pairs(_minhash_bands(hashed))
+    ja = hashed.select(F.col("doc_id").alias("doc_id1"),
+                       F.col("hs").alias("sh1"))
+    jb = hashed.select(F.col("doc_id").alias("doc_id2"),
+                       F.col("hs").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
+    union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
+    p_minhash = (cands.join(ja, "doc_id1").join(jb, "doc_id2")
+                 .filter(F.round(inter / union, 6) >= 0.5)
+                 .select("doc_id1", "doc_id2"))
+
+    fp = _simhash_fp_df(corpus)
+    sa, sb = fp.alias("a"), fp.alias("b")
+    p_simhash = (sa.join(sb, (F.col("a.simhash") == F.col("b.simhash"))
+                         & (F.col("a.doc_id") < F.col("b.doc_id")))
+                 .select(F.col("a.doc_id").alias("doc_id1"),
+                         F.col("b.doc_id").alias("doc_id2")))
+
+    p_substr = _substring_pairs_df(corpus).select("doc_id1", "doc_id2")
+
+    tiers = {"exact": p_exact, "fuzzy": p_fuzzy, "minhash": p_minhash,
+             "simhash": p_simhash, "substring": p_substr}
+    found = None
+    for tier in _SWEEP_TIERS:
+        t = (tiers[tier]
+             .filter((F.col("doc_id1") < SWEEP_OFF)
+                     & ((F.col("doc_id2") - F.col("doc_id1"))
+                        % SWEEP_OFF == 0))
+             .selectExpr(f"'{tier}' AS tier",
+                         f"cast((doc_id2 - doc_id1) div {SWEEP_OFF}"
+                         " as int) AS m")
+             .groupBy("tier", "m")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_found")))
+        found = t if found is None else found.unionByName(t)
+
+    mut_case = ("CASE m " + " ".join(
+        f"WHEN {m} THEN '{n}'" for m, n in SWEEP_MUT_NAMES.items())
+        + " END")
+    grid = (base.agg(F.count(F.lit(1)).cast("bigint").alias("n_planted"))
+            .selectExpr("n_planted",
+                        "explode(array(" + ", ".join(
+                            f"'{t}'" for t in _SWEEP_TIERS) + ")) AS tier")
+            .selectExpr("n_planted", "tier",
+                        "explode(sequence(1, 5)) AS m"))
+    return (grid.join(found, ["tier", "m"], "left")
+            .selectExpr("tier", f"{mut_case} AS mutation", "n_planted",
+                        "cast(coalesce(n_found, 0) as bigint) AS n_found",
+                        "cast((100 * coalesce(n_found, 0)) div n_planted"
+                        " as bigint) AS recall_pct"))
+
+
+def _recall_sweep_sql() -> str:
+    clone_selects = "\nUNION ALL ".join(
+        f"SELECT doc_id + {m * SWEEP_OFF} AS doc_id, lang,"
+        f" {duck} AS text FROM base"
+        for m, _, duck in _SWEEP_MUTS)
+    planted = (f"d1 < {SWEEP_OFF} AND (d2 - d1) % {SWEEP_OFF} = 0")
+    tier_counts = "\nUNION ALL ".join(f"""
+SELECT '{tier}' AS tier, CAST((d2 - d1) // {SWEEP_OFF} AS INT) AS m,
+       COUNT(*) AS n_found
+FROM p_{tier} WHERE {planted} GROUP BY 2""" for tier in _SWEEP_TIERS)
+    mut_case = ("CASE g.m " + " ".join(
+        f"WHEN {m} THEN '{n}'" for m, n in SWEEP_MUT_NAMES.items())
+        + " END")
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, text FROM documents
+  WHERE {_SWEEP_BASE_PRED_DUCK}),
+corpus AS (
+  SELECT doc_id, lang, text FROM base
+  UNION ALL {clone_selects}),
+p_exact AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM corpus a JOIN corpus b
+    ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id),
+fz AS (
+  SELECT doc_id, lang, substr(text, 1, {BLOCK_PREFIX}) AS pfx,
+         substr(text, 1, {LEV_WINDOW}) AS win
+  FROM corpus),
+p_fuzzy AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM fz a JOIN fz b
+    ON a.pfx = b.pfx AND a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE levenshtein(a.win, b.win) <= {LEV_MAX}),
+hashed AS ({_HASHED_SHINGLES_SQL.replace("FROM documents",
+                                         "FROM corpus")}),
+bands AS ({_minhash_bands_sql()}),
+cands AS ({_cands_sql_capped()}),
+p_minhash AS (
+  SELECT c.doc_id1 AS d1, c.doc_id2 AS d2
+  FROM cands c
+  JOIN hashed s1 ON c.doc_id1 = s1.doc_id
+  JOIN hashed s2 ON c.doc_id2 = s2.doc_id
+  WHERE ROUND(CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)
+        / (CAST(len(s1.hs) + len(s2.hs) AS DOUBLE)
+           - CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)), 6)
+        >= 0.5),
+{_simhash_fp_sql("corpus").lstrip()},
+p_simhash AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM fp a JOIN fp b
+    ON a.simhash = b.simhash AND a.doc_id < b.doc_id),
+p_substring AS (
+  SELECT doc_id1 AS d1, doc_id2 AS d2
+  FROM ({_substring_pairs_sql("corpus")}) sp),
+found AS ({tier_counts}),
+grid AS (
+  SELECT t.tier, m.m,
+         (SELECT COUNT(*) FROM base) AS n_planted
+  FROM (VALUES {", ".join(f"('{t}')" for t in _SWEEP_TIERS)}) t(tier),
+       (VALUES (1), (2), (3), (4), (5)) m(m))
+SELECT g.tier, {mut_case} AS mutation,
+       CAST(g.n_planted AS BIGINT) AS n_planted,
+       CAST(COALESCE(f.n_found, 0) AS BIGINT) AS n_found,
+       CAST((100 * COALESCE(f.n_found, 0)) // g.n_planted AS BIGINT)
+         AS recall_pct
+FROM grid g LEFT JOIN found f ON f.tier = g.tier AND f.m = g.m
+"""
+
+
+QUERIES["dedup_recall_sweep"] = (dedup_recall_sweep, _recall_sweep_sql())

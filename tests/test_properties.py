@@ -581,3 +581,27 @@ def test_substring_dedup_anchor_positions_are_content_defined(spark):
     for t, g in zip(texts, got):
         want = [t[s:s + SUBSTR_WIN] for s in _cdc_anchors(t)]
         assert g == want
+
+
+def test_dedup_recall_sweep_structural(spark):
+    """Structural invariants of the planted-clone recall sweep that hold
+    on ANY fixture: every tier catches exact copies in full; the exact
+    digest catches ONLY exact copies; the CDC-substring tier catches
+    blockswap in full (each half is a >= WIN verbatim run) but nothing
+    at 10% char noise (every window contains an edit); grid is complete
+    at 5 tiers x 5 mutations."""
+    import __spark_entry__ as e
+
+    rows = e.queries()["dedup_recall_sweep"](
+        spark, "/root/testdata/sf0.001").collect()
+    got = {(r.tier, r.mutation): (r.n_planted, r.n_found, r.recall_pct)
+           for r in rows}
+    assert len(got) == 25
+    n_planted = {p for p, _, _ in got.values()}
+    assert len(n_planted) == 1 and n_planted.pop() > 0
+    for tier in ("exact", "fuzzy", "minhash", "simhash", "substring"):
+        assert got[(tier, "exact_copy")][2] == 100, tier
+    for mut in ("truncate80", "edit2pct", "edit10pct", "blockswap"):
+        assert got[("exact", mut)][1] == 0, mut
+    assert got[("substring", "blockswap")][2] == 100
+    assert got[("substring", "edit10pct")][1] == 0
