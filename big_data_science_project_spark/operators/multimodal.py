@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.jpeg_codec import jpeg_decode, jpeg_encode
 from ..functions.png_codec import png_decode, png_encode
 from ..sources.cells import load_cells
 
@@ -126,27 +127,31 @@ def make_frame_sample_udf(every_k: int):
 
 
 # ---------------------------------------------------------------------------
-# external codecs. PNG is REAL — a stdlib zlib+struct implementation
-# (functions/png_codec.py), closing the reference's PNG sink boundary
-# (feature extraction.py:89-91 cv.imwrite). JPEG/audio decode still
-# needs libraries not in this container: for those the UDF shape is
-# real, the body raises unless the fake is requested, and the fake is
-# deterministic (hash-derived) so tests and oracles are stable.
+# external codecs. PNG and JPEG are REAL — stdlib/numpy implementations
+# (functions/png_codec.py, functions/jpeg_codec.py), closing the
+# reference's image-sink boundary (feature extraction.py:89-91
+# cv.imwrite). Audio codecs (mp3/flac/opus) still need libraries not in
+# this container: for those the UDF shape is real, the body raises
+# unless the fake is requested, and the fake is deterministic
+# (hash-derived) so tests and oracles are stable.
 # ---------------------------------------------------------------------------
 def decode_external(payload: bytes, codec: str, use_fake: bool = False) -> np.ndarray:
     """Decode an external image/audio payload to a flat float32 array.
 
-    ``codec="png"`` decodes for real (8-bit gray/RGB, raw 0..255 sample
-    values). Other codecs would dispatch to PIL/libsndfile/ffmpeg —
+    ``codec="png"`` (8-bit gray/RGB) and ``codec="jpeg"`` (baseline
+    sequential, gray/4:4:4 color) decode for real, yielding raw 0..255
+    sample values. Audio codecs would dispatch to libsndfile/ffmpeg —
     absent here, so they raise unless ``use_fake=True`` (a deterministic
     pseudo-decode: first 16 bytes of sha256 as float32 levels)."""
-    if codec == "png" and not use_fake:
+    if not use_fake:
         # module-level import: a runtime relative import inside a UDF body
         # fails on workers that can't import the package by name (the
         # pickle-by-value registration covers captured objects, not
         # import statements)
-        return png_decode(payload).astype(np.float32).reshape(-1)
-    if not use_fake:
+        if codec == "png":
+            return png_decode(payload).astype(np.float32).reshape(-1)
+        if codec == "jpeg":
+            return jpeg_decode(payload).astype(np.float32).reshape(-1)
         raise NotImplementedError(
             f"codec {codec!r}: decoder libraries not available in this "
             "environment; pass use_fake=True for the deterministic stub")
@@ -322,6 +327,70 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str = "") -> DataFrame
 
 
 QUERIES["multimodal_png_roundtrip"] = (multimodal_png_roundtrip, None)
+
+
+# ---------------------------------------------------------------------------
+# real JPEG round-trip — the lossy twin of the PNG round-trip (which
+# already exercises the per-image file write + binaryFile re-read
+# plumbing; this one stays in-plan and measures what lossy compression
+# actually costs): channel-0 of each cell is quantized to uint8,
+# encoded to a REAL baseline JPEG (functions/jpeg_codec.py) and decoded
+# back inside one Arrow batch, and the per-image reconstruction error
+# + compressed size are aggregated. Error bounds are asserted by
+# tests/test_multimodal.py; the codec itself is pinned bit-exactly
+# against an independent quantization mirror in tests/test_jpeg_codec.
+# ---------------------------------------------------------------------------
+JPEG_RT_QUALITY = 90
+
+_JPEG_RT_SCHEMA = T.StructType([
+    T.StructField("image_id", T.LongType()),
+    T.StructField("n_bytes_raw", T.LongType()),
+    T.StructField("n_bytes_jpeg", T.LongType()),
+    T.StructField("max_abs_err", T.LongType()),
+    T.StructField("mean_abs_err_milli", T.LongType()),
+])
+
+
+def multimodal_jpeg_roundtrip(spark: SparkSession,
+                              sf_dir: str = "") -> DataFrame:
+    from ..functions.image_kernels import channel_slice
+
+    cells = load_cells(spark, n_images=32)
+    wh = F.col("width") * F.col("height")
+    ch0 = cells.select(
+        "image_id", "width", "height",
+        channel_slice(F.col("data"), 0, wh).alias("data_ch"))
+
+    def rt(batches):
+        for pdf in batches:
+            out = {k.name: [] for k in _JPEG_RT_SCHEMA}
+            for img_id, w, h, d in zip(pdf["image_id"], pdf["width"],
+                                       pdf["height"], pdf["data_ch"]):
+                img = np.clip(np.asarray(d, dtype=np.float64)
+                              .reshape(int(w), int(h)), 0, 255) \
+                    .astype(np.uint8)
+                enc = jpeg_encode(img, JPEG_RT_QUALITY)
+                dec = jpeg_decode(enc)
+                err = np.abs(dec.astype(np.int64) - img.astype(np.int64))
+                out["image_id"].append(int(img_id))
+                out["n_bytes_raw"].append(img.size)
+                out["n_bytes_jpeg"].append(len(enc))
+                out["max_abs_err"].append(int(err.max()))
+                out["mean_abs_err_milli"].append(
+                    int(round(float(err.mean()) * 1000)))
+            yield pd.DataFrame(out)
+
+    per_image = ch0.mapInPandas(rt, _JPEG_RT_SCHEMA)
+    return per_image.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("n_bytes_raw").cast("bigint").alias("bytes_raw"),
+        F.sum("n_bytes_jpeg").cast("bigint").alias("bytes_jpeg"),
+        F.max("max_abs_err").cast("bigint").alias("worst_abs_err"),
+        F.max("mean_abs_err_milli").cast("bigint")
+        .alias("worst_mean_err_milli"))
+
+
+QUERIES["multimodal_jpeg_roundtrip"] = (multimodal_jpeg_roundtrip, None)
 
 
 # ---------------------------------------------------------------------------
