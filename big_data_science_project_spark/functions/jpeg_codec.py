@@ -438,51 +438,69 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         elif marker == 0xDD:           # DRI
             (restart,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:           # SOS
+            if comps is None:
+                raise ValueError("missing SOF before SOS")
             ns = seg[0]
             scan = []
             for si in range(ns):
                 cs, tabs = seg[1 + 2 * si], seg[2 + 2 * si]
-                comp = next(c for c in comps if c["id"] == cs)
+                comp = next((c for c in comps if c["id"] == cs), None)
+                if comp is None:
+                    raise ValueError(f"SOS references unknown component "
+                                     f"{cs}")
                 scan.append((comp, tabs >> 4, tabs & 15))
             break
         # APPn / COM / others: skipped
-
-    if comps is None:
-        raise ValueError("missing SOF before SOS")
     by, bx = (h + 7) // 8, (w + 7) // 8
     planes = [np.zeros((by * 8, bx * 8)) for _ in comps]
     br = _BitReader(data, pos)
     preds = [0] * len(scan)
     mcu = 0
-    for my in range(by):
-        for mx in range(bx):
-            if restart and mcu and mcu % restart == 0:
-                br.sync_restart()
-                preds = [0] * len(scan)
-            for si, (comp, td, ta) in enumerate(scan):
-                dct = htabs[(0, td)]
-                act = htabs[(1, ta)]
-                zz = np.zeros(64, dtype=np.int64)
-                size = _read_symbol(br, dct)
-                preds[si] += _extend(br.read_bits(size), size)
-                zz[0] = preds[si]
-                k = 1
-                while k < 64:
-                    sym = _read_symbol(br, act)
-                    if sym == 0x00:    # EOB
-                        break
-                    if sym == 0xF0:    # ZRL
-                        k += 16
-                        continue
-                    k += sym >> 4
-                    sz = sym & 15
-                    zz[k] = _extend(br.read_bits(sz), sz)
-                    k += 1
-                coef = (zz * qtabs[comp["tq"]].reshape(-1)[_ZZ])[_UNZZ] \
-                    .reshape(8, 8).astype(np.float64)
-                block = _A.T @ coef @ _A + 128.0
-                planes[si][my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = block
-            mcu += 1
+    # malformed entropy data must surface as the module's ValueError
+    # contract, never as a leaked IndexError (truncated buffer / AC run
+    # past the block) or the internal _AtMarker signal
+    try:
+        for my in range(by):
+            for mx in range(bx):
+                if restart and mcu and mcu % restart == 0:
+                    br.sync_restart()
+                    preds = [0] * len(scan)
+                for si, (comp, td, ta) in enumerate(scan):
+                    dct = htabs[(0, td)]
+                    act = htabs[(1, ta)]
+                    zz = np.zeros(64, dtype=np.int64)
+                    size = _read_symbol(br, dct)
+                    preds[si] += _extend(br.read_bits(size), size)
+                    zz[0] = preds[si]
+                    k = 1
+                    while k < 64:
+                        sym = _read_symbol(br, act)
+                        if sym == 0x00:    # EOB
+                            break
+                        if sym == 0xF0:    # ZRL
+                            k += 16
+                            continue
+                        k += sym >> 4
+                        sz = sym & 15
+                        if k > 63:
+                            raise ValueError(
+                                "corrupt JPEG (AC run past block end)")
+                        zz[k] = _extend(br.read_bits(sz), sz)
+                        k += 1
+                    coef = (zz * qtabs[comp["tq"]].reshape(-1)[_ZZ])[_UNZZ] \
+                        .reshape(8, 8).astype(np.float64)
+                    block = _A.T @ coef @ _A + 128.0
+                    planes[si][my * 8:my * 8 + 8,
+                               mx * 8:mx * 8 + 8] = block
+                mcu += 1
+    except IndexError:
+        raise ValueError("truncated JPEG entropy data") from None
+    except _AtMarker as m:
+        raise ValueError(
+            f"unexpected marker 0x{m.marker:04X} inside scan data "
+            "(corrupt or unsupported stream)") from None
+    except KeyError as e:
+        raise ValueError(f"scan references undefined table {e}") from None
 
     planes = [p[:h, :w] for p in planes]
     if len(planes) == 1:

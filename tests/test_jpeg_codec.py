@@ -127,3 +127,40 @@ def test_unsupported_streams_raise():
     sub[i + 2 + 2 + 6 + 1] = 0x22  # marker+len+prec..+comp sampling byte
     with pytest.raises(ValueError, match="subsampled"):
         jpeg_decode(bytes(sub))
+
+
+def test_corrupt_entropy_data_always_raises_valueerror():
+    """Bit-corrupted or truncated scan data must surface as the
+    module's ValueError contract — never a leaked IndexError or the
+    internal marker-signal exception. Exhaustively corrupt every byte
+    of the entropy segment (and truncate at every length) of a real
+    stream; each decode either succeeds (corruption landed on a
+    tolerated spot) or raises ValueError."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (24, 24)).astype(np.uint8)
+    data = jpeg_encode(img, 75)
+    sos = data.index(b"\xFF\xDA")
+    scan_start = sos + 2 + struct.unpack_from(">H", data, sos + 2)[0]
+    for i in range(scan_start, len(data) - 2):
+        corrupted = bytearray(data)
+        corrupted[i] ^= 0x55
+        try:
+            jpeg_decode(bytes(corrupted))
+        except ValueError:
+            pass
+    for end in range(scan_start, len(data) - 2, 7):
+        try:
+            jpeg_decode(bytes(data[:end]))
+        except ValueError:
+            pass
+
+
+def test_sos_before_sof_raises_cleanly():
+    img = np.zeros((8, 8), dtype=np.uint8)
+    data = jpeg_encode(img, 90)
+    # excise the SOF0 segment entirely
+    i = data.index(b"\xFF\xC0")
+    (ln,) = struct.unpack_from(">H", data, i + 2)
+    cut = data[:i] + data[i + 2 + ln:]
+    with pytest.raises(ValueError, match="missing SOF"):
+        jpeg_decode(cut)

@@ -14,6 +14,17 @@ the table's own keys AND to the foreign keys referencing them, so each
 copy joins only within itself — exactly how a 10x-bigger TPC-H corpus
 behaves (join fan-outs stay constant, group counts scale).
 
+CONTENT is perturbed per copy too, for the same invariant on
+content-keyed operators: verbatim text/embedding copies would merge
+into shared LSH / window-hash buckets (bucket sizes x REP instead of
+bucket counts x REP — up to REP^2 self-join pair inflation, and base
+buckets crossing the 256 caps only at the big scale), distorting
+exactly the dedup/ANN scaling the probe exists to measure. Documents
+get a per-copy alphabet rotation (translate — every token, shingle,
+and window differs across copies; lengths and char classes preserved)
+and embeddings a per-copy additive offset, so content-bucket sizes
+stay constant like the shifted keys.
+
 Usage: python tools/scale_probe.py [--rep 10] [--out BENCH_sf1.json]
 """
 
@@ -52,16 +63,34 @@ _EXTRA_FK = {
 }
 
 # data-bound headline queries (cells_*/multimodal_* scan a constant
-# generated image set — excluded by design; stream_* replay a fixed
-# fixture window — included to check state-size sensitivity)
+# generated image set — excluded by design); stream_hourly_by_type
+# replays the replicated events fixture through the incremental
+# pipeline, so streaming throughput-vs-volume is measured too
 PROBE_QUERIES = [
     "q01_pricing_summary", "q03_revenue_topn", "q05_region_revenue",
     "q17_outlier_votes", "q18_small_qty_vs_avg", "q24_percentiles",
     "q25_range_join", "q39_band_join", "histogram",
     "curate_redact", "dedup_minhash_verified", "dedup_simhash",
     "dedup_substring_exact", "ann_bruteforce_topk", "ann_ivf_topk",
-    "text_token_stats",
+    "text_token_stats", "stream_hourly_by_type",
 ]
+
+# per-copy content perturbation (see module docstring); rotation i maps
+# letter k -> (k + i) mod 26 within each case, digits likewise
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _perturb(table: str, i: int) -> str | None:
+    # emitted for EVERY copy (identity at i=0) so the UNION ALL
+    # branches keep identical positional column order
+    if table == "documents":
+        rot = _ALPHA[i % 26:] + _ALPHA[:i % 26]
+        return (f"translate(text, '{_ALPHA}{_ALPHA.upper()}', "
+                f"'{rot}{rot.upper()}') AS text")
+    if table == "embeddings":
+        return (f"list_transform(embedding, x -> x + {i} * 0.0078125)"
+                " AS embedding")
+    return None
 
 
 def build_scaled(dst: str, rep: int) -> None:
@@ -76,7 +105,13 @@ def build_scaled(dst: str, rep: int) -> None:
             exprs = []
             for c, stride in shifts:
                 exprs.append(f"{c} + {i} * {stride} AS {c}")
-            exprs.append(f"* EXCLUDE ({', '.join(sorted(cols))})")
+            pert = _perturb(t, i)
+            if pert is not None:
+                cols_i = cols | {pert.rsplit(" AS ", 1)[1]}
+                exprs.append(pert)
+            else:
+                cols_i = cols
+            exprs.append(f"* EXCLUDE ({', '.join(sorted(cols_i))})")
             sel_parts.append(
                 f"SELECT {', '.join(exprs)} FROM "
                 f"read_parquet('{SRC}/{t}.parquet')")
