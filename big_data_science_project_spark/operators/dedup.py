@@ -63,6 +63,45 @@ HAVING COUNT(*) > 1
 
 
 # ---------------------------------------------------------------------------
+# normalized-exact dedup — the CCNet/RefinedWeb-style pre-pass between
+# raw exact (tier 1) and shingled near-dup (tier 2): lowercase, strip
+# everything but [a-z0-9 ], collapse whitespace runs, trim, THEN
+# digest. Catches the overwhelmingly common real-world clone classes —
+# case changes, punctuation drift, re-wrapped whitespace — at exact-
+# dedup cost (one 16-byte-key shuffle; the normalization is a map-side
+# scalar chain). The recall sweep's `casews` mutation measures it
+# against every other tier. Cross-engine note: Spark regexp_replace
+# replaces ALL matches; DuckDB needs the explicit 'g' flag — the one
+# dialect asymmetry in the mirror.
+# ---------------------------------------------------------------------------
+_NORM_SPARK = ("trim(regexp_replace(regexp_replace(lower(text),"
+               " '[^a-z0-9 ]', ''), ' +', ' '))")
+_NORM_DUCK = ("trim(regexp_replace(regexp_replace(lower(text),"
+              " '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))")
+
+
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.selectExpr(f"md5({_NORM_SPARK}) AS digest", "doc_id")
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("canonical_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+QUERIES["dedup_exact_normalized"] = (dedup_exact_normalized, f"""
+SELECT md5({_NORM_DUCK}) AS digest,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+HAVING COUNT(*) > 1
+""")
+
+
+# ---------------------------------------------------------------------------
 # shared shingle machinery (Spark side)
 # ---------------------------------------------------------------------------
 def _shingles(text_col: str = "text"):
@@ -862,7 +901,7 @@ QUERIES["dedup_substring_exact"] = (dedup_substring_exact,
 # ---------------------------------------------------------------------------
 SWEEP_OFF = 10_000_000
 SWEEP_MUT_NAMES = {1: "exact_copy", 2: "truncate80", 3: "edit2pct",
-                   4: "edit10pct", 5: "blockswap"}
+                   4: "edit10pct", 5: "blockswap", 6: "casews"}
 
 # (mutation id, Spark SQL expr, DuckDB SQL expr) — the engine pair
 # differs only where dialects force it (div vs //, transform vs
@@ -887,11 +926,17 @@ _SWEEP_MUTS = (
         " substring(text, 1, length(text) div 2))",
         "substring(text, length(text) // 2 + 1) || ' ' ||"
         " substring(text, 1, length(text) // 2)"),
+    # case + whitespace drift: the clone class the NORMALIZED digest
+    # exists for (replace() substitutes every occurrence in both
+    # engines)
+    (6, "replace(upper(text), ' ', '  ')",
+        "replace(upper(text), ' ', '  ')"),
 )
 
 _SWEEP_BASE_PRED_SPARK = "doc_id % 13 = 3 AND length(text) >= 240"
 _SWEEP_BASE_PRED_DUCK = _SWEEP_BASE_PRED_SPARK
-_SWEEP_TIERS = ("exact", "fuzzy", "minhash", "simhash", "substring")
+_SWEEP_TIERS = ("exact", "exact_norm", "fuzzy", "minhash",
+                "simhash", "substring")
 
 
 def dedup_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -913,6 +958,14 @@ def dedup_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                        & (F.col("a.doc_id") < F.col("b.doc_id")))
                .select(F.col("a.doc_id").alias("doc_id1"),
                        F.col("b.doc_id").alias("doc_id2")))
+
+    nd = corpus.selectExpr("doc_id", f"md5({_NORM_SPARK}) AS nd")
+    p_exact_norm = (nd.alias("a")
+                    .join(nd.alias("b"),
+                          (F.col("a.nd") == F.col("b.nd"))
+                          & (F.col("a.doc_id") < F.col("b.doc_id")))
+                    .select(F.col("a.doc_id").alias("doc_id1"),
+                            F.col("b.doc_id").alias("doc_id2")))
 
     fz = corpus.select(
         "doc_id", "lang",
@@ -949,7 +1002,8 @@ def dedup_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p_substr = _substring_pairs_df(corpus).select("doc_id1", "doc_id2")
 
-    tiers = {"exact": p_exact, "fuzzy": p_fuzzy, "minhash": p_minhash,
+    tiers = {"exact": p_exact, "exact_norm": p_exact_norm,
+             "fuzzy": p_fuzzy, "minhash": p_minhash,
              "simhash": p_simhash, "substring": p_substr}
     found = None
     for tier in _SWEEP_TIERS:
@@ -972,7 +1026,7 @@ def dedup_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "explode(array(" + ", ".join(
                             f"'{t}'" for t in _SWEEP_TIERS) + ")) AS tier")
             .selectExpr("n_planted", "tier",
-                        "explode(sequence(1, 5)) AS m"))
+                        "explode(sequence(1, 6)) AS m"))
     return (grid.join(found, ["tier", "m"], "left")
             .selectExpr("tier", f"{mut_case} AS mutation", "n_planted",
                         "cast(coalesce(n_found, 0) as bigint) AS n_found",
@@ -1004,6 +1058,10 @@ p_exact AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2
   FROM corpus a JOIN corpus b
     ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id),
+nd AS (SELECT doc_id, md5({_NORM_DUCK}) AS ndig FROM corpus),
+p_exact_norm AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM nd a JOIN nd b ON a.ndig = b.ndig AND a.doc_id < b.doc_id),
 fz AS (
   SELECT doc_id, lang, substr(text, 1, {BLOCK_PREFIX}) AS pfx,
          substr(text, 1, {LEV_WINDOW}) AS win
@@ -1039,7 +1097,7 @@ grid AS (
   SELECT t.tier, m.m,
          (SELECT COUNT(*) FROM base) AS n_planted
   FROM (VALUES {", ".join(f"('{t}')" for t in _SWEEP_TIERS)}) t(tier),
-       (VALUES (1), (2), (3), (4), (5)) m(m))
+       (VALUES (1), (2), (3), (4), (5), (6)) m(m))
 SELECT g.tier, {mut_case} AS mutation,
        CAST(g.n_planted AS BIGINT) AS n_planted,
        CAST(COALESCE(f.n_found, 0) AS BIGINT) AS n_found,

@@ -596,12 +596,19 @@ def test_dedup_recall_sweep_structural(spark):
         spark, "/root/testdata/sf0.001").collect()
     got = {(r.tier, r.mutation): (r.n_planted, r.n_found, r.recall_pct)
            for r in rows}
-    assert len(got) == 25
+    assert len(got) == 36  # 6 tiers x 6 mutations
     n_planted = {p for p, _, _ in got.values()}
     assert len(n_planted) == 1 and n_planted.pop() > 0
-    for tier in ("exact", "fuzzy", "minhash", "simhash", "substring"):
+    for tier in ("exact", "exact_norm", "fuzzy", "minhash", "simhash",
+                 "substring"):
         assert got[(tier, "exact_copy")][2] == 100, tier
-    for mut in ("truncate80", "edit2pct", "edit10pct", "blockswap"):
+    for mut in ("truncate80", "edit2pct", "edit10pct", "blockswap",
+                "casews"):
         assert got[("exact", mut)][1] == 0, mut
     assert got[("substring", "blockswap")][2] == 100
     assert got[("substring", "edit10pct")][1] == 0
+    # the normalized digest exists exactly for the case/whitespace
+    # clone class — full recall there, and (like raw exact) zero on
+    # content edits
+    assert got[("exact_norm", "casews")][2] == 100
+    assert got[("exact_norm", "edit2pct")][1] == 0
