@@ -516,3 +516,39 @@ def test_acf_single_corpus_aggregate(spark):
     plan = formatted_plan(_fresh(spark, "ts_autocorrelation"))
     assert _nodes(plan, "Scan parquet") == 1, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_minhash_guard_is_windowed_not_antijoined(spark):
+    """The fused hot-bucket guard must be a count Window on the bucket
+    key feeding the join inputs directly — NOT the r4 shape (separate
+    bucket-size aggregate + LeftAnti broadcast join), which cost an
+    extra pass over the band table. At this sf Catalyst broadcasts one
+    windowed side (correct for a small build side; at scale both sides
+    sort-merge on the same exchange and the reuse rule collapses them);
+    the stable invariant is: Window nodes present, zero anti-joins,
+    and no aggregate between the window and the pair join."""
+    plan = formatted_plan(_fresh(spark, "dedup_minhash_candidates"))
+    assert _nodes(plan, "Window") >= 2, plan
+    assert "LeftAnti" not in plan, plan
+
+
+def test_substring_guard_is_windowed_not_antijoined(spark):
+    plan = formatted_plan(_fresh(spark, "dedup_substring_exact"))
+    assert _nodes(plan, "Window") >= 2, plan
+    assert "LeftAnti" not in plan, plan
+
+
+def test_ridge_weights_broadcast_back(spark):
+    """The in-plan ridge must broadcast the 1-row weight table onto the
+    corpus (never shuffle the fact side) and keep the whole solve
+    JVM-side (no Python at all in this plan)."""
+    plan = formatted_plan(_fresh(spark, "ml_ridge_predict"))
+    assert _nodes(plan, "BroadcastNestedLoopJoin") >= 1, plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan  # pure expression pipeline
+
+
+def test_pca_spectrum_is_single_aggregate_no_python(spark):
+    plan = formatted_plan(_fresh(spark, "ml_pca_spectrum"))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
