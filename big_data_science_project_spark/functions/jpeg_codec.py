@@ -374,7 +374,19 @@ def _extend(bits: int, size: int) -> int:
 
 def jpeg_decode(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes → uint8 (H,W) for 1 component, (H,W,3) RGB
-    for 3 components. Raises on progressive or subsampled streams."""
+    for 3 components. Raises ValueError on progressive, subsampled,
+    truncated, or otherwise malformed streams — the header parser is
+    wrapped so a corrupt segment can never leak an internal
+    IndexError/OverflowError/struct.error past the codec boundary."""
+    try:
+        return _jpeg_decode_inner(data)
+    except ValueError:
+        raise
+    except (IndexError, OverflowError, struct.error) as e:
+        raise ValueError(f"corrupt or truncated JPEG header: {e}") from None
+
+
+def _jpeg_decode_inner(data: bytes) -> np.ndarray:
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2

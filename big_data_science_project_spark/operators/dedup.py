@@ -70,20 +70,30 @@ HAVING COUNT(*) > 1
 # case changes, punctuation drift, re-wrapped whitespace — at exact-
 # dedup cost (one 16-byte-key shuffle; the normalization is a map-side
 # scalar chain). The recall sweep's `casews` mutation measures it
-# against every other tier. Cross-engine note: Spark regexp_replace
-# replaces ALL matches; DuckDB needs the explicit 'g' flag — the one
-# dialect asymmetry in the mirror.
+# against every other tier. Cross-engine notes: Spark regexp_replace
+# replaces ALL matches while DuckDB needs the explicit 'g' flag, and
+# the Spark side uses the Column API so the \s patterns never pass
+# through SQL-literal escape processing. Whitespace is treated as a
+# CLASS (\s: space/tab/newline) and collapsed to single spaces, so
+# re-wrapped text normalizes identically; docs whose text normalizes
+# to EMPTY (pure punctuation / non-Latin script) are EXCLUDED — they
+# would otherwise all share md5('') and mass-merge as false dups.
 # ---------------------------------------------------------------------------
-_NORM_SPARK = ("trim(regexp_replace(regexp_replace(lower(text),"
-               " '[^a-z0-9 ]', ''), ' +', ' '))")
+def _norm_col():
+    return F.trim(F.regexp_replace(F.regexp_replace(
+        F.lower(F.col("text")), r"[^a-z0-9\s]", ""), r"\s+", " "))
+
+
 _NORM_DUCK = ("trim(regexp_replace(regexp_replace(lower(text),"
-              " '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))")
+              " '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))")
 
 
 def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (
-        d.selectExpr(f"md5({_NORM_SPARK}) AS digest", "doc_id")
+        d.select(_norm_col().alias("nt"), "doc_id")
+        .filter(F.length("nt") > 0)
+        .select(F.md5("nt").alias("digest"), "doc_id")
         .groupBy("digest")
         .agg(F.min("doc_id").alias("canonical_id"),
              F.count(F.lit(1)).alias("n_copies"))
@@ -92,10 +102,11 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["dedup_exact_normalized"] = (dedup_exact_normalized, f"""
-SELECT md5({_NORM_DUCK}) AS digest,
+SELECT md5(nt) AS digest,
        MIN(doc_id) AS canonical_id,
        COUNT(*) AS n_copies
-FROM documents
+FROM (SELECT {_NORM_DUCK} AS nt, doc_id FROM documents) n
+WHERE length(nt) > 0
 GROUP BY 1
 HAVING COUNT(*) > 1
 """)
@@ -959,7 +970,9 @@ def dedup_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select(F.col("a.doc_id").alias("doc_id1"),
                        F.col("b.doc_id").alias("doc_id2")))
 
-    nd = corpus.selectExpr("doc_id", f"md5({_NORM_SPARK}) AS nd")
+    nd = (corpus.select("doc_id", _norm_col().alias("nt"))
+          .filter(F.length("nt") > 0)
+          .select("doc_id", F.md5("nt").alias("nd")))
     p_exact_norm = (nd.alias("a")
                     .join(nd.alias("b"),
                           (F.col("a.nd") == F.col("b.nd"))
@@ -1026,7 +1039,7 @@ def dedup_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "explode(array(" + ", ".join(
                             f"'{t}'" for t in _SWEEP_TIERS) + ")) AS tier")
             .selectExpr("n_planted", "tier",
-                        "explode(sequence(1, 6)) AS m"))
+                        f"explode(sequence(1, {len(_SWEEP_MUTS)})) AS m"))
     return (grid.join(found, ["tier", "m"], "left")
             .selectExpr("tier", f"{mut_case} AS mutation", "n_planted",
                         "cast(coalesce(n_found, 0) as bigint) AS n_found",
@@ -1047,6 +1060,7 @@ FROM p_{tier} WHERE {planted} GROUP BY 2""" for tier in _SWEEP_TIERS)
     mut_case = ("CASE g.m " + " ".join(
         f"WHEN {m} THEN '{n}'" for m, n in SWEEP_MUT_NAMES.items())
         + " END")
+    mut_vals = ", ".join(f"({m})" for m, _, _ in _SWEEP_MUTS)
     return f"""
 WITH base AS (
   SELECT doc_id, lang, text FROM documents
@@ -1058,7 +1072,9 @@ p_exact AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2
   FROM corpus a JOIN corpus b
     ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id),
-nd AS (SELECT doc_id, md5({_NORM_DUCK}) AS ndig FROM corpus),
+nd AS (SELECT doc_id, md5(nt) AS ndig
+      FROM (SELECT doc_id, {_NORM_DUCK} AS nt FROM corpus) q
+      WHERE length(nt) > 0),
 p_exact_norm AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2
   FROM nd a JOIN nd b ON a.ndig = b.ndig AND a.doc_id < b.doc_id),
@@ -1097,7 +1113,7 @@ grid AS (
   SELECT t.tier, m.m,
          (SELECT COUNT(*) FROM base) AS n_planted
   FROM (VALUES {", ".join(f"('{t}')" for t in _SWEEP_TIERS)}) t(tier),
-       (VALUES (1), (2), (3), (4), (5), (6)) m(m))
+       (VALUES {mut_vals}) m(m))
 SELECT g.tier, {mut_case} AS mutation,
        CAST(g.n_planted AS BIGINT) AS n_planted,
        CAST(COALESCE(f.n_found, 0) AS BIGINT) AS n_found,

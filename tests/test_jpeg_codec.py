@@ -139,16 +139,17 @@ def test_corrupt_entropy_data_always_raises_valueerror():
     rng = np.random.default_rng(3)
     img = rng.integers(0, 256, (24, 24)).astype(np.uint8)
     data = jpeg_encode(img, 75)
-    sos = data.index(b"\xFF\xDA")
-    scan_start = sos + 2 + struct.unpack_from(">H", data, sos + 2)[0]
-    for i in range(scan_start, len(data) - 2):
+    # corrupt EVERY byte after SOI — header segments (DQT/DHT/SOF/SOS
+    # field parsing) included, not just the entropy region
+    for i in range(2, len(data) - 2):
         corrupted = bytearray(data)
         corrupted[i] ^= 0x55
         try:
             jpeg_decode(bytes(corrupted))
         except ValueError:
             pass
-    for end in range(scan_start, len(data) - 2, 7):
+    # truncate at every length, header region included
+    for end in range(2, len(data) - 2):
         try:
             jpeg_decode(bytes(data[:end]))
         except ValueError:

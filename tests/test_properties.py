@@ -612,3 +612,34 @@ def test_dedup_recall_sweep_structural(spark):
     # content edits
     assert got[("exact_norm", "casews")][2] == 100
     assert got[("exact_norm", "edit2pct")][1] == 0
+
+
+def test_normalized_dedup_whitespace_class_and_empty_guard(spark):
+    """The review counterexamples, pinned: a newline-REWRAPPED copy must
+    normalize identically to its source (whitespace is a class, never
+    deleted — deleting '\\n' would glue adjacent words); docs whose text
+    normalizes to EMPTY (pure punctuation / non-Latin) must NOT merge
+    into one md5('') group."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from big_data_science_project_spark.operators.dedup import (
+        dedup_exact_normalized)
+
+    docs = [
+        (1, "green eggs and ham"),
+        (2, "green eggs\nand ham"),      # rewrapped copy — must pair
+        (3, "Green, EGGS — and  ham!"),  # case/punct drift — must pair
+        (4, "greeneggs and ham"),        # genuinely different
+        (100, "!!! ??? ..."),            # normalizes to empty
+        (101, "¡¿§±"),                   # normalizes to empty
+        (102, "…—…"),                    # normalizes to empty
+    ]
+    d = tempfile.mkdtemp(prefix="norm_dedup_")
+    pd.DataFrame(docs, columns=["doc_id", "text"]).to_parquet(
+        os.path.join(d, "documents.parquet"))
+    rows = dedup_exact_normalized(spark, d).collect()
+    assert len(rows) == 1
+    assert rows[0].canonical_id == 1 and rows[0].n_copies == 3

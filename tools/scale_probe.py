@@ -76,8 +76,13 @@ PROBE_QUERIES = [
 ]
 
 # per-copy content perturbation (see module docstring); rotation i maps
-# letter k -> (k + i) mod 26 within each case, digits likewise
+# letter k -> (k + i) mod 26 within each case and digit d -> (d + i)
+# mod 10. Rotations are distinct ONLY for i < 26 — build_scaled
+# enforces rep <= 26, since copy 26 would be byte-identical to copy 0
+# and silently reintroduce the content-bucket merge this exists to
+# prevent.
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
+_DIGIT = "0123456789"
 
 
 def _perturb(table: str, i: int) -> str | None:
@@ -85,8 +90,9 @@ def _perturb(table: str, i: int) -> str | None:
     # branches keep identical positional column order
     if table == "documents":
         rot = _ALPHA[i % 26:] + _ALPHA[:i % 26]
-        return (f"translate(text, '{_ALPHA}{_ALPHA.upper()}', "
-                f"'{rot}{rot.upper()}') AS text")
+        drot = _DIGIT[i % 10:] + _DIGIT[:i % 10]
+        return (f"translate(text, '{_ALPHA}{_ALPHA.upper()}{_DIGIT}', "
+                f"'{rot}{rot.upper()}{drot}') AS text")
     if table == "embeddings":
         return (f"list_transform(embedding, x -> x + {i} * 0.0078125)"
                 " AS embedding")
@@ -94,6 +100,12 @@ def _perturb(table: str, i: int) -> str | None:
 
 
 def build_scaled(dst: str, rep: int) -> None:
+    if rep > 26:
+        raise ValueError(
+            "rep > 26 would repeat the identity alphabet rotation: "
+            "copies i and i+26 would carry byte-identical text, merging "
+            "their content buckets and distorting the dedup/ANN scaling "
+            "this probe measures")
     con = duckdb.connect()
     for t in _DIMS:
         shutil.copyfile(f"{SRC}/{t}.parquet", f"{dst}/{t}.parquet")
