@@ -72,20 +72,29 @@ HAVING COUNT(*) > 1
 # scalar chain). The recall sweep's `casews` mutation measures it
 # against every other tier. Cross-engine notes: Spark regexp_replace
 # replaces ALL matches while DuckDB needs the explicit 'g' flag, and
-# the Spark side uses the Column API so the \s patterns never pass
-# through SQL-literal escape processing. Whitespace is treated as a
-# CLASS (\s: space/tab/newline) and collapsed to single spaces, so
-# re-wrapped text normalizes identically; docs whose text normalizes
-# to EMPTY (pure punctuation / non-Latin script) are EXCLUDED — they
-# would otherwise all share md5('') and mass-merge as false dups.
+# the Spark side uses the Column API so the patterns never pass
+# through SQL-literal escape processing. Whitespace is an EXPLICIT
+# class [ \t\n\r\f\x0b], NOT \s: Java regex's \s includes U+000B
+# (vertical tab) while DuckDB/RE2's \s does not, so 'ab\x0bcd' would
+# digest differently per engine — spelling the class out pins both
+# engines to the identical (Java-\s) set. Runs collapse to single
+# spaces, so re-wrapped text normalizes identically; docs whose text
+# normalizes to EMPTY (pure punctuation / non-Latin script) are
+# EXCLUDED — they would otherwise all share md5('') and mass-merge as
+# false dups.
 # ---------------------------------------------------------------------------
+_WS_CLASS = r" \t\n\r\f\x0b"  # Java \s, spelled out for RE2 parity
+
+
 def _norm_col():
     return F.trim(F.regexp_replace(F.regexp_replace(
-        F.lower(F.col("text")), r"[^a-z0-9\s]", ""), r"\s+", " "))
+        F.lower(F.col("text")),
+        f"[^a-z0-9{_WS_CLASS}]", ""), f"[{_WS_CLASS}]+", " "))
 
 
 _NORM_DUCK = ("trim(regexp_replace(regexp_replace(lower(text),"
-              " '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))")
+              f" '[^a-z0-9{_WS_CLASS}]', '', 'g'),"
+              f" '[{_WS_CLASS}]+', ' ', 'g'))")
 
 
 def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -786,8 +795,13 @@ WHERE 1000000 * s.shared >= {JAC_T_MICRO} * (sa.n + sb.n - s.shared)
 # SUBSTR_MAX_BUCKET are dropped, mirrored in the oracle. Shuffle
 # volume: N·(len/STRIDE expected) 8-byte keys — corpus-linear; no pair
 # ever forms outside a bucket. The anchor predicate is an explicit
-# SUBSTR_K-term polynomial over per-character codes (base 31), NOT a
-# cryptographic hash: higher-order-function lambdas are interpreted
+# SUBSTR_K-term polynomial over per-character codes (base 2, prime
+# stride 19 — 2 is a primitive root mod 19, order 18 ≥ K, so all
+# SUBSTR_K gram positions carry DISTINCT weights mod STRIDE:
+# {14,7,13,16,8,4,2,1}; base 31 mod the old stride 20 had order 2,
+# collapsing to alternating 11/1 weights and degenerating on period-2
+# runs), NOT a cryptographic hash: higher-order-function lambdas are
+# interpreted
 # (outside whole-stage codegen), so one md5-per-position costs ~4× the
 # whole pass — integer element_at arithmetic over a codes array built
 # once per document (split + ascii) keeps the per-position work to a
@@ -796,12 +810,13 @@ WHERE 1000000 * s.shared >= {JAC_T_MICRO} * (sa.n + sb.n - s.shared)
 # set bit-for-bit. Window hashes (only ~len/STRIDE of them) stay md5.
 # ---------------------------------------------------------------------------
 SUBSTR_WIN = 60
-SUBSTR_STRIDE = 20
+SUBSTR_STRIDE = 19  # prime; anchor density 1/19
 SUBSTR_K = 8  # anchor-gram length
-SUBSTR_POW = [31 ** (SUBSTR_K - 1 - i) for i in range(SUBSTR_K)]
+SUBSTR_BASE = 2  # primitive root mod STRIDE → distinct position weights
+SUBSTR_POW = [SUBSTR_BASE ** (SUBSTR_K - 1 - i) for i in range(SUBSTR_K)]
 SUBSTR_MAX_BUCKET = 256
 
-# max code ~1.1e5 (any BMP char) × 31^7 × 8 terms ≈ 2.4e16 — fits in
+# max code ~1.1e5 (any BMP char) × 2^7 × 8 terms ≈ 1.1e8 — fits in
 # int64 with no overflow, and is nonnegative so % agrees cross-engine
 _SUBSTR_POLY_SPARK = " + ".join(
     f"element_at(cs, s + {i}) * {p}L" for i, p in enumerate(SUBSTR_POW))
@@ -944,7 +959,13 @@ _SWEEP_MUTS = (
         "replace(upper(text), ' ', '  ')"),
 )
 
-_SWEEP_BASE_PRED_SPARK = "doc_id % 13 = 3 AND length(text) >= 240"
+# doc_id < SWEEP_OFF guards the clone-id arithmetic: clone identity is
+# doc_id + m*SWEEP_OFF, so a base id >= SWEEP_OFF (e.g. a replicated
+# corpus like tools/scale_probe.py builds, where ids reach 26M) would
+# collide with clone ids and silently corrupt the recall counts —
+# filtering the base keeps the sweep correct on ANY corpus size
+_SWEEP_BASE_PRED_SPARK = (f"doc_id % 13 = 3 AND doc_id < {SWEEP_OFF}"
+                          " AND length(text) >= 240")
 _SWEEP_BASE_PRED_DUCK = _SWEEP_BASE_PRED_SPARK
 _SWEEP_TIERS = ("exact", "exact_norm", "fuzzy", "minhash",
                 "simhash", "substring")

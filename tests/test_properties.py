@@ -481,7 +481,7 @@ def test_lsh_hot_buckets_audit_flags_over_cap(spark):
 
 
 def _cdc_anchors(text):
-    """Python mirror of the CDC anchor predicate (base-31 polynomial of
+    """Python mirror of the CDC anchor predicate (base-2 polynomial of
     the SUBSTR_K-gram's codepoints, mod STRIDE): 0-based window-start
     positions selected in `text`."""
     from big_data_science_project_spark.operators.dedup import (
@@ -556,7 +556,7 @@ def test_substring_dedup_finds_unaligned_nonperiodic_clone(spark):
 def test_substring_dedup_anchor_positions_are_content_defined(spark):
     """The engine's selected windows == the Python CDC mirror's windows
     for a handful of random docs — pins the anchor predicate itself
-    (base-31 polynomial of the SUBSTR_K-gram, mod SUBSTR_STRIDE) rather
+    (base-2 polynomial of the SUBSTR_K-gram, mod SUBSTR_STRIDE) rather
     than just its downstream pair effect."""
     import random
 
@@ -589,7 +589,7 @@ def test_dedup_recall_sweep_structural(spark):
     digest catches ONLY exact copies; the CDC-substring tier catches
     blockswap in full (each half is a >= WIN verbatim run) but nothing
     at 10% char noise (every window contains an edit); grid is complete
-    at 5 tiers x 5 mutations."""
+    at 6 tiers x 6 mutations."""
     import __spark_entry__ as e
 
     rows = e.queries()["dedup_recall_sweep"](
