@@ -84,6 +84,10 @@ HAVING COUNT(*) > 1
 # false dups.
 # ---------------------------------------------------------------------------
 _WS_CLASS = r" \t\n\r\f\x0b"  # Java \s, spelled out for RE2 parity
+# 2^31 − 1 (prime) — digest/shingle reduction modulus shared by the
+# checksum row below and the MinHash family further down; defined here
+# because the oracle SQL f-strings interpolate it at module load
+_P = 2147483647
 
 
 def _norm_col():
@@ -98,26 +102,43 @@ _NORM_DUCK = ("trim(regexp_replace(regexp_replace(lower(text),"
 
 
 def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The fixture corpus has no normalized dups at small sf, so the
+    # dup-group rows alone would make the value oracle trivially green
+    # on an empty result (r5 verdict blemish #1). The extra
+    # '__corpus_checksum__' row value-pins the ENTIRE normalize+digest
+    # chain on every corpus: canonical_id = sum over kept docs of
+    # (digest-prefix as int) % _P — any cross-engine normalization
+    # drift on any doc changes the checksum.
     d = load_table(spark, sf_dir, "documents")
-    return (
-        d.select(_norm_col().alias("nt"), "doc_id")
-        .filter(F.length("nt") > 0)
-        .select(F.md5("nt").alias("digest"), "doc_id")
-        .groupBy("digest")
-        .agg(F.min("doc_id").alias("canonical_id"),
-             F.count(F.lit(1)).alias("n_copies"))
-        .filter(F.col("n_copies") > 1)
-    )
+    dig = (d.select(_norm_col().alias("nt"), "doc_id")
+           .filter(F.length("nt") > 0)
+           .select(F.md5("nt").alias("digest"), "doc_id"))
+    groups = (dig.groupBy("digest")
+              .agg(F.min("doc_id").alias("canonical_id"),
+                   F.count(F.lit(1)).alias("n_copies"))
+              .filter(F.col("n_copies") > 1))
+    summary = dig.agg(
+        F.sum(F.conv(F.substring("digest", 1, 15), 16, 10)
+              .cast("bigint") % _P).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies")).select(
+        F.lit("__corpus_checksum__").alias("digest"),
+        "canonical_id", "n_copies")
+    return groups.unionByName(summary)
 
 
 QUERIES["dedup_exact_normalized"] = (dedup_exact_normalized, f"""
-SELECT md5(nt) AS digest,
-       MIN(doc_id) AS canonical_id,
+WITH d AS (
+  SELECT md5(nt) AS digest, doc_id
+  FROM (SELECT {_NORM_DUCK} AS nt, doc_id FROM documents) n
+  WHERE length(nt) > 0)
+SELECT digest, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+FROM d GROUP BY 1 HAVING COUNT(*) > 1
+UNION ALL
+SELECT '__corpus_checksum__' AS digest,
+       CAST(SUM(CAST(('0x' || SUBSTRING(digest, 1, 15)) AS BIGINT)
+                % {_P}) AS BIGINT) AS canonical_id,
        COUNT(*) AS n_copies
-FROM (SELECT {_NORM_DUCK} AS nt, doc_id FROM documents) n
-WHERE length(nt) > 0
-GROUP BY 1
-HAVING COUNT(*) > 1
+FROM d
 """)
 
 
@@ -158,7 +179,8 @@ _SHINGLES_SQL = """
 # arithmetic is reproducible in any engine (DuckDB oracle runs the exact
 # same formula).
 # ---------------------------------------------------------------------------
-_P = 2147483647  # 2^31 − 1 (prime); A_i·x stays < 2^62 — no bigint overflow
+# _P (2^31 − 1, defined top-of-module): A_i·x stays < 2^62 — no
+# bigint overflow
 _A = [(i * 2654435761 + 1) % _P for i in range(1, N_HASHES + 1)]
 _B = [(i * 40503 + 2531011) % _P for i in range(1, N_HASHES + 1)]
 
