@@ -35,9 +35,20 @@ def test_q02_pushdown_and_pruning(spark):
 
 
 def test_q03_topk_no_full_sort(spark):
-    plan = formatted_plan(QUERIES["q03_revenue_topn"](spark, SF))
+    df = QUERIES["q03_revenue_topn"](spark, SF)
+    plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+    # Settled in r6 (verdict item #4): at bench scales BOTH the
+    # segment-filtered customer side AND the 3-col orders projection sit
+    # under the broadcast threshold, so the only exchange left is the
+    # aggregation's own — q03's ~0.76 s at sf0.1 is the lineitem scan +
+    # a ~150k-group hash agg, not a join-strategy miss. At 100× orders
+    # outgrows the threshold and the statistics-driven planner reverts
+    # that join (and eventually customer's) to sort-merge, which is the
+    # right plan there; nothing to hint.
+    assert broadcast_join_count(df) == 2, formatted_plan(df)
+    assert "SortMergeJoin" not in plan
 
 
 def test_q05_dimension_broadcasts(spark):
