@@ -63,9 +63,11 @@ _EXTRA_FK = {
 }
 
 # data-bound headline queries (cells_*/multimodal_* scan a constant
-# generated image set — excluded by design); stream_hourly_by_type
-# replays the replicated events fixture through the incremental
-# pipeline, so streaming throughput-vs-volume is measured too
+# generated image set — excluded by design); the stream_* rows replay
+# the replicated events fixture through the incremental pipeline, so
+# streaming throughput-vs-volume is measured too — including the
+# sliding window (overlapping state) and the watermark-TTL dedup
+# (per-key state store), not just the tumbling agg
 PROBE_QUERIES = [
     "q01_pricing_summary", "q03_revenue_topn", "q05_region_revenue",
     "q17_outlier_votes", "q18_small_qty_vs_avg", "q24_percentiles",
@@ -73,24 +75,35 @@ PROBE_QUERIES = [
     "curate_redact", "dedup_minhash_verified", "dedup_simhash",
     "dedup_substring_exact", "ann_bruteforce_topk", "ann_ivf_topk",
     "text_token_stats", "stream_hourly_by_type",
+    "stream_sliding_by_type", "stream_dedup_within_watermark",
 ]
 
-# per-copy content perturbation (see module docstring); rotation i maps
-# letter k -> (k + i) mod 26 within each case and digit d -> (d + i)
-# mod 10. Rotations are distinct ONLY for i < 26 — build_scaled
-# enforces rep <= 26, since copy 26 would be byte-identical to copy 0
-# and silently reintroduce the content-bucket merge this exists to
+# per-copy content perturbation (see module docstring): copy i applies
+# the affine letter permutation k -> (a*k + b) mod 26 with
+# (a, b) = (1, i) for i < 26 and (3, i - 26) for 26 <= i < 52 (3 is
+# coprime with both 26 and 10, so both maps are bijections), and the
+# matching digit map d -> (a*d + b) mod 10. An affine map with a != 1
+# never equals a pure shift, so all 52 permutations are DISTINCT —
+# build_scaled enforces rep <= 52, since a repeated permutation would
+# carry byte-identical text in two copies, merging their content
+# buckets and silently reintroducing the distortion this exists to
 # prevent.
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
 _DIGIT = "0123456789"
+
+
+def _copy_maps(i: int) -> tuple[str, str]:
+    a, b = (1, i) if i < 26 else (3, i - 26)
+    rot = "".join(_ALPHA[(a * k + b) % 26] for k in range(26))
+    drot = "".join(_DIGIT[(a * d + b) % 10] for d in range(10))
+    return rot, drot
 
 
 def _perturb(table: str, i: int) -> str | None:
     # emitted for EVERY copy (identity at i=0) so the UNION ALL
     # branches keep identical positional column order
     if table == "documents":
-        rot = _ALPHA[i % 26:] + _ALPHA[:i % 26]
-        drot = _DIGIT[i % 10:] + _DIGIT[:i % 10]
+        rot, drot = _copy_maps(i)
         return (f"translate(text, '{_ALPHA}{_ALPHA.upper()}{_DIGIT}', "
                 f"'{rot}{rot.upper()}{drot}') AS text")
     if table == "embeddings":
@@ -100,12 +113,12 @@ def _perturb(table: str, i: int) -> str | None:
 
 
 def build_scaled(dst: str, rep: int) -> None:
-    if rep > 26:
+    if rep > 52:
         raise ValueError(
-            "rep > 26 would repeat the identity alphabet rotation: "
-            "copies i and i+26 would carry byte-identical text, merging "
-            "their content buckets and distorting the dedup/ANN scaling "
-            "this probe measures")
+            "rep > 52 exhausts the distinct affine letter permutations: "
+            "two copies would carry byte-identical text, merging their "
+            "content buckets and distorting the dedup/ANN scaling this "
+            "probe measures")
     con = duckdb.connect()
     for t in _DIMS:
         shutil.copyfile(f"{SRC}/{t}.parquet", f"{dst}/{t}.parquet")
@@ -116,7 +129,9 @@ def build_scaled(dst: str, rep: int) -> None:
         for i in range(rep):
             exprs = []
             for c, stride in shifts:
-                exprs.append(f"{c} + {i} * {stride} AS {c}")
+                # precomputed offset: DuckDB would plan `i * stride` as
+                # INT32 * INT32 and overflow at i*stride >= 2^31
+                exprs.append(f"{c} + {i * stride} AS {c}")
             pert = _perturb(t, i)
             if pert is not None:
                 cols_i = cols | {pert.rsplit(" AS ", 1)[1]}
@@ -133,9 +148,9 @@ def build_scaled(dst: str, rep: int) -> None:
     con.close()
 
 
-def time_queries(spark, queries, sf_dir: str, reps: int = 3) -> dict:
+def time_queries(spark, queries, sf_dir: str, names, reps: int = 3) -> dict:
     out = {}
-    for name in PROBE_QUERIES:
+    for name in names:
         fn = queries[name]
         best = None
         for _ in range(reps):
@@ -152,7 +167,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rep", type=int, default=10)
     ap.add_argument("--out", default="BENCH_sf1.json")
+    ap.add_argument("--queries", nargs="*", default=None,
+                    help="subset of PROBE_QUERIES (default: all) — the "
+                         "30x rung targets just the steepest 10x curves")
     args = ap.parse_args()
+    names = args.queries or PROBE_QUERIES
+    unknown = set(names) - set(PROBE_QUERIES)
+    if unknown:
+        raise SystemExit(f"not probe queries: {sorted(unknown)}")
 
     from pyspark.sql import SparkSession
     spark = (SparkSession.builder.master(
@@ -168,14 +190,15 @@ def main() -> None:
     build_scaled(dst, args.rep)
 
     print("timing sf0.1 (min of 3, warm)", file=sys.stderr)
-    base = time_queries(spark, queries, SRC)
+    base = time_queries(spark, queries, SRC, names)
     print(f"timing {args.rep}x (min of 3, warm)", file=sys.stderr)
-    big = time_queries(spark, queries, dst)
+    big = time_queries(spark, queries, dst, names)
 
     rows = {}
-    for name in PROBE_QUERIES:
+    for name in names:
         ratio = round(big[name] / base[name], 2) if base[name] else None
-        rows[name] = {"sf01_sec": base[name], "x10_sec": big[name],
+        rows[name] = {"sf01_sec": base[name],
+                      f"x{args.rep}_sec": big[name],
                       "ratio": ratio}
     result = {"rep": args.rep, "src": SRC, "queries": rows}
     with open(args.out, "w") as f:
