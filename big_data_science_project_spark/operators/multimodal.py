@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.flac_codec import flac_decode, flac_encode
 from ..functions.jpeg_codec import jpeg_decode, jpeg_encode
 from ..functions.png_codec import png_decode, png_encode
 from ..sources.cells import load_cells
@@ -127,21 +128,24 @@ def make_frame_sample_udf(every_k: int):
 
 
 # ---------------------------------------------------------------------------
-# external codecs. PNG and JPEG are REAL — stdlib/numpy implementations
-# (functions/png_codec.py, functions/jpeg_codec.py), closing the
-# reference's image-sink boundary (feature extraction.py:89-91
-# cv.imwrite). Audio codecs (mp3/flac/opus) still need libraries not in
-# this container: for those the UDF shape is real, the body raises
-# unless the fake is requested, and the fake is deterministic
-# (hash-derived) so tests and oracles are stable.
+# external codecs. PNG, JPEG and FLAC are REAL — stdlib/numpy
+# implementations (functions/png_codec.py, functions/jpeg_codec.py,
+# functions/flac_codec.py), closing the reference's image-sink boundary
+# (feature extraction.py:89-91 cv.imwrite) and the lossless-audio one.
+# Only LOSSY audio codecs (mp3/opus) still need libraries not in this
+# container: for those the UDF shape is real, the body raises unless
+# the fake is requested, and the fake is deterministic (hash-derived)
+# so tests and oracles are stable.
 # ---------------------------------------------------------------------------
 def decode_external(payload: bytes, codec: str, use_fake: bool = False) -> np.ndarray:
     """Decode an external image/audio payload to a flat float32 array.
 
     ``codec="png"`` (8-bit gray/RGB) and ``codec="jpeg"`` (baseline
     sequential, gray/4:4:4 color) decode for real, yielding raw 0..255
-    sample values. Audio codecs would dispatch to libsndfile/ffmpeg —
-    absent here, so they raise unless ``use_fake=True`` (a deterministic
+    sample values; ``codec="flac"`` (16-bit fixed-predictor subset)
+    decodes for real too, yielding int16 sample values as float32.
+    Lossy audio codecs (mp3/opus) would dispatch to ffmpeg — absent
+    here, so they raise unless ``use_fake=True`` (a deterministic
     pseudo-decode: first 16 bytes of sha256 as float32 levels)."""
     if not use_fake:
         # module-level import: a runtime relative import inside a UDF body
@@ -152,6 +156,8 @@ def decode_external(payload: bytes, codec: str, use_fake: bool = False) -> np.nd
             return png_decode(payload).astype(np.float32).reshape(-1)
         if codec == "jpeg":
             return jpeg_decode(payload).astype(np.float32).reshape(-1)
+        if codec == "flac":
+            return flac_decode(payload).astype(np.float32).reshape(-1)
         raise NotImplementedError(
             f"codec {codec!r}: decoder libraries not available in this "
             "environment; pass use_fake=True for the deterministic stub")
@@ -391,6 +397,56 @@ def multimodal_jpeg_roundtrip(spark: SparkSession,
 
 
 QUERIES["multimodal_jpeg_roundtrip"] = (multimodal_jpeg_roundtrip, None)
+
+
+# ---------------------------------------------------------------------------
+# real FLAC round-trip — the LOSSLESS audio twin of the JPEG query:
+# each synthetic PCM clip is encoded to a real FLAC stream
+# (functions/flac_codec.py: fixed predictors, Rice coding, CRC-8/16,
+# STREAMINFO MD5) and decoded back inside one Arrow batch; the result
+# aggregates compression ratio and a lossless flag per clip, which
+# tests/test_multimodal.py asserts is 100% (bit-exact round-trip is the
+# codec's whole contract). Distribution shape is identical to every
+# other multimodal kernel: pixels/samples never shuffle — only the
+# per-clip scalar summary does.
+# ---------------------------------------------------------------------------
+_FLAC_RT_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.LongType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("n_bytes_raw", T.LongType()),
+    T.StructField("n_bytes_flac", T.LongType()),
+    T.StructField("lossless", T.LongType()),
+])
+
+
+def multimodal_flac_roundtrip(spark: SparkSession,
+                              sf_dir: str = "") -> DataFrame:
+    audio = load_audio(spark)
+
+    def rt(batches):
+        for pdf in batches:
+            out = {k.name: [] for k in _FLAC_RT_SCHEMA}
+            for cid, sr, p in zip(pdf["clip_id"], pdf["sample_rate"],
+                                  pdf["pcm"]):
+                x = np.frombuffer(bytes(p), dtype=np.int16)
+                enc = flac_encode(x, int(sr))
+                dec = flac_decode(enc)[:, 0]
+                out["clip_id"].append(int(cid))
+                out["n_samples"].append(len(x))
+                out["n_bytes_raw"].append(len(x) * 2)
+                out["n_bytes_flac"].append(len(enc))
+                out["lossless"].append(int(np.array_equal(dec, x)))
+            yield pd.DataFrame(out)
+
+    per_clip = audio.mapInPandas(rt, _FLAC_RT_SCHEMA)
+    return per_clip.agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum("n_bytes_raw").cast("bigint").alias("bytes_raw"),
+        F.sum("n_bytes_flac").cast("bigint").alias("bytes_flac"),
+        F.sum("lossless").cast("bigint").alias("n_lossless"))
+
+
+QUERIES["multimodal_flac_roundtrip"] = (multimodal_flac_roundtrip, None)
 
 
 # ---------------------------------------------------------------------------

@@ -1247,3 +1247,121 @@ FROM rows_u r, corpus c
 
 
 QUERIES["ann_recall_sweep"] = (ann_recall_sweep, _sweep_sql())
+
+
+# ---------------------------------------------------------------------------
+# Embedding-tier recall sweep (r5 verdict item #6): the text recall
+# sweep measured the model-free semantic tier as a non-option; this
+# measures what a TRAINED-embedding tier would deliver, on clones
+# planted directly in vector space. Each base vector (a deterministic
+# corpus subset) gets one clone per noise level: clone = x + eps *
+# (|x|/sqrt(DIM)) * u, with u per-dimension pseudo-random in [-1, 1]
+# from integer hashing of (clone id, dim) — fully deterministic, so the
+# DuckDB oracle reproduces every mutated vector bit-for-bit. The
+# expected noise-to-signal ratio is eps/sqrt(3) (u is uniform, E[u^2] =
+# 1/3), i.e. eps = {0.10 .. 1.20} spans cos ~0.998 down to ~0.82 —
+# straddling both detector stages of the embedding_neardup shape:
+#   - bucket stage: base and clone land in the same sign-LSH bucket
+#     (recall_bucket_pct — collision decays with angle),
+#   - verify stage: exact cosine >= 0.95, the production dedup bound
+#     (recall_pct = bucket AND cosine — exactly the condition under
+#     which the bucketed pair detector recovers the planted pair, so
+#     the direct base-clone pairing below measures the detector's
+#     recall without paying its O(bucket^2) self-join).
+# Planted ids follow the text sweep's scheme (base + m*EMB_SWEEP_OFF,
+# base filtered to vec_id < EMB_SWEEP_OFF so replicated corpora fail
+# safe). min/max cosine are order-insensitive (unlike avg) and rounded
+# to 9 like every cosine in this module, so the value oracle is exact.
+# ---------------------------------------------------------------------------
+EMB_SWEEP_OFF = 10_000_000
+EMB_NEARDUP_COS = 0.95
+_EMB_MUTS = [(1, 0.10, "eps0.10"), (2, 0.30, "eps0.30"),
+             (3, 0.45, "eps0.45"), (4, 0.70, "eps0.70"),
+             (5, 1.20, "eps1.20")]
+_EMB_BASE_PRED = f"vec_id % 5 = 2 AND vec_id < {EMB_SWEEP_OFF}"
+
+
+def dedup_recall_sweep_embedding(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    base = (e.filter(F.expr(_EMB_BASE_PRED))
+            .select("vec_id", "embedding")
+            .withColumn("nrm", _norm_udf("embedding")))
+    params = spark.createDataFrame(_EMB_MUTS,
+                                   "m bigint, eps double, mutation string")
+    # per-element: exact float32->double cast + eps*(|x|/8)*u; u's
+    # integer hash fits int64 (max (10M + 5*OFF)*1315423911 ~ 7.9e16)
+    mut = F.expr(
+        f"transform(sequence(1, {DIM}), i -> "
+        "cast(element_at(embedding, i) as double) + eps * (nrm / 8.0) * "
+        f"((((vec_id + m * {EMB_SWEEP_OFF}) * 1315423911"
+        " + i * 2654435761) % 1000003) / 500001.0 - 1.0))")
+    scored = (base.crossJoin(F.broadcast(params))
+              .withColumn("emb2", mut)
+              .withColumn("n2", _norm_udf("emb2"))
+              .withColumn("cos_sim",
+                          F.round(_cos_pair_udf(F.col("embedding"),
+                                                F.col("emb2"),
+                                                F.col("nrm"),
+                                                F.col("n2")), 9))
+              .withColumn("bmatch",
+                          (_bucket_udf("embedding")
+                           == _bucket_udf("emb2")).cast("int")))
+    found = F.expr(f"case when bmatch = 1 and cos_sim >= {EMB_NEARDUP_COS}"
+                   " then 1 else 0 end")
+    return (scored.groupBy("m", "mutation")
+            .agg(F.count(F.lit(1)).alias("n_planted"),
+                 F.sum("bmatch").alias("n_bucket"),
+                 F.sum(found).alias("n_found"),
+                 F.round(F.min("cos_sim"), 9).alias("min_cos"),
+                 F.round(F.max("cos_sim"), 9).alias("max_cos"))
+            .select(F.lit("embedding").alias("tier"), "mutation",
+                    "n_planted", "n_bucket", "n_found",
+                    F.expr("cast((100 * n_bucket) div n_planted as int)")
+                    .alias("recall_bucket_pct"),
+                    F.expr("cast((100 * n_found) div n_planted as int)")
+                    .alias("recall_pct"),
+                    "min_cos", "max_cos", "m")
+            .orderBy("m").drop("m"))
+
+
+_EMB_NORM_SQL = ("SQRT(CAST(list_aggregate(list_transform("
+                 "generate_series(1, len(embedding)), "
+                 "i -> CAST(embedding[i] AS DOUBLE)"
+                 " * CAST(embedding[i] AS DOUBLE)), 'sum') AS DOUBLE))")
+
+QUERIES["dedup_recall_sweep_embedding"] = (dedup_recall_sweep_embedding, f"""
+WITH base AS (
+  SELECT vec_id, embedding, {_EMB_NORM_SQL} AS nrm
+  FROM embeddings WHERE {_EMB_BASE_PRED}),
+params(m, eps, mutation) AS (VALUES
+  {", ".join(f"(CAST({m} AS BIGINT), CAST({eps} AS DOUBLE), '{lab}')"
+             for m, eps, lab in _EMB_MUTS)}),
+mut AS (
+  SELECT b.vec_id, b.embedding, b.nrm, p.m, p.mutation,
+         list_transform(generate_series(1, {DIM}), i ->
+           CAST(b.embedding[i] AS DOUBLE) + p.eps * (b.nrm / 8.0) *
+           ((((b.vec_id + p.m * {EMB_SWEEP_OFF}) * 1315423911
+              + i * 2654435761) % 1000003) / 500001.0 - 1.0)) AS emb2
+  FROM base b, params p),
+scored AS (
+  SELECT m, mutation,
+         ROUND({_COS_SQL_TEMPLATE.format(a='embedding', b='emb2')}, 9)
+           AS cos_sim,
+         CASE WHEN ({_bucket_sql('embedding')}) = ({_bucket_sql('emb2')})
+              THEN 1 ELSE 0 END AS bmatch
+  FROM mut)
+SELECT 'embedding' AS tier, mutation,
+       COUNT(*) AS n_planted,
+       CAST(SUM(bmatch) AS BIGINT) AS n_bucket,
+       CAST(SUM(CASE WHEN bmatch = 1 AND cos_sim >= {EMB_NEARDUP_COS}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+       CAST((100 * SUM(bmatch)) // COUNT(*) AS INT) AS recall_bucket_pct,
+       CAST((100 * SUM(CASE WHEN bmatch = 1
+                       AND cos_sim >= {EMB_NEARDUP_COS}
+                       THEN 1 ELSE 0 END)) // COUNT(*) AS INT)
+         AS recall_pct,
+       ROUND(MIN(cos_sim), 9) AS min_cos,
+       ROUND(MAX(cos_sim), 9) AS max_cos
+FROM scored GROUP BY m, mutation
+""")

@@ -331,3 +331,16 @@ def test_jpeg_roundtrip_query_bounds(spark):
     assert 0 < row.bytes_jpeg - 32 * header_floor < row.bytes_raw
     assert row.worst_abs_err <= 40          # q90 quant envelope
     assert row.worst_mean_err_milli <= 6000  # mean abs err <= 6 levels
+
+
+def test_flac_roundtrip_query_lossless(spark):
+    """The in-plan FLAC round-trip must be bit-exact on EVERY clip
+    (lossless is the codec's contract, not an error envelope) and must
+    compress the synthetic tone+silence clips."""
+    import __spark_entry__ as e
+
+    row = e.queries()["multimodal_flac_roundtrip"](
+        spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.n_clips > 0
+    assert row.n_lossless == row.n_clips
+    assert 0 < row.bytes_flac < row.bytes_raw

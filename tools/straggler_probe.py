@@ -1,0 +1,159 @@
+"""Bound the fused hot-bucket guard's straggler exposure (r5 verdict
+item #2).
+
+The r5 guard fusion (`dedup._candidate_pairs`) counts bucket sizes with
+a window that rides the band self-join's own shuffle — zero extra
+passes, but ALL rows of an over-cap bucket now colocate in ONE window
+task before being filtered, where the r4 agg+anti-join dropped them
+map-side BEFORE the exchange. Per-bucket work is linear and the window
+spills, so the predicted failure mode is a straggler (one long task),
+not a blow-up. This probe MEASURES that: it plants a single boilerplate
+bucket of --hot identical docs (default 10^6) on top of the sf0.1
+corpus, runs `dedup_minhash_verified`, and reports, per completed
+stage, max-vs-median task duration and shuffle-read bytes from the
+Spark UI REST API — plus the same run with --hot 0 as the control.
+
+Interpretation: every copy carries the SAME text, so all --hot rows
+land in one (band_id, band_key) bucket per band (N_BANDS hot buckets,
+each of size --hot, all over LSH_MAX_BUCKET=256 → all dropped by the
+guard; the planted rows contribute zero candidate pairs, which the row
+count cross-check asserts). The number that answers the verdict is
+`worst_stage.max_over_median_duration` on the window stage: if it stays
+within ~10x of the control's, the fused path holds at boilerplate skew
+and the threshold fallback is not needed.
+
+Usage: python tools/straggler_probe.py [--hot 1000000] [--out STRAGGLER.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import urllib.request
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# ~200 chars of mixed tokens — long enough for the full shingle
+# pipeline, short enough that 10^6 copies build in seconds
+_BOILER = ("this software is provided as is without warranty of any kind "
+           "express or implied including but not limited to the implied "
+           "warranties of merchantability fitness for a particular purpose "
+           "and noninfringement of rights")
+
+
+def build_corpus(dst: str, hot: int) -> None:
+    con = duckdb.connect()
+    parts = [f"SELECT * FROM read_parquet('{SRC}/documents.parquet')"]
+    if hot:
+        parts.append(
+            f"SELECT 50000000 + i AS doc_id, '{_BOILER}' AS text, "
+            f"'en' AS lang, 'boilerplate' AS source, "
+            f"{len(_BOILER)} AS n_chars "
+            f"FROM generate_series(1, {hot}) t(i)")
+    con.execute(f"COPY ({' UNION ALL '.join(parts)}) TO "
+                f"'{dst}/documents.parquet' (FORMAT PARQUET)")
+    con.close()
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return json.loads(r.read())
+
+
+def stage_table(spark) -> list[dict]:
+    """Per-completed-stage task-skew summary from the UI REST API."""
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    out = []
+    for st in _get(f"{ui}/api/v1/applications/{app}/stages?status=complete"):
+        sid, att, n = st["stageId"], st["attemptId"], st["numTasks"]
+        if n < 2:
+            continue
+        try:
+            q = _get(f"{ui}/api/v1/applications/{app}/stages/{sid}/{att}"
+                     f"/taskSummary?quantiles=0.5,1.0")
+        except Exception:
+            continue
+        med_d, max_d = q["duration"]
+        srm = q.get("shuffleReadMetrics") or {}
+        med_b, max_b = srm.get("readBytes", [0, 0])
+        out.append({
+            "stage": sid, "name": st["name"].split("\n")[0][:80],
+            "num_tasks": n,
+            "median_task_ms": med_d, "max_task_ms": max_d,
+            "max_over_median_duration":
+                round(max_d / med_d, 2) if med_d else None,
+            "median_shuffle_read_b": med_b, "max_shuffle_read_b": max_b,
+        })
+    return out
+
+
+def run_once(queries, hot: int) -> dict:
+    # fresh session per run so the stage table contains ONLY this run
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master(
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate())
+    dst = tempfile.mkdtemp(prefix=f"straggler_h{hot}_")
+    try:
+        build_corpus(dst, hot)
+        t0 = time.time()
+        n_rows = queries["dedup_minhash_verified"](spark, dst).count()
+        wall = round(time.time() - t0, 3)
+        stages = stage_table(spark)
+        worst = max((s for s in stages if s["max_over_median_duration"]),
+                    key=lambda s: s["max_over_median_duration"],
+                    default=None)
+        return {"hot": hot, "wall_sec": wall, "result_rows": n_rows,
+                "worst_stage": worst, "stages": stages}
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
+        spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hot", type=int, default=1_000_000)
+    ap.add_argument("--out", default="STRAGGLER.json")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry
+    queries = entry.queries()
+
+    print("control run (hot=0)", file=sys.stderr, flush=True)
+    control = run_once(queries, 0)
+    print(f"  wall={control['wall_sec']}s rows={control['result_rows']}",
+          file=sys.stderr)
+    print(f"hot-bucket run (hot={args.hot})", file=sys.stderr, flush=True)
+    hot = run_once(queries, args.hot)
+    print(f"  wall={hot['wall_sec']}s rows={hot['result_rows']}",
+          file=sys.stderr)
+
+    # the guard must drop the planted bucket entirely: identical docs
+    # are exact dups, not NEAR dups, so the verified-pair result over
+    # the base corpus must be unchanged
+    assert hot["result_rows"] == control["result_rows"], (
+        "planted over-cap bucket leaked candidate pairs: "
+        f"{hot['result_rows']} vs control {control['result_rows']}")
+
+    result = {"src": SRC, "boiler_len": len(_BOILER),
+              "control": control, "hot_run": hot}
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({k: result[k] for k in ("control", "hot_run")
+                      if True}, default=str)[:2000])
+
+
+if __name__ == "__main__":
+    main()
