@@ -51,6 +51,11 @@ _BOILER = ("this software is provided as is without warranty of any kind "
 
 
 def build_corpus(dst: str, hot: int) -> None:
+    # small row groups: 10^6 identical strings RLE-compress to a few
+    # MB, so without them the scan collapses to one or two input
+    # splits and the (guard-unrelated) shingle-hash stage serializes —
+    # the first probe run measured exactly that artifact (2 tasks,
+    # 410 s each)
     con = duckdb.connect()
     parts = [f"SELECT * FROM read_parquet('{SRC}/documents.parquet')"]
     if hot:
@@ -60,7 +65,8 @@ def build_corpus(dst: str, hot: int) -> None:
             f"{len(_BOILER)} AS n_chars "
             f"FROM generate_series(1, {hot}) t(i)")
     con.execute(f"COPY ({' UNION ALL '.join(parts)}) TO "
-                f"'{dst}/documents.parquet' (FORMAT PARQUET)")
+                f"'{dst}/documents.parquet' "
+                f"(FORMAT PARQUET, ROW_GROUP_SIZE 40960)")
     con.close()
 
 
@@ -76,8 +82,6 @@ def stage_table(spark) -> list[dict]:
     out = []
     for st in _get(f"{ui}/api/v1/applications/{app}/stages?status=complete"):
         sid, att, n = st["stageId"], st["attemptId"], st["numTasks"]
-        if n < 2:
-            continue
         try:
             q = _get(f"{ui}/api/v1/applications/{app}/stages/{sid}/{att}"
                      f"/taskSummary?quantiles=0.5,1.0")
@@ -98,11 +102,18 @@ def stage_table(spark) -> list[dict]:
 
 
 def run_once(queries, hot: int) -> dict:
-    # fresh session per run so the stage table contains ONLY this run
+    # fresh session per run so the stage table contains ONLY this run.
+    # Post-shuffle coalescing is disabled so the window stage keeps all
+    # 32 tasks — the probe MEASURES per-task skew, and AQE folding 31
+    # near-empty partitions into one would hide exactly that. Input
+    # splits forced down to ~1 MB for the same reason on the scan side.
     from pyspark.sql import SparkSession
     spark = (SparkSession.builder.master(
         f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
         .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "1m")
+        .config("spark.sql.files.openCostInBytes", "64k")
         .config("spark.driver.memory", "48g")
         .getOrCreate())
     dst = tempfile.mkdtemp(prefix=f"straggler_h{hot}_")
@@ -112,11 +123,17 @@ def run_once(queries, hot: int) -> dict:
         n_rows = queries["dedup_minhash_verified"](spark, dst).count()
         wall = round(time.time() - t0, 3)
         stages = stage_table(spark)
-        worst = max((s for s in stages if s["max_over_median_duration"]),
-                    key=lambda s: s["max_over_median_duration"],
-                    default=None)
+        # the window/guard stage is the one reading the band exchange —
+        # identify it as the completed stage with the largest shuffle
+        # read; its max/median task duration is the straggler bound
+        # the r5 verdict asked for
+        shuffle_stages = [s for s in stages
+                          if s["num_tasks"] >= 4 and s["max_shuffle_read_b"]]
+        window_stage = max(shuffle_stages,
+                           key=lambda s: s["max_shuffle_read_b"],
+                           default=None)
         return {"hot": hot, "wall_sec": wall, "result_rows": n_rows,
-                "worst_stage": worst, "stages": stages}
+                "window_stage": window_stage, "stages": stages}
     finally:
         shutil.rmtree(dst, ignore_errors=True)
         spark.stop()
