@@ -274,6 +274,12 @@ def flac_encode(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
         raise ValueError(f"flac_encode expects (n, 1..8ch), got {arr.shape}")
     if len(arr) == 0:
         raise ValueError("flac_encode: empty signal")
+    # STREAMINFO stores the rate in 20 bits; out-of-range values would be
+    # silently masked into wrong metadata (or, for 0, produce a stream the
+    # decoder rejects) — fail loudly at encode time instead
+    if not 0 < sample_rate < 1 << 20:
+        raise ValueError(
+            f"flac_encode: sample_rate {sample_rate} outside (0, 2^20)")
     n, ch = arr.shape
     bps = 16
     md5 = hashlib.md5(arr.astype("<i2").tobytes()).digest()

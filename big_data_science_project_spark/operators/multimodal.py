@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.adpcm_codec import adpcm_decode, adpcm_encode
 from ..functions.flac_codec import flac_decode, flac_encode
 from ..functions.jpeg_codec import jpeg_decode, jpeg_encode
 from ..functions.png_codec import png_decode, png_encode
@@ -128,14 +129,15 @@ def make_frame_sample_udf(every_k: int):
 
 
 # ---------------------------------------------------------------------------
-# external codecs. PNG, JPEG and FLAC are REAL — stdlib/numpy
-# implementations (functions/png_codec.py, functions/jpeg_codec.py,
-# functions/flac_codec.py), closing the reference's image-sink boundary
-# (feature extraction.py:89-91 cv.imwrite) and the lossless-audio one.
-# Only LOSSY audio codecs (mp3/opus) still need libraries not in this
-# container: for those the UDF shape is real, the body raises unless
-# the fake is requested, and the fake is deterministic (hash-derived)
-# so tests and oracles are stable.
+# external codecs. PNG, JPEG, FLAC and IMA-ADPCM are REAL —
+# stdlib/numpy implementations (functions/png_codec.py, jpeg_codec.py,
+# flac_codec.py, adpcm_codec.py), closing the reference's image-sink
+# boundary (feature extraction.py:89-91 cv.imwrite) plus the lossless
+# AND lossy audio ones (ADPCM is the spec-exact time-domain lossy
+# tier). Only psychoacoustic transform codecs (mp3/opus) still need
+# libraries not in this container: for those the UDF shape is real,
+# the body raises unless the fake is requested, and the fake is
+# deterministic (hash-derived) so tests and oracles are stable.
 # ---------------------------------------------------------------------------
 def decode_external(payload: bytes, codec: str, use_fake: bool = False) -> np.ndarray:
     """Decode an external image/audio payload to a flat float32 array.
@@ -143,8 +145,9 @@ def decode_external(payload: bytes, codec: str, use_fake: bool = False) -> np.nd
     ``codec="png"`` (8-bit gray/RGB) and ``codec="jpeg"`` (baseline
     sequential, gray/4:4:4 color) decode for real, yielding raw 0..255
     sample values; ``codec="flac"`` (16-bit fixed-predictor subset)
-    decodes for real too, yielding int16 sample values as float32.
-    Lossy audio codecs (mp3/opus) would dispatch to ffmpeg — absent
+    decodes for real too, yielding int16 sample values as float32, as
+    does ``codec="adpcm"`` (IMA 4-bit, the lossy audio tier).
+    Psychoacoustic codecs (mp3/opus) would dispatch to ffmpeg — absent
     here, so they raise unless ``use_fake=True`` (a deterministic
     pseudo-decode: first 16 bytes of sha256 as float32 levels)."""
     if not use_fake:
@@ -158,6 +161,8 @@ def decode_external(payload: bytes, codec: str, use_fake: bool = False) -> np.nd
             return jpeg_decode(payload).astype(np.float32).reshape(-1)
         if codec == "flac":
             return flac_decode(payload).astype(np.float32).reshape(-1)
+        if codec == "adpcm":
+            return adpcm_decode(payload).astype(np.float32).reshape(-1)
         raise NotImplementedError(
             f"codec {codec!r}: decoder libraries not available in this "
             "environment; pass use_fake=True for the deterministic stub")
@@ -430,12 +435,20 @@ def multimodal_flac_roundtrip(spark: SparkSession,
                                   pdf["pcm"]):
                 x = np.frombuffer(bytes(p), dtype=np.int16)
                 enc = flac_encode(x, int(sr))
-                dec = flac_decode(enc)[:, 0]
+                # flac_decode raises ValueError on CRC/MD5 mismatch, so a
+                # lossy regression would otherwise crash the query instead
+                # of surfacing as n_lossless < n_clips — catch it so the
+                # metric can actually report a miss
+                try:
+                    dec = flac_decode(enc)[:, 0]
+                    lossless = int(np.array_equal(dec, x))
+                except ValueError:
+                    lossless = 0
                 out["clip_id"].append(int(cid))
                 out["n_samples"].append(len(x))
                 out["n_bytes_raw"].append(len(x) * 2)
                 out["n_bytes_flac"].append(len(enc))
-                out["lossless"].append(int(np.array_equal(dec, x)))
+                out["lossless"].append(lossless)
             yield pd.DataFrame(out)
 
     per_clip = audio.mapInPandas(rt, _FLAC_RT_SCHEMA)
@@ -447,6 +460,63 @@ def multimodal_flac_roundtrip(spark: SparkSession,
 
 
 QUERIES["multimodal_flac_roundtrip"] = (multimodal_flac_roundtrip, None)
+
+
+# ---------------------------------------------------------------------------
+# real IMA-ADPCM round-trip — the LOSSY audio twin of the JPEG query:
+# each clip is compressed 4:1 through the real IMA codec
+# (functions/adpcm_codec.py, spec-exact tables + reconstruction rule)
+# and decoded back inside one Arrow batch; the result aggregates the
+# corpus compression ratio and the per-clip signal-to-noise ratio in
+# whole dB — the number that says how lossy the tier actually is
+# (tests/test_multimodal.py pins the floor). Distribution shape is the
+# same as every multimodal kernel: samples never shuffle, only the
+# per-clip scalar summary does.
+# ---------------------------------------------------------------------------
+_ADPCM_RT_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.LongType()),
+    T.StructField("n_bytes_raw", T.LongType()),
+    T.StructField("n_bytes_adpcm", T.LongType()),
+    T.StructField("snr_db_floor", T.LongType()),
+])
+
+
+def multimodal_adpcm_roundtrip(spark: SparkSession,
+                               sf_dir: str = "") -> DataFrame:
+    audio = load_audio(spark)
+
+    def rt(batches):
+        for pdf in batches:
+            out = {k.name: [] for k in _ADPCM_RT_SCHEMA}
+            for cid, sr, p in zip(pdf["clip_id"], pdf["sample_rate"],
+                                  pdf["pcm"]):
+                x = np.frombuffer(bytes(p), dtype=np.int16)
+                enc = adpcm_encode(x, int(sr))
+                dec = adpcm_decode(enc)[:, 0]
+                err = x.astype(np.float64) - dec.astype(np.float64)
+                sig = float((x.astype(np.float64) ** 2).sum())
+                noise = float((err ** 2).sum())
+                # whole-dB floor: stable across platforms (the exact
+                # float varies in the last ulps with numpy reduction
+                # order; the integer floor does not)
+                snr = int(np.floor(10.0 * np.log10(sig / noise))) \
+                    if noise > 0 else 10 ** 6
+                out["clip_id"].append(int(cid))
+                out["n_bytes_raw"].append(len(x) * 2)
+                out["n_bytes_adpcm"].append(len(enc))
+                out["snr_db_floor"].append(snr)
+            yield pd.DataFrame(out)
+
+    per_clip = audio.mapInPandas(rt, _ADPCM_RT_SCHEMA)
+    return per_clip.agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum("n_bytes_raw").cast("bigint").alias("bytes_raw"),
+        F.sum("n_bytes_adpcm").cast("bigint").alias("bytes_adpcm"),
+        F.min("snr_db_floor").cast("bigint").alias("min_snr_db"),
+        F.avg("snr_db_floor").alias("avg_snr_db"))
+
+
+QUERIES["multimodal_adpcm_roundtrip"] = (multimodal_adpcm_roundtrip, None)
 
 
 # ---------------------------------------------------------------------------

@@ -174,6 +174,14 @@ def test_input_contract():
         flac_encode(np.zeros((10, 9), dtype=np.int16))  # >8 channels
     with pytest.raises(ValueError):
         flac_encode(np.zeros(0, dtype=np.int16))
+    # STREAMINFO's rate field is 20 bits: 0 and >= 2^20 must fail at
+    # encode time, not decode time
+    with pytest.raises(ValueError):
+        flac_encode(np.zeros(10, dtype=np.int16), sample_rate=0)
+    with pytest.raises(ValueError):
+        flac_encode(np.zeros(10, dtype=np.int16), sample_rate=1 << 20)
+    flac_decode(flac_encode(np.zeros(10, dtype=np.int16),
+                            sample_rate=(1 << 20) - 1))  # max valid rate
 
 
 def test_frame_crc16_covers_whole_frame():

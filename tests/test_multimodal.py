@@ -344,3 +344,21 @@ def test_flac_roundtrip_query_lossless(spark):
     assert row.n_clips > 0
     assert row.n_lossless == row.n_clips
     assert 0 < row.bytes_flac < row.bytes_raw
+
+
+def test_adpcm_roundtrip_query_quality(spark):
+    """The in-plan IMA-ADPCM round-trip: exactly ~4:1 compression by
+    construction (4-bit codes for 16-bit samples plus a fixed header)
+    and a pinned SNR floor on the tone+silence fixture — the number
+    that bounds how lossy the lossy tier is."""
+    import __spark_entry__ as e
+
+    row = e.queries()["multimodal_adpcm_roundtrip"](
+        spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.n_clips > 0
+    # ratio: raw/adpcm in (3.9, 4.1) — nibble stream + 20-byte header
+    assert 3.9 < row.bytes_raw / row.bytes_adpcm < 4.1
+    # IMA ADPCM delivers ~2 bits/sample effective SNR loss vs PCM on
+    # band-limited tones; 20 dB is a conservative floor for EVERY clip
+    assert row.min_snr_db >= 20
+    assert row.avg_snr_db >= row.min_snr_db
