@@ -3,6 +3,8 @@ must equal the live registry. Hand-typed counts went stale twice (README
 in r4, CHANGES_r05 in r5) — this test ends the class by asserting every
 numeric claim against `collect_registry()` itself. No Spark session
 needed; the registry is plain dicts."""
+import json
+import os
 import re
 
 from big_data_science_project_spark.operators import collect_registry
@@ -36,11 +38,54 @@ def test_readme_counts_match_registry():
     assert int(m.group(1)) == n_rows_only, (
         f"README claims {m.group(1)} rows-only, registry has {n_rows_only}")
 
-    # every "N oracle matches" sentence (selfcheck summaries) must cite
-    # the live oracle count
-    for n in re.findall(r"(\d+) oracle matches", flat):
-        assert int(n) == n_o, (
-            f"README cites {n} oracle matches, registry has {n_o}")
+    # The "N oracle matches" sentence cites FROZEN selfcheck artifacts, so
+    # it must match what those files actually record — asserting it
+    # against the live registry (the r6 version of this test) is what made
+    # the sentence silently misstate the artifact when oracles were added
+    # without a regen. Artifact freshness is a separate test below.
+    arts = _selfcheck_artifacts(text)
+    for n in re.findall(r"(\d+) oracle matches, 0 failures", flat):
+        for path, summary in arts.items():
+            assert int(n) == summary["match"], (
+                f"README cites {n} oracle matches but {path} records "
+                f"{summary['match']}")
+            assert summary["fail"] == 0, (
+                f"README claims 0 failures but {path} records "
+                f"{summary['fail']}")
+
+
+def _selfcheck_artifacts(readme_text):
+    """The three SELFCHECK files the README cites, loaded."""
+    m = re.search(r"`(SELFCHECK_r\d+)\.json` / `(_\w+)` / `(_\w+)`",
+                  readme_text)
+    assert m, "README no longer cites the selfcheck artifact trio"
+    base = m.group(1)
+    paths = [f"{base}.json", f"{base}{m.group(2)}.json",
+             f"{base}{m.group(3)}.json"]
+    out = {}
+    for p in paths:
+        full = os.path.join(os.path.dirname(README), p)
+        assert os.path.exists(full), f"README cites missing artifact {p}"
+        with open(full) as f:
+            out[p] = json.load(f)["summary"]
+    return out
+
+
+def test_selfcheck_artifacts_cover_live_registry():
+    """Freshness gate, separated from the sentence gate above: the cited
+    artifacts must have been generated for the CURRENT registry. When a
+    query or oracle is added, this is the test that demands a
+    `tools/selfcheck.py` regen (instead of corrupting the README's
+    citation of the frozen files)."""
+    n_q, n_o, n_rows_only = _counts()
+    for path, s in _selfcheck_artifacts(open(README).read()).items():
+        assert s["total"] == n_q, (
+            f"{path} covers {s['total']} queries, registry has {n_q} — "
+            "regenerate the selfcheck trio (tools/selfcheck.py)")
+        assert s["match"] + s["fail"] == n_o, (
+            f"{path} checked {s['match'] + s['fail']} oracles, registry "
+            f"has {n_o} — regenerate the selfcheck trio")
+        assert s["rows_only"] == n_rows_only, path
 
 
 def test_oracles_are_subset_of_queries():
