@@ -79,21 +79,23 @@ PROBE_QUERIES = [
 ]
 
 # per-copy content perturbation (see module docstring): copy i applies
-# the affine letter permutation k -> (a*k + b) mod 26 with
-# (a, b) = (1, i) for i < 26 and (3, i - 26) for 26 <= i < 52 (3 is
-# coprime with both 26 and 10, so both maps are bijections), and the
-# matching digit map d -> (a*d + b) mod 10. An affine map with a != 1
-# never equals a pure shift, so all 52 permutations are DISTINCT —
-# build_scaled enforces rep <= 52, since a repeated permutation would
-# carry byte-identical text in two copies, merging their content
-# buckets and silently reintroducing the distortion this exists to
-# prevent.
+# the affine letter permutation k -> (a*k + b) mod 26 and the matching
+# digit map d -> (a*d + b) mod 10, with b = i mod 26 and the multiplier
+# a drawn from _A_UNITS (each coprime to BOTH 26 and 10, so every map
+# is a bijection on letters and on digits). Distinct (a, b) pairs give
+# distinct letter permutations — an affine map determines (a, b)
+# uniquely — so the family supports rep <= 26 * len(_A_UNITS) = 104
+# copies (the 100x rung) before any two copies would carry
+# byte-identical text, merging their content buckets and silently
+# reintroducing the distortion this exists to prevent; build_scaled
+# enforces the cap.
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
 _DIGIT = "0123456789"
+_A_UNITS = (1, 3, 7, 9)  # units mod 26 and mod 10
 
 
 def _copy_maps(i: int) -> tuple[str, str]:
-    a, b = (1, i) if i < 26 else (3, i - 26)
+    a, b = _A_UNITS[i // 26], i % 26
     rot = "".join(_ALPHA[(a * k + b) % 26] for k in range(26))
     drot = "".join(_DIGIT[(a * d + b) % 10] for d in range(10))
     return rot, drot
@@ -113,12 +115,12 @@ def _perturb(table: str, i: int) -> str | None:
 
 
 def build_scaled(dst: str, rep: int) -> None:
-    if rep > 52:
+    if rep > 26 * len(_A_UNITS):
         raise ValueError(
-            "rep > 52 exhausts the distinct affine letter permutations: "
-            "two copies would carry byte-identical text, merging their "
-            "content buckets and distorting the dedup/ANN scaling this "
-            "probe measures")
+            f"rep > {26 * len(_A_UNITS)} exhausts the distinct affine "
+            "letter permutations: two copies would carry byte-identical "
+            "text, merging their content buckets and distorting the "
+            "dedup/ANN scaling this probe measures")
     con = duckdb.connect()
     for t in _DIMS:
         shutil.copyfile(f"{SRC}/{t}.parquet", f"{dst}/{t}.parquet")
