@@ -162,11 +162,16 @@ def adpcm_decode(data: bytes) -> np.ndarray:
         pos += 3
 
     nbytes = n // 2  # == ceil((n-1)/2): n-1 coded nibbles padded to bytes
+    # the container's size is fully determined by the header, so check it
+    # BEFORE allocating the output: a corrupted length field must raise,
+    # not attempt a petabyte np.empty (caught by the byte-flip fuzz test)
+    if len(data) != pos + ch * nbytes:
+        raise ValueError(
+            f"adpcm: stream is {len(data)} bytes, header implies "
+            f"{pos + ch * nbytes}")
     out = np.empty((n, ch), dtype=np.int16)
     for c in range(ch):
-        body = data[pos:pos + nbytes]
-        if len(body) != nbytes:
-            raise ValueError("adpcm: truncated nibble stream")
+        body = data[pos:pos + nbytes]  # exact: length checked above
         pos += nbytes
         predictor, index = states[c]
         out[0, c] = predictor
@@ -179,8 +184,6 @@ def adpcm_decode(data: bytes) -> np.ndarray:
                 predictor, index = _step_one(code, predictor, index)
                 vals[i] = predictor
                 i += 1
-    if pos != len(data):
-        raise ValueError(f"adpcm: {len(data) - pos} trailing bytes")
     return out
 
 

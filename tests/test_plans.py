@@ -35,7 +35,10 @@ def test_q02_pushdown_and_pruning(spark):
 
 
 def test_q03_topk_no_full_sort(spark):
-    df = QUERIES["q03_revenue_topn"](spark, SF)
+    # _fresh: the broadcast-count and no-sort-merge assertions must read
+    # the un-executed plan — after test_oracle_parity collects the cached
+    # q03 DataFrame, the finalized adaptive plan formats differently
+    df = _fresh(spark, "q03_revenue_topn")
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan

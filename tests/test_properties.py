@@ -641,5 +641,12 @@ def test_normalized_dedup_whitespace_class_and_empty_guard(spark):
     pd.DataFrame(docs, columns=["doc_id", "text"]).to_parquet(
         os.path.join(d, "documents.parquet"))
     rows = dedup_exact_normalized(spark, d).collect()
-    assert len(rows) == 1
-    assert rows[0].canonical_id == 1 and rows[0].n_copies == 3
+    # one dup group + the '__corpus_checksum__' summary row (added in
+    # r6 so the value oracle bites on dup-free corpora too)
+    assert len(rows) == 2
+    by_digest = {r.digest: r for r in rows}
+    checksum = by_digest.pop("__corpus_checksum__")
+    # checksum counts every doc with NONEMPTY normalization: 1,2,3,4
+    assert checksum.n_copies == 4
+    (group,) = by_digest.values()
+    assert group.canonical_id == 1 and group.n_copies == 3
