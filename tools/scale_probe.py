@@ -72,7 +72,8 @@ PROBE_QUERIES = [
     "q01_pricing_summary", "q03_revenue_topn", "q05_region_revenue",
     "q17_outlier_votes", "q18_small_qty_vs_avg", "q24_percentiles",
     "q25_range_join", "q39_band_join", "histogram",
-    "curate_redact", "dedup_minhash_verified", "dedup_simhash",
+    "curate_redact", "curate_pipeline", "dedup_minhash_verified",
+    "dedup_simhash",
     "dedup_substring_exact", "ann_bruteforce_topk", "ann_ivf_topk",
     "text_token_stats", "stream_hourly_by_type",
     "stream_sliding_by_type", "stream_dedup_within_watermark",
