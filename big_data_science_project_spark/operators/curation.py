@@ -569,3 +569,90 @@ SELECT lang,
 FROM ranked
 GROUP BY lang
 """)
+
+
+# ---------------------------------------------------------------------------
+# Data-quality constraint audit — the Deequ-style gate a production
+# corpus pipeline runs before admitting a batch (completeness,
+# uniqueness, row-level consistency, domain membership, bounds), as one
+# row per declared constraint with the measured metric and a
+# pass/fail verdict.
+#
+# Scale shape: every metric is a SUFFICIENT STATISTIC, so the whole
+# audit is ONE partial+final aggregation over the corpus — shuffle
+# bytes = one row of counters per map task — followed by a driver-sized
+# stack() to the per-constraint layout. COUNT(DISTINCT doc_id) plans as
+# the standard two-phase expand+agg (keys shuffle once, pre-combined);
+# everything else is pure map-side combine. At 100 TB this is the same
+# single pass as the q34 profiler, and adding a constraint costs one
+# more counter, not another scan.
+#
+# Metrics are integer MILLIs (trunc division, Spark `div` == DuckDB
+# `//` toward zero) — the audit stays repr-exact cross-engine with no
+# float renderings, matching the engine's integer-exact oracle style.
+# ---------------------------------------------------------------------------
+ALLOWED_LANGS = ("en", "de", "fr", "es", "zh")
+LANG_MIN_MILLI = 950          # >= 95% of docs in the allowed language set
+MEAN_CHARS_MAX_MILLI = 1_000_000  # mean doc length <= 1000 chars
+
+
+def curate_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    langs = ", ".join(f"'{lang}'" for lang in ALLOWED_LANGS)
+    stats = d.agg(
+        F.expr("(1000 * count(text)) div count(*)").alias("completeness"),
+        F.expr("(1000 * count(distinct doc_id)) div count(*)")
+        .alias("uniqueness"),
+        F.expr("(1000 * count(case when length(text) = n_chars then 1 end))"
+               " div count(*)").alias("consistency"),
+        F.expr(f"(1000 * count(case when lang in ({langs}) then 1 end))"
+               " div count(*)").alias("membership"),
+        F.expr("1000 * min(n_chars)").alias("min_chars"),
+        F.expr("(1000 * sum(n_chars)) div count(*)").alias("mean_chars"))
+    return stats.select(F.expr(f"""stack(6,
+      'completeness_text_ge', completeness, 1000L,
+          if(completeness >= 1000, 1L, 0L),
+      'uniqueness_doc_id_ge', uniqueness, 1000L,
+          if(uniqueness >= 1000, 1L, 0L),
+      'len_consistency_ge', consistency, 1000L,
+          if(consistency >= 1000, 1L, 0L),
+      'lang_membership_ge', membership, {LANG_MIN_MILLI}L,
+          if(membership >= {LANG_MIN_MILLI}, 1L, 0L),
+      'min_chars_ge', min_chars, 1000L,
+          if(min_chars >= 1000, 1L, 0L),
+      'mean_chars_le', mean_chars, {MEAN_CHARS_MAX_MILLI}L,
+          if(mean_chars <= {MEAN_CHARS_MAX_MILLI}, 1L, 0L)
+    ) as (check_name, metric_milli, threshold_milli, passed)"""))
+
+
+QUERIES["curate_constraint_audit"] = (curate_constraint_audit, f"""
+WITH s AS (
+  SELECT (1000 * COUNT(text)) // COUNT(*) AS completeness,
+         (1000 * COUNT(DISTINCT doc_id)) // COUNT(*) AS uniqueness,
+         (1000 * COUNT(CASE WHEN length(text) = n_chars THEN 1 END))
+           // COUNT(*) AS consistency,
+         (1000 * COUNT(CASE WHEN lang IN
+           ({", ".join(f"'{lang}'" for lang in ALLOWED_LANGS)})
+           THEN 1 END)) // COUNT(*) AS membership,
+         1000 * MIN(n_chars) AS min_chars,
+         (1000 * CAST(SUM(n_chars) AS BIGINT)) // COUNT(*) AS mean_chars
+  FROM documents)
+SELECT v.c AS check_name,
+       CAST(v.m AS BIGINT) AS metric_milli,
+       CAST(v.t AS BIGINT) AS threshold_milli,
+       CAST(v.p AS BIGINT) AS passed
+FROM s, LATERAL (VALUES
+  ('completeness_text_ge', completeness, 1000,
+     CASE WHEN completeness >= 1000 THEN 1 ELSE 0 END),
+  ('uniqueness_doc_id_ge', uniqueness, 1000,
+     CASE WHEN uniqueness >= 1000 THEN 1 ELSE 0 END),
+  ('len_consistency_ge', consistency, 1000,
+     CASE WHEN consistency >= 1000 THEN 1 ELSE 0 END),
+  ('lang_membership_ge', membership, {LANG_MIN_MILLI},
+     CASE WHEN membership >= {LANG_MIN_MILLI} THEN 1 ELSE 0 END),
+  ('min_chars_ge', min_chars, 1000,
+     CASE WHEN min_chars >= 1000 THEN 1 ELSE 0 END),
+  ('mean_chars_le', mean_chars, {MEAN_CHARS_MAX_MILLI},
+     CASE WHEN mean_chars <= {MEAN_CHARS_MAX_MILLI} THEN 1 ELSE 0 END)
+  ) AS v(c, m, t, p)
+""")

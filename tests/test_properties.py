@@ -650,3 +650,41 @@ def test_normalized_dedup_whitespace_class_and_empty_guard(spark):
     assert checksum.n_copies == 4
     (group,) = by_digest.values()
     assert group.canonical_id == 1 and group.n_copies == 3
+
+
+def test_constraint_audit_fails_on_violations(spark):
+    """The data-quality gate must actually FAIL when a batch violates a
+    constraint (the fixture corpus passes all six, so the oracle alone
+    never exercises passed=0): null text, a duplicated doc_id, a length
+    mismatch, an off-domain lang, and an empty doc each trip exactly
+    their own check."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from big_data_science_project_spark.operators.curation import (
+        curate_constraint_audit)
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 2, 4, 5],           # dup id -> uniqueness
+        "text": [None, "abcde", "abcde", "xy", ""],  # null -> completeness
+        "lang": ["en", "xx", "en", "en", "en"],      # xx -> membership
+        "source": ["s"] * 5,
+        # row 4 claims 3 chars for a 2-char text -> consistency;
+        # row 5 empty -> min_chars
+        "n_chars": pd.array([0, 5, 5, 3, 0], dtype="int64"),
+    })
+    d = tempfile.mkdtemp(prefix="audit_")
+    docs.to_parquet(os.path.join(d, "documents.parquet"))
+    got = {r.check_name: r for r in
+           curate_constraint_audit(spark, d).collect()}
+    assert got["completeness_text_ge"].passed == 0   # 1/5 null
+    assert got["uniqueness_doc_id_ge"].passed == 0   # 4 distinct / 5
+    assert got["len_consistency_ge"].passed == 0
+    assert got["lang_membership_ge"].passed == 0     # 800 < 950 milli
+    assert got["min_chars_ge"].passed == 0           # empty doc
+    assert got["mean_chars_le"].passed == 1          # mean tiny: still ok
+    # metric arithmetic spot-check: completeness = (1000*4) div 5 = 800
+    assert got["completeness_text_ge"].metric_milli == 800
+    assert got["uniqueness_doc_id_ge"].metric_milli == 800
