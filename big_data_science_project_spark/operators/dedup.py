@@ -1167,3 +1167,132 @@ FROM grid g LEFT JOIN found f ON f.tier = g.tier AND f.m = g.m
 
 
 QUERIES["dedup_recall_sweep"] = (dedup_recall_sweep, _recall_sweep_sql())
+
+
+# ---------------------------------------------------------------------------
+# INCREMENTAL dedup — the production corpus-growth shape: a freshly
+# crawled batch is deduplicated AGAINST THE EXISTING CORPUS without
+# re-pairing the corpus with itself. This is how a 100 TB corpus
+# actually ingests: the index side's digests and LSH bands are computed
+# once and persisted (here they are derived in-plan from the same
+# fixture, split deterministically by the curation md5 bucket — index =
+# buckets 0..79, new batch = 80..99); each daily batch then costs one
+# batch-sized hash pass + a batch×index band join, never an index×index
+# pass. Two tiers, one row per new-batch doc (never empty, so the value
+# oracle always bites — the dedup_exact_normalized lesson):
+#   - exact: batch md5(text) semi-joined against index digests;
+#   - near: batch bands joined to index bands on (band_id, band_key),
+#     with the hot-bucket cap applied to the INDEX side by a window
+#     count partitioned on the join key itself — the same
+#     ReusedExchange fusion as _candidate_pairs, so the guard rides the
+#     join's own shuffle; candidates are Jaccard-verified on the cached
+#     int shingles.
+# Shuffle ledger: one corpus hash pass (cached subtree shared with the
+# self-dedup queries), one band-key shuffle for the join, one doc-id
+# shuffle for the verify — all linear in batch+index, no all-pairs.
+# ---------------------------------------------------------------------------
+INDEX_PCT = 80  # md5-bucket split: 0..79 = existing index, 80..99 = new batch
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from .curation import _bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = _bucket(F.col("doc_id"))
+
+    # exact tier over raw-text digests
+    digests = d.select("doc_id", bucket.alias("bk"), F.md5("text").alias("dg"))
+    idx_dg = digests.filter(F.col("bk") < INDEX_PCT).select("dg").distinct()
+    exact = (digests.filter(F.col("bk") >= INDEX_PCT)
+             .join(idx_dg, "dg", "left_semi")
+             .select("doc_id", F.lit(1).alias("exact_dup")))
+
+    # near tier: same cached hashed-shingle subtree as the self-dedup pass
+    hashed = _hashed_shingles_df(d).persist(
+        StorageLevel.MEMORY_AND_DISK_DESER)
+    bands = _minhash_bands(hashed)
+    bands_idx = bands.filter(_bucket(F.col("doc_id")) < INDEX_PCT)
+    bands_new = bands.filter(_bucket(F.col("doc_id")) >= INDEX_PCT)
+    n_idx = F.count(F.lit(1)).over(W.partitionBy("band_id", "band_key"))
+    bands_idx = (bands_idx.withColumn("bn", n_idx)
+                 .filter(F.col("bn") <= LSH_MAX_BUCKET).drop("bn"))
+    cand = (bands_new.alias("n")
+            .join(bands_idx.alias("i"), ["band_id", "band_key"])
+            .select(F.col("n.doc_id").alias("doc_id"),
+                    F.col("i.doc_id").alias("index_doc_id"))
+            .distinct())
+
+    s1 = hashed.select(F.col("doc_id"), F.col("hs").alias("sh1"))
+    s2 = hashed.select(F.col("doc_id").alias("index_doc_id"),
+                       F.col("hs").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
+    union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
+    jac = (cand.join(s1, "doc_id").join(s2, "index_doc_id")
+           .select("doc_id", F.round(inter / union, 6).alias("j")))
+    near = jac.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum((F.col("j") >= 0.5).cast("bigint")).alias("n_verified"),
+        F.max("j").alias("best_jaccard"))
+
+    new_docs = d.filter(bucket >= INDEX_PCT).select("doc_id")
+    return (new_docs
+            .join(exact, "doc_id", "left")
+            .join(near, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("exact_dup", F.lit(0)).cast("bigint")
+                    .alias("exact_dup"),
+                    F.coalesce("n_candidates", F.lit(0)).cast("bigint")
+                    .alias("n_candidates"),
+                    F.coalesce("n_verified", F.lit(0)).cast("bigint")
+                    .alias("n_verified"),
+                    "best_jaccard"))
+
+
+def _inc_bucket_sql(expr: str) -> str:
+    return (f"CAST(('0x' || SUBSTRING(md5(CAST({expr} AS VARCHAR)), 1, 4))"
+            f" AS BIGINT) % 100")
+
+
+QUERIES["dedup_incremental"] = (dedup_incremental, f"""
+WITH hashed AS ({_HASHED_SHINGLES_SQL}),
+bands AS ({_minhash_bands_sql()}),
+bidx AS (SELECT * FROM bands WHERE {_inc_bucket_sql('doc_id')} < {INDEX_PCT}),
+bnew AS (SELECT * FROM bands WHERE {_inc_bucket_sql('doc_id')} >= {INDEX_PCT}),
+ok AS (SELECT band_id, band_key FROM bidx
+       GROUP BY 1, 2 HAVING COUNT(*) <= {LSH_MAX_BUCKET}),
+cand AS (SELECT DISTINCT n.doc_id AS doc_id, i.doc_id AS index_doc_id
+         FROM bnew n
+         JOIN ok USING (band_id, band_key)
+         JOIN bidx i USING (band_id, band_key)),
+jac AS (SELECT c.doc_id,
+               ROUND(CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)
+                     / (CAST(len(s1.hs) + len(s2.hs) AS DOUBLE)
+                        - CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)),
+                     6) AS j
+        FROM cand c
+        JOIN hashed s1 ON c.doc_id = s1.doc_id
+        JOIN hashed s2 ON c.index_doc_id = s2.doc_id),
+near AS (SELECT doc_id, COUNT(*) AS n_candidates,
+                CAST(SUM(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_verified,
+                MAX(j) AS best_jaccard
+         FROM jac GROUP BY 1),
+dg AS (SELECT doc_id, {_inc_bucket_sql('doc_id')} AS bk, md5(text) AS dg
+       FROM documents),
+exact AS (SELECT n.doc_id FROM dg n
+          WHERE n.bk >= {INDEX_PCT}
+            AND EXISTS (SELECT 1 FROM dg i
+                        WHERE i.bk < {INDEX_PCT} AND i.dg = n.dg))
+SELECT nd.doc_id,
+       CAST(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS exact_dup,
+       CAST(COALESCE(nr.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(nr.n_verified, 0) AS BIGINT) AS n_verified,
+       nr.best_jaccard
+FROM (SELECT doc_id FROM documents
+      WHERE {_inc_bucket_sql('doc_id')} >= {INDEX_PCT}) nd
+LEFT JOIN exact e ON nd.doc_id = e.doc_id
+LEFT JOIN near nr ON nd.doc_id = nr.doc_id
+""")

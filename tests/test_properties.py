@@ -688,3 +688,47 @@ def test_constraint_audit_fails_on_violations(spark):
     # metric arithmetic spot-check: completeness = (1000*4) div 5 = 800
     assert got["completeness_text_ge"].metric_milli == 800
     assert got["uniqueness_doc_id_ge"].metric_milli == 800
+
+
+def test_incremental_dedup_tiers_on_planted_corpus(spark):
+    """Both tiers of the batch-vs-index dedup, exercised directly (the
+    fixture corpus has no exact cross-split dup, so its oracle never
+    sees exact_dup=1): doc 5 (batch) is an exact copy of doc 1 (index),
+    doc 8 (batch) a near copy of doc 2 (index), doc 14 (batch) is
+    unrelated. md5-bucket split: ids 1,2,3 land in the index (<80),
+    5,8,14 in the batch (>=80)."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from big_data_science_project_spark.operators.dedup import (
+        dedup_incremental)
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "rain in spain falls mainly on the plain every single day")
+    near = base.replace("lazy dog", "sleepy dog")
+    docs = pd.DataFrame({
+        "doc_id": pd.array([1, 2, 3, 5, 8, 14], dtype="int64"),
+        "text": [base, base + " again and again", "completely different "
+                 "words about distributed query engines and parquet",
+                 base,                      # 5: exact copy of 1
+                 base + " again and again", # 8: == doc 2 exactly? no:
+                 "unrelated short text"],
+        "lang": ["en"] * 6, "source": ["s"] * 6,
+        "n_chars": pd.array([len(base), len(base) + 16, 53,
+                             len(base), len(base) + 16, 20], dtype="int64"),
+    })
+    # make doc 8 a NEAR copy (one token changed), not exact
+    docs.loc[docs.doc_id == 8, "text"] = near + " again and again"
+    d = tempfile.mkdtemp(prefix="incdedup_")
+    docs.to_parquet(os.path.join(d, "documents.parquet"))
+    got = {r.doc_id: r for r in dedup_incremental(spark, d).collect()}
+    assert set(got) == {5, 8, 14}          # exactly the batch docs
+    assert got[5].exact_dup == 1           # exact tier fires
+    assert got[5].n_verified >= 1          # identical text also near-dups
+    assert got[8].exact_dup == 0
+    assert got[8].n_candidates >= 1        # LSH finds the near copy
+    assert got[8].n_verified >= 1 and got[8].best_jaccard >= 0.5
+    assert got[14].exact_dup == 0 and got[14].n_candidates == 0
+    assert got[14].best_jaccard is None
