@@ -73,7 +73,7 @@ PROBE_QUERIES = [
     "q17_outlier_votes", "q18_small_qty_vs_avg", "q24_percentiles",
     "q25_range_join", "q39_band_join", "histogram",
     "curate_redact", "curate_pipeline", "dedup_minhash_verified",
-    "dedup_simhash",
+    "dedup_simhash", "dedup_incremental",
     "dedup_substring_exact", "ann_bruteforce_topk", "ann_ivf_topk",
     "text_token_stats", "stream_hourly_by_type",
     "stream_sliding_by_type", "stream_dedup_within_watermark",
