@@ -1250,9 +1250,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "best_jaccard"))
 
 
-def _inc_bucket_sql(expr: str) -> str:
-    return (f"CAST(('0x' || SUBSTRING(md5(CAST({expr} AS VARCHAR)), 1, 4))"
-            f" AS BIGINT) % 100")
+# the split expression is curation's bucket — imported, not duplicated,
+# so a change to the bucket formula can never diverge the two engines'
+# (or the two modules') corpus splits
+from .curation import _bucket_sql as _inc_bucket_sql  # noqa: E402
 
 
 QUERIES["dedup_incremental"] = (dedup_incremental, f"""

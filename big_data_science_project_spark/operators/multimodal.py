@@ -477,7 +477,8 @@ _ADPCM_RT_SCHEMA = T.StructType([
     T.StructField("clip_id", T.LongType()),
     T.StructField("n_bytes_raw", T.LongType()),
     T.StructField("n_bytes_adpcm", T.LongType()),
-    T.StructField("snr_db_floor", T.LongType()),
+    T.StructField("lossless", T.LongType()),
+    T.StructField("snr_db_floor", T.LongType()),  # NULL when lossless
 ])
 
 
@@ -498,20 +499,32 @@ def multimodal_adpcm_roundtrip(spark: SparkSession,
                 noise = float((err ** 2).sum())
                 # whole-dB floor: stable across platforms (the exact
                 # float varies in the last ulps with numpy reduction
-                # order; the integer floor does not)
+                # order; the integer floor does not). A losslessly
+                # round-tripped clip (e.g. pure silence) has no SNR —
+                # record NULL + a lossless flag rather than a sentinel,
+                # which would poison the corpus average
                 snr = int(np.floor(10.0 * np.log10(sig / noise))) \
-                    if noise > 0 else 10 ** 6
+                    if noise > 0 else None
                 out["clip_id"].append(int(cid))
                 out["n_bytes_raw"].append(len(x) * 2)
                 out["n_bytes_adpcm"].append(len(enc))
+                out["lossless"].append(int(noise == 0))
                 out["snr_db_floor"].append(snr)
-            yield pd.DataFrame(out)
+            pdf_out = pd.DataFrame(out)
+            # nullable Int64: a plain list with None infers float64 and
+            # Arrow would ship NaN instead of a NULL long
+            pdf_out["snr_db_floor"] = pd.array(out["snr_db_floor"],
+                                               dtype="Int64")
+            yield pdf_out
 
     per_clip = audio.mapInPandas(rt, _ADPCM_RT_SCHEMA)
+    # min/avg skip NULLs, so both SNR stats cover exactly the LOSSY
+    # clips; lossless clips are counted separately
     return per_clip.agg(
         F.count(F.lit(1)).alias("n_clips"),
         F.sum("n_bytes_raw").cast("bigint").alias("bytes_raw"),
         F.sum("n_bytes_adpcm").cast("bigint").alias("bytes_adpcm"),
+        F.sum("lossless").cast("bigint").alias("n_lossless"),
         F.min("snr_db_floor").cast("bigint").alias("min_snr_db"),
         F.avg("snr_db_floor").alias("avg_snr_db"))
 

@@ -238,11 +238,13 @@ _given, _settings, _st = _hyp()
         _st.integers(1, (1 << 32) - 1))
 def test_roundtrip_properties(vals, rate):
     """For ANY int16 signal: container round-trips shape/rate, the
-    first sample is verbatim, every decoded sample is a clamped int16,
-    and per-sample error is bounded by the largest quantizer step
-    (|err| <= STEP_TABLE[-1] — the adapter can lag a full-scale jump by
-    at most one max-step per sample, and the encoder's quantized
-    tracking keeps it from accumulating)."""
+    first sample is verbatim, and per-sample error is bounded by
+    2 * STEP_TABLE[-1] — the quantizer corrects at most ~1.875x the
+    current step per sample, so a full-scale jump (up to 65535) can
+    overshoot/lag by up to roughly twice the max step while the adapter
+    catches up; the encoder's quantized tracking (predictor advanced
+    with the DECODED diff) keeps that error from accumulating across
+    samples, which is the property worth pinning."""
     x = np.asarray(vals, dtype=np.int16)
     enc = adpcm_encode(x, rate)
     assert adpcm_sample_rate(enc) == rate

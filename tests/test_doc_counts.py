@@ -44,7 +44,13 @@ def test_readme_counts_match_registry():
     # the sentence silently misstate the artifact when oracles were added
     # without a regen. Artifact freshness is a separate test below.
     arts = _selfcheck_artifacts(text)
-    for n in re.findall(r"(\d+) oracle matches, 0 failures", flat):
+    cites = re.findall(r"(\d+) oracle matches, 0 failures", flat)
+    # the citation sentence must EXIST — an empty findall would make
+    # this gate vacuous under any rewording (the r4 silent-staleness
+    # class this test ends)
+    assert cites, ("README no longer contains the "
+                   "'N oracle matches, 0 failures' selfcheck citation")
+    for n in cites:
         for path, summary in arts.items():
             assert int(n) == summary["match"], (
                 f"README cites {n} oracle matches but {path} records "

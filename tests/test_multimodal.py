@@ -358,6 +358,10 @@ def test_adpcm_roundtrip_query_quality(spark):
     assert row.n_clips > 0
     # ratio: raw/adpcm in (3.9, 4.1) — nibble stream + 20-byte header
     assert 3.9 < row.bytes_raw / row.bytes_adpcm < 4.1
+    # every fixture clip carries a sine segment, so none is lossless and
+    # the SNR stats cover the full clip set (lossless clips would be
+    # counted apart and EXCLUDED from min/avg — sentinel-free by design)
+    assert row.n_lossless == 0
     # IMA ADPCM delivers ~2 bits/sample effective SNR loss vs PCM on
     # band-limited tones; 20 dB is a conservative floor for EVERY clip
     assert row.min_snr_db >= 20
