@@ -553,3 +553,80 @@ def stream_dedup_within_watermark(spark: SparkSession,
 QUERIES["stream_dedup_within_watermark"] = (stream_dedup_within_watermark, """
 SELECT DISTINCT user_id, event_type FROM events
 """)
+
+
+# ---------------------------------------------------------------------------
+# STREAMING incremental dedup — the live twin of the batch
+# ``dedup_incremental`` operator (operators/dedup.py): a stream of
+# freshly crawled documents is exact-deduplicated against the STATIC
+# existing-corpus index as it arrives. The index digests broadcast to
+# every micro-batch (stream-static left join — Spark re-plans the
+# static side per trigger, so a daily index refresh is picked up
+# without restarting the query); the per-language admission report
+# updates in complete mode. The near tier (LSH bands + Jaccard) runs
+# in foreachBatch with batch semantics where needed — this query is
+# the always-on exact gate in front of it. Same deterministic
+# md5-bucket split as the batch twin: index = buckets 0..79, the
+# streamed batch = 80..99.
+# ---------------------------------------------------------------------------
+def _stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_reads(spark)
+    key = ("docs", sf_dir)
+    if key not in _schema_cache:
+        _schema_cache[key] = spark.read.parquet(
+            f"{sf_dir}/documents.parquet").schema
+    if key not in _stage_dirs:
+        d = tempfile.mkdtemp(prefix="docs_stream_")
+        os.symlink(os.path.abspath(f"{sf_dir}/documents.parquet"),
+                   os.path.join(d, "documents.parquet"))
+        _stage_dirs[key] = d
+    return spark.readStream.schema(
+        _schema_cache[key]).parquet(_stage_dirs[key])
+
+
+def stream_dedup_against_index(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from ..operators.curation import _bucket
+    from ..operators.dedup import INDEX_PCT
+
+    docs = _stream_documents(spark, sf_dir)
+    new = (docs.filter(_bucket(F.col("doc_id")) >= INDEX_PCT)
+           .select("lang", F.md5("text").alias("dg")))
+    idx = (load_table(spark, sf_dir, "documents")
+           .filter(_bucket(F.col("doc_id")) < INDEX_PCT)
+           .select(F.md5("text").alias("idg")).distinct())
+    report = (
+        new.join(F.broadcast(idx), new.dg == F.col("idg"), "left")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new"),
+             F.sum(F.col("idg").isNotNull().cast("bigint")).cast("bigint")
+             .alias("n_exact_dup"))
+    )
+    return _run_to_table(report, "complete", "dedup_index")
+
+
+def _doc_bucket_sql(expr: str) -> str:
+    from ..operators.curation import _bucket_sql
+    return _bucket_sql(expr)
+
+
+def _stream_dedup_against_index_sql() -> str:
+    from ..operators.dedup import INDEX_PCT
+    return f"""
+WITH idx AS (
+  SELECT DISTINCT md5(text) AS idg FROM documents
+  WHERE {_doc_bucket_sql('doc_id')} < {INDEX_PCT}),
+newd AS (
+  SELECT lang, md5(text) AS dg FROM documents
+  WHERE {_doc_bucket_sql('doc_id')} >= {INDEX_PCT})
+SELECT n.lang,
+       COUNT(*) AS n_new,
+       CAST(SUM(CASE WHEN i.idg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_dup
+FROM newd n LEFT JOIN idx i ON n.dg = i.idg
+GROUP BY n.lang
+"""
+
+
+QUERIES["stream_dedup_against_index"] = (stream_dedup_against_index,
+                                         _stream_dedup_against_index_sql())

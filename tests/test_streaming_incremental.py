@@ -253,3 +253,29 @@ def test_window_chain_across_batches(spark):
             .filter(F.col("day") + F.expr("INTERVAL 1 DAY") <= F.lit(cut))
             .collect()}
     assert got == want
+
+
+def test_stream_dedup_against_index_flags_planted_dup(spark):
+    """The streaming exact gate must flag a streamed doc whose text
+    already exists in the static index: doc 1 (md5-bucket < 80 → index)
+    and doc 5 (bucket >= 80 → streamed batch) share text; doc 14
+    (batch) is unique. Report: 2 new docs, 1 exact dup."""
+    import pandas as pd
+
+    from big_data_science_project_spark.streaming.events import (
+        stream_dedup_against_index)
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = pd.DataFrame({
+        "doc_id": pd.array([1, 5, 14], dtype="int64"),
+        "text": [base, base, "a completely different document body"],
+        "lang": ["en"] * 3, "source": ["s"] * 3,
+        "n_chars": pd.array([len(base), len(base), 36], dtype="int64"),
+    })
+    d = tempfile.mkdtemp(prefix="sdi_")
+    docs.to_parquet(os.path.join(d, "documents.parquet"))
+    rows = stream_dedup_against_index(spark, d).collect()
+    assert len(rows) == 1
+    assert rows[0].lang == "en"
+    assert rows[0].n_new == 2
+    assert rows[0].n_exact_dup == 1
