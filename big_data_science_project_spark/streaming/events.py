@@ -36,6 +36,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import davg, davg_expr, dsum, dsum_expr
+from ..operators.curation import _bucket, _bucket_sql
+from ..operators.dedup import INDEX_PCT
 from ..sources.tables import configure_reads, load_table, normalize_event_ts
 
 QUERIES: dict = {}
@@ -67,30 +69,37 @@ def _state_partitions(spark: SparkSession):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
-def _staged_dir(sf_dir: str) -> str:
+def _staged_dir(sf_dir: str, table: str = "events") -> str:
     """The file stream source requires a directory; stage a symlink to the
     fixture parquet in a temp dir (fixtures are read-only)."""
-    if sf_dir not in _stage_dirs:
-        d = tempfile.mkdtemp(prefix="events_stream_")
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
-                   os.path.join(d, "events.parquet"))
-        _stage_dirs[sf_dir] = d
-    return _stage_dirs[sf_dir]
+    key = (table, sf_dir)
+    if key not in _stage_dirs:
+        d = tempfile.mkdtemp(prefix=f"{table}_stream_")
+        os.symlink(os.path.abspath(f"{sf_dir}/{table}.parquet"),
+                   os.path.join(d, f"{table}.parquet"))
+        _stage_dirs[key] = d
+    return _stage_dirs[key]
+
+
+def _stream_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """readStream over one staged fixture table — the shared staging +
+    schema-caching path for every file-stream source in this module.
+    Sets the read confs up front: a driver-supplied session that runs a
+    stream_* query FIRST would otherwise crash on TIMESTAMP(NANOS) /
+    TIMESTAMP_NTZ fixtures."""
+    configure_reads(spark)
+    key = (table, sf_dir)
+    if key not in _schema_cache:
+        _schema_cache[key] = spark.read.parquet(
+            f"{sf_dir}/{table}.parquet").schema
+    return spark.readStream.schema(
+        _schema_cache[key]).parquet(_staged_dir(sf_dir, table))
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # schema must match the file layout; normalize ts to plain TIMESTAMP
-    # after the streaming scan, same as the batch loader
-    # (sources/tables.normalize_event_ts). Set the read confs here too: a
-    # driver-supplied session that runs a stream_* query FIRST would
-    # otherwise crash on TIMESTAMP(NANOS) / TIMESTAMP_NTZ fixtures.
-    configure_reads(spark)
-    if sf_dir not in _schema_cache:
-        _schema_cache[sf_dir] = spark.read.parquet(
-            f"{sf_dir}/events.parquet").schema
-    stream = spark.readStream.schema(
-        _schema_cache[sf_dir]).parquet(_staged_dir(sf_dir))
-    return normalize_event_ts(stream)
+    # normalize ts to plain TIMESTAMP after the streaming scan, same as
+    # the batch loader (sources/tables.normalize_event_ts)
+    return normalize_event_ts(_stream_table(spark, sf_dir, "events"))
 
 
 @contextlib.contextmanager
@@ -560,36 +569,23 @@ SELECT DISTINCT user_id, event_type FROM events
 # ``dedup_incremental`` operator (operators/dedup.py): a stream of
 # freshly crawled documents is exact-deduplicated against the STATIC
 # existing-corpus index as it arrives. The index digests broadcast to
-# every micro-batch (stream-static left join — Spark re-plans the
-# static side per trigger, so a daily index refresh is picked up
-# without restarting the query); the per-language admission report
-# updates in complete mode. The near tier (LSH bands + Jaccard) runs
-# in foreachBatch with batch semantics where needed — this query is
-# the always-on exact gate in front of it. Same deterministic
+# every micro-batch (stream-static left join; Spark re-executes the
+# static side's PLAN per trigger, but note the file LISTING is
+# snapshotted — a plain parquet static side does NOT see files added
+# to its directory mid-run, and ``load_table`` additionally caches the
+# DataFrame for the session. Picking up a live index refresh requires
+# a refreshable static source: a catalog table with REFRESH TABLE, or
+# a Delta/Iceberg table, in place of the raw parquet path — the join
+# shape here is unchanged by that swap). The per-language admission
+# report updates in complete mode. The near tier (LSH bands + Jaccard)
+# runs in foreachBatch with batch semantics where needed — this query
+# is the always-on exact gate in front of it. Same deterministic
 # md5-bucket split as the batch twin: index = buckets 0..79, the
 # streamed batch = 80..99.
 # ---------------------------------------------------------------------------
-def _stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    configure_reads(spark)
-    key = ("docs", sf_dir)
-    if key not in _schema_cache:
-        _schema_cache[key] = spark.read.parquet(
-            f"{sf_dir}/documents.parquet").schema
-    if key not in _stage_dirs:
-        d = tempfile.mkdtemp(prefix="docs_stream_")
-        os.symlink(os.path.abspath(f"{sf_dir}/documents.parquet"),
-                   os.path.join(d, "documents.parquet"))
-        _stage_dirs[key] = d
-    return spark.readStream.schema(
-        _schema_cache[key]).parquet(_stage_dirs[key])
-
-
 def stream_dedup_against_index(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
-    from ..operators.curation import _bucket
-    from ..operators.dedup import INDEX_PCT
-
-    docs = _stream_documents(spark, sf_dir)
+    docs = _stream_table(spark, sf_dir, "documents")
     new = (docs.filter(_bucket(F.col("doc_id")) >= INDEX_PCT)
            .select("lang", F.md5("text").alias("dg")))
     idx = (load_table(spark, sf_dir, "documents")
@@ -605,28 +601,17 @@ def stream_dedup_against_index(spark: SparkSession,
     return _run_to_table(report, "complete", "dedup_index")
 
 
-def _doc_bucket_sql(expr: str) -> str:
-    from ..operators.curation import _bucket_sql
-    return _bucket_sql(expr)
-
-
-def _stream_dedup_against_index_sql() -> str:
-    from ..operators.dedup import INDEX_PCT
-    return f"""
+QUERIES["stream_dedup_against_index"] = (stream_dedup_against_index, f"""
 WITH idx AS (
   SELECT DISTINCT md5(text) AS idg FROM documents
-  WHERE {_doc_bucket_sql('doc_id')} < {INDEX_PCT}),
+  WHERE {_bucket_sql('doc_id')} < {INDEX_PCT}),
 newd AS (
   SELECT lang, md5(text) AS dg FROM documents
-  WHERE {_doc_bucket_sql('doc_id')} >= {INDEX_PCT})
+  WHERE {_bucket_sql('doc_id')} >= {INDEX_PCT})
 SELECT n.lang,
        COUNT(*) AS n_new,
        CAST(SUM(CASE WHEN i.idg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_exact_dup
 FROM newd n LEFT JOIN idx i ON n.dg = i.idg
 GROUP BY n.lang
-"""
-
-
-QUERIES["stream_dedup_against_index"] = (stream_dedup_against_index,
-                                         _stream_dedup_against_index_sql())
+""")
