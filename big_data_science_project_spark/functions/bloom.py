@@ -1,0 +1,144 @@
+"""Distributed Bloom filter from public DataFrame primitives.
+
+Spark's own bloom machinery is inaccessible from PySpark classic: the
+``BloomFilterAggregate`` / ``BloomFilterMightContain`` expressions
+(runtime-filter work, SPARK-32268) are not registered in the public
+function registry (``bloom_filter_agg`` raises UNRESOLVED_ROUTINE), and
+``DataFrameStatFunctions.bloomFilter`` is Scala/Connect-only. So this
+builds the identical structure from primitives that ARE public:
+
+  build:  k hash positions per key via ``xxhash64(key, i)`` (the i-th
+          probe re-seeds by hashing the key together with the literal
+          ``i`` — the same multi-hash construction the double-hashing
+          literature uses), exploded and ``bit_or``-aggregated into a
+          fixed-size int64 bitmap. The aggregation is fully
+          distributed and its output is AT MOST ``num_bits/64`` rows —
+          the driver ``collect()`` is bloom-sized, never corpus-sized.
+          That is the whole point versus broadcasting the key set
+          itself: the bitmap's size is chosen up front (bits/key), so a
+          billion-key index compresses to a few GB of bitmap where the
+          raw digest set would be hundreds of GB.
+
+  probe:  two physical paths, picked by bitmap size:
+          - JVM literal (≤ ``literal_max_words`` words): the bitmap
+            embeds in the plan as an ``array<bigint>`` literal and the
+            probe is pure codegen (``element_at`` + ``shiftleft`` +
+            bitwise AND) — zero Python in the hot path. Right for
+            blooms up to a few hundred KiB; a plan literal ships with
+            every task, so it must stay small.
+          - broadcast + Arrow (above the cutoff): the bitmap ships
+            ONCE per executor as a TorrentBroadcast — the vehicle a
+            GB-scale bloom needs on a 1000-executor cluster — and the
+            probe is a vectorized numpy bit-test over the k
+            JVM-computed positions inside an Arrow-batched pandas UDF
+            (the hash work stays JVM-side; Python only indexes the
+            bitmap, ~memory-bandwidth per batch).
+
+A Bloom filter answers "definitely absent" / "maybe present"; callers
+MUST exact-verify positives (see ``streaming/events.py``'s dedup gate,
+which joins only bloom-positive rows against the real index).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# plan-literal cutoff: 4096 words = 32 KiB of bitmap in the task binary.
+LITERAL_MAX_WORDS = 4096
+
+BITS_PER_KEY = 16  # default sizing: ~0.2% fpp at k=7
+DEFAULT_K = 7
+
+
+class BloomFilter(NamedTuple):
+    """Driver-held bitmap: ``words[i]`` bit ``j`` = bloom bit ``64*i+j``."""
+
+    words: np.ndarray  # int64[num_bits // 64]
+    num_bits: int
+    k: int
+
+    def saturated(self) -> bool:
+        """True iff every one of ``num_bits`` bits is set — then probes
+        return True for EVERY key, which tests use to force the
+        false-positive path deterministically."""
+        full = np.full_like(self.words, -1)
+        if self.num_bits % 64 == 0:
+            return bool((self.words == full).all())
+        tail = (np.int64(1) << np.int64(self.num_bits % 64)) - 1
+        return bool((self.words[:-1] == full[:-1]).all()
+                    and (self.words[-1] & tail) == tail)
+
+
+def _positions(col: Column, num_bits: int, k: int) -> list[Column]:
+    return [F.pmod(F.xxhash64(col, F.lit(i)), F.lit(num_bits))
+            for i in range(k)]
+
+
+def bloom_build(df: DataFrame, col_name: str, *,
+                num_bits: int | None = None, k: int = DEFAULT_K,
+                n_items: int | None = None) -> BloomFilter:
+    """One distributed pass over ``df[col_name]`` → driver-held bitmap.
+
+    ``num_bits`` defaults to ``BITS_PER_KEY × count`` (rounded up to a
+    word); pass it explicitly when the cardinality is already known to
+    skip the sizing count, or pass ``n_items``.
+    """
+    if num_bits is None:
+        n = n_items if n_items is not None else df.count()
+        num_bits = max(64, BITS_PER_KEY * n)
+    num_bits = ((num_bits + 63) // 64) * 64 if num_bits > 64 else num_bits
+    col = F.col(col_name)
+    pos = F.explode(F.array(*_positions(col, num_bits, k))).alias("pos")
+    rows = (df.select(pos)
+            .select(F.shiftright("pos", 6).cast("int").alias("w"),
+                    F.call_function(
+                        "shiftleft", F.lit(1).cast("bigint"),
+                        F.pmod("pos", F.lit(64)).cast("int")).alias("m"))
+            .groupBy("w").agg(F.bit_or("m").alias("bits"))
+            .collect())
+    words = np.zeros((num_bits + 63) // 64, dtype=np.int64)
+    for r in rows:
+        words[r["w"]] = r["bits"]
+    return BloomFilter(words=words, num_bits=num_bits, k=k)
+
+
+def bloom_might_contain(bloom: BloomFilter, col: Column, *,
+                        literal_max_words: int = LITERAL_MAX_WORDS
+                        ) -> Column:
+    """Boolean probe column for ``col`` against ``bloom`` (False ⇒ key
+    definitely absent). Physical path per the module docstring."""
+    if len(bloom.words) <= literal_max_words:
+        words_lit = F.lit([int(w) for w in bloom.words]) \
+            .cast("array<bigint>")
+        hit = None
+        for pos in _positions(col, bloom.num_bits, bloom.k):
+            word = F.element_at(
+                words_lit, F.shiftright(pos, 6).cast("int") + F.lit(1))
+            mask = F.call_function(
+                "shiftleft", F.lit(1).cast("bigint"),
+                F.pmod(pos, F.lit(64)).cast("int"))
+            term = word.bitwiseAND(mask) != F.lit(0)
+            hit = term if hit is None else hit & term
+        return hit
+
+    from pyspark import SparkContext
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    sc = SparkContext._active_spark_context
+    bc = sc.broadcast(bloom.words)
+
+    @pandas_udf("boolean")
+    def _probe(positions):
+        import pandas as pd
+        w = bc.value
+        p = np.stack(positions.to_numpy())  # (rows, k) int64
+        # arithmetic >> keeps bit s of the two's-complement word at
+        # position 0, so signed int64 words need no unsigned dance
+        hits = ((w[p >> 6] >> (p & 63)) & 1).all(axis=1)
+        return pd.Series(hits)
+
+    return _probe(F.array(*_positions(col, bloom.num_bits, bloom.k)))

@@ -1209,7 +1209,12 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
              .join(idx_dg, "dg", "left_semi")
              .select("doc_id", F.lit(1).alias("exact_dup")))
 
-    # near tier: same cached hashed-shingle subtree as the self-dedup pass
+    # near tier: same cached hashed-shingle subtree as the self-dedup
+    # pass. Deliberately never unpersisted, and repeat invocations do
+    # NOT stack cache copies: the analyzed plan is identical to the one
+    # dedup_minhash_verified persists, so Spark's CacheManager resolves
+    # every call (and every query sharing the subtree) to the SAME
+    # entry — full rationale + measurements at that twin site above
     hashed = _hashed_shingles_df(d).persist(
         StorageLevel.MEMORY_AND_DISK_DESER)
     bands = _minhash_bands(hashed)
@@ -1256,7 +1261,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .curation import _bucket_sql as _inc_bucket_sql  # noqa: E402
 
 
-QUERIES["dedup_incremental"] = (dedup_incremental, f"""
+_INCREMENTAL_SQL = f"""
 WITH hashed AS ({_HASHED_SHINGLES_SQL}),
 bands AS ({_minhash_bands_sql()}),
 bidx AS (SELECT * FROM bands WHERE {_inc_bucket_sql('doc_id')} < {INDEX_PCT}),
@@ -1296,4 +1301,164 @@ FROM (SELECT doc_id FROM documents
       WHERE {_inc_bucket_sql('doc_id')} >= {INDEX_PCT}) nd
 LEFT JOIN exact e ON nd.doc_id = e.doc_id
 LEFT JOIN near nr ON nd.doc_id = nr.doc_id
-""")
+"""
+
+QUERIES["dedup_incremental"] = (dedup_incremental, _INCREMENTAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# PERSISTED-INDEX incremental dedup — the cost model dedup_incremental's
+# docstring claims, made physical: the index side's artifacts (distinct
+# digests, hashed shingles, LSH bands) are WRITTEN ONCE as parquet and
+# every subsequent batch re-READS them — one batch-sized hash pass per
+# ingest, the index amortized across ingests. Three artifacts:
+#   digests/   distinct md5(text)            → exact tier semi-join
+#   shingles/  (doc_id, hs int array)        → Jaccard verification
+#   bands/     (doc_id, band_id, band_key)   → candidate generation,
+#              with over-cap buckets ALREADY DROPPED: the hot-bucket cap
+#              depends only on the index, so it runs once at build time
+#              instead of as a per-batch window — the per-ingest plan
+#              has no cap pass at all. (A production index would
+#              additionally be bucketed/sorted on (band_id, band_key) so
+#              the candidate join shuffles only the batch side;
+#              sinks.py::sink_bucketed_table is that machinery.)
+# Result and oracle are IDENTICAL to dedup_incremental — the artifact
+# round-trip must not change a single value.
+# ---------------------------------------------------------------------------
+def _index_artifacts(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once per (session, sf_dir) — same session-attribute cache
+    pattern as sources/tables.load_table. Fixtures are read-only, so no
+    invalidation; the dirs are scratch (a deployment points this at
+    durable storage)."""
+    import tempfile
+
+    from .curation import _bucket
+
+    cache = getattr(spark, "_bdsp_dedup_index", None)
+    if cache is None:
+        cache = {}
+        spark._bdsp_dedup_index = cache
+    if sf_dir not in cache:
+        from pyspark.sql import Window as W
+
+        root = tempfile.mkdtemp(prefix="dedup_index_")
+        idx = (load_table(spark, sf_dir, "documents")
+               .filter(_bucket(F.col("doc_id")) < INDEX_PCT))
+        (idx.select(F.md5("text").alias("dg")).distinct()
+            .write.mode("overwrite").parquet(f"{root}/digests"))
+        _hashed_shingles_df(idx).write.mode("overwrite") \
+            .parquet(f"{root}/shingles")
+        n = F.count(F.lit(1)).over(W.partitionBy("band_id", "band_key"))
+        (_minhash_bands(spark.read.parquet(f"{root}/shingles"))
+            .withColumn("bn", n).filter(F.col("bn") <= LSH_MAX_BUCKET)
+            .drop("bn")
+            .write.mode("overwrite").parquet(f"{root}/bands"))
+        cache[sf_dir] = root
+    return cache[sf_dir]
+
+
+def near_tier_vs_artifacts(spark: SparkSession, batch: DataFrame,
+                           root: str) -> DataFrame:
+    """Near tier of the incremental dedup against a persisted index:
+    per batch doc → (doc_id, n_candidates, n_verified, best_jaccard),
+    never empty (left join from the batch). ``batch`` is any
+    documents-shaped DataFrame — the batch variant passes the
+    bucket-filtered fixture, the streaming twin passes each micro-batch
+    (foreachBatch gives it batch semantics, so THIS function is the
+    shared implementation; streaming/events.py must not re-derive it)."""
+    idx_sh = spark.read.parquet(f"{root}/shingles")
+    idx_bands = spark.read.parquet(f"{root}/bands")
+
+    # the ONLY text-scanning pass per ingest is batch-sized; persisted
+    # (spill-not-evict) because it feeds bands AND the verify join.
+    # The caller may unpersist after its action (foreachBatch does).
+    hashed_new = _hashed_shingles_df(batch).persist(
+        StorageLevel.MEMORY_AND_DISK_DESER)
+    cand = (_minhash_bands(hashed_new).alias("n")
+            .join(idx_bands.alias("i"), ["band_id", "band_key"])
+            .select(F.col("n.doc_id").alias("doc_id"),
+                    F.col("i.doc_id").alias("index_doc_id"))
+            .distinct())
+
+    s1 = hashed_new.select("doc_id", F.col("hs").alias("sh1"))
+    s2 = idx_sh.select(F.col("doc_id").alias("index_doc_id"),
+                       F.col("hs").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
+    union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
+    jac = (cand.join(s1, "doc_id").join(s2, "index_doc_id")
+           .select("doc_id", F.round(inter / union, 6).alias("j")))
+    near = jac.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum((F.col("j") >= 0.5).cast("bigint")).alias("n_verified"),
+        F.max("j").alias("best_jaccard"))
+    return (batch.select("doc_id")
+            .join(near, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_candidates", F.lit(0)).cast("bigint")
+                    .alias("n_candidates"),
+                    F.coalesce("n_verified", F.lit(0)).cast("bigint")
+                    .alias("n_verified"),
+                    "best_jaccard"))
+
+
+def dedup_incremental_persisted(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from .curation import _bucket
+
+    root = _index_artifacts(spark, sf_dir)
+    idx_dg = spark.read.parquet(f"{root}/digests")
+
+    batch = (load_table(spark, sf_dir, "documents")
+             .filter(_bucket(F.col("doc_id")) >= INDEX_PCT))
+    exact = (batch.select("doc_id", F.md5("text").alias("dg"))
+             .join(idx_dg, "dg", "left_semi")
+             .select("doc_id", F.lit(1).alias("exact_dup")))
+    near = near_tier_vs_artifacts(spark, batch, root)
+
+    return (near.join(exact, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("exact_dup", F.lit(0)).cast("bigint")
+                    .alias("exact_dup"),
+                    "n_candidates", "n_verified", "best_jaccard"))
+
+
+QUERIES["dedup_incremental_persisted"] = (dedup_incremental_persisted,
+                                          _INCREMENTAL_SQL)
+
+
+# oracle for the near tier alone (shared by the streaming twin in
+# streaming/events.py — the stream runs near_tier_vs_artifacts per
+# micro-batch, and since the tier is per-doc-vs-index, the union over
+# any batch split equals this single batch-mode statement)
+_NEAR_TIER_SQL = f"""
+WITH hashed AS ({_HASHED_SHINGLES_SQL}),
+bands AS ({_minhash_bands_sql()}),
+bidx AS (SELECT * FROM bands WHERE {_inc_bucket_sql('doc_id')} < {INDEX_PCT}),
+bnew AS (SELECT * FROM bands WHERE {_inc_bucket_sql('doc_id')} >= {INDEX_PCT}),
+ok AS (SELECT band_id, band_key FROM bidx
+       GROUP BY 1, 2 HAVING COUNT(*) <= {LSH_MAX_BUCKET}),
+cand AS (SELECT DISTINCT n.doc_id AS doc_id, i.doc_id AS index_doc_id
+         FROM bnew n
+         JOIN ok USING (band_id, band_key)
+         JOIN bidx i USING (band_id, band_key)),
+jac AS (SELECT c.doc_id,
+               ROUND(CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)
+                     / (CAST(len(s1.hs) + len(s2.hs) AS DOUBLE)
+                        - CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)),
+                     6) AS j
+        FROM cand c
+        JOIN hashed s1 ON c.doc_id = s1.doc_id
+        JOIN hashed s2 ON c.index_doc_id = s2.doc_id),
+near AS (SELECT doc_id, COUNT(*) AS n_candidates,
+                CAST(SUM(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_verified,
+                MAX(j) AS best_jaccard
+         FROM jac GROUP BY 1)
+SELECT nd.doc_id,
+       CAST(COALESCE(nr.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(nr.n_verified, 0) AS BIGINT) AS n_verified,
+       nr.best_jaccard
+FROM (SELECT doc_id FROM documents
+      WHERE {_inc_bucket_sql('doc_id')} >= {INDEX_PCT}) nd
+LEFT JOIN near nr ON nd.doc_id = nr.doc_id
+"""

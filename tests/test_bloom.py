@@ -1,0 +1,120 @@
+"""functions/bloom.py: build/probe correctness on BOTH physical probe
+paths, the saturation escape hatch, and the streaming dedup gate's
+scale shape (no corpus-derived broadcast, deterministic false-positive
+handling)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_science_project_spark.functions.bloom import (
+    BloomFilter, bloom_build, bloom_might_contain)
+
+MEMBERS = 400
+PROBES = 3000
+
+
+@pytest.fixture(scope="module")
+def bloom_and_dfs(spark):
+    keys = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(MEMBERS)], "t string")
+    probe = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(MEMBERS)]
+        + [(f"absent-{i}",) for i in range(PROBES)], "t string")
+    return bloom_build(keys, "t"), keys, probe
+
+
+@pytest.mark.parametrize("literal_max_words", [4096, 0],
+                         ids=["jvm-literal", "broadcast-arrow"])
+def test_no_false_negatives_and_low_fp(spark, bloom_and_dfs,
+                                       literal_max_words):
+    bloom, _, probe = bloom_and_dfs
+    out = probe.select(
+        "t", bloom_might_contain(bloom, F.col("t"),
+                                 literal_max_words=literal_max_words)
+        .alias("hit"))
+    member_hits = (out.filter(F.col("t").startswith("key-"))
+                   .agg(F.sum(F.col("hit").cast("int"))).first()[0])
+    assert member_hits == MEMBERS  # bloom guarantee: zero false negatives
+    fps = (out.filter(F.col("t").startswith("absent-"))
+           .agg(F.sum(F.col("hit").cast("int"))).first()[0])
+    # sized at 16 bits/key, k=7 → ~0.2% expected; 2% is a loose x10 bound
+    assert fps <= PROBES * 0.02, fps
+
+
+def test_probe_paths_agree_exactly(spark, bloom_and_dfs):
+    bloom, _, probe = bloom_and_dfs
+    jvm = probe.select("t", bloom_might_contain(
+        bloom, F.col("t"), literal_max_words=4096).alias("hit"))
+    py = probe.select("t", bloom_might_contain(
+        bloom, F.col("t"), literal_max_words=0).alias("hit"))
+    assert (sorted(map(tuple, jvm.collect()))
+            == sorted(map(tuple, py.collect())))
+
+
+def test_undersized_bloom_saturates(spark, bloom_and_dfs):
+    bloom8 = bloom_build(bloom_and_dfs[1], "t", num_bits=8)
+    assert bloom8.saturated()
+    assert not bloom_and_dfs[0].saturated()
+    novel = spark.createDataFrame([("never-seen",)], "t string")
+    assert novel.select(
+        bloom_might_contain(bloom8, F.col("t"))).first()[0] is True
+
+
+def test_bitmap_is_bloom_sized_not_corpus_sized(spark):
+    """The collect() in build is bounded by num_bits/64 — feeding 50×
+    more keys than bits cannot grow the driver-held bitmap."""
+    many = spark.range(0, 6400).select(F.col("id").cast("string").alias("t"))
+    bloom = bloom_build(many, "t", num_bits=128)
+    assert len(bloom.words) == 2
+
+
+# ---------------------------------------------------------------------------
+# streaming dedup gate: scale shape + false-positive path
+# ---------------------------------------------------------------------------
+def _planted_docs_dir() -> str:
+    """doc 1 → index bucket (<80), docs 5/14 → stream batch (≥80); doc 5
+    duplicates doc 1's text, doc 14 is novel (same fixture as the
+    planted-dup test in test_streaming_incremental.py)."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = pd.DataFrame({
+        "doc_id": pd.array([1, 5, 14], dtype="int64"),
+        "text": [base, base, "a completely different document body"],
+        "lang": ["en"] * 3, "source": ["s"] * 3,
+        "n_chars": pd.array([len(base), len(base), 36], dtype="int64"),
+    })
+    d = tempfile.mkdtemp(prefix="bloomgate_")
+    docs.to_parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_gate_false_positive_is_exact_rejected(spark):
+    """Force a saturated 8-bit bloom: EVERY streamed doc bloom-hits, so
+    the novel doc 14 is a guaranteed false positive — it must enter the
+    verify join and come out NOT counted as a dup (n_exact_dup stays 1,
+    only the true planted dup)."""
+    import big_data_science_project_spark.streaming.events as ev
+
+    rows = ev.stream_dedup_against_index(
+        spark, _planted_docs_dir(), bloom_bits=8).collect()
+    assert len(rows) == 1
+    assert (rows[0].n_new, rows[0].n_exact_dup) == (2, 1)
+
+
+def test_gate_streaming_plan_has_no_broadcast(spark):
+    """The r7 verdict's weak item: nothing corpus-derived may broadcast.
+    Assert on the REAL micro-batch executed plan — the bloom bitmap
+    travels as a plan literal / TorrentBroadcast variable, never as a
+    BroadcastExchange, and the verify join is a shuffled join."""
+    import big_data_science_project_spark.streaming.events as ev
+
+    ev.stream_dedup_against_index(spark, _planted_docs_dir())
+    plan = ev.LAST_QUERY._jsq.explainInternal(True)
+    assert "BroadcastExchange" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert ("ShuffledHashJoin" in plan) or ("SortMergeJoin" in plan), plan

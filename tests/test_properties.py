@@ -732,3 +732,55 @@ def test_incremental_dedup_tiers_on_planted_corpus(spark):
     assert got[8].n_verified >= 1 and got[8].best_jaccard >= 0.5
     assert got[14].exact_dup == 0 and got[14].n_candidates == 0
     assert got[14].best_jaccard is None
+
+
+def test_incremental_dedup_persisted_roundtrip(spark):
+    """The persisted-index variant must reproduce dedup_incremental
+    value-for-value through the parquet artifact round-trip (planted
+    corpus from the test above), write the artifacts exactly once per
+    (session, sf_dir), and pre-drop over-cap buckets at build time."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from big_data_science_project_spark.operators.dedup import (
+        dedup_incremental, dedup_incremental_persisted)
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "rain in spain falls mainly on the plain every single day")
+    near = base.replace("lazy dog", "sleepy dog")
+    docs = pd.DataFrame({
+        "doc_id": pd.array([1, 2, 3, 5, 8, 14], dtype="int64"),
+        "text": [base, base + " again and again",
+                 "completely different words about distributed query "
+                 "engines and parquet",
+                 base, near + " again and again", "unrelated short text"],
+        "lang": ["en"] * 6, "source": ["s"] * 6,
+        "n_chars": pd.array([1, 1, 1, 1, 1, 1], dtype="int64"),
+    })
+    d = tempfile.mkdtemp(prefix="incpers_")
+    docs.to_parquet(os.path.join(d, "documents.parquet"))
+
+    inplan = sorted(map(tuple, dedup_incremental(spark, d).collect()))
+    pers = sorted(map(tuple,
+                      dedup_incremental_persisted(spark, d).collect()))
+    assert pers == inplan
+
+    root = spark._bdsp_dedup_index[d]
+    stamp = {f: os.path.getmtime(os.path.join(root, "digests", f))
+             for f in os.listdir(os.path.join(root, "digests"))}
+    again = sorted(map(tuple,
+                       dedup_incremental_persisted(spark, d).collect()))
+    assert again == inplan
+    assert stamp == {  # second call re-READ, never re-WROTE
+        f: os.path.getmtime(os.path.join(root, "digests", f))
+        for f in os.listdir(os.path.join(root, "digests"))}
+
+    # artifact contract: bands carry no over-cap bucket (cap ran at build)
+    from big_data_science_project_spark.operators.dedup import (
+        LSH_MAX_BUCKET)
+    bands = spark.read.parquet(f"{root}/bands")
+    worst = (bands.groupBy("band_id", "band_key").count()
+             .agg({"count": "max"}).first()[0])
+    assert worst <= LSH_MAX_BUCKET

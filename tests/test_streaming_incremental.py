@@ -279,3 +279,66 @@ def test_stream_dedup_against_index_flags_planted_dup(spark):
     assert rows[0].lang == "en"
     assert rows[0].n_new == 2
     assert rows[0].n_exact_dup == 1
+
+
+def test_stream_near_index_flags_planted_near_dup(spark):
+    """The streaming LSH near tier must catch a MUTATED clone across the
+    index/batch split: doc 2 (bucket 30 → index) vs doc 8 (bucket 96 →
+    streamed batch, one token changed); doc 14 (batch) is unrelated and
+    must pass clean."""
+    import pandas as pd
+
+    from big_data_science_project_spark.streaming.events import (
+        stream_dedup_near_index)
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "rain in spain falls mainly on the plain every single day")
+    near = base.replace("lazy dog", "sleepy dog")
+    docs = pd.DataFrame({
+        "doc_id": pd.array([2, 8, 14], dtype="int64"),
+        "text": [base, near, "unrelated short text"],
+        "lang": ["en"] * 3, "source": ["s"] * 3,
+        "n_chars": pd.array([len(base), len(near), 20], dtype="int64"),
+    })
+    d = tempfile.mkdtemp(prefix="sni_")
+    docs.to_parquet(os.path.join(d, "documents.parquet"))
+    got = {r.doc_id: r
+           for r in stream_dedup_near_index(spark, d).collect()}
+    assert set(got) == {8, 14}
+    assert got[8].n_candidates >= 1
+    assert got[8].n_verified >= 1 and got[8].best_jaccard >= 0.5
+    assert got[14].n_candidates == 0 and got[14].best_jaccard is None
+
+
+def test_stream_ingest_loop_refresh_gates_cross_batch_dup(spark):
+    """The ingestion loop must close: a doc ADMITTED in batch 0 gates
+    its duplicate in batch 1 (live index refresh via the foreachBatch
+    re-read). Buckets: doc 1→78 (index), 5→86 & 23→85 (batch 0),
+    14→99 & 25→93 (batch 1). Texts: doc 5 duplicates the index doc
+    (gated in batch 0); doc 25 duplicates doc 23's NOVEL text — only
+    the batch-0/batch-1 refresh can gate it; doc 14 is novel.
+    Expect n_new=4, n_admitted=2 (docs 23 and 14), across 2 real
+    micro-batches."""
+    import pandas as pd
+
+    import big_data_science_project_spark.streaming.events as ev
+
+    idx_text = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                "kappa lambda mu nu xi omicron pi rho sigma tau")
+    novel = ("one two three four five six seven eight nine ten eleven "
+             "twelve thirteen fourteen fifteen sixteen")
+    other = "completely separate words for the second novel document"
+    docs = pd.DataFrame({
+        "doc_id": pd.array([1, 5, 23, 14, 25], dtype="int64"),
+        "text": [idx_text, idx_text, novel, other, novel],
+        "lang": ["en"] * 5, "source": ["s"] * 5,
+        "n_chars": pd.array([1] * 5, dtype="int64"),
+    })
+    d = tempfile.mkdtemp(prefix="sil_")
+    docs.to_parquet(os.path.join(d, "documents.parquet"))
+    rows = ev.stream_ingest_loop(spark, d).collect()
+    assert len(rows) == 1
+    assert (rows[0].n_new, rows[0].n_admitted) == (4, 2)
+    n_batches = len([p for p in ev.LAST_QUERY.recentProgress
+                     if p["numInputRows"] > 0])
+    assert n_batches == 2, n_batches

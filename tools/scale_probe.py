@@ -90,6 +90,15 @@ PROBE_QUERIES = [
 # byte-identical text, merging their content buckets and silently
 # reintroducing the distortion this exists to prevent; build_scaled
 # enforces the cap.
+#
+# AT-LEAST-ONE-LETTER ASSUMPTION (load-bearing): the 104-map
+# distinctness argument is about LETTER permutations only — there are
+# just 40 affine bijections mod 10, so distinct (a, b) pairs can share
+# a digit map (i=0 and i=10 with a=1 map digits identically), and a
+# document whose text is digit-only WOULD be byte-identical across
+# such copies, silently merging its content buckets. Safe because
+# every fixture doc contains a letter; build_scaled asserts that
+# instead of assuming it.
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
 _DIGIT = "0123456789"
 _A_UNITS = (1, 3, 7, 9)  # units mod 26 and mod 10
@@ -123,6 +132,14 @@ def build_scaled(dst: str, rep: int) -> None:
             "text, merging their content buckets and distorting the "
             "dedup/ANN scaling this probe measures")
     con = duckdb.connect()
+    n_letterless = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{SRC}/documents.parquet') "
+        "WHERE NOT regexp_matches(text, '[a-zA-Z]')").fetchone()[0]
+    if n_letterless:
+        raise ValueError(
+            f"{n_letterless} letterless docs: per-copy distinctness holds "
+            "for letter permutations only (40 affine digit maps < 104 "
+            "copies) — digit-only docs would collide across copies")
     for t in _DIMS:
         shutil.copyfile(f"{SRC}/{t}.parquet", f"{dst}/{t}.parquet")
     for t, keys in _FACTS.items():
