@@ -6,8 +6,9 @@ JSON line with per-query wall seconds.
 Headline set spans the engine's cost classes: scan+agg (q01), shuffle
 joins (q03/q05), theta band join (q39), window (q08), time-series
 spine+fill (ts_resample), histogram binning, flagship outlier vote (q17),
-minhash dedup (LSH join), ANN (Arrow kernels), regex redaction,
-streaming (stateful agg), text stats.
+minhash dedup (LSH join), incremental batch-vs-index dedup, single-pass
+constraint audit, ANN (Arrow kernels), regex redaction, streaming
+(stateful agg), text stats.
 """
 
 from __future__ import annotations
@@ -34,8 +35,10 @@ HEADLINE = [
     "histogram",
     "ts_resample_ffill",
     "curate_redact",
+    "curate_constraint_audit",
     "dedup_minhash_verified",
     "dedup_simhash",
+    "dedup_incremental",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "text_token_stats",
@@ -69,13 +72,24 @@ def main() -> None:
     # code): solo min-of-5 at sf0.1 on this host is 0.941 s with
     # steady-state reps spanning 0.94–1.18 s — the in-suite delta is
     # inside single-query host variance, not a plan regression.
+    #
+    # MEASUREMENT ACTION (r8 correction): checksum_count, not count().
+    # Counting lets Catalyst prune all columns and ELIMINATE left joins
+    # with provably-unique right keys — dedup_incremental's count plan
+    # drops its entire near tier (6 joins → 2), and q25/ts_resample
+    # lose a join each, so r1–r7 benches under-measured those queries.
+    # checksum_count references every output column, forcing the plan
+    # the user would actually pay for. See functions/actions.py.
+    from big_data_science_project_spark.functions.actions import (
+        checksum_count)
+
     times: dict[str, float] = {}
     for rep in range(3):
         for name in HEADLINE:
             fn = queries[name]
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            n = df.count()
+            n, _ = checksum_count(df)
             t = round(time.perf_counter() - t0, 3)
             times[name] = min(times.get(name, t), t)
             print(f"# rep{rep} {name}: {t:.3f}s ({n} rows)", file=sys.stderr)

@@ -1462,3 +1462,147 @@ FROM (SELECT doc_id FROM documents
       WHERE {_inc_bucket_sql('doc_id')} >= {INDEX_PCT}) nd
 LEFT JOIN near nr ON nd.doc_id = nr.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# INCREMENTAL-shape recall sweep — dedup_recall_sweep measures the
+# self-dedup tiers; this measures the tiers a BATCH-vs-INDEX ingest
+# actually runs (dedup_incremental's exact digest gate and banded near
+# tier), with the planted clones on the OPPOSITE side of the split from
+# their originals: index = the deterministic sweep base, batch = its
+# six mutated clone families (same mutation grid as the self-sweep, so
+# the two tables are directly comparable). A clone counts as found by
+#   exact: its digest semi-joins an index digest
+#   near : ≥1 Jaccard-verified (J ≥ 0.5) index candidate
+# — exactly the conditions under which dedup_incremental would flag it
+# on ingest. Clone id = base_id + m·SWEEP_OFF, so mutation attribution
+# is id arithmetic, and base-internal duplicates can't contaminate the
+# counts (only batch→index detection is measured; there is no
+# batch×batch or index×index pass, faithful to the incremental shape).
+# ---------------------------------------------------------------------------
+def dedup_incremental_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    base = (d.filter(F.expr(_SWEEP_BASE_PRED_SPARK))
+            .select("doc_id", "lang", "text")
+            .persist(StorageLevel.MEMORY_AND_DISK_DESER))
+    clones = None
+    for m, spark_expr, _ in _SWEEP_MUTS:
+        c = base.selectExpr(f"doc_id + {m * SWEEP_OFF}L AS doc_id",
+                            "lang", f"{spark_expr} AS text")
+        clones = c if clones is None else clones.unionByName(c)
+    # both sides feed two detectors each; spill-capable, per the
+    # established sweep rationale
+    clones = clones.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+
+    idx_dg = base.select(F.md5("text").alias("dg")).distinct()
+    exact_found = (clones.select("doc_id", F.md5("text").alias("dg"))
+                   .join(idx_dg, "dg", "left_semi").select("doc_id"))
+
+    hashed_idx = _hashed_shingles_df(base)
+    hashed_new = _hashed_shingles_df(clones).persist(
+        StorageLevel.MEMORY_AND_DISK_DESER)
+    n = F.count(F.lit(1)).over(W.partitionBy("band_id", "band_key"))
+    bands_idx = (_minhash_bands(hashed_idx).withColumn("bn", n)
+                 .filter(F.col("bn") <= LSH_MAX_BUCKET).drop("bn"))
+    cand = (_minhash_bands(hashed_new).alias("n")
+            .join(bands_idx.alias("i"), ["band_id", "band_key"])
+            .select(F.col("n.doc_id").alias("doc_id"),
+                    F.col("i.doc_id").alias("index_doc_id"))
+            .distinct())
+    s1 = hashed_new.select("doc_id", F.col("hs").alias("sh1"))
+    s2 = hashed_idx.select(F.col("doc_id").alias("index_doc_id"),
+                           F.col("hs").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
+    union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
+    near_found = (cand.join(s1, "doc_id").join(s2, "index_doc_id")
+                  .filter(F.round(inter / union, 6) >= 0.5)
+                  .select("doc_id").distinct())
+
+    found = (exact_found.selectExpr("'exact' AS tier", "doc_id")
+             .unionByName(near_found.selectExpr("'near' AS tier", "doc_id"))
+             .selectExpr("tier",
+                         f"cast(doc_id div {SWEEP_OFF} as int) AS m")
+             .groupBy("tier", "m")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_found")))
+
+    mut_case = ("CASE m " + " ".join(
+        f"WHEN {m} THEN '{n}'" for m, n in SWEEP_MUT_NAMES.items())
+        + " END")
+    grid = (base.agg(F.count(F.lit(1)).cast("bigint").alias("n_planted"))
+            .selectExpr("n_planted",
+                        "explode(array('exact', 'near')) AS tier")
+            .selectExpr("n_planted", "tier",
+                        f"explode(sequence(1, {len(_SWEEP_MUTS)})) AS m"))
+    return (grid.join(found, ["tier", "m"], "left")
+            .selectExpr("tier", f"{mut_case} AS mutation", "n_planted",
+                        "cast(coalesce(n_found, 0) as bigint) AS n_found",
+                        "cast((100 * coalesce(n_found, 0)) div n_planted"
+                        " as bigint) AS recall_pct"))
+
+
+def _incremental_recall_sql() -> str:
+    clone_selects = "\nUNION ALL ".join(
+        f"SELECT doc_id + {m * SWEEP_OFF} AS doc_id, lang,"
+        f" {duck} AS text FROM base"
+        for m, _, duck in _SWEEP_MUTS)
+    mut_case = ("CASE g.m " + " ".join(
+        f"WHEN {m} THEN '{n}'" for m, n in SWEEP_MUT_NAMES.items())
+        + " END")
+    mut_vals = ", ".join(f"({m})" for m, _, _ in _SWEEP_MUTS)
+    hashed_idx = _HASHED_SHINGLES_SQL.replace("FROM documents", "FROM base")
+    hashed_new = _HASHED_SHINGLES_SQL.replace("FROM documents",
+                                              "FROM clones")
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, text FROM documents
+  WHERE {_SWEEP_BASE_PRED_DUCK}),
+clones AS (
+  {clone_selects}),
+idx_dg AS (SELECT DISTINCT md5(text) AS dg FROM base),
+exact_found AS (
+  SELECT DISTINCT c.doc_id
+  FROM (SELECT doc_id, md5(text) AS dg FROM clones) c
+  JOIN idx_dg USING (dg)),
+hashed_idx AS ({hashed_idx}),
+hashed_new AS ({hashed_new}),
+bands_idx AS ({_minhash_bands_sql("hashed_idx")}),
+bands_new AS ({_minhash_bands_sql("hashed_new")}),
+ok AS (SELECT band_id, band_key FROM bands_idx
+       GROUP BY 1, 2 HAVING COUNT(*) <= {LSH_MAX_BUCKET}),
+cand AS (SELECT DISTINCT n.doc_id, i.doc_id AS index_doc_id
+         FROM bands_new n
+         JOIN ok USING (band_id, band_key)
+         JOIN bands_idx i USING (band_id, band_key)),
+near_found AS (
+  SELECT DISTINCT c.doc_id
+  FROM cand c
+  JOIN hashed_new s1 ON c.doc_id = s1.doc_id
+  JOIN hashed_idx s2 ON c.index_doc_id = s2.doc_id
+  WHERE ROUND(CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)
+        / (CAST(len(s1.hs) + len(s2.hs) AS DOUBLE)
+           - CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)), 6)
+        >= 0.5),
+found AS (
+  SELECT 'exact' AS tier, CAST(doc_id // {SWEEP_OFF} AS INT) AS m,
+         COUNT(*) AS n_found
+  FROM exact_found GROUP BY 2
+  UNION ALL
+  SELECT 'near' AS tier, CAST(doc_id // {SWEEP_OFF} AS INT) AS m,
+         COUNT(*) AS n_found
+  FROM near_found GROUP BY 2),
+grid AS (
+  SELECT t.tier, m.m, (SELECT COUNT(*) FROM base) AS n_planted
+  FROM (VALUES ('exact'), ('near')) t(tier), (VALUES {mut_vals}) m(m))
+SELECT g.tier, {mut_case} AS mutation,
+       CAST(g.n_planted AS BIGINT) AS n_planted,
+       CAST(COALESCE(f.n_found, 0) AS BIGINT) AS n_found,
+       CAST((100 * COALESCE(f.n_found, 0)) // g.n_planted AS BIGINT)
+         AS recall_pct
+FROM grid g LEFT JOIN found f ON f.tier = g.tier AND f.m = g.m
+"""
+
+
+QUERIES["dedup_incremental_recall"] = (dedup_incremental_recall,
+                                       _incremental_recall_sql())

@@ -31,6 +31,7 @@ from pyspark.sql import types as T
 
 from ..functions.adpcm_codec import adpcm_decode, adpcm_encode
 from ..functions.flac_codec import flac_decode, flac_encode
+from ..functions.mdct_codec import mdct_decode, mdct_encode
 from ..functions.jpeg_codec import jpeg_decode, jpeg_encode
 from ..functions.png_codec import png_decode, png_encode
 from ..sources.cells import load_cells
@@ -129,15 +130,17 @@ def make_frame_sample_udf(every_k: int):
 
 
 # ---------------------------------------------------------------------------
-# external codecs. PNG, JPEG, FLAC and IMA-ADPCM are REAL —
-# stdlib/numpy implementations (functions/png_codec.py, jpeg_codec.py,
-# flac_codec.py, adpcm_codec.py), closing the reference's image-sink
-# boundary (feature extraction.py:89-91 cv.imwrite) plus the lossless
-# AND lossy audio ones (ADPCM is the spec-exact time-domain lossy
-# tier). Only psychoacoustic transform codecs (mp3/opus) still need
-# libraries not in this container: for those the UDF shape is real,
-# the body raises unless the fake is requested, and the fake is
-# deterministic (hash-derived) so tests and oracles are stable.
+# external codecs. PNG, JPEG, FLAC, IMA-ADPCM and the MDCT transform
+# codec are REAL — stdlib/numpy implementations (functions/png_codec.py,
+# jpeg_codec.py, flac_codec.py, adpcm_codec.py, mdct_codec.py), closing
+# the reference's image-sink boundary (feature extraction.py:89-91
+# cv.imwrite) plus all three audio tiers: lossless (FLAC), time-domain
+# lossy (ADPCM), and transform-domain lossy (MDCT — the mp3/opus spine
+# with uniform quantization in place of a psychoacoustic model). Only
+# BITSTREAM compatibility with mp3/opus still needs libraries not in
+# this container: for those names the UDF shape is real, the body
+# raises unless the fake is requested, and the fake is deterministic
+# (hash-derived) so tests and oracles are stable.
 # ---------------------------------------------------------------------------
 def decode_external(payload: bytes, codec: str, use_fake: bool = False) -> np.ndarray:
     """Decode an external image/audio payload to a flat float32 array.
@@ -163,6 +166,8 @@ def decode_external(payload: bytes, codec: str, use_fake: bool = False) -> np.nd
             return flac_decode(payload).astype(np.float32).reshape(-1)
         if codec == "adpcm":
             return adpcm_decode(payload).astype(np.float32).reshape(-1)
+        if codec == "mdct":
+            return mdct_decode(payload).astype(np.float32).reshape(-1)
         raise NotImplementedError(
             f"codec {codec!r}: decoder libraries not available in this "
             "environment; pass use_fake=True for the deterministic stub")
@@ -530,6 +535,60 @@ def multimodal_adpcm_roundtrip(spark: SparkSession,
 
 
 QUERIES["multimodal_adpcm_roundtrip"] = (multimodal_adpcm_roundtrip, None)
+
+
+# ---------------------------------------------------------------------------
+# real MDCT round-trip — the TRANSFORM-domain lossy audio tier (the
+# mp3/opus spine: 50%-overlap sine-window MDCT + per-block scalefactor
+# + uniform 8-bit mantissas; functions/mdct_codec.py). Same report
+# shape as the ADPCM query so the two lossy tiers are directly
+# comparable: corpus compression ratio + whole-dB per-clip SNR floor.
+# Unlike ADPCM (4:1 fixed, time-domain), the MDCT tier's error is
+# spread across each block by the inverse transform — the SNR floor the
+# tests pin is on the SAME tone+silence fixture, so the numbers answer
+# "which lossy tier for this corpus" directly. Distribution shape
+# unchanged: samples never shuffle, only per-clip scalars do.
+# ---------------------------------------------------------------------------
+def multimodal_mdct_roundtrip(spark: SparkSession,
+                              sf_dir: str = "") -> DataFrame:
+    audio = load_audio(spark)
+
+    def rt(batches):
+        for pdf in batches:
+            out = {k.name: [] for k in _ADPCM_RT_SCHEMA}
+            for cid, sr, p in zip(pdf["clip_id"], pdf["sample_rate"],
+                                  pdf["pcm"]):
+                x = np.frombuffer(bytes(p), dtype=np.int16)
+                enc = mdct_encode(x, int(sr))
+                dec = mdct_decode(enc)[:, 0]
+                err = x.astype(np.float64) - dec.astype(np.float64)
+                sig = float((x.astype(np.float64) ** 2).sum())
+                noise = float((err ** 2).sum())
+                # whole-dB floor + NULL-not-sentinel for lossless clips:
+                # same rationale as the ADPCM twin above
+                snr = int(np.floor(10.0 * np.log10(sig / noise))) \
+                    if noise > 0 else None
+                out["clip_id"].append(int(cid))
+                out["n_bytes_raw"].append(len(x) * 2)
+                out["n_bytes_adpcm"].append(len(enc))
+                out["lossless"].append(int(noise == 0))
+                out["snr_db_floor"].append(snr)
+            pdf_out = pd.DataFrame(out)
+            pdf_out["snr_db_floor"] = pd.array(out["snr_db_floor"],
+                                               dtype="Int64")
+            yield pdf_out
+
+    per_clip = audio.mapInPandas(rt, _ADPCM_RT_SCHEMA)
+    return per_clip.agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum("n_bytes_raw").cast("bigint").alias("bytes_raw"),
+        F.sum("n_bytes_adpcm").cast("bigint").alias("bytes_mdct"),
+        F.sum("lossless").cast("bigint").alias("n_lossless"),
+        F.min("snr_db_floor").cast("bigint").alias("min_snr_db"),
+        F.avg("snr_db_floor").alias("avg_snr_db"))
+
+
+QUERIES["multimodal_mdct_roundtrip"] = (multimodal_mdct_roundtrip, None)
 
 
 # ---------------------------------------------------------------------------

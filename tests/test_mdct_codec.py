@@ -1,0 +1,145 @@
+"""functions/mdct_codec.py: TDAC exactness, quantization-bounded
+round-trip quality, container hardening, and the in-plan round-trip
+query — the transform-domain twin of test_adpcm_codec.py."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from big_data_science_project_spark.functions.mdct_codec import (
+    N_COEFF, _COS, _WIN, _frame, imdct_overlap_add, mdct, mdct_decode,
+    mdct_encode, mdct_sample_rate)
+
+
+def test_princen_bradley_window_condition():
+    """w²[t] + w²[t+N] = 1 — the condition that makes overlap-added
+    IMDCT blocks cancel time-domain aliasing exactly."""
+    cond = _WIN[:N_COEFF] ** 2 + _WIN[N_COEFF:] ** 2
+    assert np.allclose(cond, 1.0, atol=1e-12)
+
+
+@pytest.mark.parametrize("n", [1, 255, 256, 257, 1000, 5000])
+def test_tdac_perfect_reconstruction(n):
+    """With quantization bypassed, MDCT→IMDCT→overlap-add is the
+    identity to float rounding — on any length, including non-multiples
+    of the block size."""
+    rng = np.random.default_rng(n)
+    x = rng.integers(-32768, 32767, n).astype(np.float64)
+    rec = imdct_overlap_add(mdct(_frame(x)), n)
+    assert np.abs(rec - x).max() < 1e-6
+
+
+def test_mdct_against_direct_dft_definition():
+    """The vectorized matmul must equal the textbook double-sum
+    definition on a random block (independent transliteration pin)."""
+    rng = np.random.default_rng(3)
+    frame = rng.normal(0, 1000, 2 * N_COEFF)
+    fast = mdct(frame[None, :])[0]
+    slow = np.array([
+        sum(_WIN[t] * frame[t]
+            * np.cos(np.pi / N_COEFF * (t + 0.5 + N_COEFF / 2) * (k + 0.5))
+            for t in range(2 * N_COEFF))
+        for k in range(0, N_COEFF, 37)])  # sampled k: the loop is slow
+    assert np.allclose(fast[::37], slow, rtol=1e-9, atol=1e-6)
+
+
+def test_quantization_error_is_bounded_per_block():
+    """8-bit mantissas bound each coefficient's error by sf/254 (half a
+    quantization step of its block's scalefactor); reconstruction error
+    follows from the transform's 2/N-scaled near-orthogonality."""
+    rng = np.random.default_rng(11)
+    x = (5000 * np.sin(2 * np.pi * 440 * np.arange(4096) / 8000)
+         + rng.normal(0, 100, 4096)).astype(np.int16)
+    enc = mdct_encode(x, 8000)
+    dec = mdct_decode(enc)[:, 0]
+    err = dec.astype(np.float64) - x.astype(np.float64)
+    snr = 10 * np.log10((x.astype(np.float64) ** 2).mean()
+                        / (err ** 2).mean())
+    assert snr > 25, snr
+
+
+def test_silence_is_lossless():
+    """All-zero blocks quantize to zero mantissas and reconstruct to
+    exact zeros (the sf floor guard must not inject noise)."""
+    x = np.zeros(1000, dtype=np.int16)
+    assert np.array_equal(mdct_decode(mdct_encode(x, 8000))[:, 0], x)
+
+
+def test_multichannel_independent_and_header():
+    rng = np.random.default_rng(5)
+    st = rng.integers(-3000, 3000, (777, 2)).astype(np.int16)
+    enc = mdct_encode(st, 44100)
+    assert mdct_sample_rate(enc) == 44100
+    dec = mdct_decode(enc)
+    assert dec.shape == (777, 2)
+    # per-channel round-trip equals the channel encoded alone
+    solo = mdct_decode(mdct_encode(st[:, 0], 44100))[:, 0]
+    assert np.array_equal(dec[:, 0], solo)
+
+
+def test_error_contract():
+    with pytest.raises(ValueError, match="int16"):
+        mdct_encode(np.zeros(10, dtype=np.float32))
+    with pytest.raises(ValueError, match="empty"):
+        mdct_encode(np.zeros(0, dtype=np.int16))
+    with pytest.raises(ValueError, match="sample_rate"):
+        mdct_encode(np.zeros(10, dtype=np.int16), 0)
+    with pytest.raises(ValueError, match="magic"):
+        mdct_decode(b"JUNK" + bytes(20))
+    good = mdct_encode(np.ones(100, dtype=np.int16), 8000)
+    with pytest.raises(ValueError, match="implies"):
+        mdct_decode(good[:-1])
+
+
+def test_corrupt_any_byte_never_crashes():
+    """Every single-byte corruption either raises ValueError or decodes
+    to SOME valid buffer — never a non-ValueError crash or a huge
+    allocation (the header-implied size is checked first)."""
+    x = (1000 * np.sin(np.arange(600) / 10)).astype(np.int16)
+    enc = bytearray(mdct_encode(x, 8000))
+    for i in range(len(enc)):
+        ba = bytearray(enc)
+        ba[i] ^= 0xFF
+        try:
+            out = mdct_decode(bytes(ba))
+            assert out.dtype == np.int16
+        except ValueError:
+            pass
+
+
+def test_roundtrip_properties():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=700),
+           st.sampled_from([8000, 16000, 44100]))
+    def prop(vals, rate):
+        x = np.array(vals, dtype=np.int16)
+        dec = mdct_decode(mdct_encode(x, rate))[:, 0]
+        assert dec.shape == x.shape
+        # worst-case bound: per-block error ≤ sf/254 per coefficient;
+        # through the 2/N IMDCT that stays well under sf — use the
+        # loose-but-sufficient bound max_err ≤ max|x| / 16 + 1
+        bound = max(1.0, np.abs(x.astype(np.float64)).max() / 16 + 1)
+        assert np.abs(dec.astype(np.float64)
+                      - x.astype(np.float64)).max() <= bound
+
+    prop()
+
+
+def test_mdct_roundtrip_query_quality(spark):
+    """The in-plan MDCT round-trip on the tone+silence fixture: ~2:1 by
+    construction (260 bytes per 256-sample hop vs 512 PCM bytes) and a
+    pinned SNR floor — the transform tier must beat the ADPCM floor on
+    tonal material."""
+    import __spark_entry__ as e
+
+    row = e.queries()["multimodal_mdct_roundtrip"](
+        spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.n_clips > 0
+    assert 1.8 < row.bytes_raw / row.bytes_mdct < 2.1
+    assert row.n_lossless == 0  # every clip carries a sine segment
+    assert row.min_snr_db >= 25
+    assert row.avg_snr_db >= row.min_snr_db

@@ -73,7 +73,7 @@ PROBE_QUERIES = [
     "q17_outlier_votes", "q18_small_qty_vs_avg", "q24_percentiles",
     "q25_range_join", "q39_band_join", "histogram",
     "curate_redact", "curate_pipeline", "dedup_minhash_verified",
-    "dedup_simhash", "dedup_incremental",
+    "dedup_simhash", "dedup_incremental", "dedup_incremental_persisted",
     "dedup_substring_exact", "ann_bruteforce_topk", "ann_ivf_topk",
     "text_token_stats", "stream_hourly_by_type",
     "stream_sliding_by_type", "stream_dedup_within_watermark",
@@ -169,13 +169,20 @@ def build_scaled(dst: str, rep: int) -> None:
 
 
 def time_queries(spark, queries, sf_dir: str, names, reps: int = 3) -> dict:
+    # checksum_count, not count(): the count plan prunes columns and
+    # eliminates unique-key left joins (dedup_incremental loses its
+    # whole near tier), so count() times the wrong plan — the r7
+    # BENCH_sf1 incremental ratio was re-measured after this fix
+    from big_data_science_project_spark.functions.actions import (
+        checksum_count)
+
     out = {}
     for name in names:
         fn = queries[name]
         best = None
         for _ in range(reps):
             t0 = time.time()
-            fn(spark, sf_dir).count()
+            checksum_count(fn(spark, sf_dir))
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         out[name] = round(best, 3)

@@ -22,7 +22,16 @@ count cross-check asserts). The number that answers the verdict is
 within ~10x of the control's, the fused path holds at boilerplate skew
 and the threshold fallback is not needed.
 
-Usage: python tools/straggler_probe.py [--hot 1000000] [--out STRAGGLER.json]
+--query incremental (r7 verdict item #7) probes the SAME hot-key shape
+in `dedup_incremental`'s near tier: its cap window partitions the INDEX
+side's bands on the join key, so the planted boilerplate bucket goes on
+the index side of the md5-bucket split (planted ids are filtered to
+bucket < INDEX_PCT). The guard must drop the bucket before the
+batch×index band join; result rows (one per batch doc) must be
+IDENTICAL to the control since nothing was planted on the batch side.
+
+Usage: python tools/straggler_probe.py [--hot 1000000]
+           [--query minhash|incremental] [--out STRAGGLER.json]
 """
 
 from __future__ import annotations
@@ -50,7 +59,7 @@ _BOILER = ("this software is provided as is without warranty of any kind "
            "and noninfringement of rights")
 
 
-def build_corpus(dst: str, hot: int) -> None:
+def build_corpus(dst: str, hot: int, index_side: bool = False) -> None:
     # small row groups: 10^6 identical strings RLE-compress to a few
     # MB, so without them the scan collapses to one or two input
     # splits and the (guard-unrelated) shingle-hash stage serializes —
@@ -59,11 +68,24 @@ def build_corpus(dst: str, hot: int) -> None:
     con = duckdb.connect()
     parts = [f"SELECT * FROM read_parquet('{SRC}/documents.parquet')"]
     if hot:
+        if index_side:
+            # incremental probe: every planted id must land on the
+            # INDEX side of the split (bucket < INDEX_PCT) — overdraw
+            # the series and filter on the same md5-bucket expression
+            # the engine pair uses (~80% pass rate, 1.3x covers it)
+            from big_data_science_project_spark.operators.curation import (
+                _bucket_sql)
+            from big_data_science_project_spark.operators.dedup import (
+                INDEX_PCT)
+            src = (f"FROM generate_series(1, {int(hot * 1.3)}) t(i) "
+                   f"WHERE {_bucket_sql('50000000 + i')} < {INDEX_PCT} "
+                   f"LIMIT {hot}")
+        else:
+            src = f"FROM generate_series(1, {hot}) t(i)"
         parts.append(
             f"SELECT 50000000 + i AS doc_id, '{_BOILER}' AS text, "
             f"'en' AS lang, 'boilerplate' AS source, "
-            f"{len(_BOILER)} AS n_chars "
-            f"FROM generate_series(1, {hot}) t(i)")
+            f"{len(_BOILER)} AS n_chars " + src)
     con.execute(f"COPY ({' UNION ALL '.join(parts)}) TO "
                 f"'{dst}/documents.parquet' "
                 f"(FORMAT PARQUET, ROW_GROUP_SIZE 40960)")
@@ -101,7 +123,8 @@ def stage_table(spark) -> list[dict]:
     return out
 
 
-def run_once(queries, hot: int) -> dict:
+def run_once(queries, hot: int, qname: str = "dedup_minhash_verified",
+             index_side: bool = False) -> dict:
     # fresh session per run so the stage table contains ONLY this run.
     # Post-shuffle coalescing is disabled so the window stage keeps all
     # 32 tasks — the probe MEASURES per-task skew, and AQE folding 31
@@ -116,11 +139,17 @@ def run_once(queries, hot: int) -> dict:
         .config("spark.sql.files.openCostInBytes", "64k")
         .config("spark.driver.memory", "48g")
         .getOrCreate())
+    # checksum_count forces the FULL plan: count() would let Catalyst
+    # eliminate dedup_incremental's near tier (unique-key left joins),
+    # timing a query with no band window at all
+    from big_data_science_project_spark.functions.actions import (
+        checksum_count)
+
     dst = tempfile.mkdtemp(prefix=f"straggler_h{hot}_")
     try:
-        build_corpus(dst, hot)
+        build_corpus(dst, hot, index_side)
         t0 = time.time()
-        n_rows = queries["dedup_minhash_verified"](spark, dst).count()
+        n_rows, _ = checksum_count(queries[qname](spark, dst))
         wall = round(time.time() - t0, 3)
         stages = stage_table(spark)
         # the window/guard stage is the one reading the band exchange —
@@ -142,29 +171,35 @@ def run_once(queries, hot: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--hot", type=int, default=1_000_000)
+    ap.add_argument("--query", choices=("minhash", "incremental"),
+                    default="minhash")
     ap.add_argument("--out", default="STRAGGLER.json")
     args = ap.parse_args()
 
     import __spark_entry__ as entry
     queries = entry.queries()
+    qname = {"minhash": "dedup_minhash_verified",
+             "incremental": "dedup_incremental"}[args.query]
+    index_side = args.query == "incremental"
 
     print("control run (hot=0)", file=sys.stderr, flush=True)
-    control = run_once(queries, 0)
+    control = run_once(queries, 0, qname, index_side)
     print(f"  wall={control['wall_sec']}s rows={control['result_rows']}",
           file=sys.stderr)
     print(f"hot-bucket run (hot={args.hot})", file=sys.stderr, flush=True)
-    hot = run_once(queries, args.hot)
+    hot = run_once(queries, args.hot, qname, index_side)
     print(f"  wall={hot['wall_sec']}s rows={hot['result_rows']}",
           file=sys.stderr)
 
     # the guard must drop the planted bucket entirely: identical docs
-    # are exact dups, not NEAR dups, so the verified-pair result over
-    # the base corpus must be unchanged
+    # are exact dups, not NEAR dups (minhash probe), and index-side
+    # plants add no batch rows (incremental probe) — either way the
+    # result over the base corpus must be unchanged
     assert hot["result_rows"] == control["result_rows"], (
         "planted over-cap bucket leaked candidate pairs: "
         f"{hot['result_rows']} vs control {control['result_rows']}")
 
-    result = {"src": SRC, "boiler_len": len(_BOILER),
+    result = {"src": SRC, "boiler_len": len(_BOILER), "query": qname,
               "control": control, "hot_run": hot}
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
