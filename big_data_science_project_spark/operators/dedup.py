@@ -1194,6 +1194,37 @@ QUERIES["dedup_recall_sweep"] = (dedup_recall_sweep, _recall_sweep_sql())
 INDEX_PCT = 80  # md5-bucket split: 0..79 = existing index, 80..99 = new batch
 
 
+def _batch_index_jaccard(bands_new: DataFrame, bands_idx: DataFrame,
+                         hashed_new: DataFrame,
+                         hashed_idx: DataFrame) -> DataFrame:
+    """The batch×index near-tier core, shared by every incremental
+    shape (in-plan, persisted-artifact, streaming-foreachBatch, recall
+    sweep) so the candidate join and Jaccard expressions exist ONCE:
+    band equi-join (caller passes bands_idx already capped) → distinct
+    (batch doc, index doc) candidates → shingle Jaccard. Returns one
+    (doc_id, j) row per candidate."""
+    cand = (bands_new.alias("n")
+            .join(bands_idx.alias("i"), ["band_id", "band_key"])
+            .select(F.col("n.doc_id").alias("doc_id"),
+                    F.col("i.doc_id").alias("index_doc_id"))
+            .distinct())
+    s1 = hashed_new.select("doc_id", F.col("hs").alias("sh1"))
+    s2 = hashed_idx.select(F.col("doc_id").alias("index_doc_id"),
+                           F.col("hs").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
+    union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
+    return (cand.join(s1, "doc_id").join(s2, "index_doc_id")
+            .select("doc_id", F.round(inter / union, 6).alias("j")))
+
+
+def _near_agg(jac: DataFrame) -> DataFrame:
+    """Per-batch-doc near-tier report from the (doc_id, j) candidates."""
+    return jac.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum((F.col("j") >= 0.5).cast("bigint")).alias("n_verified"),
+        F.max("j").alias("best_jaccard"))
+
+
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
@@ -1223,23 +1254,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_idx = F.count(F.lit(1)).over(W.partitionBy("band_id", "band_key"))
     bands_idx = (bands_idx.withColumn("bn", n_idx)
                  .filter(F.col("bn") <= LSH_MAX_BUCKET).drop("bn"))
-    cand = (bands_new.alias("n")
-            .join(bands_idx.alias("i"), ["band_id", "band_key"])
-            .select(F.col("n.doc_id").alias("doc_id"),
-                    F.col("i.doc_id").alias("index_doc_id"))
-            .distinct())
-
-    s1 = hashed.select(F.col("doc_id"), F.col("hs").alias("sh1"))
-    s2 = hashed.select(F.col("doc_id").alias("index_doc_id"),
-                       F.col("hs").alias("sh2"))
-    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
-    union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
-    jac = (cand.join(s1, "doc_id").join(s2, "index_doc_id")
-           .select("doc_id", F.round(inter / union, 6).alias("j")))
-    near = jac.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_candidates"),
-        F.sum((F.col("j") >= 0.5).cast("bigint")).alias("n_verified"),
-        F.max("j").alias("best_jaccard"))
+    # both shingle sides read the ONE cached full-corpus subtree — the
+    # join keys restrict the rows, so no separate filtered caches
+    near = _near_agg(_batch_index_jaccard(bands_new, bands_idx,
+                                          hashed, hashed))
 
     new_docs = d.filter(bucket >= INDEX_PCT).select("doc_id")
     return (new_docs
@@ -1365,40 +1383,33 @@ def near_tier_vs_artifacts(spark: SparkSession, batch: DataFrame,
     documents-shaped DataFrame — the batch variant passes the
     bucket-filtered fixture, the streaming twin passes each micro-batch
     (foreachBatch gives it batch semantics, so THIS function is the
-    shared implementation; streaming/events.py must not re-derive it)."""
+    shared implementation; streaming/events.py must not re-derive it).
+
+    The returned DataFrame carries the per-batch shingle cache as
+    ``_cached_shingles``: unlike the batch twin (whose identical plan
+    dedups in the CacheManager across calls), every micro-batch has a
+    DISTINCT plan, so a long-running stream would accumulate one cache
+    entry per trigger — the streaming caller unpersists the handle
+    after its write action."""
     idx_sh = spark.read.parquet(f"{root}/shingles")
     idx_bands = spark.read.parquet(f"{root}/bands")
 
     # the ONLY text-scanning pass per ingest is batch-sized; persisted
-    # (spill-not-evict) because it feeds bands AND the verify join.
-    # The caller may unpersist after its action (foreachBatch does).
+    # (spill-not-evict) because it feeds bands AND the verify join
     hashed_new = _hashed_shingles_df(batch).persist(
         StorageLevel.MEMORY_AND_DISK_DESER)
-    cand = (_minhash_bands(hashed_new).alias("n")
-            .join(idx_bands.alias("i"), ["band_id", "band_key"])
-            .select(F.col("n.doc_id").alias("doc_id"),
-                    F.col("i.doc_id").alias("index_doc_id"))
-            .distinct())
-
-    s1 = hashed_new.select("doc_id", F.col("hs").alias("sh1"))
-    s2 = idx_sh.select(F.col("doc_id").alias("index_doc_id"),
-                       F.col("hs").alias("sh2"))
-    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
-    union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
-    jac = (cand.join(s1, "doc_id").join(s2, "index_doc_id")
-           .select("doc_id", F.round(inter / union, 6).alias("j")))
-    near = jac.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_candidates"),
-        F.sum((F.col("j") >= 0.5).cast("bigint")).alias("n_verified"),
-        F.max("j").alias("best_jaccard"))
-    return (batch.select("doc_id")
-            .join(near, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("n_candidates", F.lit(0)).cast("bigint")
-                    .alias("n_candidates"),
-                    F.coalesce("n_verified", F.lit(0)).cast("bigint")
-                    .alias("n_verified"),
-                    "best_jaccard"))
+    near = _near_agg(_batch_index_jaccard(
+        _minhash_bands(hashed_new), idx_bands, hashed_new, idx_sh))
+    out = (batch.select("doc_id")
+           .join(near, "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce("n_candidates", F.lit(0)).cast("bigint")
+                   .alias("n_candidates"),
+                   F.coalesce("n_verified", F.lit(0)).cast("bigint")
+                   .alias("n_verified"),
+                   "best_jaccard"))
+    out._cached_shingles = hashed_new
+    return out
 
 
 def dedup_incremental_persisted(spark: SparkSession,
@@ -1506,18 +1517,9 @@ def dedup_incremental_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count(F.lit(1)).over(W.partitionBy("band_id", "band_key"))
     bands_idx = (_minhash_bands(hashed_idx).withColumn("bn", n)
                  .filter(F.col("bn") <= LSH_MAX_BUCKET).drop("bn"))
-    cand = (_minhash_bands(hashed_new).alias("n")
-            .join(bands_idx.alias("i"), ["band_id", "band_key"])
-            .select(F.col("n.doc_id").alias("doc_id"),
-                    F.col("i.doc_id").alias("index_doc_id"))
-            .distinct())
-    s1 = hashed_new.select("doc_id", F.col("hs").alias("sh1"))
-    s2 = hashed_idx.select(F.col("doc_id").alias("index_doc_id"),
-                           F.col("hs").alias("sh2"))
-    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
-    union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
-    near_found = (cand.join(s1, "doc_id").join(s2, "index_doc_id")
-                  .filter(F.round(inter / union, 6) >= 0.5)
+    jac = _batch_index_jaccard(_minhash_bands(hashed_new), bands_idx,
+                               hashed_new, hashed_idx)
+    near_found = (jac.filter(F.col("j") >= 0.5)
                   .select("doc_id").distinct())
 
     found = (exact_found.selectExpr("'exact' AS tier", "doc_id")

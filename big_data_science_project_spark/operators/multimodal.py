@@ -478,27 +478,30 @@ QUERIES["multimodal_flac_roundtrip"] = (multimodal_flac_roundtrip, None)
 # same as every multimodal kernel: samples never shuffle, only the
 # per-clip scalar summary does.
 # ---------------------------------------------------------------------------
-_ADPCM_RT_SCHEMA = T.StructType([
+_LOSSY_RT_SCHEMA = T.StructType([
     T.StructField("clip_id", T.LongType()),
     T.StructField("n_bytes_raw", T.LongType()),
-    T.StructField("n_bytes_adpcm", T.LongType()),
+    T.StructField("n_bytes_coded", T.LongType()),
     T.StructField("lossless", T.LongType()),
     T.StructField("snr_db_floor", T.LongType()),  # NULL when lossless
 ])
 
 
-def multimodal_adpcm_roundtrip(spark: SparkSession,
-                               sf_dir: str = "") -> DataFrame:
+def _lossy_audio_roundtrip(spark: SparkSession, encode, decode,
+                           bytes_alias: str) -> DataFrame:
+    """Shared encode→decode→SNR report for the lossy audio tiers (ADPCM
+    and MDCT run the identical harness, differing only in the codec
+    pair and the output byte-count alias)."""
     audio = load_audio(spark)
 
     def rt(batches):
         for pdf in batches:
-            out = {k.name: [] for k in _ADPCM_RT_SCHEMA}
+            out = {k.name: [] for k in _LOSSY_RT_SCHEMA}
             for cid, sr, p in zip(pdf["clip_id"], pdf["sample_rate"],
                                   pdf["pcm"]):
                 x = np.frombuffer(bytes(p), dtype=np.int16)
-                enc = adpcm_encode(x, int(sr))
-                dec = adpcm_decode(enc)[:, 0]
+                enc = encode(x, int(sr))
+                dec = decode(enc)[:, 0]
                 err = x.astype(np.float64) - dec.astype(np.float64)
                 sig = float((x.astype(np.float64) ** 2).sum())
                 noise = float((err ** 2).sum())
@@ -512,7 +515,7 @@ def multimodal_adpcm_roundtrip(spark: SparkSession,
                     if noise > 0 else None
                 out["clip_id"].append(int(cid))
                 out["n_bytes_raw"].append(len(x) * 2)
-                out["n_bytes_adpcm"].append(len(enc))
+                out["n_bytes_coded"].append(len(enc))
                 out["lossless"].append(int(noise == 0))
                 out["snr_db_floor"].append(snr)
             pdf_out = pd.DataFrame(out)
@@ -522,16 +525,22 @@ def multimodal_adpcm_roundtrip(spark: SparkSession,
                                                dtype="Int64")
             yield pdf_out
 
-    per_clip = audio.mapInPandas(rt, _ADPCM_RT_SCHEMA)
+    per_clip = audio.mapInPandas(rt, _LOSSY_RT_SCHEMA)
     # min/avg skip NULLs, so both SNR stats cover exactly the LOSSY
     # clips; lossless clips are counted separately
     return per_clip.agg(
         F.count(F.lit(1)).alias("n_clips"),
         F.sum("n_bytes_raw").cast("bigint").alias("bytes_raw"),
-        F.sum("n_bytes_adpcm").cast("bigint").alias("bytes_adpcm"),
+        F.sum("n_bytes_coded").cast("bigint").alias(bytes_alias),
         F.sum("lossless").cast("bigint").alias("n_lossless"),
         F.min("snr_db_floor").cast("bigint").alias("min_snr_db"),
         F.avg("snr_db_floor").alias("avg_snr_db"))
+
+
+def multimodal_adpcm_roundtrip(spark: SparkSession,
+                               sf_dir: str = "") -> DataFrame:
+    return _lossy_audio_roundtrip(spark, adpcm_encode, adpcm_decode,
+                                  "bytes_adpcm")
 
 
 QUERIES["multimodal_adpcm_roundtrip"] = (multimodal_adpcm_roundtrip, None)
@@ -551,41 +560,8 @@ QUERIES["multimodal_adpcm_roundtrip"] = (multimodal_adpcm_roundtrip, None)
 # ---------------------------------------------------------------------------
 def multimodal_mdct_roundtrip(spark: SparkSession,
                               sf_dir: str = "") -> DataFrame:
-    audio = load_audio(spark)
-
-    def rt(batches):
-        for pdf in batches:
-            out = {k.name: [] for k in _ADPCM_RT_SCHEMA}
-            for cid, sr, p in zip(pdf["clip_id"], pdf["sample_rate"],
-                                  pdf["pcm"]):
-                x = np.frombuffer(bytes(p), dtype=np.int16)
-                enc = mdct_encode(x, int(sr))
-                dec = mdct_decode(enc)[:, 0]
-                err = x.astype(np.float64) - dec.astype(np.float64)
-                sig = float((x.astype(np.float64) ** 2).sum())
-                noise = float((err ** 2).sum())
-                # whole-dB floor + NULL-not-sentinel for lossless clips:
-                # same rationale as the ADPCM twin above
-                snr = int(np.floor(10.0 * np.log10(sig / noise))) \
-                    if noise > 0 else None
-                out["clip_id"].append(int(cid))
-                out["n_bytes_raw"].append(len(x) * 2)
-                out["n_bytes_adpcm"].append(len(enc))
-                out["lossless"].append(int(noise == 0))
-                out["snr_db_floor"].append(snr)
-            pdf_out = pd.DataFrame(out)
-            pdf_out["snr_db_floor"] = pd.array(out["snr_db_floor"],
-                                               dtype="Int64")
-            yield pdf_out
-
-    per_clip = audio.mapInPandas(rt, _ADPCM_RT_SCHEMA)
-    return per_clip.agg(
-        F.count(F.lit(1)).alias("n_clips"),
-        F.sum("n_bytes_raw").cast("bigint").alias("bytes_raw"),
-        F.sum("n_bytes_adpcm").cast("bigint").alias("bytes_mdct"),
-        F.sum("lossless").cast("bigint").alias("n_lossless"),
-        F.min("snr_db_floor").cast("bigint").alias("min_snr_db"),
-        F.avg("snr_db_floor").alias("avg_snr_db"))
+    return _lossy_audio_roundtrip(spark, mdct_encode, mdct_decode,
+                                  "bytes_mdct")
 
 
 QUERIES["multimodal_mdct_roundtrip"] = (multimodal_mdct_roundtrip, None)

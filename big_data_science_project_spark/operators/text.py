@@ -981,3 +981,134 @@ JOIN norms nb ON nb.doc_id = doc_b
 ORDER BY cos_sim DESC, doc_a, doc_b
 LIMIT {SPARSE_TOPK}
 """)
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM perplexity scoring — the CCNet-style quality signal: train a
+# language model on the EXISTING corpus, score each incoming document by
+# how surprising the model finds it (high perplexity ⇒ boilerplate,
+# garbled OCR, wrong-language, spam). Same index/batch split as the
+# incremental dedup family (buckets 0..79 train, 80..99 score), so this
+# is the quality gate that runs beside the dedup gate on every ingest.
+#
+# Model: per-language add-one-smoothed bigram LM —
+#   P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V_lang)
+# with c(w1) the history count (bigrams starting at w1) and V_lang the
+# index-side vocabulary size. Score: per-bigram negative log-likelihood,
+# quantized to integer millis AFTER the single ln() (the established
+# ln-then-round pattern from text_sparse_cosine_topk — everything the
+# aggregates touch is BIGINT, so cross-engine equality is repr-exact);
+# per-doc report = bigram count, total NLL, and avg NLL (trunc div,
+# Spark `div` == DuckDB `//`) — avg NLL in nats IS log-perplexity, the
+# monotone-equivalent ranking signal without a second float op.
+#
+# Shuffle ledger at 100 TB: tokenize/bigram explode is map-side; the LM
+# build is two count aggregates on (lang, w1[, w2]) over the INDEX
+# (persistable like the dedup artifacts); scoring shuffles batch
+# bigrams against the LM tables on the same keys (equi-joins — the
+# frequent-history skew on c(w1) rides AQE skew-join), then one doc_id
+# aggregate. No all-pairs anything; the batch side is the only per-
+# ingest text scan. Docs with < 2 tokens carry n_bigrams = 0 and NULL
+# avg (no sentinel — the adpcm lesson).
+# ---------------------------------------------------------------------------
+_BIGRAMS_EXPR = (
+    "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+    "transform(sequence(0, size(split(text, ' ')) - 2), "
+    "i -> struct(split(text, ' ')[i] AS w1, split(text, ' ')[i + 1] AS w2)) "
+    "ELSE array() END")
+
+_BIGRAMS_DUCK = """
+  CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+    list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+      i -> struct_pack(w1 := string_split(text, ' ')[i],
+                       w2 := string_split(text, ' ')[i + 1]))
+  ELSE [] END"""
+
+
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .curation import _bucket
+    from .dedup import INDEX_PCT
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = _bucket(F.col("doc_id"))
+    bigrams = F.explode(F.expr(_BIGRAMS_EXPR)).alias("b")
+
+    idx = d.filter(bucket < INDEX_PCT)
+    ib = (idx.select("lang", bigrams)
+          .select("lang", F.col("b.w1").alias("w1"),
+                  F.col("b.w2").alias("w2")))
+    c12 = ib.groupBy("lang", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12"))
+    c1 = ib.groupBy("lang", "w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (idx.select("lang", F.explode(_tokens("text")).alias("w"))
+             .groupBy("lang").agg(F.countDistinct("w").alias("v")))
+
+    batch = d.filter(bucket >= INDEX_PCT)
+    nb = (batch.select("doc_id", "lang", bigrams)
+          .select("doc_id", "lang", F.col("b.w1").alias("w1"),
+                  F.col("b.w2").alias("w2")))
+    p = ((F.coalesce("c12", F.lit(0)) + 1)
+         / (F.coalesce("c1", F.lit(0))
+            + F.coalesce("v", F.lit(1))))  # lang absent from index: V→1
+    scored = (nb.join(c12, ["lang", "w1", "w2"], "left")
+              .join(c1, ["lang", "w1"], "left")
+              .join(vocab, ["lang"], "left")
+              .select("doc_id",
+                      F.round(-F.log(p) * 1e3).cast("bigint")
+                      .alias("nll")))
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("nll").alias("nll_milli"))
+    return (batch.select("doc_id", "lang")
+            .join(per_doc, "doc_id", "left")
+            .select("doc_id", "lang",
+                    F.coalesce("n_bigrams", F.lit(0)).cast("bigint")
+                    .alias("n_bigrams"),
+                    F.coalesce("nll_milli", F.lit(0)).cast("bigint")
+                    .alias("nll_milli"),
+                    F.when(F.col("n_bigrams") > 0,
+                           F.expr("nll_milli div n_bigrams"))
+                    .cast("bigint").alias("avg_nll_milli")))
+
+
+from ..operators.curation import _bucket_sql as _lm_bucket_sql  # noqa: E402
+from ..operators.dedup import INDEX_PCT as _LM_INDEX_PCT  # noqa: E402
+
+QUERIES["text_lm_perplexity"] = (text_lm_perplexity, f"""
+WITH idx AS (
+  SELECT * FROM documents WHERE {_lm_bucket_sql('doc_id')} < {_LM_INDEX_PCT}),
+batch AS (
+  SELECT * FROM documents WHERE {_lm_bucket_sql('doc_id')} >= {_LM_INDEX_PCT}),
+ib AS (
+  SELECT lang, b.w1 AS w1, b.w2 AS w2
+  FROM idx, LATERAL (SELECT unnest({_BIGRAMS_DUCK}, recursive := true)) b),
+c12 AS (SELECT lang, w1, w2, COUNT(*) AS c12 FROM ib GROUP BY 1, 2, 3),
+c1 AS (SELECT lang, w1, COUNT(*) AS c1 FROM ib GROUP BY 1, 2),
+vocab AS (
+  SELECT lang, COUNT(DISTINCT w) AS v
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM idx) q
+  GROUP BY lang),
+nb AS (
+  SELECT doc_id, lang, b.w1 AS w1, b.w2 AS w2
+  FROM batch, LATERAL (SELECT unnest({_BIGRAMS_DUCK}, recursive := true)) b),
+scored AS (
+  SELECT nb.doc_id,
+         CAST(ROUND(-ln((COALESCE(c12.c12, 0) + 1)
+                        / (COALESCE(c1.c1, 0) + COALESCE(vocab.v, 1)))
+                    * 1e3) AS BIGINT) AS nll
+  FROM nb
+  LEFT JOIN c12 ON c12.lang = nb.lang AND c12.w1 = nb.w1
+               AND c12.w2 = nb.w2
+  LEFT JOIN c1 ON c1.lang = nb.lang AND c1.w1 = nb.w1
+  LEFT JOIN vocab ON vocab.lang = nb.lang),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(nll) AS nll_milli
+  FROM scored GROUP BY 1)
+SELECT b.doc_id, b.lang,
+       CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(p.nll_milli, 0) AS BIGINT) AS nll_milli,
+       CAST(CASE WHEN p.n_bigrams > 0
+                 THEN p.nll_milli // p.n_bigrams END AS BIGINT)
+         AS avg_nll_milli
+FROM batch b LEFT JOIN per_doc p ON b.doc_id = p.doc_id
+""")

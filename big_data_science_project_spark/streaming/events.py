@@ -698,6 +698,10 @@ def stream_dedup_near_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         result = near_tier_vs_artifacts(spark, batch_df, root)
         result.write.mode("overwrite").parquet(
             f"{out_dir}/batch={batch_id}")
+        # every micro-batch has a distinct plan, so its shingle cache
+        # can never be CacheManager-deduped — release it or a
+        # long-running stream leaks one entry per trigger
+        result._cached_shingles.unpersist()
 
     docs = (_stream_table(spark, sf_dir, "documents")
             .filter(_bucket(F.col("doc_id")) >= INDEX_PCT))
@@ -709,8 +713,12 @@ def stream_dedup_near_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     global LAST_QUERY
     LAST_QUERY = q
-    return (spark.read.parquet(out_dir)
-            .select("doc_id", "n_candidates", "n_verified", "best_jaccard"))
+    # explicit schema: a fixture with zero new-batch docs leaves
+    # out_dir empty, and schema inference over no files would throw
+    return (spark.read.schema(
+        "doc_id bigint, n_candidates bigint, n_verified bigint, "
+        "best_jaccard double").parquet(out_dir)
+        .select("doc_id", "n_candidates", "n_verified", "best_jaccard"))
 
 
 from ..operators.dedup import _NEAR_TIER_SQL  # noqa: E402
@@ -724,12 +732,15 @@ QUERIES["stream_dedup_near_index"] = (stream_dedup_near_index,
 # note ("a plain parquet static side snapshots its file listing; live
 # refresh needs a re-read"): exact-gate ADMISSION, where a doc admitted
 # in batch 1 must gate its duplicate in batch 2. foreachBatch re-reads
-# the admitted-digest directory on every trigger (spark.read re-lists
+# the admitted-digest partitions on every trigger (spark.read re-lists
 # files; nothing snapshots), so the index genuinely grows mid-stream:
 #   per batch: digest the batch → keep one representative per digest
-#   (min doc_id) → anti-join against base-index ∪ admitted-so-far →
-#   append the survivors' digests to the admitted dir → write the
-#   per-batch admission report to an idempotent batch=N partition.
+#   (min doc_id) → anti-join against base-index ∪ EARLIER batches'
+#   admitted partitions → write the survivors' digests to the batch's
+#   OWN admitted partition (overwrite, excluded from its own "known"
+#   read — a retried batch reproduces itself instead of gating
+#   everything it just admitted) → write the per-batch admission
+#   report to an idempotent batch=N partition.
 # The fixture's new-batch docs are staged as TWO mtime-ordered files
 # (sub-bucket 80-89 then 90-99) with maxFilesPerTrigger=1, so the run
 # REALLY executes ≥2 refresh cycles. The final report is deterministic
@@ -757,25 +768,40 @@ def stream_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = _time.time() - 300 + i * 60
         for f in os.listdir(p):
             os.utime(os.path.join(p, f), (t, t))
-    # seed the admitted dir so batch 0's read finds a (empty) dataset;
-    # reads use an explicit schema — an empty seed write may emit no
-    # data files, which would break schema inference
-    spark.createDataFrame([], "dg string").write.parquet(admitted_dir)
-
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark import StorageLevel
         from pyspark.sql import Window as W
 
-        known = (spark.read.parquet(f"{root}/digests")
-                 .unionByName(spark.read.schema("dg string")
-                              .parquet(admitted_dir))
-                 .distinct())
+        # REPLAY IDEMPOTENCE: the admitted set is written one partition
+        # per batchId (overwrite), and "known" reads only EARLIER
+        # batches' partitions — so a batch retried after a partial
+        # write never sees its own digests (a plain append + whole-dir
+        # read would make the retry gate everything it just admitted
+        # and report n_admitted=0). Driver-side listdir, not a glob:
+        # the set of earlier partitions must be pinned per batch.
+        earlier = sorted(
+            f"{admitted_dir}/{d}" for d in (
+                os.listdir(admitted_dir) if os.path.isdir(admitted_dir)
+                else [])
+            if d.startswith("batch=")
+            and int(d.split("=")[1]) < batch_id)
+        known = spark.read.parquet(f"{root}/digests")
+        if earlier:
+            known = known.unionByName(
+                spark.read.schema("dg string").parquet(*earlier))
+        known = known.distinct()
         b = batch_df.select("doc_id", "lang", F.md5("text").alias("dg"))
         reps = (b.withColumn(
                     "rn", F.row_number().over(
                         W.partitionBy("dg").orderBy("doc_id")))
                 .filter(F.col("rn") == 1).drop("rn"))
-        admitted = reps.join(known, "dg", "left_anti")
-        admitted.select("dg").write.mode("append").parquet(admitted_dir)
+        # persisted for the scope of the two writes below — without it
+        # the report aggregation re-runs the whole digest/window/
+        # anti-join pipeline a second time per trigger
+        admitted = reps.join(known, "dg", "left_anti").persist(
+            StorageLevel.MEMORY_AND_DISK_DESER)
+        admitted.select("dg").write.mode("overwrite").parquet(
+            f"{admitted_dir}/batch={batch_id}")
         report = (b.groupBy("lang")
                   .agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
                   .join(admitted.groupBy("lang")
@@ -783,6 +809,7 @@ def stream_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
                              .alias("n_admitted")), "lang", "left"))
         report.write.mode("overwrite").parquet(
             f"{report_dir}/batch={batch_id}")
+        admitted.unpersist()
 
     schema = docs.schema
     stream = (spark.readStream.schema(schema)

@@ -149,7 +149,7 @@ def run_once(queries, hot: int, qname: str = "dedup_minhash_verified",
     try:
         build_corpus(dst, hot, index_side)
         t0 = time.time()
-        n_rows, _ = checksum_count(queries[qname](spark, dst))
+        n_rows, ck = checksum_count(queries[qname](spark, dst))
         wall = round(time.time() - t0, 3)
         stages = stage_table(spark)
         # the window/guard stage is the one reading the band exchange —
@@ -162,6 +162,7 @@ def run_once(queries, hot: int, qname: str = "dedup_minhash_verified",
                            key=lambda s: s["max_shuffle_read_b"],
                            default=None)
         return {"hot": hot, "wall_sec": wall, "result_rows": n_rows,
+                "result_checksum": ck,
                 "window_stage": window_stage, "stages": stages}
     finally:
         shutil.rmtree(dst, ignore_errors=True)
@@ -194,10 +195,16 @@ def main() -> None:
     # the guard must drop the planted bucket entirely: identical docs
     # are exact dups, not NEAR dups (minhash probe), and index-side
     # plants add no batch rows (incremental probe) — either way the
-    # result over the base corpus must be unchanged
+    # result over the base corpus must be unchanged. The VALUE checksum
+    # is the assertion with teeth: dedup_incremental emits one row per
+    # batch doc by construction, so a leaked bucket would never change
+    # its row COUNT — only its n_candidates/best_jaccard values
     assert hot["result_rows"] == control["result_rows"], (
         "planted over-cap bucket leaked candidate pairs: "
         f"{hot['result_rows']} vs control {control['result_rows']}")
+    assert hot["result_checksum"] == control["result_checksum"], (
+        "planted over-cap bucket changed result VALUES: "
+        f"{hot['result_checksum']:x} vs {control['result_checksum']:x}")
 
     result = {"src": SRC, "boiler_len": len(_BOILER), "query": qname,
               "control": control, "hot_run": hot}
