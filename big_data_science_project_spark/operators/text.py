@@ -1025,15 +1025,10 @@ _BIGRAMS_DUCK = """
   ELSE [] END"""
 
 
-def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .curation import _bucket
-    from .dedup import INDEX_PCT
-
-    d = load_table(spark, sf_dir, "documents")
-    bucket = _bucket(F.col("doc_id"))
+def _lm_tables(idx: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the per-language bigram LM over the index docs:
+    (c12 bigram counts, c1 history counts, vocab sizes)."""
     bigrams = F.explode(F.expr(_BIGRAMS_EXPR)).alias("b")
-
-    idx = d.filter(bucket < INDEX_PCT)
     ib = (idx.select("lang", bigrams)
           .select("lang", F.col("b.w1").alias("w1"),
                   F.col("b.w2").alias("w2")))
@@ -1042,8 +1037,15 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = ib.groupBy("lang", "w1").agg(F.count(F.lit(1)).alias("c1"))
     vocab = (idx.select("lang", F.explode(_tokens("text")).alias("w"))
              .groupBy("lang").agg(F.countDistinct("w").alias("v")))
+    return c12, c1, vocab
 
-    batch = d.filter(bucket >= INDEX_PCT)
+
+def _score_against_lm(batch: DataFrame, c12: DataFrame, c1: DataFrame,
+                      vocab: DataFrame) -> DataFrame:
+    """Per-doc NLL report for ``batch`` against a trained LM — shared by
+    the in-plan batch query and the streaming gate (which trains once to
+    parquet artifacts and scores every micro-batch here)."""
+    bigrams = F.explode(F.expr(_BIGRAMS_EXPR)).alias("b")
     nb = (batch.select("doc_id", "lang", bigrams)
           .select("doc_id", "lang", F.col("b.w1").alias("w1"),
                   F.col("b.w2").alias("w2")))
@@ -1071,10 +1073,47 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("bigint").alias("avg_nll_milli")))
 
 
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .curation import _bucket
+    from .dedup import INDEX_PCT
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = _bucket(F.col("doc_id"))
+    c12, c1, vocab = _lm_tables(d.filter(bucket < INDEX_PCT))
+    return _score_against_lm(d.filter(bucket >= INDEX_PCT),
+                             c12, c1, vocab)
+
+
+def lm_artifacts(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once LM artifacts (c12/c1/vocab parquet) per
+    (session, sf_dir) — the quality-gate twin of the dedup family's
+    ``_index_artifacts``: the LM trains once over the existing corpus
+    and every ingest re-reads the tables instead of re-counting."""
+    import tempfile
+
+    from .curation import _bucket
+    from .dedup import INDEX_PCT
+
+    cache = getattr(spark, "_bdsp_lm_artifacts", None)
+    if cache is None:
+        cache = {}
+        spark._bdsp_lm_artifacts = cache
+    if sf_dir not in cache:
+        root = tempfile.mkdtemp(prefix="lm_artifacts_")
+        idx = (load_table(spark, sf_dir, "documents")
+               .filter(_bucket(F.col("doc_id")) < INDEX_PCT))
+        c12, c1, vocab = _lm_tables(idx)
+        c12.write.mode("overwrite").parquet(f"{root}/c12")
+        c1.write.mode("overwrite").parquet(f"{root}/c1")
+        vocab.write.mode("overwrite").parquet(f"{root}/vocab")
+        cache[sf_dir] = root
+    return cache[sf_dir]
+
+
 from ..operators.curation import _bucket_sql as _lm_bucket_sql  # noqa: E402
 from ..operators.dedup import INDEX_PCT as _LM_INDEX_PCT  # noqa: E402
 
-QUERIES["text_lm_perplexity"] = (text_lm_perplexity, f"""
+_LM_PERPLEXITY_SQL = f"""
 WITH idx AS (
   SELECT * FROM documents WHERE {_lm_bucket_sql('doc_id')} < {_LM_INDEX_PCT}),
 batch AS (
@@ -1111,4 +1150,6 @@ SELECT b.doc_id, b.lang,
                  THEN p.nll_milli // p.n_bigrams END AS BIGINT)
          AS avg_nll_milli
 FROM batch b LEFT JOIN per_doc p ON b.doc_id = p.doc_id
-""")
+"""
+
+QUERIES["text_lm_perplexity"] = (text_lm_perplexity, _LM_PERPLEXITY_SQL)

@@ -728,6 +728,56 @@ QUERIES["stream_dedup_near_index"] = (stream_dedup_near_index,
 
 
 # ---------------------------------------------------------------------------
+# STREAMING LM quality gate — the live twin of ``text_lm_perplexity``
+# and the second half of the per-ingest gate pair (dedup gate above,
+# quality gate here — a production crawl runs both on every batch).
+# The bigram LM trains ONCE over the existing corpus into parquet
+# artifacts (operators/text.py::lm_artifacts — c12/c1/vocab tables,
+# the same persist-once-read-per-ingest lifecycle as the dedup index);
+# each micro-batch of fresh documents is scored against the re-read
+# tables in foreachBatch (three equi-joins + a per-doc aggregate —
+# batch semantics, same rationale as the near-dedup tier), writing one
+# idempotent parquet partition per batchId. The score is per-doc (no
+# cross-batch state), so the union over ANY batch split equals the
+# batch computation — the oracle is the SAME statement as the batch
+# twin's.
+# ---------------------------------------------------------------------------
+def stream_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import _score_against_lm, lm_artifacts
+
+    root = lm_artifacts(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="lm_gate_out_")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        c12 = spark.read.parquet(f"{root}/c12")
+        c1 = spark.read.parquet(f"{root}/c1")
+        vocab = spark.read.parquet(f"{root}/vocab")
+        (_score_against_lm(batch_df, c12, c1, vocab)
+         .write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}"))
+
+    docs = (_stream_table(spark, sf_dir, "documents")
+            .filter(_bucket(F.col("doc_id")) >= INDEX_PCT))
+    with _state_partitions(spark), _scratch_checkpoint() as ckpt:
+        writer = docs.writeStream.foreachBatch(process)
+        if ckpt:
+            writer = writer.option("checkpointLocation", ckpt)
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    global LAST_QUERY
+    LAST_QUERY = q
+    return (spark.read.schema(
+        "doc_id bigint, lang string, n_bigrams bigint, "
+        "nll_milli bigint, avg_nll_milli bigint").parquet(out_dir)
+        .select("doc_id", "lang", "n_bigrams", "nll_milli",
+                "avg_nll_milli"))
+
+
+from ..operators.text import _LM_PERPLEXITY_SQL  # noqa: E402
+
+QUERIES["stream_lm_quality"] = (stream_lm_quality, _LM_PERPLEXITY_SQL)
+
+
+# ---------------------------------------------------------------------------
 # STREAMING ingest loop with LIVE index refresh — closes the r7 honesty
 # note ("a plain parquet static side snapshots its file listing; live
 # refresh needs a re-read"): exact-gate ADMISSION, where a doc admitted
