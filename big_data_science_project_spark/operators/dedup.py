@@ -1344,22 +1344,14 @@ QUERIES["dedup_incremental"] = (dedup_incremental, _INCREMENTAL_SQL)
 # round-trip must not change a single value.
 # ---------------------------------------------------------------------------
 def _index_artifacts(spark: SparkSession, sf_dir: str) -> str:
-    """Write-once per (session, sf_dir) — same session-attribute cache
-    pattern as sources/tables.load_table. Fixtures are read-only, so no
-    invalidation; the dirs are scratch (a deployment points this at
-    durable storage)."""
-    import tempfile
-
+    """Write-once per (session, sf_dir) via the shared artifact
+    lifecycle (sources/tables.write_once_artifacts)."""
+    from ..sources.tables import write_once_artifacts
     from .curation import _bucket
 
-    cache = getattr(spark, "_bdsp_dedup_index", None)
-    if cache is None:
-        cache = {}
-        spark._bdsp_dedup_index = cache
-    if sf_dir not in cache:
+    def build(root: str) -> None:
         from pyspark.sql import Window as W
 
-        root = tempfile.mkdtemp(prefix="dedup_index_")
         idx = (load_table(spark, sf_dir, "documents")
                .filter(_bucket(F.col("doc_id")) < INDEX_PCT))
         (idx.select(F.md5("text").alias("dg")).distinct()
@@ -1371,8 +1363,9 @@ def _index_artifacts(spark: SparkSession, sf_dir: str) -> str:
             .withColumn("bn", n).filter(F.col("bn") <= LSH_MAX_BUCKET)
             .drop("bn")
             .write.mode("overwrite").parquet(f"{root}/bands"))
-        cache[sf_dir] = root
-    return cache[sf_dir]
+
+    return write_once_artifacts(spark, "_bdsp_dedup_index", sf_dir,
+                                "dedup_index_", build)
 
 
 def near_tier_vs_artifacts(spark: SparkSession, batch: DataFrame,

@@ -1025,36 +1025,52 @@ _BIGRAMS_DUCK = """
   ELSE [] END"""
 
 
-def _lm_tables(idx: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+def _lm_tables(idx: DataFrame
+               ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Train the per-language bigram LM over the index docs:
-    (c12 bigram counts, c1 history counts, vocab sizes)."""
+    (c12 bigram counts, c1 history counts, per-lang vocab sizes,
+    1-row GLOBAL vocab size). c1 is derived from c12 — the history
+    count is sum over w2 by construction — so the index text is
+    bigram-exploded exactly once; the unigram pass for the vocab is
+    the only other scan."""
     bigrams = F.explode(F.expr(_BIGRAMS_EXPR)).alias("b")
     ib = (idx.select("lang", bigrams)
           .select("lang", F.col("b.w1").alias("w1"),
                   F.col("b.w2").alias("w2")))
     c12 = ib.groupBy("lang", "w1", "w2").agg(
         F.count(F.lit(1)).alias("c12"))
-    c1 = ib.groupBy("lang", "w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = (idx.select("lang", F.explode(_tokens("text")).alias("w"))
-             .groupBy("lang").agg(F.countDistinct("w").alias("v")))
-    return c12, c1, vocab
+    c1 = c12.groupBy("lang", "w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"))
+    toks = idx.select("lang", F.explode(_tokens("text")).alias("w"))
+    vocab = toks.groupBy("lang").agg(F.countDistinct("w").alias("v"))
+    gvocab = toks.agg(F.countDistinct("w").alias("gv"))
+    return c12, c1, vocab, gvocab
 
 
 def _score_against_lm(batch: DataFrame, c12: DataFrame, c1: DataFrame,
-                      vocab: DataFrame) -> DataFrame:
+                      vocab: DataFrame, gvocab: DataFrame) -> DataFrame:
     """Per-doc NLL report for ``batch`` against a trained LM — shared by
     the in-plan batch query and the streaming gate (which trains once to
-    parquet artifacts and scores every micro-batch here)."""
+    parquet artifacts and scores every micro-batch here).
+
+    A language ABSENT from the index must score as maximally
+    surprising, not perfect: its per-lang vocab is NULL, so the
+    smoothing denominator falls back to the GLOBAL vocabulary size —
+    every bigram is unseen-with-full-smoothing, NLL ≈ ln(V_global) per
+    bigram (an earlier version fell back to V=1, which made p = 1 and
+    ranked unindexed-language junk as the best doc in the batch)."""
     bigrams = F.explode(F.expr(_BIGRAMS_EXPR)).alias("b")
     nb = (batch.select("doc_id", "lang", bigrams)
           .select("doc_id", "lang", F.col("b.w1").alias("w1"),
                   F.col("b.w2").alias("w2")))
+    # greatest(..., 1) guards the fully-empty-index degenerate case
+    v_eff = F.greatest(F.coalesce("v", F.col("gv")), F.lit(1))
     p = ((F.coalesce("c12", F.lit(0)) + 1)
-         / (F.coalesce("c1", F.lit(0))
-            + F.coalesce("v", F.lit(1))))  # lang absent from index: V→1
+         / (F.coalesce("c1", F.lit(0)) + v_eff))
     scored = (nb.join(c12, ["lang", "w1", "w2"], "left")
               .join(c1, ["lang", "w1"], "left")
               .join(vocab, ["lang"], "left")
+              .crossJoin(F.broadcast(gvocab))
               .select("doc_id",
                       F.round(-F.log(p) * 1e3).cast("bigint")
                       .alias("nll")))
@@ -1079,35 +1095,32 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     bucket = _bucket(F.col("doc_id"))
-    c12, c1, vocab = _lm_tables(d.filter(bucket < INDEX_PCT))
+    c12, c1, vocab, gvocab = _lm_tables(d.filter(bucket < INDEX_PCT))
     return _score_against_lm(d.filter(bucket >= INDEX_PCT),
-                             c12, c1, vocab)
+                             c12, c1, vocab, gvocab)
 
 
 def lm_artifacts(spark: SparkSession, sf_dir: str) -> str:
-    """Write-once LM artifacts (c12/c1/vocab parquet) per
+    """Write-once LM artifacts (c12/c1/vocab/gvocab parquet) per
     (session, sf_dir) — the quality-gate twin of the dedup family's
-    ``_index_artifacts``: the LM trains once over the existing corpus
-    and every ingest re-reads the tables instead of re-counting."""
-    import tempfile
-
+    ``_index_artifacts``, on the shared write-once lifecycle: the LM
+    trains once over the existing corpus and every ingest re-reads the
+    tables instead of re-counting."""
+    from ..sources.tables import write_once_artifacts
     from .curation import _bucket
     from .dedup import INDEX_PCT
 
-    cache = getattr(spark, "_bdsp_lm_artifacts", None)
-    if cache is None:
-        cache = {}
-        spark._bdsp_lm_artifacts = cache
-    if sf_dir not in cache:
-        root = tempfile.mkdtemp(prefix="lm_artifacts_")
+    def build(root: str) -> None:
         idx = (load_table(spark, sf_dir, "documents")
                .filter(_bucket(F.col("doc_id")) < INDEX_PCT))
-        c12, c1, vocab = _lm_tables(idx)
+        c12, c1, vocab, gvocab = _lm_tables(idx)
         c12.write.mode("overwrite").parquet(f"{root}/c12")
         c1.write.mode("overwrite").parquet(f"{root}/c1")
         vocab.write.mode("overwrite").parquet(f"{root}/vocab")
-        cache[sf_dir] = root
-    return cache[sf_dir]
+        gvocab.write.mode("overwrite").parquet(f"{root}/gvocab")
+
+    return write_once_artifacts(spark, "_bdsp_lm_artifacts", sf_dir,
+                                "lm_artifacts_", build)
 
 
 from ..operators.curation import _bucket_sql as _lm_bucket_sql  # noqa: E402
@@ -1122,24 +1135,26 @@ ib AS (
   SELECT lang, b.w1 AS w1, b.w2 AS w2
   FROM idx, LATERAL (SELECT unnest({_BIGRAMS_DUCK}, recursive := true)) b),
 c12 AS (SELECT lang, w1, w2, COUNT(*) AS c12 FROM ib GROUP BY 1, 2, 3),
-c1 AS (SELECT lang, w1, COUNT(*) AS c1 FROM ib GROUP BY 1, 2),
-vocab AS (
-  SELECT lang, COUNT(DISTINCT w) AS v
-  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM idx) q
-  GROUP BY lang),
+c1 AS (SELECT lang, w1, CAST(SUM(c12) AS BIGINT) AS c1
+       FROM c12 GROUP BY 1, 2),
+toks AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM idx),
+vocab AS (SELECT lang, COUNT(DISTINCT w) AS v FROM toks GROUP BY lang),
+gvocab AS (SELECT COUNT(DISTINCT w) AS gv FROM toks),
 nb AS (
   SELECT doc_id, lang, b.w1 AS w1, b.w2 AS w2
   FROM batch, LATERAL (SELECT unnest({_BIGRAMS_DUCK}, recursive := true)) b),
 scored AS (
   SELECT nb.doc_id,
          CAST(ROUND(-ln((COALESCE(c12.c12, 0) + 1)
-                        / (COALESCE(c1.c1, 0) + COALESCE(vocab.v, 1)))
+                        / (COALESCE(c1.c1, 0)
+                           + GREATEST(COALESCE(vocab.v, gvocab.gv), 1)))
                     * 1e3) AS BIGINT) AS nll
   FROM nb
   LEFT JOIN c12 ON c12.lang = nb.lang AND c12.w1 = nb.w1
                AND c12.w2 = nb.w2
   LEFT JOIN c1 ON c1.lang = nb.lang AND c1.w1 = nb.w1
-  LEFT JOIN vocab ON vocab.lang = nb.lang),
+  LEFT JOIN vocab ON vocab.lang = nb.lang
+  CROSS JOIN gvocab),
 per_doc AS (
   SELECT doc_id, COUNT(*) AS n_bigrams, SUM(nll) AS nll_milli
   FROM scored GROUP BY 1)

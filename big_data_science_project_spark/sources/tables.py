@@ -101,6 +101,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return cache[key]
 
 
+def write_once_artifacts(spark: SparkSession, cache_attr: str,
+                         sf_dir: str, prefix: str, build) -> str:
+    """Session-cached write-once artifact lifecycle shared by every
+    persisted-derived-table family (the dedup index, the LM tables):
+    per (session, sf_dir), ``build(root)`` runs exactly once to
+    populate a scratch root, and every later call re-READS. Same
+    session-attribute pattern as load_table — fixtures are read-only so
+    no invalidation; a deployment points the root at durable storage."""
+    import tempfile
+
+    cache = getattr(spark, cache_attr, None)
+    if cache is None:
+        cache = {}
+        setattr(spark, cache_attr, cache)
+    if sf_dir not in cache:
+        root = tempfile.mkdtemp(prefix=prefix)
+        build(root)
+        cache[sf_dir] = root
+    return cache[sf_dir]
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 

@@ -696,12 +696,15 @@ def stream_dedup_near_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         result = near_tier_vs_artifacts(spark, batch_df, root)
-        result.write.mode("overwrite").parquet(
-            f"{out_dir}/batch={batch_id}")
-        # every micro-batch has a distinct plan, so its shingle cache
-        # can never be CacheManager-deduped — release it or a
-        # long-running stream leaks one entry per trigger
-        result._cached_shingles.unpersist()
+        try:
+            result.write.mode("overwrite").parquet(
+                f"{out_dir}/batch={batch_id}")
+        finally:
+            # every micro-batch has a distinct plan, so its shingle
+            # cache can never be CacheManager-deduped — release it
+            # (even on a failed write: the retry re-persists its own
+            # copy) or a long-running stream leaks an entry per trigger
+            result._cached_shingles.unpersist()
 
     docs = (_stream_table(spark, sf_dir, "documents")
             .filter(_bucket(F.col("doc_id")) >= INDEX_PCT))
@@ -752,7 +755,8 @@ def stream_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         c12 = spark.read.parquet(f"{root}/c12")
         c1 = spark.read.parquet(f"{root}/c1")
         vocab = spark.read.parquet(f"{root}/vocab")
-        (_score_against_lm(batch_df, c12, c1, vocab)
+        gvocab = spark.read.parquet(f"{root}/gvocab")
+        (_score_against_lm(batch_df, c12, c1, vocab, gvocab)
          .write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}"))
 
     docs = (_stream_table(spark, sf_dir, "documents")
@@ -872,11 +876,15 @@ def stream_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     global LAST_QUERY
     LAST_QUERY = q
-    return (spark.read.parquet(report_dir)
-            .groupBy("lang")
-            .agg(F.sum("n_new").cast("bigint").alias("n_new"),
-                 F.sum(F.coalesce(F.col("n_admitted"), F.lit(0)))
-                 .cast("bigint").alias("n_admitted")))
+    # explicit schema, like the other two stream output readers: a
+    # fixture with zero new-batch docs leaves only empty partitions
+    return (spark.read.schema(
+        "lang string, n_new bigint, n_admitted bigint")
+        .parquet(report_dir)
+        .groupBy("lang")
+        .agg(F.sum("n_new").cast("bigint").alias("n_new"),
+             F.sum(F.coalesce(F.col("n_admitted"), F.lit(0)))
+             .cast("bigint").alias("n_admitted")))
 
 
 QUERIES["stream_ingest_loop"] = (stream_ingest_loop, f"""

@@ -570,11 +570,15 @@ def test_pca_spectrum_is_single_aggregate_no_python(spark):
 
 def test_lm_perplexity_plan_shape(spark):
     """text_lm_perplexity: the LM lookups are equi-joins (never a
-    cartesian/BNLJ), and every documents scan prunes to the three
-    columns the query needs — at 100 TB the scan width IS the cost."""
+    cartesian product — the only keyless join allowed is the 1-row
+    global-vocab broadcast attach, which plans as a BNLJ by design, the
+    same scalar-attach shape as text_sparse_cosine's n_docs), and every
+    documents scan prunes to the three columns the query needs — at
+    100 TB the scan width IS the cost."""
     plan = formatted_plan(_fresh(spark, "text_lm_perplexity"))
     assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # at most ONE nested-loop join, and only as a broadcast (1-row gv)
+    assert _nodes(plan, "BroadcastNestedLoopJoin") <= 1, plan
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
         cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
         assert cols <= {"doc_id", "lang", "text"}, cols

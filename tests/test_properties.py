@@ -786,36 +786,23 @@ def test_incremental_dedup_persisted_roundtrip(spark):
     assert worst <= LSH_MAX_BUCKET
 
 
-def test_lm_perplexity_ranks_garbled_above_clean(spark):
-    """The bigram-LM quality gate must rank an out-of-distribution doc
-    above an in-distribution one: the index (bucket < 80: ids 1, 2, 3)
-    repeats a small phrase distribution; batch doc 5 is drawn from it,
-    batch doc 8 is shuffled junk the LM has never seen. Also pins the
-    no-sentinel contract: a 1-token doc (14) has 0 bigrams and NULL avg."""
-    import os
-    import tempfile
-
-    import pandas as pd
-
+def test_lm_perplexity_ranks_garbled_above_clean(spark, lm_planted_dir):
+    """The bigram-LM quality gate must rank out-of-distribution docs
+    above in-distribution ones (corpus: conftest.lm_planted_dir).
+    Pins three contracts: garbled text scores worse than clean text; a
+    doc in a language the index never saw scores AT LEAST as badly as
+    garbled in-vocab text (the global-vocab smoothing fallback — a
+    V→1 fallback would rank it BEST); and a 1-token doc carries 0
+    bigrams and NULL avg (no sentinel)."""
     from big_data_science_project_spark.operators.text import (
         text_lm_perplexity)
 
-    phrase = ("the model scores each document by how well it matches "
-              "the corpus distribution")
-    docs = pd.DataFrame({
-        "doc_id": pd.array([1, 2, 3, 5, 8, 14], dtype="int64"),
-        "text": [phrase, phrase + " again", "it matches the corpus well",
-                 "the model scores the corpus well",      # in-distribution
-                 "zq xv qqk wf jjx zzv bnm ppw ooe rrt",  # garbled
-                 "single"],                               # 1 token
-        "lang": ["en"] * 6, "source": ["s"] * 6,
-        "n_chars": pd.array([1] * 6, dtype="int64"),
-    })
-    d = tempfile.mkdtemp(prefix="lmppl_")
-    docs.to_parquet(os.path.join(d, "documents.parquet"))
-    got = {r.doc_id: r for r in text_lm_perplexity(spark, d).collect()}
-    assert set(got) == {5, 8, 14}
+    got = {r.doc_id: r
+           for r in text_lm_perplexity(spark, lm_planted_dir).collect()}
+    assert set(got) == {5, 8, 14, 18}
     assert got[5].avg_nll_milli < got[8].avg_nll_milli
+    assert got[18].avg_nll_milli >= got[8].avg_nll_milli
+    assert got[18].avg_nll_milli > got[5].avg_nll_milli
     assert got[14].n_bigrams == 0
     assert got[14].nll_milli == 0
     assert got[14].avg_nll_milli is None

@@ -344,33 +344,21 @@ def test_stream_ingest_loop_refresh_gates_cross_batch_dup(spark):
     assert n_batches == 2, n_batches
 
 
-def test_stream_lm_quality_matches_batch_twin(spark):
+def test_stream_lm_quality_matches_batch_twin(spark, lm_planted_dir):
     """The streaming LM gate must reproduce the batch scorer
     value-for-value through the artifact round-trip (train once to
-    parquet, score the streamed batch in foreachBatch) — planted
-    corpus from the batch test: doc 5 in-distribution, doc 8 garbled,
-    doc 14 single-token (NULL avg, no sentinel)."""
-    import pandas as pd
-
+    parquet, score the streamed batch in foreachBatch) — same shared
+    planted corpus as the batch test (conftest.lm_planted_dir), so the
+    twins can never drift apart."""
     import big_data_science_project_spark.streaming.events as ev
     from big_data_science_project_spark.operators.text import (
         text_lm_perplexity)
 
-    phrase = ("the model scores each document by how well it matches "
-              "the corpus distribution")
-    docs = pd.DataFrame({
-        "doc_id": pd.array([1, 2, 3, 5, 8, 14], dtype="int64"),
-        "text": [phrase, phrase + " again", "it matches the corpus well",
-                 "the model scores the corpus well",
-                 "zq xv qqk wf jjx zzv bnm ppw ooe rrt",
-                 "single"],
-        "lang": ["en"] * 6, "source": ["s"] * 6,
-        "n_chars": pd.array([1] * 6, dtype="int64"),
-    })
-    d = tempfile.mkdtemp(prefix="slm_")
-    docs.to_parquet(os.path.join(d, "documents.parquet"))
-    got = sorted(map(tuple, ev.stream_lm_quality(spark, d).collect()))
-    want = sorted(map(tuple, text_lm_perplexity(spark, d).collect()))
+    got = sorted(map(tuple,
+                     ev.stream_lm_quality(spark, lm_planted_dir).collect()))
+    want = sorted(map(tuple,
+                      text_lm_perplexity(spark, lm_planted_dir).collect()))
     assert got == want
     by_id = {r[0]: r for r in got}
     assert by_id[5][4] < by_id[8][4]  # in-distribution beats garbled
+    assert by_id[18][4] >= by_id[8][4]  # unindexed lang ≥ garbled
