@@ -1365,3 +1365,80 @@ SELECT 'embedding' AS tier, mutation,
        ROUND(MAX(cos_sim), 9) AS max_cos
 FROM scored GROUP BY m, mutation
 """)
+
+
+# ---------------------------------------------------------------------------
+# INCREMENTAL ANN ingest — the vector twin of dedup_incremental /
+# stream_lm_quality, completing the per-ingest gate story across
+# modalities: a batch of freshly embedded vectors is assigned to the
+# EXISTING IVF index (same committed codebook as ann_ivf_topk) and
+# near-dup-checked against the index members of its own cell only.
+# Same deterministic md5-bucket split as the document family: index =
+# buckets 0..79, the new batch = 80..99.
+#
+# Scale shape: assignment is the map-only broadcast-codebook pass
+# (_assign_centroids — the corpus never shuffles to be assigned); the
+# candidate check joins batch↔index on centroid_id, the IVF partition
+# key — at 100 TB the index is STORED partitioned by centroid_id, so
+# only the batch side moves and every comparison stays inside one
+# cell (candidates bounded by cell size, never all-pairs). One row
+# per new vector (never empty, the oracle-bites rule): its cell, how
+# many index members share the cell, the best exact cosine among
+# them, and the ≥ NEARDUP_COS admission flag.
+# ---------------------------------------------------------------------------
+from ..operators.curation import _bucket as _split_bucket  # noqa: E402
+from ..operators.curation import _bucket_sql as _split_bucket_sql  # noqa: E402
+from ..operators.dedup import INDEX_PCT as _ANN_INDEX_PCT  # noqa: E402
+
+
+def ann_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = _assign_centroids(e)
+    split = _split_bucket(F.col("vec_id"))
+    idx = (assigned.filter(split < _ANN_INDEX_PCT)
+           .select("centroid_id", F.col("embedding").alias("iv"),
+                   F.col("nrm").alias("inrm")))
+    new = assigned.filter(split >= _ANN_INDEX_PCT)
+    pairs = (new.alias("n").join(idx, "centroid_id")
+             .select(F.col("n.vec_id").alias("vec_id"), "centroid_id",
+                     _cos_pair_udf(F.col("n.embedding"), F.col("iv"),
+                                   F.col("n.nrm"), F.col("inrm"))
+                     .alias("cos")))
+    per = pairs.groupBy("vec_id", "centroid_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cell_neighbors"),
+        F.round(F.max("cos"), 9).alias("best_cos"))
+    return (new.select("vec_id", "centroid_id")
+            .join(per, ["vec_id", "centroid_id"], "left")
+            .select("vec_id", "centroid_id",
+                    F.coalesce("n_cell_neighbors", F.lit(0))
+                    .cast("bigint").alias("n_cell_neighbors"),
+                    "best_cos",
+                    F.when(F.col("best_cos") >= NEARDUP_COS, 1)
+                    .otherwise(0).cast("bigint").alias("is_neardup")))
+
+
+QUERIES["ann_incremental_assign"] = (ann_incremental_assign, f"""
+WITH assigned AS ({_ASSIGN_SQL}),
+idx AS (
+  SELECT centroid_id, embedding AS iv FROM assigned
+  WHERE {_split_bucket_sql('vec_id')} < {_ANN_INDEX_PCT}),
+newv AS (
+  SELECT vec_id, centroid_id, embedding FROM assigned
+  WHERE {_split_bucket_sql('vec_id')} >= {_ANN_INDEX_PCT}),
+pairs AS (
+  SELECT n.vec_id, n.centroid_id,
+         {_COS_SQL_TEMPLATE.format(a='n.embedding', b='i.iv')} AS cos
+  FROM newv n JOIN idx i USING (centroid_id)),
+per AS (
+  SELECT vec_id, centroid_id,
+         CAST(COUNT(*) AS BIGINT) AS n_cell_neighbors,
+         ROUND(MAX(cos), 9) AS best_cos
+  FROM pairs GROUP BY 1, 2)
+SELECT n.vec_id, n.centroid_id,
+       CAST(COALESCE(p.n_cell_neighbors, 0) AS BIGINT) AS n_cell_neighbors,
+       p.best_cos,
+       CAST(CASE WHEN p.best_cos >= {NEARDUP_COS} THEN 1 ELSE 0 END
+            AS BIGINT) AS is_neardup
+FROM newv n
+LEFT JOIN per p ON p.vec_id = n.vec_id AND p.centroid_id = n.centroid_id
+""")
