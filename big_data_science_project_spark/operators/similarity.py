@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1371,29 +1372,56 @@ FROM scored GROUP BY m, mutation
 # INCREMENTAL ANN ingest — the vector twin of dedup_incremental /
 # stream_lm_quality, completing the per-ingest gate story across
 # modalities: a batch of freshly embedded vectors is assigned to the
-# EXISTING IVF index (same committed codebook as ann_ivf_topk) and
-# near-dup-checked against the index members of its own cell only.
-# Same deterministic md5-bucket split as the document family: index =
-# buckets 0..79, the new batch = 80..99.
+# EXISTING IVF index and near-dup-checked against the index members of
+# its own cell only. Same deterministic md5-bucket split as the
+# document family: index = buckets 0..79, the new batch = 80..99. The
+# codebook is derived STRICTLY from the index side (the N_CENTROIDS
+# lowest index vec_ids) — the batch cannot influence the structure it
+# is gated against, same discipline as the digest index and the LM
+# tables (an earlier draft reused ann_ivf_topk's global vec_id < 8
+# sample, which leaked two batch vectors into the codebook).
 #
 # Scale shape: assignment is the map-only broadcast-codebook pass
 # (_assign_centroids — the corpus never shuffles to be assigned); the
 # candidate check joins batch↔index on centroid_id, the IVF partition
 # key — at 100 TB the index is STORED partitioned by centroid_id, so
-# only the batch side moves and every comparison stays inside one
-# cell (candidates bounded by cell size, never all-pairs). One row
-# per new vector (never empty, the oracle-bites rule): its cell, how
-# many index members share the cell, the best exact cosine among
-# them, and the ≥ NEARDUP_COS admission flag.
+# only the batch side moves and comparisons stay within one cell.
+# Honest growth note: cell population is index/K, so at FIXED K the
+# per-vector candidate count grows with the corpus — production IVF
+# sizes K with the corpus (the standard ~√N rule), which keeps cells
+# bounded; the fixture's K = 8 is an oracle-friendly constant, not a
+# scale claim, and this query is deliberately NOT in the probe table
+# (its fixed-K curve would measure the fixture constant, not the
+# design). One row per new vector (never empty, the oracle-bites
+# rule): its cell, how many index members share the cell, the best
+# exact cosine among them, and the ≥ NEARDUP_COS admission flag.
 # ---------------------------------------------------------------------------
 from ..operators.curation import _bucket as _split_bucket  # noqa: E402
 from ..operators.curation import _bucket_sql as _split_bucket_sql  # noqa: E402
 from ..operators.dedup import INDEX_PCT as _ANN_INDEX_PCT  # noqa: E402
 
 
+def _collect_index_centroids(e: DataFrame):
+    """Index-side codebook: the N_CENTROIDS lowest vec_ids among
+    bucket < INDEX_PCT vectors, collected driver-side (k×d — index
+    build time, same contract as _collect_centroids)."""
+    cent_rows = (e.filter(_split_bucket(F.col("vec_id")) < _ANN_INDEX_PCT)
+                 .select("vec_id", "embedding")
+                 .orderBy("vec_id").limit(N_CENTROIDS).collect())
+    cids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
+    cmat = np.asarray([r.embedding for r in cent_rows], dtype=np.float64)
+    cn = np.sqrt(np.cumsum(cmat * cmat, axis=1)[:, -1])
+    return cids, cmat, cn
+
+
 def ann_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    assigned = _assign_centroids(e)
+    # persisted: the assignment UDF (the documented hot spot) feeds the
+    # index side, the pair join's new side, AND the final left join —
+    # without the cache it would run three times. Identical plan per
+    # (session, sf_dir) → one CacheManager entry, the twin-site rule.
+    assigned = _assign_centroids(e, _collect_index_centroids(e)).persist(
+        StorageLevel.MEMORY_AND_DISK_DESER)
     split = _split_bucket(F.col("vec_id"))
     idx = (assigned.filter(split < _ANN_INDEX_PCT)
            .select("centroid_id", F.col("embedding").alias("iv"),
@@ -1418,7 +1446,20 @@ def ann_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ann_incremental_assign"] = (ann_incremental_assign, f"""
-WITH assigned AS ({_ASSIGN_SQL}),
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  WHERE {_split_bucket_sql('vec_id')} < {_ANN_INDEX_PCT}
+  ORDER BY vec_id LIMIT {N_CENTROIDS}),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_SQL_TEMPLATE.format(a='e.embedding',
+                                                b='c.cvec')} DESC,
+                      c.cid DESC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) t WHERE rn = 1),
 idx AS (
   SELECT centroid_id, embedding AS iv FROM assigned
   WHERE {_split_bucket_sql('vec_id')} < {_ANN_INDEX_PCT}),
