@@ -41,8 +41,6 @@ which joins only bloom-positive rows against the real index).
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -54,12 +52,30 @@ BITS_PER_KEY = 16  # default sizing: ~0.2% fpp at k=7
 DEFAULT_K = 7
 
 
-class BloomFilter(NamedTuple):
-    """Driver-held bitmap: ``words[i]`` bit ``j`` = bloom bit ``64*i+j``."""
+class BloomFilter:
+    """Driver-held bitmap: ``words[i]`` bit ``j`` = bloom bit ``64*i+j``.
 
-    words: np.ndarray  # int64[num_bits // 64]
-    num_bits: int
-    k: int
+    The executor-side broadcast of ``words`` (large-bitmap probe path)
+    is created lazily and cached ON the instance — repeated probes over
+    one filter reuse one TorrentBroadcast instead of accumulating a new
+    executor-side copy per call; ``destroy()`` releases it when the
+    gate is torn down. ``merge_from`` is the driver-side bitmap OR —
+    blooms over the same (num_bits, k) universe are mergeable by
+    construction (the bit positions of a key do not depend on what else
+    is in the filter), which is what lets a streaming ingest loop fold
+    each batch's admitted keys into a live gate without rebuilding it.
+    A merge invalidates the cached broadcast: probes built AFTER the
+    merge see the new bits; plans built before keep their snapshot
+    (exactly the semantics the ingest loop needs — each micro-batch
+    gates against the bits as of its start)."""
+
+    __slots__ = ("words", "num_bits", "k", "_bc")
+
+    def __init__(self, words: np.ndarray, num_bits: int, k: int):
+        self.words = words  # int64[ceil(num_bits / 64)]
+        self.num_bits = num_bits
+        self.k = k
+        self._bc = None
 
     def saturated(self) -> bool:
         """True iff every one of ``num_bits`` bits is set — then probes
@@ -71,6 +87,34 @@ class BloomFilter(NamedTuple):
         tail = (np.int64(1) << np.int64(self.num_bits % 64)) - 1
         return bool((self.words[:-1] == full[:-1]).all()
                     and (self.words[-1] & tail) == tail)
+
+    def merge_from(self, other: "BloomFilter") -> None:
+        """Driver-side OR of another bloom over the SAME universe."""
+        if (other.num_bits, other.k) != (self.num_bits, self.k):
+            raise ValueError(
+                f"bloom merge across universes: ({other.num_bits}, "
+                f"{other.k}) into ({self.num_bits}, {self.k})")
+        self.words = np.bitwise_or(self.words, other.words)
+        if self._bc is not None:
+            # unpersist, NOT destroy: executor copies of the stale
+            # bitmap are dropped, but a plan built before the merge can
+            # still re-fetch its snapshot from the driver if it is
+            # mid-flight; the next probe re-broadcasts the merged words
+            self._bc.unpersist()
+            self._bc = None
+
+    def _broadcast(self):
+        if self._bc is None:
+            from pyspark import SparkContext
+            sc = SparkContext._active_spark_context
+            self._bc = sc.broadcast(self.words)
+        return self._bc
+
+    def destroy(self) -> None:
+        """Release the executor-side broadcast copy, if one was made."""
+        if self._bc is not None:
+            self._bc.destroy()
+            self._bc = None
 
 
 def _positions(col: Column, num_bits: int, k: int) -> list[Column]:
@@ -125,15 +169,15 @@ def bloom_might_contain(bloom: BloomFilter, col: Column, *,
             hit = term if hit is None else hit & term
         return hit
 
-    from pyspark import SparkContext
     from pyspark.sql.pandas.functions import pandas_udf
 
-    sc = SparkContext._active_spark_context
-    bc = sc.broadcast(bloom.words)
+    bc = bloom._broadcast()  # created once per filter, reused per probe
 
     @pandas_udf("boolean")
     def _probe(positions):
         import pandas as pd
+        if len(positions) == 0:  # Arrow may hand the UDF an empty batch
+            return pd.Series([], dtype=bool)
         w = bc.value
         p = np.stack(positions.to_numpy())  # (rows, k) int64
         # arithmetic >> keeps bit s of the two's-complement word at

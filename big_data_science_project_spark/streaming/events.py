@@ -615,17 +615,26 @@ def _exact_gate_report(new: DataFrame, idx: DataFrame,
     (lang, dg); ``idx`` has (idg), distinct."""
     from ..functions.bloom import bloom_might_contain
 
+    # The probe appears ONCE in the whole plan. An earlier shape
+    # filtered hit/~hit into two branches, which evaluated the k-hash
+    # probe twice per batch row (r8 ADVICE; a `withColumn` tag does not
+    # help — Catalyst inlines deterministic expressions back into both
+    # filters, verified on the executed plan). But n_new never needed
+    # the probe at all: count every row in a probe-free branch, and let
+    # ONLY the bloom-positive branch (the one that joins) carry it —
+    # misses now contribute to the report without being hashed against
+    # the bloom a second time or shuffled on dg.
     hit = bloom_might_contain(bloom, F.col("dg"))
+    everyone = new.select("lang", F.lit(1).cast("bigint").alias("is_new"),
+                          F.lit(0).cast("bigint").alias("dup"))
     verified = (
         new.filter(hit).hint("shuffle_hash")
         .join(idx, F.col("dg") == F.col("idg"), "left")
-        .select("lang", F.col("idg").isNotNull().cast("bigint")
-                .alias("dup")))
-    misses = new.filter(~hit).select(
-        "lang", F.lit(0).cast("bigint").alias("dup"))
-    return (verified.unionByName(misses)
+        .select("lang", F.lit(0).cast("bigint").alias("is_new"),
+                F.col("idg").isNotNull().cast("bigint").alias("dup")))
+    return (everyone.unionByName(verified)
             .groupBy("lang")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_new"),
+            .agg(F.sum("is_new").cast("bigint").alias("n_new"),
                  F.sum("dup").cast("bigint").alias("n_exact_dup")))
 
 

@@ -66,6 +66,64 @@ def test_undersized_bloom_saturates(spark, bloom_and_dfs):
         bloom_might_contain(bloom8, F.col("t"))).first()[0] is True
 
 
+def test_merge_from_is_union_and_reuses_one_broadcast(spark):
+    """merge_from(other) must behave as the bloom of the UNION of key
+    sets (zero false negatives for both sides), and the large-bitmap
+    probe path must cache ONE broadcast per filter instance across
+    probes (the r8 ADVICE leak: a fresh sc.broadcast per probe call)."""
+    a = spark.createDataFrame([(f"a-{i}",) for i in range(50)], "t string")
+    b = spark.createDataFrame([(f"b-{i}",) for i in range(50)], "t string")
+    bits = 4096
+    bl = bloom_build(a, "t", num_bits=bits)
+    delta = bloom_build(b, "t", num_bits=bits)
+    bl.merge_from(delta)
+    probe = a.unionByName(b)
+    hits = probe.select(
+        bloom_might_contain(bl, F.col("t"), literal_max_words=0)
+        .alias("h")).agg(F.sum(F.col("h").cast("int"))).first()[0]
+    assert hits == 100  # no false negatives across the merged sets
+    bc1 = bl._broadcast()
+    probe.select(bloom_might_contain(bl, F.col("t"),
+                                     literal_max_words=0)).count()
+    assert bl._broadcast() is bc1  # probes reuse the instance broadcast
+    bl.merge_from(bloom_build(a, "t", num_bits=bits))
+    assert bl._bc is None  # merge invalidates the cached broadcast
+    bl.destroy()
+    assert bl._bc is None
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        bl.merge_from(bloom_build(a, "t", num_bits=128))
+
+
+def test_broadcast_probe_handles_empty_partitions(spark):
+    """Zero-row Arrow batches must not crash the numpy probe (r8
+    ADVICE: np.stack raises on an empty series). 32 partitions over 3
+    rows guarantees empty partitions reach the UDF."""
+    bl = bloom_build(
+        spark.createDataFrame([("x",)], "t string"), "t", num_bits=4096)
+    probe = spark.createDataFrame(
+        [("x",), ("y",), ("z",)], "t string").repartition(32)
+    out = probe.select(bloom_might_contain(
+        bl, F.col("t"), literal_max_words=0).alias("h"))
+    assert out.filter(F.col("h")).count() >= 1  # 'x' always hits
+
+
+def test_checksum_count_hashes_nested_maps(spark):
+    """functions/actions.py must accept maps at ANY nesting depth (r8
+    ADVICE: only top-level MapType was rewritten)."""
+    from big_data_science_project_spark.functions.actions import (
+        checksum_count)
+
+    df = spark.sql(
+        "SELECT id, map('a', id) AS m, struct(map('b', id) AS im) AS s, "
+        "array(map('c', id)) AS am, array(struct(map('d', id) AS x)) AS y "
+        "FROM range(7)")
+    n, ck = checksum_count(df)
+    assert n == 7 and ck != 0
+    assert checksum_count(spark.range(0)) == (0, 0)
+
+
 def test_bitmap_is_bloom_sized_not_corpus_sized(spark):
     """The collect() in build is bounded by num_bits/64 — feeding 50×
     more keys than bits cannot grow the driver-held bitmap."""
