@@ -398,28 +398,33 @@ def _km_trunc_div(s: int, n: int) -> int:
     return q if s >= 0 else -q
 
 
-def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # corpus-sized and read every Lloyd's round: spill to disk on memory
-    # pressure rather than evict-and-requantize (MEMORY_AND_DISK_DESER,
-    # PySpark's DataFrame default, pinned explicitly)
-    pts = _km_quant(load_table(spark, sf_dir, "embeddings")).persist(
-        StorageLevel.MEMORY_AND_DISK_DESER)
-    cents = {r["vec_id"]: list(r["em"])
-             for r in pts.filter(F.col("vec_id") < KM_K).collect()}
+def _lloyd_assign(pts: DataFrame, cents: dict) -> DataFrame:
+    """One map-only assignment pass: per point, the (distance², cid)
+    struct of its nearest centroid — centroids inlined as literals (the
+    broadcast-variable pattern); ties break on the LOWER cid via the
+    struct ordering of array_min."""
+    structs = ", ".join(
+        "struct(aggregate(zip_with(em, array({vals}), (a, b) ->"
+        " (a - b) * (a - b)), 0L, (acc, v) -> acc + v) as d,"
+        " {cid} as cid)".format(
+            vals=", ".join(f"{v}L" for v in cents[cid]), cid=cid)
+        for cid in sorted(cents))
+    return pts.select(
+        "vec_id", "em",
+        F.expr(f"array_min(array({structs}))").alias("best"))
 
-    def assigned_df():
-        structs = ", ".join(
-            "struct(aggregate(zip_with(em, array({vals}), (a, b) ->"
-            " (a - b) * (a - b)), 0L, (acc, v) -> acc + v) as d,"
-            " {cid} as cid)".format(
-                vals=", ".join(f"{v}L" for v in cents[cid]), cid=cid)
-            for cid in sorted(cents))
-        return pts.select(
-            "vec_id", "em",
-            F.expr(f"array_min(array({structs}))").alias("best"))
 
-    for _ in range(KM_ITERS):
-        sums = (assigned_df()
+def lloyd_iterations(pts: DataFrame, cents: dict, iters: int) -> dict:
+    """``iters`` Lloyd's rounds over integer-micro points ``pts``
+    (vec_id, em) from initial centroids ``cents`` ({cid: [int micros]});
+    returns the final centroid dict. Exact integer arithmetic
+    throughout (see block comment above) — shared by the kmeans query
+    and the trained ANN codebook (operators/similarity.py), so the
+    update rule exists once. A cluster that captures no points in a
+    round drops out of the dict (standard Lloyd's death; both mirrors
+    reproduce it). Caller persists ``pts`` — it is read every round."""
+    for _ in range(iters):
+        sums = (_lloyd_assign(pts, cents)
                 .groupBy(F.col("best.cid").alias("cid"))
                 .agg(F.count(F.lit(1)).alias("n"),
                      *[F.sum(F.col("em")[j]).alias(f"s{j}")
@@ -428,31 +433,51 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = {r["cid"]: [_km_trunc_div(r[f"s{j}"], r["n"])
                             for j in range(DIM)]
                  for r in sums}
+    return cents
 
-    return (assigned_df()
+
+def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus-sized and read every Lloyd's round: spill to disk on memory
+    # pressure rather than evict-and-requantize (MEMORY_AND_DISK_DESER,
+    # PySpark's DataFrame default, pinned explicitly)
+    pts = _km_quant(load_table(spark, sf_dir, "embeddings")).persist(
+        StorageLevel.MEMORY_AND_DISK_DESER)
+    cents = {r["vec_id"]: list(r["em"])
+             for r in pts.filter(F.col("vec_id") < KM_K).collect()}
+    cents = lloyd_iterations(pts, cents, KM_ITERS)
+
+    return (_lloyd_assign(pts, cents)
             .groupBy(F.col("best.cid").alias("cluster_id"))
             .agg(F.count(F.lit(1)).alias("n_points"),
                  F.sum("best.d").cast("bigint").alias("inertia_u2"))
             .orderBy("cluster_id"))
 
 
-def _km_sql() -> str:
-    dist = ("CAST(list_aggregate(list_transform(generate_series(1, {dim}),"
-            " j -> (p.em[j] - c.cm[j]) * (p.em[j] - c.cm[j])), 'sum')"
-            " AS BIGINT)").format(dim=DIM)
-    parts = [f"""
-WITH pts AS (
+_LLOYD_DIST_SQL = (
+    "CAST(list_aggregate(list_transform(generate_series(1, {dim}),"
+    " j -> (p.em[j] - c.cm[j]) * (p.em[j] - c.cm[j])), 'sum')"
+    " AS BIGINT)").format(dim=DIM)
+
+_KM_PTS_SQL = """
   SELECT vec_id, list_transform(embedding,
            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
            AS em
-  FROM embeddings),
-c0 AS (SELECT vec_id AS cid, em AS cm FROM pts WHERE vec_id < {KM_K})"""]
-    for i in range(KM_ITERS):
+  FROM embeddings"""
+
+
+def lloyd_sql_iter_ctes(iters: int) -> str:
+    """The per-iteration CTE chunks (a{i}, u{i}, c{i+1}) of the exact
+    integer Lloyd's — assumes CTEs ``pts(vec_id, em)`` and
+    ``c0(cid, cm)`` are already defined; the chain ends at
+    ``c{iters}(cid, cm)``. Shared by the kmeans oracle and the trained
+    ANN codebook oracle so the update rule has one SQL source too."""
+    parts = []
+    for i in range(iters):
         parts.append(f""",
 a{i} AS (
-  SELECT p.vec_id, p.em, c.cid, {dist} AS d,
+  SELECT p.vec_id, p.em, c.cid, {_LLOYD_DIST_SQL} AS d,
          ROW_NUMBER() OVER (PARTITION BY p.vec_id
-                            ORDER BY {dist}, c.cid) AS rn
+                            ORDER BY {_LLOYD_DIST_SQL}, c.cid) AS rn
   FROM pts p, c{i} c),
 u{i} AS (
   SELECT cid, j, CAST(SUM(em[j]) AS BIGINT) AS s, COUNT(*) AS n
@@ -461,13 +486,20 @@ u{i} AS (
 c{i + 1} AS (
   SELECT cid, list(s // n ORDER BY j) AS cm
   FROM u{i} GROUP BY cid)""")
-    last = KM_ITERS
+    return "".join(parts)
+
+
+def _km_sql() -> str:
+    parts = [f"""
+WITH pts AS ({_KM_PTS_SQL}),
+c0 AS (SELECT vec_id AS cid, em AS cm FROM pts WHERE vec_id < {KM_K})"""]
+    parts.append(lloyd_sql_iter_ctes(KM_ITERS))
     parts.append(f""",
 af AS (
-  SELECT p.vec_id, c.cid, {dist} AS d,
+  SELECT p.vec_id, c.cid, {_LLOYD_DIST_SQL} AS d,
          ROW_NUMBER() OVER (PARTITION BY p.vec_id
-                            ORDER BY {dist}, c.cid) AS rn
-  FROM pts p, c{last} c)
+                            ORDER BY {_LLOYD_DIST_SQL}, c.cid) AS rn
+  FROM pts p, c{KM_ITERS} c)
 SELECT cid AS cluster_id, COUNT(*) AS n_points,
        CAST(SUM(d) AS BIGINT) AS inertia_u2
 FROM af WHERE rn = 1

@@ -927,7 +927,9 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (ann_bruteforce_topk(spark, sf_dir)
              .select("vec_id", F.lit(1).alias("hit")))
     branches = []
-    for method, fn in (("lsh", ann_lsh_topk), ("ivf", ann_ivf_topk)):
+    for method, fn in (("lsh", ann_lsh_topk), ("ivf", ann_ivf_topk),
+                       ("ivf_trained", lambda s, d:
+                        ann_ivf_trained_topk(s, d).drop("centroid_id"))):
         # one pass per branch: left join marks hits, the aggregate
         # counts returned rows and hits together — no eager action, no
         # re-execution of the ranker pipelines
@@ -947,13 +949,17 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _recall_sql() -> str:
+    # called at the BOTTOM of the module: it nests the ladder queries'
+    # own oracle SQL (incl. the trained-IVF probe, defined below)
     bf = QUERIES["ann_bruteforce_topk"][1]
     lsh = QUERIES["ann_lsh_topk"][1]
     ivf = QUERIES["ann_ivf_topk"][1]
+    ivt = QUERIES["ann_ivf_trained_topk"][1]
     return f"""
 WITH exact_q AS ({bf}),
 lsh_q AS ({lsh}),
-ivf_q AS ({ivf})
+ivf_q AS ({ivf}),
+ivt_q AS ({ivt})
 SELECT 'lsh' AS method, CAST(10 AS INT) AS k,
        CAST((SELECT COUNT(*) FROM lsh_q) AS BIGINT) AS n_returned,
        CAST(COUNT(*) AS BIGINT) AS hits,
@@ -965,10 +971,13 @@ SELECT 'ivf' AS method, CAST(10 AS INT) AS k,
        CAST(COUNT(*) AS BIGINT) AS hits,
        CAST((100 * COUNT(*)) // 10 AS BIGINT) AS recall_pct
 FROM ivf_q i JOIN exact_q e ON i.vec_id = e.vec_id
+UNION ALL
+SELECT 'ivf_trained' AS method, CAST(10 AS INT) AS k,
+       CAST((SELECT COUNT(*) FROM ivt_q) AS BIGINT) AS n_returned,
+       CAST(COUNT(*) AS BIGINT) AS hits,
+       CAST((100 * COUNT(*)) // 10 AS BIGINT) AS recall_pct
+FROM ivt_q t JOIN exact_q e ON t.vec_id = e.vec_id
 """
-
-
-QUERIES["ann_recall_eval"] = (ann_recall_eval, _recall_sql())
 
 
 # ---------------------------------------------------------------------------
@@ -1375,11 +1384,11 @@ FROM scored GROUP BY m, mutation
 # EXISTING IVF index and near-dup-checked against the index members of
 # its own cell only. Same deterministic md5-bucket split as the
 # document family: index = buckets 0..79, the new batch = 80..99. The
-# codebook is derived STRICTLY from the index side (the N_CENTROIDS
-# lowest index vec_ids) — the batch cannot influence the structure it
-# is gated against, same discipline as the digest index and the LM
-# tables (an earlier draft reused ann_ivf_topk's global vec_id < 8
-# sample, which leaked two batch vectors into the codebook).
+# codebook is TRAINED strictly on the index side (_train_index_centroids
+# — exact-integer Lloyd's, r9) — the batch cannot influence the
+# structure it is gated against, same discipline as the digest index
+# and the LM tables (an earlier draft reused ann_ivf_topk's global
+# vec_id < 8 sample, which leaked two batch vectors into the codebook).
 #
 # Scale shape: assignment is the map-only broadcast-codebook pass
 # (_assign_centroids — the corpus never shuffles to be assigned); the
@@ -1401,32 +1410,70 @@ from ..operators.curation import _bucket_sql as _split_bucket_sql  # noqa: E402
 from ..operators.dedup import INDEX_PCT as _ANN_INDEX_PCT  # noqa: E402
 
 
-def _collect_index_centroids(e: DataFrame):
-    """Index-side codebook: the N_CENTROIDS lowest vec_ids among
-    bucket < INDEX_PCT vectors, collected driver-side (k×d — index
-    build time, same contract as _collect_centroids)."""
-    cent_rows = (e.filter(_split_bucket(F.col("vec_id")) < _ANN_INDEX_PCT)
-                 .select("vec_id", "embedding")
-                 .orderBy("vec_id").limit(N_CENTROIDS).collect())
-    cids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
-    cmat = np.asarray([r.embedding for r in cent_rows], dtype=np.float64)
+ANN_KM_ITERS = 2
+
+
+def _train_index_centroids(e: DataFrame):
+    """TRAINED index-side codebook (r8 verdict item: the earlier
+    codebook was 'the N_CENTROIDS lowest index vec_ids' — honest but
+    arbitrary): exact-integer Lloyd's k-means (operators/linear.py::
+    lloyd_iterations — the same distributed update rule ml_kmeans_lloyd
+    oracles, shared so it exists once) restricted STRICTLY to the
+    bucket < INDEX_PCT split, initialized from the N_CENTROIDS lowest
+    index vec_ids. The batch cannot influence the structure it is gated
+    against — same discipline as the digest index and the LM tables.
+
+    Cross-engine exactness: training runs entirely in integer micros
+    (quantize → int64 L2 → truncating-division updates — bit-identical
+    at any parallelism and in DuckDB); only the FINAL centroids convert
+    to double via one division by 1e6, which both engines round
+    identically (IEEE, exactly-representable int64 inputs), so every
+    downstream cosine and the argmax assignment stay repr-exact.
+    Centroid ids remain the init vec_ids; a cluster emptied during
+    training drops out (standard Lloyd's death, mirrored in SQL).
+    Driver state is K rows of D ints per round — index-build-sized."""
+    from .linear import _km_quant, lloyd_iterations
+
+    idx = e.filter(_split_bucket(F.col("vec_id")) < _ANN_INDEX_PCT)
+    # read every Lloyd's round (ANN_KM_ITERS + nothing after: the
+    # final assignment below re-reads the raw embeddings instead)
+    pts = _km_quant(idx).persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    try:
+        init = pts.orderBy("vec_id").limit(N_CENTROIDS).collect()
+        cents = lloyd_iterations(
+            pts, {r["vec_id"]: list(r["em"]) for r in init}, ANN_KM_ITERS)
+    finally:
+        pts.unpersist()
+    cids = np.array(sorted(cents), dtype=np.int64)
+    cmat = np.array([cents[int(c)] for c in cids],
+                    dtype=np.float64) / 1e6
     cn = np.sqrt(np.cumsum(cmat * cmat, axis=1)[:, -1])
     return cids, cmat, cn
 
 
-def ann_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    # persisted: the assignment UDF (the documented hot spot) feeds the
-    # index side, the pair join's new side, AND the final left join —
-    # without the cache it would run three times. Identical plan per
-    # (session, sf_dir) → one CacheManager entry, the twin-site rule.
-    assigned = _assign_centroids(e, _collect_index_centroids(e)).persist(
-        StorageLevel.MEMORY_AND_DISK_DESER)
-    split = _split_bucket(F.col("vec_id"))
-    idx = (assigned.filter(split < _ANN_INDEX_PCT)
-           .select("centroid_id", F.col("embedding").alias("iv"),
-                   F.col("nrm").alias("inrm")))
-    new = assigned.filter(split >= _ANN_INDEX_PCT)
+def _trained_cents_sql() -> str:
+    """CTE chain ending in ``cents(cid, cvec double list)`` — the SQL
+    mirror of _train_index_centroids, built on the shared Lloyd's
+    iteration CTEs."""
+    from .linear import _KM_PTS_SQL, lloyd_sql_iter_ctes
+
+    return f"""pts AS ({_KM_PTS_SQL}
+  WHERE {_split_bucket_sql('vec_id')} < {_ANN_INDEX_PCT}),
+c0 AS (SELECT vec_id AS cid, em AS cm FROM pts
+       ORDER BY vec_id LIMIT {N_CENTROIDS}){lloyd_sql_iter_ctes(ANN_KM_ITERS)},
+cents AS (
+  SELECT cid, list_transform(cm, x -> CAST(x AS DOUBLE) / 1000000.0)
+           AS cvec
+  FROM c{ANN_KM_ITERS})"""
+
+
+def _cell_check(new: DataFrame, idx: DataFrame) -> DataFrame:
+    """The same-cell near-dup check shared by every incremental ANN
+    shape (in-plan, persisted-artifact, streaming-foreachBatch — the
+    `_batch_index_jaccard` discipline from the dedup family): ``new``
+    is the assigned batch (vec_id, embedding, nrm, centroid_id),
+    ``idx`` the index members (centroid_id, iv, inrm). One row per new
+    vector, never empty (left join from the batch)."""
     pairs = (new.alias("n").join(idx, "centroid_id")
              .select(F.col("n.vec_id").alias("vec_id"), "centroid_id",
                      _cos_pair_udf(F.col("n.embedding"), F.col("iv"),
@@ -1445,12 +1492,25 @@ def ann_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .otherwise(0).cast("bigint").alias("is_neardup")))
 
 
-QUERIES["ann_incremental_assign"] = (ann_incremental_assign, f"""
-WITH cents AS (
-  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-  WHERE {_split_bucket_sql('vec_id')} < {_ANN_INDEX_PCT}
-  ORDER BY vec_id LIMIT {N_CENTROIDS}),
-assigned AS (
+def ann_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    # persisted: the assignment UDF (the documented hot spot) feeds the
+    # index side, the pair join's new side, AND the final left join —
+    # without the cache it would run three times. Identical plan per
+    # (session, sf_dir) → one CacheManager entry, the twin-site rule.
+    assigned = _assign_centroids(e, _train_index_centroids(e)).persist(
+        StorageLevel.MEMORY_AND_DISK_DESER)
+    split = _split_bucket(F.col("vec_id"))
+    idx = (assigned.filter(split < _ANN_INDEX_PCT)
+           .select("centroid_id", F.col("embedding").alias("iv"),
+                   F.col("nrm").alias("inrm")))
+    return _cell_check(assigned.filter(split >= _ANN_INDEX_PCT), idx)
+
+
+# full-corpus assignment to the trained codebook — assumes the
+# ``cents`` CTE from _trained_cents_sql() is in scope; shared by the
+# incremental-gate oracle and the trained-IVF probe oracle
+_TRAINED_ASSIGNED_SQL = f"""assigned AS (
   SELECT vec_id, embedding, centroid_id FROM (
     SELECT e.vec_id, e.embedding, c.cid AS centroid_id,
            ROW_NUMBER() OVER (
@@ -1459,7 +1519,11 @@ assigned AS (
                                                 b='c.cvec')} DESC,
                       c.cid DESC) AS rn
     FROM embeddings e CROSS JOIN cents c
-  ) t WHERE rn = 1),
+  ) t WHERE rn = 1)"""
+
+_ANN_INCREMENTAL_SQL = f"""
+WITH {_trained_cents_sql()},
+{_TRAINED_ASSIGNED_SQL},
 idx AS (
   SELECT centroid_id, embedding AS iv FROM assigned
   WHERE {_split_bucket_sql('vec_id')} < {_ANN_INDEX_PCT}),
@@ -1482,4 +1546,156 @@ SELECT n.vec_id, n.centroid_id,
             AS BIGINT) AS is_neardup
 FROM newv n
 LEFT JOIN per p ON p.vec_id = n.vec_id AND p.centroid_id = n.centroid_id
-""")
+"""
+
+QUERIES["ann_incremental_assign"] = (ann_incremental_assign,
+                                     _ANN_INCREMENTAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# PERSISTED ANN index + per-ingest gate — completes the gate-lifecycle
+# triple (r8 verdict gap #1: the dedup and LM gates had persisted
+# artifacts + streaming twins; the ANN gate rebuilt its codebook and
+# index assignments in-plan per run). Two artifacts on the shared
+# write-once lifecycle:
+#   codebook/  (cid, cvec array<double>)  — K trained centroids
+#   assigned/  centroid_id=<cid>/(vec_id, embedding, nrm) — the
+#              index-side assignments, PARTITIONED BY centroid_id:
+#              this is the physical IVF layout — a probe (or a batch
+#              cell-check) reads ONLY the cells it touches via
+#              partition pruning; at 100 TB the unprobed cells are
+#              never even listed.
+# Per ingest the only vector-scanning pass is batch-sized: assign the
+# batch against the K-row codebook (map-only), then join same-cell
+# index members on centroid_id — the partition key, so only the batch
+# side moves. Result and oracle are IDENTICAL to ann_incremental_assign
+# — the artifact round-trip must not change a single value (parquet
+# stores the trained doubles exactly).
+# ---------------------------------------------------------------------------
+def ann_artifacts(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once per (session, sf_dir) via the shared artifact
+    lifecycle (sources/tables.write_once_artifacts)."""
+    from ..sources.tables import write_once_artifacts
+
+    def build(root: str) -> None:
+        e = load_table(spark, sf_dir, "embeddings")
+        cids, cmat, cn = _train_index_centroids(e)
+        spark.createDataFrame(
+            [(int(c), [float(x) for x in cmat[i]])
+             for i, c in enumerate(cids)],
+            "cid bigint, cvec array<double>").coalesce(1) \
+            .write.mode("overwrite").parquet(f"{root}/codebook")
+        idx = e.filter(_split_bucket(F.col("vec_id")) < _ANN_INDEX_PCT)
+        (_assign_centroids(idx, (cids, cmat, cn))
+         .write.mode("overwrite").partitionBy("centroid_id")
+         .parquet(f"{root}/assigned"))
+
+    return write_once_artifacts(spark, "_bdsp_ann_index", sf_dir,
+                                "ann_index_", build)
+
+
+def _read_codebook(spark: SparkSession, root: str):
+    """K×D driver-side collect of the persisted codebook — index
+    serving state, the same contract as _collect_centroids."""
+    rows = sorted(spark.read.parquet(f"{root}/codebook").collect(),
+                  key=lambda r: r.cid)
+    cids = np.array([r.cid for r in rows], dtype=np.int64)
+    cmat = np.array([r.cvec for r in rows], dtype=np.float64)
+    cn = np.sqrt(np.cumsum(cmat * cmat, axis=1)[:, -1])
+    return cids, cmat, cn
+
+
+def ann_gate_vs_artifacts(spark: SparkSession, batch: DataFrame,
+                          root: str) -> DataFrame:
+    """ANN near-dup gate for one batch against the persisted index —
+    shared by the batch variant and the streaming twin (foreachBatch
+    gives it batch semantics; streaming/events.py must not re-derive
+    it). ``batch`` is any embeddings-shaped DataFrame. The returned
+    DataFrame carries the per-batch assignment cache as
+    ``_cached_assign`` — the streaming caller unpersists it after its
+    write (every micro-batch has a DISTINCT plan, so CacheManager
+    never dedups them; the batch twin's identical plan does dedup)."""
+    cents = _read_codebook(spark, root)
+    idx = (spark.read.parquet(f"{root}/assigned")
+           .select("centroid_id", F.col("embedding").alias("iv"),
+                   F.col("nrm").alias("inrm")))
+    new = _assign_centroids(batch, cents).persist(
+        StorageLevel.MEMORY_AND_DISK_DESER)
+    out = _cell_check(new, idx)
+    out._cached_assign = new
+    return out
+
+
+def ann_incremental_persisted(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    root = ann_artifacts(spark, sf_dir)
+    batch = (load_table(spark, sf_dir, "embeddings")
+             .filter(_split_bucket(F.col("vec_id")) >= _ANN_INDEX_PCT))
+    return ann_gate_vs_artifacts(spark, batch, root)
+
+
+QUERIES["ann_incremental_persisted"] = (ann_incremental_persisted,
+                                        _ANN_INCREMENTAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# IVF probe against the TRAINED codebook — the serving-time counterpart
+# of the trained incremental gate, and the query the recall harness
+# (ann_recall_eval's `ivf_trained` row) measures against brute force.
+# Unlike ann_ivf_topk (whose query vector IS a sampled centroid, so
+# probe ranking was free), the trained centroids are Lloyd's averages —
+# the probe ranks them against the collected query vector driver-side
+# (K×D index-metadata math, same IEEE cumsum sequence as the SQL
+# mirror), then ONE map-only scan assigns + IN-filters to the NPROBE
+# probed cells and TakeOrderedAndProject returns the top-k. Against the
+# persisted layout (ann_artifacts) the same probe is partition pruning
+# on centroid_id — NPROBE/K of the data listed, the IVF serving story.
+# ---------------------------------------------------------------------------
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cids, cmat, cn = _train_index_centroids(e)
+    qv = np.asarray(
+        e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding").first()["embedding"], dtype=np.float64)
+    qn = float(np.sqrt(np.cumsum(qv * qv)[-1]))
+    cos_c = np.cumsum(cmat * qv[None, :], axis=1)[:, -1] / (cn * qn)
+    order = sorted(range(len(cids)), key=lambda i: (-cos_c[i], -int(cids[i])))
+    probe_cids = [int(cids[i]) for i in order[:NPROBE]]
+
+    qvec = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv"),
+        _norm_udf(F.col("embedding")).alias("qn"))
+    assigned = _assign_centroids(e, (cids, cmat, cn))
+    return (assigned.filter(F.col("centroid_id").isin(probe_cids)
+                            & (F.col("vec_id") != QUERY_VEC_ID))
+            .crossJoin(F.broadcast(qvec))
+            .select("vec_id", "centroid_id",
+                    F.round(_cos_pair_udf(F.col("embedding"), F.col("qv"),
+                                          F.col("nrm"), F.col("qn")), 9)
+                    .alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), "vec_id")
+            .limit(10))
+
+
+_IVF_TRAINED_SQL = f"""
+WITH {_trained_cents_sql()},
+{_TRAINED_ASSIGNED_SQL},
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+probe AS (
+  SELECT c.cid FROM cents c, q
+  ORDER BY {_COS_SQL_TEMPLATE.format(a='q.qv', b='c.cvec')} DESC,
+           c.cid DESC
+  LIMIT {NPROBE})
+SELECT a.vec_id, a.centroid_id,
+       ROUND({_COS_SQL_TEMPLATE.format(a='a.embedding', b='q.qv')}, 9)
+         AS cos_sim
+FROM assigned a JOIN probe p ON a.centroid_id = p.cid, q
+WHERE a.vec_id != {QUERY_VEC_ID}
+ORDER BY cos_sim DESC, a.vec_id
+LIMIT 10
+"""
+
+QUERIES["ann_ivf_trained_topk"] = (ann_ivf_trained_topk, _IVF_TRAINED_SQL)
+
+# registered here so _recall_sql() can nest the trained probe's oracle
+QUERIES["ann_recall_eval"] = (ann_recall_eval, _recall_sql())

@@ -792,6 +792,59 @@ QUERIES["stream_lm_quality"] = (stream_lm_quality, _LM_PERPLEXITY_SQL)
 
 
 # ---------------------------------------------------------------------------
+# STREAMING ANN near-dup gate — the vector member of the per-ingest
+# gate family, completing the triple (exact/near dedup gate, LM quality
+# gate, ANN gate — a production crawl runs all three on every batch).
+# The trained codebook and the centroid-partitioned index assignments
+# persist ONCE (operators/similarity.py::ann_artifacts); each
+# micro-batch of fresh embeddings is assigned map-only against the
+# K-row codebook and near-dup-checked against same-cell index members
+# in foreachBatch (assign → equi-join on centroid_id, the partition
+# key, so only the batch side moves), writing one idempotent parquet
+# partition per batchId. The gate is per-vector-vs-index — no
+# cross-batch state — so the union over ANY batch split equals the
+# batch computation and the oracle is the SAME statement as the batch
+# twins' (ann_incremental_assign / ann_incremental_persisted).
+# ---------------------------------------------------------------------------
+def stream_ann_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ann_artifacts, ann_gate_vs_artifacts
+
+    root = ann_artifacts(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="ann_gate_out_")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        result = ann_gate_vs_artifacts(spark, batch_df, root)
+        try:
+            result.write.mode("overwrite").parquet(
+                f"{out_dir}/batch={batch_id}")
+        finally:
+            # distinct plan per micro-batch → release the assignment
+            # cache per trigger (the near-dedup twin's rationale)
+            result._cached_assign.unpersist()
+
+    vecs = (_stream_table(spark, sf_dir, "embeddings")
+            .filter(_bucket(F.col("vec_id")) >= INDEX_PCT))
+    with _state_partitions(spark), _scratch_checkpoint() as ckpt:
+        writer = vecs.writeStream.foreachBatch(process)
+        if ckpt:
+            writer = writer.option("checkpointLocation", ckpt)
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    global LAST_QUERY
+    LAST_QUERY = q
+    return (spark.read.schema(
+        "vec_id bigint, centroid_id bigint, n_cell_neighbors bigint, "
+        "best_cos double, is_neardup bigint").parquet(out_dir)
+        .select("vec_id", "centroid_id", "n_cell_neighbors",
+                "best_cos", "is_neardup"))
+
+
+from ..operators.similarity import _ANN_INCREMENTAL_SQL  # noqa: E402
+
+QUERIES["stream_ann_gate"] = (stream_ann_gate, _ANN_INCREMENTAL_SQL)
+
+
+# ---------------------------------------------------------------------------
 # STREAMING ingest loop with LIVE index refresh — closes the r7 honesty
 # note ("a plain parquet static side snapshots its file listing; live
 # refresh needs a re-read"): exact-gate ADMISSION, where a doc admitted

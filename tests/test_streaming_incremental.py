@@ -362,3 +362,48 @@ def test_stream_lm_quality_matches_batch_twin(spark, lm_planted_dir):
     by_id = {r[0]: r for r in got}
     assert by_id[5][4] < by_id[8][4]  # in-distribution beats garbled
     assert by_id[18][4] >= by_id[8][4]  # unindexed lang ≥ garbled
+
+
+def test_stream_ann_gate_flags_planted_cross_split_neardup(spark):
+    """The streaming ANN gate must flag a streamed vector that
+    near-duplicates an INDEX vector (planted across the md5-bucket
+    split: vec 2 → bucket 30 = index, vec 5 → bucket 86 = batch, same
+    direction + tiny noise → cosine ≈ 1), pass a random batch vector
+    (vec 8) clean, and reproduce BOTH batch twins value-for-value
+    through the artifact round-trip (assign/check is per-vector-vs-
+    index with no cross-batch state, so the union over any micro-batch
+    split equals the batch run — asserted here as stream == persisted
+    == in-plan)."""
+    import numpy as np
+    import pandas as pd
+
+    import big_data_science_project_spark.streaming.events as ev
+    from big_data_science_project_spark.operators.similarity import (
+        ann_incremental_assign, ann_incremental_persisted)
+
+    rng = np.random.default_rng(7)
+    vecs = {}
+    for vid in (1, 2, 3, 4, 6, 7, 9, 10):  # buckets < 80 → index
+        vecs[vid] = rng.normal(size=64).astype(np.float32)
+    vecs[5] = (vecs[2] * 1.02                # bucket 86 → batch
+               + rng.normal(scale=0.01, size=64)).astype(np.float32)
+    vecs[8] = rng.normal(size=64).astype(np.float32)  # bucket 96 → batch
+    ids = sorted(vecs)
+    emb = pd.DataFrame({
+        "vec_id": pd.array(ids, dtype="int64"),
+        "embedding": [vecs[i].tolist() for i in ids],
+        "label": pd.array([0] * len(ids), dtype="int32"),
+    })
+    d = tempfile.mkdtemp(prefix="sag_")
+    emb.to_parquet(os.path.join(d, "embeddings.parquet"))
+
+    got = sorted(map(tuple, ev.stream_ann_gate(spark, d).collect()))
+    assert got == sorted(map(tuple,
+                             ann_incremental_persisted(spark, d).collect()))
+    assert got == sorted(map(tuple,
+                             ann_incremental_assign(spark, d).collect()))
+    by_id = {r[0]: r for r in got}
+    assert set(by_id) == {5, 8}
+    # (vec_id, centroid_id, n_cell_neighbors, best_cos, is_neardup)
+    assert by_id[5][4] == 1 and by_id[5][3] > 0.9
+    assert by_id[8][4] == 0
