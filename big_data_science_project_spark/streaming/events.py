@@ -756,17 +756,13 @@ QUERIES["stream_dedup_near_index"] = (stream_dedup_near_index,
 # twin's.
 # ---------------------------------------------------------------------------
 def stream_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.text import _score_against_lm, lm_artifacts
+    from ..operators.text import lm_artifacts, lm_score_vs_artifacts
 
     root = lm_artifacts(spark, sf_dir)
     out_dir = tempfile.mkdtemp(prefix="lm_gate_out_")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        c12 = spark.read.parquet(f"{root}/c12")
-        c1 = spark.read.parquet(f"{root}/c1")
-        vocab = spark.read.parquet(f"{root}/vocab")
-        gvocab = spark.read.parquet(f"{root}/gvocab")
-        (_score_against_lm(batch_df, c12, c1, vocab, gvocab)
+        (lm_score_vs_artifacts(spark, batch_df, root)
          .write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}"))
 
     docs = (_stream_table(spark, sf_dir, "documents")
