@@ -1118,6 +1118,11 @@ def lm_artifacts(spark: SparkSession, sf_dir: str) -> str:
         c1.write.mode("overwrite").parquet(f"{root}/c1")
         vocab.write.mode("overwrite").parquet(f"{root}/vocab")
         gvocab.write.mode("overwrite").parquet(f"{root}/gvocab")
+        # the distinct token SET (vocab-sized), not just its size:
+        # counts are mergeable as sums but a distinct-count is not —
+        # the incremental refresh needs the set to union new tokens in
+        (idx.select("lang", F.explode(_tokens("text")).alias("w"))
+         .distinct().write.mode("overwrite").parquet(f"{root}/toks"))
 
     return write_once_artifacts(spark, "_bdsp_lm_artifacts", sf_dir,
                                 "lm_artifacts_", build)
@@ -1148,11 +1153,18 @@ def lm_score_vs_artifacts(spark: SparkSession, batch: DataFrame,
 from ..operators.curation import _bucket_sql as _lm_bucket_sql  # noqa: E402
 from ..operators.dedup import INDEX_PCT as _LM_INDEX_PCT  # noqa: E402
 
-_LM_PERPLEXITY_SQL = f"""
+
+def _lm_perplexity_sql(split: int) -> str:
+    """The full train-then-score statement at an arbitrary bucket
+    split (train < split, score >= split): ``split=INDEX_PCT`` is the
+    standard gate oracle; the incremental-refresh oracle uses the
+    RETRAIN at split=90 — equality of the merged-counts plan against
+    it is exactly the refresh correctness claim."""
+    return f"""
 WITH idx AS (
-  SELECT * FROM documents WHERE {_lm_bucket_sql('doc_id')} < {_LM_INDEX_PCT}),
+  SELECT * FROM documents WHERE {_lm_bucket_sql('doc_id')} < {split}),
 batch AS (
-  SELECT * FROM documents WHERE {_lm_bucket_sql('doc_id')} >= {_LM_INDEX_PCT}),
+  SELECT * FROM documents WHERE {_lm_bucket_sql('doc_id')} >= {split}),
 ib AS (
   SELECT lang, b.w1 AS w1, b.w2 AS w2
   FROM idx, LATERAL (SELECT unnest({_BIGRAMS_DUCK}, recursive := true)) b),
@@ -1189,4 +1201,66 @@ SELECT b.doc_id, b.lang,
 FROM batch b LEFT JOIN per_doc p ON b.doc_id = p.doc_id
 """
 
+
+_LM_PERPLEXITY_SQL = _lm_perplexity_sql(_LM_INDEX_PCT)
+
 QUERIES["text_lm_perplexity"] = (text_lm_perplexity, _LM_PERPLEXITY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# INCREMENTAL LM refresh — admitted docs update the persisted LM
+# WITHOUT re-scanning the index text (r8 verdict item 5). Everything
+# the model needs is mergeable: bigram counts are sums (partial batch
+# counts unioned with the persisted c12 and re-aggregated — the q36
+# incremental-maintenance pattern), c1 re-derives from the merged c12
+# (sum-of-sums), and the vocabulary merges as a distinct union of the
+# persisted token SET with the batch's tokens (which is why
+# lm_artifacts stores toks, not just the count v — a distinct-count is
+# not mergeable from counts). Split: buckets 80-89 are the docs a
+# prior ingest ADMITTED (the ingest loop's batch 0), 90-99 the stream
+# still to score.
+#
+# Correctness claim = the ORACLE: it RETRAINS from scratch over
+# bucket < 90 (_lm_perplexity_sql(90)), while the Spark side only
+# merges counts — a hash match proves merged scoring ≡ full-retrain
+# scoring, value for value. Scale shape: the refresh re-aggregates
+# LM-sized tables (vocab² bigram counts, never corpus text) plus one
+# batch-sized text scan; a full retrain re-reads every index document.
+# A deployment writes the merged tables back as the next artifact
+# generation (pure count tables — the overwrite is idempotent) and
+# re-buckets them with the same layouts the scorer reads.
+# ---------------------------------------------------------------------------
+LM_REFRESH_PCT = 90  # 80-89 = admitted batch, 90-99 = still streaming
+
+
+def lm_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .curation import _bucket
+    from .dedup import INDEX_PCT
+
+    root = lm_artifacts(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    bk = _bucket(F.col("doc_id"))
+    admitted = d.filter((bk >= INDEX_PCT) & (bk < LM_REFRESH_PCT))
+    rest = d.filter(bk >= LM_REFRESH_PCT)
+
+    # partial counts from the admitted batch (one batch-sized scan)
+    c12_b, _, _, _ = _lm_tables(admitted)
+    toks_b = (admitted.select("lang", F.explode(_tokens("text"))
+                              .alias("w")).distinct())
+
+    # merge with the persisted tables — LM-sized aggregations only
+    c12_m = (spark.read.parquet(f"{root}/c12").unionByName(c12_b)
+             .groupBy("lang", "w1", "w2")
+             .agg(F.sum("c12").cast("bigint").alias("c12")))
+    c1_m = c12_m.groupBy("lang", "w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"))
+    toks_m = (spark.read.parquet(f"{root}/toks").unionByName(toks_b)
+              .distinct())
+    vocab_m = toks_m.groupBy("lang").agg(F.count(F.lit(1)).alias("v"))
+    gvocab_m = toks_m.agg(F.countDistinct("w").alias("gv"))
+
+    return _score_against_lm(rest, c12_m, c1_m, vocab_m, gvocab_m)
+
+
+QUERIES["lm_incremental_refresh"] = (lm_incremental_refresh,
+                                     _lm_perplexity_sql(LM_REFRESH_PCT))

@@ -806,3 +806,59 @@ def test_lm_perplexity_ranks_garbled_above_clean(spark, lm_planted_dir):
     assert got[14].n_bigrams == 0
     assert got[14].nll_milli == 0
     assert got[14].avg_nll_milli is None
+
+
+def test_lm_refresh_equals_full_retrain_and_learns_new_language(spark):
+    """lm_incremental_refresh merges persisted counts with the admitted
+    batch's partials — the result must equal a full retrain over
+    index ∪ admitted, value for value (the oracle proves it cross-
+    engine; this pins it in-Spark), and the refresh must actually
+    LEARN: an 'xx'-language doc in the remaining stream scores as
+    maximally-surprising under the pre-refresh LM (xx unindexed →
+    global-vocab fallback) but in-distribution once an admitted xx doc
+    taught the model the language."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from big_data_science_project_spark.operators.text import (
+        LM_REFRESH_PCT, _lm_tables, _score_against_lm, lm_artifacts,
+        lm_incremental_refresh, lm_score_vs_artifacts)
+    from big_data_science_project_spark.operators.curation import _bucket
+    from big_data_science_project_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    phrase = ("the model scores each document by how well it matches "
+              "the corpus distribution")
+    xx = "foo bar baz foo bar qux foo bar baz quux"
+    docs = pd.DataFrame({
+        # buckets: 1→78, 2→30, 3→19 (index); 18→89 (admitted batch);
+        # 8→96, 14→99 (remaining stream)
+        "doc_id": pd.array([1, 2, 3, 18, 8, 14], dtype="int64"),
+        "text": [phrase, phrase + " again", "it matches the corpus well",
+                 xx,                       # admitted: teaches lang xx
+                 "foo bar baz foo bar",    # stream: xx, in-dist after
+                 "the model scores the corpus well"],  # stream: en
+        "lang": ["en", "en", "en", "xx", "xx", "en"],
+        "source": ["s"] * 6,
+        "n_chars": pd.array([1] * 6, dtype="int64"),
+    })
+    d = tempfile.mkdtemp(prefix="lmrefresh_")
+    docs.to_parquet(os.path.join(d, "documents.parquet"))
+
+    refreshed = sorted(map(tuple,
+                           lm_incremental_refresh(spark, d).collect()))
+    all_docs = load_table(spark, d, "documents")
+    bk = _bucket(F.col("doc_id"))
+    retrain = _score_against_lm(
+        all_docs.filter(bk >= LM_REFRESH_PCT),
+        *_lm_tables(all_docs.filter(bk < LM_REFRESH_PCT)))
+    assert refreshed == sorted(map(tuple, retrain.collect()))
+
+    stale = {r.doc_id: r.avg_nll_milli
+             for r in lm_score_vs_artifacts(
+                 spark, all_docs.filter(bk >= LM_REFRESH_PCT),
+                 lm_artifacts(spark, d)).collect()}
+    fresh = {t[0]: t[4] for t in refreshed}
+    assert fresh[8] < stale[8], (fresh, stale)  # xx learned
