@@ -6,9 +6,11 @@ JSON line with per-query wall seconds.
 Headline set spans the engine's cost classes: scan+agg (q01), shuffle
 joins (q03/q05), theta band join (q39), window (q08), time-series
 spine+fill (ts_resample), histogram binning, flagship outlier vote (q17),
-minhash dedup (LSH join), incremental batch-vs-index dedup, single-pass
-constraint audit, ANN (Arrow kernels), regex redaction, streaming
-(stateful agg), text stats.
+minhash dedup (LSH join), incremental batch-vs-index dedup (in-plan AND
+persisted-artifact paths), single-pass constraint audit, ANN (Arrow
+kernels; incremental assign trains its Lloyd's codebook per rep — the
+honest in-plan cost), LM perplexity gate, the composed all-gates ingest
+pipeline, regex redaction, streaming (stateful agg), text stats.
 """
 
 from __future__ import annotations
@@ -39,9 +41,13 @@ HEADLINE = [
     "dedup_minhash_verified",
     "dedup_simhash",
     "dedup_incremental",
+    "dedup_incremental_persisted",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
+    "ann_incremental_assign",
     "text_token_stats",
+    "text_lm_perplexity",
+    "ingest_gate_pipeline",
     "stream_hourly_by_type",
     "stream_sliding_by_type",
     "cells_outlier_filter",

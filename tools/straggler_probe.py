@@ -30,8 +30,26 @@ bucket < INDEX_PCT). The guard must drop the bucket before the
 batch×index band join; result rows (one per batch doc) must be
 IDENTICAL to the control since nothing was planted on the batch side.
 
+--query lm (r8 verdict item #7) probes the LM gate's frequent-history
+skew (`text_lm_perplexity` — the in-plan scorer, whose c(w1) join
+shuffles raw batch bigrams on (lang, w1)). --hot counts hot-TOKEN
+occurrences here, planted as boilerplate docs of 25 'the'-history
+bigrams each on BOTH sides of the md5-bucket split:
+  - index side: one million training occurrences of the history token
+    — the c12/c1 aggregations must absorb them MAP-SIDE (partial
+    count collapses identical bigrams before the exchange; the
+    aggregated c1 carries ONE row per (lang, w1) however hot the key);
+  - batch side: the true skew carrier — every planted bigram row with
+    w1='the' shuffles into the SAME reduce partition of the c1 join;
+    max/median task duration on that exchange is the straggler bound
+    the verdict asks for.
+Planted index docs change the LM (scores legitimately shift), so the
+value assertion is on ROWS: exactly one result row per batch doc
+(control + planted-batch count) — the per-doc aggregate cannot lose or
+duplicate docs under skew.
+
 Usage: python tools/straggler_probe.py [--hot 1000000]
-           [--query minhash|incremental] [--out STRAGGLER.json]
+           [--query minhash|incremental|lm] [--out STRAGGLER.json]
 """
 
 from __future__ import annotations
@@ -57,6 +75,40 @@ _BOILER = ("this software is provided as is without warranty of any kind "
            "express or implied including but not limited to the implied "
            "warranties of merchantability fitness for a particular purpose "
            "and noninfringement of rights")
+
+
+# 25 hot-history bigrams per planted doc: w1='the' every other token
+_LM_BOILER = " ".join(f"the tok{i}" for i in range(25))
+_LM_BIGRAMS_PER_DOC = 25
+
+
+def build_lm_corpus(dst: str, hot: int) -> int:
+    """Plant ceil(hot / 25) boilerplate docs on EACH side of the
+    md5-bucket split (≥ --hot occurrences of the 'the' history token
+    per side); returns the number of batch-side docs planted (each
+    adds exactly one result row)."""
+    from big_data_science_project_spark.operators.curation import (
+        _bucket_sql)
+    from big_data_science_project_spark.operators.dedup import INDEX_PCT
+
+    n_docs = -(-hot // _LM_BIGRAMS_PER_DOC)
+    con = duckdb.connect()
+    parts = [f"SELECT * FROM read_parquet('{SRC}/documents.parquet')"]
+    for base, cond in ((50_000_000,
+                        f"{_bucket_sql('50000000 + i')} < {INDEX_PCT}"),
+                       (60_000_000,
+                        f"{_bucket_sql('60000000 + i')} >= {INDEX_PCT}")):
+        parts.append(
+            f"SELECT {base} + i AS doc_id, '{_LM_BOILER}' AS text, "
+            f"'en' AS lang, 'boilerplate' AS source, "
+            f"{len(_LM_BOILER)} AS n_chars "
+            f"FROM generate_series(1, {int(n_docs * 6)}) t(i) "
+            f"WHERE {cond} LIMIT {n_docs}")
+    con.execute(f"COPY ({' UNION ALL '.join(parts)}) TO "
+                f"'{dst}/documents.parquet' "
+                f"(FORMAT PARQUET, ROW_GROUP_SIZE 40960)")
+    con.close()
+    return n_docs
 
 
 def build_corpus(dst: str, hot: int, index_side: bool = False) -> None:
@@ -124,7 +176,7 @@ def stage_table(spark) -> list[dict]:
 
 
 def run_once(queries, hot: int, qname: str = "dedup_minhash_verified",
-             index_side: bool = False) -> dict:
+             index_side: bool = False, lm: bool = False) -> dict:
     # fresh session per run so the stage table contains ONLY this run.
     # Post-shuffle coalescing is disabled so the window stage keeps all
     # 32 tasks — the probe MEASURES per-task skew, and AQE folding 31
@@ -146,8 +198,14 @@ def run_once(queries, hot: int, qname: str = "dedup_minhash_verified",
         checksum_count)
 
     dst = tempfile.mkdtemp(prefix=f"straggler_h{hot}_")
+    n_planted_batch = 0
     try:
-        build_corpus(dst, hot, index_side)
+        if lm:
+            n_planted_batch = build_lm_corpus(dst, hot) if hot else 0
+            if not hot:
+                build_corpus(dst, 0)
+        else:
+            build_corpus(dst, hot, index_side)
         t0 = time.time()
         n_rows, ck = checksum_count(queries[qname](spark, dst))
         wall = round(time.time() - t0, 3)
@@ -162,7 +220,7 @@ def run_once(queries, hot: int, qname: str = "dedup_minhash_verified",
                            key=lambda s: s["max_shuffle_read_b"],
                            default=None)
         return {"hot": hot, "wall_sec": wall, "result_rows": n_rows,
-                "result_checksum": ck,
+                "result_checksum": ck, "planted_batch_docs": n_planted_batch,
                 "window_stage": window_stage, "stages": stages}
     finally:
         shutil.rmtree(dst, ignore_errors=True)
@@ -172,7 +230,7 @@ def run_once(queries, hot: int, qname: str = "dedup_minhash_verified",
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--hot", type=int, default=1_000_000)
-    ap.add_argument("--query", choices=("minhash", "incremental"),
+    ap.add_argument("--query", choices=("minhash", "incremental", "lm"),
                     default="minhash")
     ap.add_argument("--out", default="STRAGGLER.json")
     args = ap.parse_args()
@@ -180,31 +238,44 @@ def main() -> None:
     import __spark_entry__ as entry
     queries = entry.queries()
     qname = {"minhash": "dedup_minhash_verified",
-             "incremental": "dedup_incremental"}[args.query]
+             "incremental": "dedup_incremental",
+             "lm": "text_lm_perplexity"}[args.query]
     index_side = args.query == "incremental"
+    lm = args.query == "lm"
 
     print("control run (hot=0)", file=sys.stderr, flush=True)
-    control = run_once(queries, 0, qname, index_side)
+    control = run_once(queries, 0, qname, index_side, lm)
     print(f"  wall={control['wall_sec']}s rows={control['result_rows']}",
           file=sys.stderr)
     print(f"hot-bucket run (hot={args.hot})", file=sys.stderr, flush=True)
-    hot = run_once(queries, args.hot, qname, index_side)
+    hot = run_once(queries, args.hot, qname, index_side, lm)
     print(f"  wall={hot['wall_sec']}s rows={hot['result_rows']}",
           file=sys.stderr)
 
-    # the guard must drop the planted bucket entirely: identical docs
-    # are exact dups, not NEAR dups (minhash probe), and index-side
-    # plants add no batch rows (incremental probe) — either way the
-    # result over the base corpus must be unchanged. The VALUE checksum
-    # is the assertion with teeth: dedup_incremental emits one row per
-    # batch doc by construction, so a leaked bucket would never change
-    # its row COUNT — only its n_candidates/best_jaccard values
-    assert hot["result_rows"] == control["result_rows"], (
-        "planted over-cap bucket leaked candidate pairs: "
-        f"{hot['result_rows']} vs control {control['result_rows']}")
-    assert hot["result_checksum"] == control["result_checksum"], (
-        "planted over-cap bucket changed result VALUES: "
-        f"{hot['result_checksum']:x} vs {control['result_checksum']:x}")
+    if lm:
+        # planted index docs legitimately shift base scores (they ARE
+        # new training data), so the assertion is per-doc delivery:
+        # exactly one result row per batch doc, planted included — a
+        # skewed c1 join partition may be slow but must lose nothing
+        want = control["result_rows"] + hot["planted_batch_docs"]
+        assert hot["result_rows"] == want, (
+            f"LM gate lost/duplicated docs under skew: "
+            f"{hot['result_rows']} vs expected {want}")
+    else:
+        # the guard must drop the planted bucket entirely: identical
+        # docs are exact dups, not NEAR dups (minhash probe), and
+        # index-side plants add no batch rows (incremental probe) —
+        # either way the result over the base corpus must be
+        # unchanged. The VALUE checksum is the assertion with teeth:
+        # dedup_incremental emits one row per batch doc by
+        # construction, so a leaked bucket would never change its row
+        # COUNT — only its n_candidates/best_jaccard values
+        assert hot["result_rows"] == control["result_rows"], (
+            "planted over-cap bucket leaked candidate pairs: "
+            f"{hot['result_rows']} vs control {control['result_rows']}")
+        assert hot["result_checksum"] == control["result_checksum"], (
+            "planted over-cap bucket changed result VALUES: "
+            f"{hot['result_checksum']:x} vs {control['result_checksum']:x}")
 
     result = {"src": SRC, "boiler_len": len(_BOILER), "query": qname,
               "control": control, "hot_run": hot}
