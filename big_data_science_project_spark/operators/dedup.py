@@ -1393,7 +1393,9 @@ def bucketed_artifact_table(spark: SparkSession, root: str,
     h = hashlib.md5(f"{root}:{sub}".encode()).hexdigest()[:8]
     tag = re.sub(r"[^0-9a-z]+", "_", root.lower()).strip("_")[-32:]
     tbl = f"{sub}_bkt_{tag}_{h}"
-    if tbl not in {t.name for t in spark.catalog.listTables()}:
+    # single-table lookup, not a full catalog listing — this runs on
+    # every streaming micro-batch via the artifact-reading gates
+    if not spark.catalog.tableExists(tbl):
         (spark.read.parquet(f"{root}/{sub}")
          .repartition(n_buckets, *[F.col(k) for k in keys])
          .write.bucketBy(n_buckets, *keys).sortBy(*keys)

@@ -928,8 +928,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("vec_id", F.lit(1).alias("hit")))
     branches = []
     for method, fn in (("lsh", ann_lsh_topk), ("ivf", ann_ivf_topk),
-                       ("ivf_trained", lambda s, d:
-                        ann_ivf_trained_topk(s, d).drop("centroid_id"))):
+                       ("ivf_trained", ann_ivf_trained_topk)):
         # one pass per branch: left join marks hits, the aggregate
         # counts returned rows and hits together — no eager action, no
         # re-execution of the ranker pipelines

@@ -1047,8 +1047,24 @@ def _lm_tables(idx: DataFrame
     return c12, c1, vocab, gvocab
 
 
+# history keys with c(w1) at/above this are the Zipf HEAD: their batch
+# bigrams are exactly the rows that would pile into one reduce
+# partition of the c1 join (the r9 probe measured a 300× max/median
+# task straggler from one planted million-occurrence history), so they
+# resolve MAP-SIDE through a broadcast of the head slice instead. The
+# head is bounded by construction — at most total_bigrams/threshold
+# keys can exceed the threshold — and the index itself knows it (c1 IS
+# the frequency table). Production sizes the threshold to
+# total_bigrams / tolerable_rows_per_task; 1e5 sits well above the
+# fixtures' natural maximum (~3.8k at sf0.1), so every oracle config
+# runs the plain cold path and the head path is exercised by the
+# straggler probe and its unit test.
+LM_HOT_HISTORY = 100_000
+
+
 def _score_against_lm(batch: DataFrame, c12: DataFrame, c1: DataFrame,
-                      vocab: DataFrame, gvocab: DataFrame) -> DataFrame:
+                      vocab: DataFrame, gvocab: DataFrame,
+                      hot_history: int = LM_HOT_HISTORY) -> DataFrame:
     """Per-doc NLL report for ``batch`` against a trained LM — shared by
     the in-plan batch query and the streaming gate (which trains once to
     parquet artifacts and scores every micro-batch here).
@@ -1058,17 +1074,39 @@ def _score_against_lm(batch: DataFrame, c12: DataFrame, c1: DataFrame,
     smoothing denominator falls back to the GLOBAL vocabulary size —
     every bigram is unseen-with-full-smoothing, NLL ≈ ln(V_global) per
     bigram (an earlier version fell back to V=1, which made p = 1 and
-    ranked unindexed-language junk as the best doc in the batch)."""
+    ranked unindexed-language junk as the best doc in the batch).
+
+    SKEW SHAPE (r9): the history join splits hot/cold on the c1 count
+    itself — batch bigrams whose history is in the Zipf head join the
+    broadcast head slice map-side (never shuffled on their hot key);
+    the tail joins as before (bucketed layout intact for artifact
+    callers, since a filter preserves the scan's partitioning). The
+    branch union re-scans the batch once per branch — map-only work,
+    the same trade the bloom gate makes. Values are identical to the
+    single-join formulation by disjointness: a key matches the head
+    xor the tail xor neither (NULL c1 either way). The c12 join is
+    keyed on the full bigram, whose multiplicity is the per-bigram
+    count — orders of magnitude below per-history counts; a corpus
+    with a degenerate hot exact-bigram would apply the same split
+    there."""
     bigrams = F.explode(F.expr(_BIGRAMS_EXPR)).alias("b")
     nb = (batch.select("doc_id", "lang", bigrams)
           .select("doc_id", "lang", F.col("b.w1").alias("w1"),
                   F.col("b.w2").alias("w2")))
+    c1_head = c1.filter(F.col("c1") >= hot_history) \
+        .withColumnRenamed("c1", "c1_head")
+    tagged = nb.join(F.broadcast(c1_head), ["lang", "w1"], "left")
+    hot = (tagged.filter(F.col("c1_head").isNotNull())
+           .withColumn("c1", F.col("c1_head")).drop("c1_head"))
+    cold = (tagged.filter(F.col("c1_head").isNull()).drop("c1_head")
+            .join(c1.filter(F.col("c1") < hot_history),
+                  ["lang", "w1"], "left"))
+    nb_c1 = hot.unionByName(cold)
     # greatest(..., 1) guards the fully-empty-index degenerate case
     v_eff = F.greatest(F.coalesce("v", F.col("gv")), F.lit(1))
     p = ((F.coalesce("c12", F.lit(0)) + 1)
          / (F.coalesce("c1", F.lit(0)) + v_eff))
-    scored = (nb.join(c12, ["lang", "w1", "w2"], "left")
-              .join(c1, ["lang", "w1"], "left")
+    scored = (nb_c1.join(c12, ["lang", "w1", "w2"], "left")
               .join(vocab, ["lang"], "left")
               .crossJoin(F.broadcast(gvocab))
               .select("doc_id",

@@ -862,3 +862,28 @@ def test_lm_refresh_equals_full_retrain_and_learns_new_language(spark):
                  lm_artifacts(spark, d)).collect()}
     fresh = {t[0]: t[4] for t in refreshed}
     assert fresh[8] < stale[8], (fresh, stale)  # xx learned
+
+
+def test_lm_hot_history_split_changes_no_values(spark, lm_planted_dir):
+    """The Zipf-head/tail split of the c(w1) join (the r9 straggler
+    mitigation) is a PLAN change only: forcing every history key hot
+    (threshold 1) and every key cold (huge threshold) must produce
+    identical per-doc scores — the planted corpus exercises matched,
+    unmatched, and unindexed-language histories."""
+    from big_data_science_project_spark.operators.curation import _bucket
+    from big_data_science_project_spark.operators.dedup import INDEX_PCT
+    from big_data_science_project_spark.operators.text import (
+        _lm_tables, _score_against_lm)
+    from big_data_science_project_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, lm_planted_dir, "documents")
+    bk = _bucket(F.col("doc_id"))
+    parts = _lm_tables(d.filter(bk < INDEX_PCT))
+    batch = d.filter(bk >= INDEX_PCT)
+    all_hot = sorted(map(tuple, _score_against_lm(
+        batch, *parts, hot_history=1).collect()))
+    all_cold = sorted(map(tuple, _score_against_lm(
+        batch, *parts, hot_history=1 << 60).collect()))
+    assert all_hot == all_cold
+    assert any(r[2] > 0 for r in all_hot)  # non-degenerate: bigrams scored

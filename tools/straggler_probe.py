@@ -77,9 +77,26 @@ _BOILER = ("this software is provided as is without warranty of any kind "
            "and noninfringement of rights")
 
 
-# 25 hot-history bigrams per planted doc: w1='the' every other token
-_LM_BOILER = " ".join(f"the tok{i}" for i in range(25))
+# 25 hot-HISTORY bigrams per planted doc: w1='the' every other token,
+# w2 UNIQUE per (doc, position). The per-doc-varying w2 matters twice:
+# (a) identical planted texts RLE-compress so hard that all planted
+#     docs land in ONE input split — the first probe run measured a
+#     374× scan-task straggler that was purely that fixture artifact,
+#     saying nothing about the join; varied text restores balanced
+#     splits so the probe measures the JOIN;
+# (b) it makes the trained c12 realistically Zipf-shaped: ~--hot
+#     distinct (the, w2) rows, large enough that the scoring joins
+#     CANNOT auto-broadcast — the skew has to ride the shuffle, which
+#     is the 100 TB shape under test.
 _LM_BIGRAMS_PER_DOC = 25
+
+
+def _lm_text_expr() -> str:
+    """DuckDB expression: per-doc text 'the t0_<i> the t1_<i> …'."""
+    pieces = []
+    for k in range(_LM_BIGRAMS_PER_DOC):
+        pieces.append(f"'the t{k}_' || i")
+    return " || ' ' || ".join(pieces)
 
 
 def build_lm_corpus(dst: str, hot: int) -> int:
@@ -98,12 +115,14 @@ def build_lm_corpus(dst: str, hot: int) -> int:
                         f"{_bucket_sql('50000000 + i')} < {INDEX_PCT}"),
                        (60_000_000,
                         f"{_bucket_sql('60000000 + i')} >= {INDEX_PCT}")):
+        # parenthesized: a LIMIT inside a non-final UNION ALL arm is a
+        # parse error otherwise
         parts.append(
-            f"SELECT {base} + i AS doc_id, '{_LM_BOILER}' AS text, "
+            f"(SELECT {base} + i AS doc_id, {_lm_text_expr()} AS text, "
             f"'en' AS lang, 'boilerplate' AS source, "
-            f"{len(_LM_BOILER)} AS n_chars "
+            f"0 AS n_chars "
             f"FROM generate_series(1, {int(n_docs * 6)}) t(i) "
-            f"WHERE {cond} LIMIT {n_docs}")
+            f"WHERE {cond} LIMIT {n_docs})")
     con.execute(f"COPY ({' UNION ALL '.join(parts)}) TO "
                 f"'{dst}/documents.parquet' "
                 f"(FORMAT PARQUET, ROW_GROUP_SIZE 40960)")
@@ -164,8 +183,15 @@ def stage_table(spark) -> list[dict]:
         med_d, max_d = q["duration"]
         srm = q.get("shuffleReadMetrics") or {}
         med_b, max_b = srm.get("readBytes", [0, 0])
+        # first repo frame of the submission stack — pinpoints WHICH
+        # operator line owns a straggling stage (the name's callsite
+        # is the shared action helper for every stage)
+        repo_frames = [ln.strip() for ln in st.get("details", "").splitlines()
+                       if "big_data_science_project_spark" in ln
+                       and "actions.py" not in ln]
         out.append({
             "stage": sid, "name": st["name"].split("\n")[0][:80],
+            "op_site": repo_frames[0][:120] if repo_frames else None,
             "num_tasks": n,
             "median_task_ms": med_d, "max_task_ms": max_d,
             "max_over_median_duration":
