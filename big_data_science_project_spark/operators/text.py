@@ -1106,8 +1106,13 @@ def _score_against_lm(batch: DataFrame, c12: DataFrame, c1: DataFrame,
     v_eff = F.greatest(F.coalesce("v", F.col("gv")), F.lit(1))
     p = ((F.coalesce("c12", F.lit(0)) + 1)
          / (F.coalesce("c1", F.lit(0)) + v_eff))
+    # vocab is one row per LANGUAGE — broadcast-sized at any corpus
+    # size, and joined on the most skewed key there is (every bigram
+    # of a language shares it), so the hint is load-bearing: a
+    # size-stat miss that shuffled this join would put each language's
+    # entire batch in one partition
     scored = (nb_c1.join(c12, ["lang", "w1", "w2"], "left")
-              .join(vocab, ["lang"], "left")
+              .join(F.broadcast(vocab), ["lang"], "left")
               .crossJoin(F.broadcast(gvocab))
               .select("doc_id",
                       F.round(-F.log(p) * 1e3).cast("bigint")
