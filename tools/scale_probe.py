@@ -77,6 +77,13 @@ PROBE_QUERIES = [
     "dedup_substring_exact", "ann_bruteforce_topk", "ann_ivf_topk",
     "text_token_stats", "stream_hourly_by_type",
     "stream_sliding_by_type", "stream_dedup_within_watermark",
+    # r9 per-ingest family. ingest_gate_pipeline's ratio includes the
+    # fixed-K ANN cell check (cells grow with the corpus at the
+    # fixture's K=8 — production sizes K ~ sqrt(N)); the LM pair is
+    # clean of that caveat. ann_incremental_* stay excluded for the
+    # same fixed-K reason as before.
+    "text_lm_perplexity", "lm_incremental_refresh",
+    "ingest_gate_pipeline", "stream_ingest_loop",
 ]
 
 # per-copy content perturbation (see module docstring): copy i applies
