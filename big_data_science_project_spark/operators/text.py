@@ -1049,8 +1049,9 @@ def _lm_tables(idx: DataFrame
 
 # history keys with c(w1) at/above this are the Zipf HEAD: their batch
 # bigrams are exactly the rows that would pile into one reduce
-# partition of the c1 join (the r9 probe measured a 300× max/median
-# task straggler from one planted million-occurrence history), so they
+# partition of the c1 join (pre-split probe iterations measured
+# 200-375x max/median task stragglers — ~20 s join-stage tasks — from
+# one planted million-occurrence history), so they
 # resolve MAP-SIDE through a broadcast of the head slice instead. The
 # head is bounded by construction — at most total_bigrams/threshold
 # keys can exceed the threshold — and the index itself knows it (c1 IS

@@ -70,18 +70,21 @@ def test_composed_plan_never_broadcasts_an_index_side(spark):
             if sub not in window:
                 continue
             # an index-artifact SCAN inside a broadcast subtree is fine
-            # when a Join/Aggregate above it reduced the relation to
-            # per-doc/batch size (e.g. the exact-tier verdict rows,
-            # whose semi-join reads the digest table in place); what
-            # must never happen is the artifact broadcast UNREDUCED
+            # only when the relation above it provably reduced to
+            # batch/bounded size: an Aggregate, or a LeftSemi/LeftAnti
+            # join (whose output is a subset of its LEFT — here the
+            # batch side, e.g. the exact-tier verdict rows). A plain
+            # inner/outer Join does NOT count: index⋈index output is
+            # still index-sized and must never broadcast.
             upto = window.split(sub)[0]
-            assert ("Join" in upto) or ("Aggregate" in upto), (
+            assert ("Aggregate" in upto or "LeftSemi" in upto
+                    or "LeftAnti" in upto), (
                 f"index artifact {sub} broadcast unreduced:\n{window}")
-        if "c1_bkt" in window or "/c1" in window:
+        # c12 paths also contain the substring "c1" — boundary-match
+        if "c1_bkt" in window or "/c1/" in window:
             # only the bounded Zipf-head slice of c1 may broadcast —
             # the head filter must be visible on the broadcast subtree
-            assert (f">= {LM_HOT_HISTORY}" in window
-                    or "Join" in window.split("c1_bkt")[0]), (
+            assert f">= {LM_HOT_HISTORY}" in window, (
                 f"full c1 table broadcast (no head filter):\n{window}")
 
 

@@ -108,13 +108,17 @@ def build_lm_corpus(dst: str, hot: int) -> int:
         _bucket_sql)
     from big_data_science_project_spark.operators.dedup import INDEX_PCT
 
+    # hot=0 (the control) still routes through HERE so both runs write
+    # the base corpus at the SAME row-group size — a control written at
+    # a different granularity would have different scan-task shapes and
+    # could not anchor the residual-scan-skew interpretation
     n_docs = -(-hot // _LM_BIGRAMS_PER_DOC)
     con = duckdb.connect()
     parts = [f"SELECT * FROM read_parquet('{SRC}/documents.parquet')"]
-    for base, cond in ((50_000_000,
-                        f"{_bucket_sql('50000000 + i')} < {INDEX_PCT}"),
-                       (60_000_000,
-                        f"{_bucket_sql('60000000 + i')} >= {INDEX_PCT}")):
+    sides = () if n_docs == 0 else (
+        (50_000_000, f"{_bucket_sql('50000000 + i')} < {INDEX_PCT}"),
+        (60_000_000, f"{_bucket_sql('60000000 + i')} >= {INDEX_PCT}"))
+    for base, cond in sides:
         # parenthesized: a LIMIT inside a non-final UNION ALL arm is a
         # parse error otherwise
         parts.append(
@@ -187,15 +191,8 @@ def stage_table(spark) -> list[dict]:
         med_d, max_d = q["duration"]
         srm = q.get("shuffleReadMetrics") or {}
         med_b, max_b = srm.get("readBytes", [0, 0])
-        # first repo frame of the submission stack — pinpoints WHICH
-        # operator line owns a straggling stage (the name's callsite
-        # is the shared action helper for every stage)
-        repo_frames = [ln.strip() for ln in st.get("details", "").splitlines()
-                       if "big_data_science_project_spark" in ln
-                       and "actions.py" not in ln]
         out.append({
             "stage": sid, "name": st["name"].split("\n")[0][:80],
-            "op_site": repo_frames[0][:120] if repo_frames else None,
             "num_tasks": n,
             "median_task_ms": med_d, "max_task_ms": max_d,
             "max_over_median_duration":
@@ -242,9 +239,7 @@ def run_once(queries, hot: int, qname: str = "dedup_minhash_verified",
     n_planted_batch = 0
     try:
         if lm:
-            n_planted_batch = build_lm_corpus(dst, hot) if hot else 0
-            if not hot:
-                build_corpus(dst, 0)
+            n_planted_batch = build_lm_corpus(dst, hot)
         else:
             build_corpus(dst, hot, index_side)
         t0 = time.time()
@@ -324,18 +319,19 @@ def main() -> None:
         result["interpretation"] = (
             "Run with size-based auto-broadcast DISABLED so the "
             "c1/c12 joins take the shuffled form a 100 TB corpus "
-            "forces. With the Zipf-head split wired "
-            "(_score_against_lm): shuffle-read stages are flat under "
-            "a ~1e6-occurrence hot history (max/median ~1.0-1.6); the "
-            "residual high ratios are SCAN stages whose max task is "
-            "the base fixture's own row-group granularity — the "
-            "control shows the same max task time with zero plants. "
-            "Before the split the same plant produced ~20 s join-"
-            "stage tasks at ~200x the median.")
+            "forces; control and hot corpora written at the same "
+            "row-group size. With the Zipf-head split wired "
+            "(_score_against_lm), the LARGE shuffle-read stages are "
+            "flat under a ~1e6-occurrence hot history (compare "
+            "per-stage max/median in this file; small shuffle stages "
+            "carry sub-second maxes where a ratio is noise). Probe "
+            "iterations BEFORE the split measured 200-375x max/median "
+            "task ratios with ~20 s join-stage tasks from the same "
+            "plant.")
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
-    print(json.dumps({k: result[k] for k in ("control", "hot_run")
-                      if True}, default=str)[:2000])
+    print(json.dumps({k: result[k] for k in ("control", "hot_run")},
+                     default=str)[:2000])
 
 
 if __name__ == "__main__":
