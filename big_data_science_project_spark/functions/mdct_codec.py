@@ -86,8 +86,7 @@ def _blocks_for(n: int) -> int:
     return -(-n // N_COEFF) + 1
 
 
-def mdct_encode(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
-    """int16 PCM → MDCT-codec bytes. 1-D → mono, (n, ch) → ch channels."""
+def _check_input(samples: np.ndarray, sample_rate: int) -> np.ndarray:
     arr = np.asarray(samples)
     if arr.dtype != np.int16:
         raise ValueError(f"mdct_encode expects int16, got {arr.dtype}")
@@ -99,20 +98,40 @@ def mdct_encode(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
         raise ValueError("mdct_encode: empty signal")
     if not 0 < sample_rate < 1 << 32:
         raise ValueError(f"mdct_encode: bad sample_rate {sample_rate}")
+    return arr
+
+
+def _quantize_channel(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """One channel's float samples → (sf float32 (B,), q int8 (B, N)).
+    SHARED by both containers (MDC1 and the entropy-coded MDC2) so
+    their quantized values can never drift: per-block scalefactor =
+    max |coefficient|; mantissas are the coefficients uniformly
+    quantized to ±127 of it. float32 scalefactors: the decoder must
+    divide by the SAME value the encoder multiplied with, so sf is
+    quantized to its stored width BEFORE computing mantissas."""
+    coeffs = mdct(_frame(x))
+    sf = np.abs(coeffs).max(axis=1).astype(np.float32)
+    sf = np.maximum(sf, np.float32(1e-10))  # silent block guard
+    q = np.rint(coeffs / sf[:, None].astype(np.float64) * 127.0)
+    return sf, np.clip(q, -127, 127).astype(np.int8)
+
+
+def _reconstruct(sf: np.ndarray, q: np.ndarray, n: int) -> np.ndarray:
+    """(sf, q) → n int16 samples — the shared dequantize+IMDCT path."""
+    coeffs = q.astype(np.float64) / 127.0 \
+        * sf.astype(np.float64)[:, None]
+    y = imdct_overlap_add(coeffs, n)
+    return np.clip(np.rint(y), -32768, 32767).astype(np.int16)
+
+
+def mdct_encode(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """int16 PCM → MDCT-codec bytes. 1-D → mono, (n, ch) → ch channels."""
+    arr = _check_input(samples, sample_rate)
     n, ch = arr.shape
 
     parts = [_MAGIC, struct.pack(">BIQ", ch, sample_rate, n)]
     for c in range(ch):
-        coeffs = mdct(_frame(arr[:, c].astype(np.float64)))
-        # per-block scalefactor = max |coefficient|; mantissas are the
-        # coefficients uniformly quantized to ±127 of it. float32
-        # scalefactors: the decoder must divide by the SAME value the
-        # encoder multiplied with, so quantize sf to its stored width
-        # BEFORE computing mantissas
-        sf = np.abs(coeffs).max(axis=1).astype(np.float32)
-        sf = np.maximum(sf, np.float32(1e-10))  # silent block guard
-        q = np.rint(coeffs / sf[:, None].astype(np.float64) * 127.0)
-        q = np.clip(q, -127, 127).astype(np.int8)
+        sf, q = _quantize_channel(arr[:, c].astype(np.float64))
         for b in range(len(q)):
             parts.append(struct.pack(">f", sf[b]))
             parts.append(q[b].tobytes())
@@ -150,10 +169,7 @@ def mdct_decode(data: bytes) -> np.ndarray:
             raise ValueError("mdct: non-finite scalefactor")
         q = np.frombuffer(rec[:, 4:].tobytes(), dtype=np.int8).reshape(
             blocks, N_COEFF)
-        coeffs = q.astype(np.float64) / 127.0 \
-            * sf.astype(np.float64)[:, None]
-        y = imdct_overlap_add(coeffs, n)
-        out[:, c] = np.clip(np.rint(y), -32768, 32767).astype(np.int16)
+        out[:, c] = _reconstruct(sf, q, n)
     return out
 
 
@@ -162,3 +178,94 @@ def mdct_sample_rate(data: bytes) -> int:
     if len(data) < 17 or data[:4] != _MAGIC:
         raise ValueError("mdct: bad magic")
     return struct.unpack(">BIQ", data[4:17])[1]
+
+
+# ---------------------------------------------------------------------------
+# MDC2 — the ENTROPY-CODED container: same transform, same quantization
+# (shared _quantize_channel/_reconstruct, so the two containers decode
+# to bit-identical PCM for the same input — pinned by test), but the
+# int8 mantissas are canonical-Huffman coded with a table built from
+# THEIR OWN histogram (functions/huffman.py). MDCT mantissas
+# concentrate sharply around 0, so the adaptive code recovers most of
+# the uniform-8-bit slack — this is the entropy stage every published
+# transform codec carries (mp3's Huffman tables, Vorbis codebooks),
+# completing the spine: window → MDCT → quantize → entropy-code. What
+# remains out of scope (operators/multimodal.py's disclosed stub) is
+# psychoacoustic bit ALLOCATION and format bitstream compatibility.
+#
+# Layout: magic MDC2 + >BIQ (ch, rate, n), then per channel:
+#   blocks × >f4 scalefactors (grouped — they don't compress well and
+#   keeping them raw lets a decoder seek),
+#   256-byte code-length table (canonical — the table IS the codebook),
+#   >Q bit count, ceil(nbits/8) bytes of MSB-first bitstream.
+# Every length is validated against the remaining buffer BEFORE any
+# allocation (the byte-flip fuzz lesson, same as MDC1).
+# ---------------------------------------------------------------------------
+_MAGIC2 = b"MDC2"
+
+
+# module-level, not function-level: a runtime relative import inside a
+# by-value-pickled UDF body re-runs the import machinery on the WORKER,
+# which has no package on sys.path under a vanilla driver session —
+# module-level symbols ride the cloudpickle by-value capture instead
+from .huffman import canonical_codes as _hcodes  # noqa: E402
+from .huffman import code_lengths as _hlengths  # noqa: E402
+from .huffman import decode as _hdec  # noqa: E402
+from .huffman import encode as _henc  # noqa: E402
+
+
+def mdct_encode_entropy(samples: np.ndarray,
+                        sample_rate: int = 8000) -> bytes:
+    """int16 PCM → entropy-coded MDCT bytes (MDC2)."""
+    arr = _check_input(samples, sample_rate)
+    n, ch = arr.shape
+    parts = [_MAGIC2, struct.pack(">BIQ", ch, sample_rate, n)]
+    for c in range(ch):
+        sf, q = _quantize_channel(arr[:, c].astype(np.float64))
+        symbols = (q.reshape(-1).astype(np.int16) + 128).astype(np.uint8)
+        freqs = np.bincount(symbols, minlength=256)
+        lengths = _hlengths(freqs)
+        bitstream, nbits = _henc(symbols, lengths, _hcodes(lengths))
+        parts.append(sf.astype(">f4").tobytes())
+        parts.append(lengths.tobytes())
+        parts.append(struct.pack(">Q", nbits))
+        parts.append(bitstream)
+    return b"".join(parts)
+
+
+def mdct_decode_entropy(data: bytes) -> np.ndarray:
+    """MDC2 bytes → (n, ch) int16 PCM; ValueError on malformed input."""
+    if len(data) < 17 or data[:4] != _MAGIC2:
+        raise ValueError("mdct2: bad magic")
+    ch, sample_rate, n = struct.unpack(">BIQ", data[4:17])
+    if not (1 <= ch <= 8):
+        raise ValueError(f"mdct2: bad channel count {ch}")
+    if n == 0 or sample_rate == 0:
+        raise ValueError("mdct2: empty stream header")
+    blocks = _blocks_for(n)
+    out = np.empty((n, ch), dtype=np.int16)
+    pos = 17
+    for c in range(ch):
+        if len(data) < pos + 4 * blocks + 256 + 8:
+            raise ValueError("mdct2: truncated channel header")
+        sf = np.frombuffer(data[pos:pos + 4 * blocks], dtype=">f4")
+        pos += 4 * blocks
+        if not np.all(np.isfinite(sf)):
+            raise ValueError("mdct2: non-finite scalefactor")
+        lengths = np.frombuffer(data[pos:pos + 256], dtype=np.uint8)
+        pos += 256
+        (nbits,) = struct.unpack(">Q", data[pos:pos + 8])
+        pos += 8
+        nbytes = (nbits + 7) // 8
+        if len(data) < pos + nbytes:
+            raise ValueError("mdct2: truncated bitstream")
+        symbols = _hdec(data[pos:pos + nbytes], blocks * N_COEFF,
+                        lengths, nbits=nbits)
+        pos += nbytes
+        q = (symbols.astype(np.int16) - 128).astype(np.int8).reshape(
+            blocks, N_COEFF)
+        out[:, c] = _reconstruct(sf, q, n)
+    if pos != len(data):
+        raise ValueError(
+            f"mdct2: {len(data) - pos} trailing bytes after last channel")
+    return out

@@ -143,3 +143,113 @@ def test_mdct_roundtrip_query_quality(spark):
     assert row.n_lossless == 0  # every clip carries a sine segment
     assert row.min_snr_db >= 25
     assert row.avg_snr_db >= row.min_snr_db
+
+
+# ---------------------------------------------------------------------------
+# MDC2 — the entropy-coded container (functions/huffman.py)
+# ---------------------------------------------------------------------------
+def test_huffman_roundtrip_and_optimality():
+    """decode(encode(s)) == s on skewed, uniform, and binary streams,
+    and the code is never worse than the fixed 8-bit baseline while
+    being within 1 bit/symbol of the entropy (Huffman's bound)."""
+    import numpy as np
+
+    from big_data_science_project_spark.functions.huffman import (
+        canonical_codes, code_lengths, decode, encode)
+
+    rng = np.random.default_rng(11)
+    streams = [
+        rng.choice(256, size=5000, p=None).astype(np.uint8),   # uniform
+        np.clip(rng.normal(128, 6, 20000), 0, 255).astype(np.uint8),
+        (rng.random(4000) < 0.9).astype(np.uint8),             # binary
+    ]
+    for s in streams:
+        freqs = np.bincount(s, minlength=256)
+        lengths = code_lengths(freqs)
+        bits, nbits = encode(s, lengths, canonical_codes(lengths))
+        assert np.array_equal(decode(bits, len(s), lengths, nbits=nbits), s)
+        p = freqs[freqs > 0] / len(s)
+        entropy_bits = float(-(p * np.log2(p)).sum()) * len(s)
+        assert nbits <= 8 * len(s) + 1
+        assert nbits <= entropy_bits + len(s)  # within 1 bit/symbol
+
+
+def test_huffman_single_symbol_and_errors():
+    import numpy as np
+    import pytest
+
+    from big_data_science_project_spark.functions.huffman import (
+        code_lengths, decode, encode)
+
+    s = np.full(100, 7, dtype=np.uint8)
+    lengths = code_lengths(np.bincount(s, minlength=256))
+    assert lengths[7] == 1 and lengths.sum() == 1
+    bits, nbits = encode(s, lengths)
+    assert np.array_equal(decode(bits, 100, lengths, nbits=nbits), s)
+    with pytest.raises(ValueError):
+        code_lengths(np.zeros(256))
+    with pytest.raises(ValueError):
+        encode(np.array([9], dtype=np.uint8), lengths)  # absent symbol
+    with pytest.raises(ValueError):
+        decode(bits[:2], 1000, lengths)  # truncated
+
+
+def test_mdc2_decodes_identically_to_mdc1_and_compresses():
+    """The entropy stage must be LOSSLESS relative to MDC1's quantized
+    mantissas — identical int16 PCM out of both containers — while
+    genuinely compressing (the adaptive code recovers the uniform-8-bit
+    slack in the near-zero-concentrated mantissas)."""
+    import numpy as np
+
+    from big_data_science_project_spark.functions.mdct_codec import (
+        mdct_decode, mdct_decode_entropy, mdct_encode,
+        mdct_encode_entropy)
+
+    rng = np.random.default_rng(5)
+    t = np.arange(9000)
+    x = (7000 * np.sin(2 * np.pi * 523 / 8000 * t)
+         + rng.normal(0, 250, len(t))).astype(np.int16)
+    stereo = np.stack([x, (x // 3).astype(np.int16)], axis=1)
+    for sig in (x, stereo, np.zeros(1000, np.int16)):
+        e1, e2 = mdct_encode(sig), mdct_encode_entropy(sig)
+        assert np.array_equal(mdct_decode(e1), mdct_decode_entropy(e2))
+    assert len(mdct_encode_entropy(x)) < 0.5 * len(mdct_encode(x))
+
+
+def test_mdc2_corrupt_any_byte_never_crashes():
+    """Same fuzz contract as every codec in the family: any single-byte
+    flip either decodes (to SOMETHING — the format has no CRC) or
+    raises ValueError; never a segfault/arbitrary exception."""
+    import numpy as np
+
+    from big_data_science_project_spark.functions.mdct_codec import (
+        mdct_decode_entropy, mdct_encode_entropy)
+
+    x = (3000 * np.sin(np.arange(2000) * 0.3)).astype(np.int16)
+    enc = bytearray(mdct_encode_entropy(x))
+    rng = np.random.default_rng(2)
+    for pos in rng.choice(len(enc), size=60, replace=False):
+        mut = bytearray(enc)
+        mut[pos] ^= 0x5A
+        try:
+            mdct_decode_entropy(bytes(mut))
+        except ValueError:
+            pass
+
+
+def test_mdct_entropy_query_matches_uncoded_snr(spark):
+    """In-plan: the entropy round-trip reports the SAME SNR columns as
+    the uncoded MDCT tier (the entropy stage is lossless w.r.t. the
+    quantized mantissas) and a strictly better compression ratio."""
+    import __spark_entry__ as e
+
+    q = e.queries()
+    base = q["multimodal_mdct_roundtrip"](
+        spark, "/root/testdata/sf0.001").collect()[0]
+    ent = q["multimodal_mdct_entropy_roundtrip"](
+        spark, "/root/testdata/sf0.001").collect()[0]
+    assert ent.n_clips == base.n_clips
+    assert ent.bytes_raw == base.bytes_raw
+    assert (ent.min_snr_db, ent.avg_snr_db, ent.n_lossless) == \
+        (base.min_snr_db, base.avg_snr_db, base.n_lossless)
+    assert ent.bytes_mdct_huff < base.bytes_mdct
