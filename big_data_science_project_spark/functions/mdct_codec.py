@@ -243,6 +243,15 @@ def mdct_decode_entropy(data: bytes) -> np.ndarray:
     if n == 0 or sample_rate == 0:
         raise ValueError("mdct2: empty stream header")
     blocks = _blocks_for(n)
+    # minimum-size check BEFORE the output allocation: a corrupted n
+    # field must raise ValueError, never attempt a PiB-scale np.empty
+    # (the bitstreams are variable-length, so this bounds rather than
+    # pins the total; each channel still validates its own lengths)
+    floor = 17 + ch * (4 * blocks + 256 + 8)
+    if len(data) < floor:
+        raise ValueError(
+            f"mdct2: stream is {len(data)} bytes, header implies "
+            f"at least {floor}")
     out = np.empty((n, ch), dtype=np.int16)
     pos = 17
     for c in range(ch):

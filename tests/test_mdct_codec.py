@@ -219,16 +219,18 @@ def test_mdc2_decodes_identically_to_mdc1_and_compresses():
 def test_mdc2_corrupt_any_byte_never_crashes():
     """Same fuzz contract as every codec in the family: any single-byte
     flip either decodes (to SOMETHING — the format has no CRC) or
-    raises ValueError; never a segfault/arbitrary exception."""
+    raises ValueError; never a segfault/MemoryError/arbitrary
+    exception. EXHAUSTIVE sweep, like the MDC1/ADPCM/JPEG twins — a
+    60-position random sample shipped the header-n allocation bug
+    green because the seed never drew bytes 9-16."""
     import numpy as np
 
     from big_data_science_project_spark.functions.mdct_codec import (
         mdct_decode_entropy, mdct_encode_entropy)
 
     x = (3000 * np.sin(np.arange(2000) * 0.3)).astype(np.int16)
-    enc = bytearray(mdct_encode_entropy(x))
-    rng = np.random.default_rng(2)
-    for pos in rng.choice(len(enc), size=60, replace=False):
+    enc = bytes(mdct_encode_entropy(x))
+    for pos in range(len(enc)):
         mut = bytearray(enc)
         mut[pos] ^= 0x5A
         try:
