@@ -62,20 +62,20 @@ from .text import _LM_PERPLEXITY_SQL, lm_artifacts, lm_score_vs_artifacts
 QUERIES: dict = {}
 
 
-def ingest_gate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    batch = (load_table(spark, sf_dir, "documents")
-             .filter(_bucket(F.col("doc_id")) >= INDEX_PCT))
+def exact_gate(batch: DataFrame, base_dg: DataFrame) -> DataFrame:
+    """Exact tier over the bucketed digest table: (doc_id, exact_dup=1)
+    for batch docs whose digest is already indexed — merge-hinted so
+    the bucketed side reads in place."""
+    return (batch.select("doc_id", F.md5("text").alias("dg"))
+            .join(base_dg.hint("merge"), "dg", "left_semi")
+            .select("doc_id", F.lit(1).alias("exact_dup")))
 
-    base_dg = spark.table(bucketed_digest_table(spark, sf_dir))
-    exact = (batch.select("doc_id", F.md5("text").alias("dg"))
-             .join(base_dg.hint("merge"), "dg", "left_semi")
-             .select("doc_id", F.lit(1).alias("exact_dup")))
-    near = near_tier_vs_artifacts(
-        spark, batch, _index_artifacts(spark, sf_dir))
-    lm = lm_score_vs_artifacts(spark, batch,
-                               lm_artifacts(spark, sf_dir))
-    ann = ann_incremental_persisted(spark, sf_dir)
 
+def assemble_verdicts(near: DataFrame, exact: DataFrame, lm: DataFrame,
+                      ann: DataFrame) -> DataFrame:
+    """Per-doc verdict row from the four gate outputs — shared by the
+    batch pipeline and its streaming twin (streaming/events.py) so the
+    verdict schema and the admitted rule exist once."""
     return (near
             .join(exact, "doc_id", "left")
             .join(lm.select("doc_id", "avg_nll_milli"), "doc_id")
@@ -94,7 +94,21 @@ def ingest_gate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("admitted")))
 
 
-QUERIES["ingest_gate_pipeline"] = (ingest_gate_pipeline, f"""
+def ingest_gate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    batch = (load_table(spark, sf_dir, "documents")
+             .filter(_bucket(F.col("doc_id")) >= INDEX_PCT))
+
+    exact = exact_gate(batch,
+                       spark.table(bucketed_digest_table(spark, sf_dir)))
+    near = near_tier_vs_artifacts(
+        spark, batch, _index_artifacts(spark, sf_dir))
+    lm = lm_score_vs_artifacts(spark, batch,
+                               lm_artifacts(spark, sf_dir))
+    ann = ann_incremental_persisted(spark, sf_dir)
+    return assemble_verdicts(near, exact, lm, ann)
+
+
+_INGEST_PIPELINE_SQL = f"""
 WITH ded AS ({_INCREMENTAL_SQL}),
 lm AS ({_LM_PERPLEXITY_SQL}),
 ann AS ({_ANN_INCREMENTAL_SQL})
@@ -106,4 +120,7 @@ SELECT d.doc_id, d.exact_dup, d.n_candidates, d.n_verified,
 FROM ded d
 JOIN lm l ON l.doc_id = d.doc_id
 LEFT JOIN ann a ON a.vec_id = d.doc_id
-""")
+"""
+
+QUERIES["ingest_gate_pipeline"] = (ingest_gate_pipeline,
+                                   _INGEST_PIPELINE_SQL)

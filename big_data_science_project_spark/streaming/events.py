@@ -841,6 +841,84 @@ QUERIES["stream_ann_gate"] = (stream_ann_gate, _ANN_INCREMENTAL_SQL)
 
 
 # ---------------------------------------------------------------------------
+# STREAMING composed ingest pipeline — ALL FOUR gates live per
+# micro-batch from persisted artifacts: the production shape of
+# operators/ingest.py::ingest_gate_pipeline (exact dedup vs the
+# bucketed digest table, LSH near tier vs the bucketed bands/shingles,
+# LM score vs the bucketed count tables, ANN near-dup vs the
+# centroid_id-partitioned index), one verdict row per streamed doc in
+# an idempotent per-batchId partition. The gate helpers and the
+# verdict assembly are the batch pipeline's own functions — the twins
+# share every expression, so they cannot drift. The batch's embeddings
+# are fetched from the static table by a BROADCAST semi-join on the
+# batch's ids (documents and embeddings share the id space): the
+# corpus-side scan stays in place, only batch-id-sized state ships.
+# Every gate is per-doc-vs-static-index with no cross-batch state, so
+# the union over ANY batch split equals the batch computation — the
+# oracle is the batch pipeline's statement verbatim.
+# ---------------------------------------------------------------------------
+def stream_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (_index_artifacts,
+                                   bucketed_digest_table,
+                                   near_tier_vs_artifacts)
+    from ..operators.ingest import assemble_verdicts, exact_gate
+    from ..operators.similarity import (ann_artifacts,
+                                        ann_gate_vs_artifacts)
+    from ..operators.text import lm_artifacts, lm_score_vs_artifacts
+
+    root_d = _index_artifacts(spark, sf_dir)
+    root_lm = lm_artifacts(spark, sf_dir)
+    root_ann = ann_artifacts(spark, sf_dir)
+    base_dg = spark.table(bucketed_digest_table(spark, sf_dir))
+    emb = load_table(spark, sf_dir, "embeddings")
+    out_dir = tempfile.mkdtemp(prefix="ingest_pipe_out_")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        exact = exact_gate(batch_df, base_dg)
+        near = near_tier_vs_artifacts(spark, batch_df, root_d)
+        lm = lm_score_vs_artifacts(spark, batch_df, root_lm)
+        batch_vecs = emb.join(
+            F.broadcast(batch_df.select(
+                F.col("doc_id").alias("vec_id"))),
+            "vec_id", "left_semi")
+        ann = ann_gate_vs_artifacts(spark, batch_vecs, root_ann)
+        try:
+            (assemble_verdicts(near, exact, lm, ann)
+             .write.mode("overwrite").parquet(
+                 f"{out_dir}/batch={batch_id}"))
+        finally:
+            # both per-batch caches have DISTINCT plans per trigger —
+            # release even on a failed write (retries re-persist)
+            near._cached_shingles.unpersist()
+            ann._cached_assign.unpersist()
+
+    docs = (_stream_table(spark, sf_dir, "documents")
+            .filter(_bucket(F.col("doc_id")) >= INDEX_PCT))
+    with _state_partitions(spark), _scratch_checkpoint() as ckpt:
+        writer = docs.writeStream.foreachBatch(process)
+        if ckpt:
+            writer = writer.option("checkpointLocation", ckpt)
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    global LAST_QUERY
+    LAST_QUERY = q
+    return (spark.read.schema(
+        "doc_id bigint, exact_dup bigint, n_candidates bigint, "
+        "n_verified bigint, best_jaccard double, avg_nll_milli bigint, "
+        "best_cos double, is_neardup bigint, admitted bigint")
+        .parquet(out_dir)
+        .select("doc_id", "exact_dup", "n_candidates", "n_verified",
+                "best_jaccard", "avg_nll_milli", "best_cos",
+                "is_neardup", "admitted"))
+
+
+from ..operators.ingest import _INGEST_PIPELINE_SQL  # noqa: E402
+
+QUERIES["stream_ingest_pipeline"] = (stream_ingest_pipeline,
+                                     _INGEST_PIPELINE_SQL)
+
+
+# ---------------------------------------------------------------------------
 # STREAMING ingest loop with LIVE index refresh — closes the r7 honesty
 # note ("a plain parquet static side snapshots its file listing; live
 # refresh needs a re-read"): exact-gate ADMISSION, where a doc admitted

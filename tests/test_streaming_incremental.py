@@ -407,3 +407,19 @@ def test_stream_ann_gate_flags_planted_cross_split_neardup(spark):
     # (vec_id, centroid_id, n_cell_neighbors, best_cos, is_neardup)
     assert by_id[5][4] == 1 and by_id[5][3] > 0.9
     assert by_id[8][4] == 0
+
+
+def test_stream_ingest_pipeline_matches_batch_twin(spark):
+    """The live composed pipeline must reproduce the batch pipeline
+    value-for-value through the artifact round-trip — they share every
+    gate helper and the verdict assembly, and each gate is per-doc vs
+    static index (no cross-batch state), so any micro-batch split
+    unions to the batch result."""
+    import big_data_science_project_spark.streaming.events as ev
+    from big_data_science_project_spark.operators.ingest import (
+        ingest_gate_pipeline)
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(map(tuple, ev.stream_ingest_pipeline(spark, sf).collect()))
+    want = sorted(map(tuple, ingest_gate_pipeline(spark, sf).collect()))
+    assert got == want and got
