@@ -1605,16 +1605,20 @@ def _read_codebook(spark: SparkSession, root: str):
 
 
 def ann_gate_vs_artifacts(spark: SparkSession, batch: DataFrame,
-                          root: str) -> DataFrame:
+                          root: str, cents=None) -> DataFrame:
     """ANN near-dup gate for one batch against the persisted index —
-    shared by the batch variant and the streaming twin (foreachBatch
+    shared by the batch variant and the streaming twins (foreachBatch
     gives it batch semantics; streaming/events.py must not re-derive
-    it). ``batch`` is any embeddings-shaped DataFrame. The returned
-    DataFrame carries the per-batch assignment cache as
-    ``_cached_assign`` — the streaming caller unpersists it after its
-    write (every micro-batch has a DISTINCT plan, so CacheManager
-    never dedups them; the batch twin's identical plan does dedup)."""
-    cents = _read_codebook(spark, root)
+    it). ``batch`` is any embeddings-shaped DataFrame. Streaming
+    callers pass ``cents`` (the codebook read ONCE at stream start —
+    it is fixed per stream, and re-collecting it per trigger is a
+    redundant driver round-trip). The returned DataFrame carries the
+    per-batch assignment cache as ``_cached_assign`` — the streaming
+    caller unpersists it after its write (every micro-batch has a
+    DISTINCT plan, so CacheManager never dedups them; the batch twin's
+    identical plan does dedup)."""
+    if cents is None:
+        cents = _read_codebook(spark, root)
     idx = (spark.read.parquet(f"{root}/assigned")
            .select("centroid_id", F.col("embedding").alias("iv"),
                    F.col("nrm").alias("inrm")))

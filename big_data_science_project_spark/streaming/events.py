@@ -698,14 +698,51 @@ GROUP BY n.lang
 # why this tier can run in foreachBatch while exact-gate admission
 # (which IS stateful across batches) lives in stream_ingest_loop below.
 # ---------------------------------------------------------------------------
+def _run_foreachbatch(spark: SparkSession, source: DataFrame,
+                      process) -> None:
+    """availableNow foreachBatch runner shared by the artifact-gate
+    family (near tier, LM gate, ANN gate, composed pipeline, ingest
+    loop) — one place for the checkpoint/trigger/LAST_QUERY protocol
+    instead of a per-site copy."""
+    global LAST_QUERY
+    with _state_partitions(spark), _scratch_checkpoint() as ckpt:
+        writer = source.writeStream.foreachBatch(process)
+        if ckpt:
+            writer = writer.option("checkpointLocation", ckpt)
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    LAST_QUERY = q
+
+
+def _read_batched_output(spark: SparkSession, out_dir: str,
+                         schema_holder: dict, fallback: str) -> DataFrame:
+    """Read the per-batchId parquet partitions back. The schema comes
+    from what the stream ACTUALLY wrote (captured per batch in
+    ``schema_holder``) — a hardcoded string that drifted from a renamed
+    output column would resolve-by-name to silent NULLs; ``fallback``
+    covers only the zero-batch case, where inference over no files
+    would throw."""
+    schema = schema_holder.get("schema", fallback)
+    df = spark.read.schema(schema).parquet(out_dir)
+    # select the WRITTEN columns only — the read adds the batch=N
+    # partition directory as an extra column on top of the schema
+    if isinstance(schema, str):
+        names = [c.strip().split()[0] for c in schema.split(",")]
+    else:
+        names = [f.name for f in schema.fields]
+    return df.select(*names)
+
+
 def stream_dedup_near_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import _index_artifacts, near_tier_vs_artifacts
 
     root = _index_artifacts(spark, sf_dir)
     out_dir = tempfile.mkdtemp(prefix="near_index_out_")
+    seen: dict = {}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         result = near_tier_vs_artifacts(spark, batch_df, root)
+        seen["schema"] = result.schema
         try:
             result.write.mode("overwrite").parquet(
                 f"{out_dir}/batch={batch_id}")
@@ -718,20 +755,11 @@ def stream_dedup_near_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = (_stream_table(spark, sf_dir, "documents")
             .filter(_bucket(F.col("doc_id")) >= INDEX_PCT))
-    with _state_partitions(spark), _scratch_checkpoint() as ckpt:
-        writer = docs.writeStream.foreachBatch(process)
-        if ckpt:
-            writer = writer.option("checkpointLocation", ckpt)
-        q = writer.trigger(availableNow=True).start()
-        q.awaitTermination()
-    global LAST_QUERY
-    LAST_QUERY = q
-    # explicit schema: a fixture with zero new-batch docs leaves
-    # out_dir empty, and schema inference over no files would throw
-    return (spark.read.schema(
+    _run_foreachbatch(spark, docs, process)
+    return _read_batched_output(
+        spark, out_dir, seen,
         "doc_id bigint, n_candidates bigint, n_verified bigint, "
-        "best_jaccard double").parquet(out_dir)
-        .select("doc_id", "n_candidates", "n_verified", "best_jaccard"))
+        "best_jaccard double")
 
 
 from ..operators.dedup import _NEAR_TIER_SQL  # noqa: E402
@@ -760,26 +788,21 @@ def stream_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = lm_artifacts(spark, sf_dir)
     out_dir = tempfile.mkdtemp(prefix="lm_gate_out_")
+    seen: dict = {}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        (lm_score_vs_artifacts(spark, batch_df, root)
-         .write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}"))
+        scored = lm_score_vs_artifacts(spark, batch_df, root)
+        seen["schema"] = scored.schema
+        scored.write.mode("overwrite").parquet(
+            f"{out_dir}/batch={batch_id}")
 
     docs = (_stream_table(spark, sf_dir, "documents")
             .filter(_bucket(F.col("doc_id")) >= INDEX_PCT))
-    with _state_partitions(spark), _scratch_checkpoint() as ckpt:
-        writer = docs.writeStream.foreachBatch(process)
-        if ckpt:
-            writer = writer.option("checkpointLocation", ckpt)
-        q = writer.trigger(availableNow=True).start()
-        q.awaitTermination()
-    global LAST_QUERY
-    LAST_QUERY = q
-    return (spark.read.schema(
+    _run_foreachbatch(spark, docs, process)
+    return _read_batched_output(
+        spark, out_dir, seen,
         "doc_id bigint, lang string, n_bigrams bigint, "
-        "nll_milli bigint, avg_nll_milli bigint").parquet(out_dir)
-        .select("doc_id", "lang", "n_bigrams", "nll_milli",
-                "avg_nll_milli"))
+        "nll_milli bigint, avg_nll_milli bigint")
 
 
 from ..operators.text import _LM_PERPLEXITY_SQL  # noqa: E402
@@ -803,13 +826,17 @@ QUERIES["stream_lm_quality"] = (stream_lm_quality, _LM_PERPLEXITY_SQL)
 # twins' (ann_incremental_assign / ann_incremental_persisted).
 # ---------------------------------------------------------------------------
 def stream_ann_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import ann_artifacts, ann_gate_vs_artifacts
+    from ..operators.similarity import (_read_codebook, ann_artifacts,
+                                        ann_gate_vs_artifacts)
 
     root = ann_artifacts(spark, sf_dir)
+    cents = _read_codebook(spark, root)  # fixed per stream: read once
     out_dir = tempfile.mkdtemp(prefix="ann_gate_out_")
+    seen: dict = {}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        result = ann_gate_vs_artifacts(spark, batch_df, root)
+        result = ann_gate_vs_artifacts(spark, batch_df, root, cents)
+        seen["schema"] = result.schema
         try:
             result.write.mode("overwrite").parquet(
                 f"{out_dir}/batch={batch_id}")
@@ -820,19 +847,11 @@ def stream_ann_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vecs = (_stream_table(spark, sf_dir, "embeddings")
             .filter(_bucket(F.col("vec_id")) >= INDEX_PCT))
-    with _state_partitions(spark), _scratch_checkpoint() as ckpt:
-        writer = vecs.writeStream.foreachBatch(process)
-        if ckpt:
-            writer = writer.option("checkpointLocation", ckpt)
-        q = writer.trigger(availableNow=True).start()
-        q.awaitTermination()
-    global LAST_QUERY
-    LAST_QUERY = q
-    return (spark.read.schema(
+    _run_foreachbatch(spark, vecs, process)
+    return _read_batched_output(
+        spark, out_dir, seen,
         "vec_id bigint, centroid_id bigint, n_cell_neighbors bigint, "
-        "best_cos double, is_neardup bigint").parquet(out_dir)
-        .select("vec_id", "centroid_id", "n_cell_neighbors",
-                "best_cos", "is_neardup"))
+        "best_cos double, is_neardup bigint")
 
 
 from ..operators.similarity import _ANN_INCREMENTAL_SQL  # noqa: E402
@@ -862,54 +881,52 @@ def stream_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    bucketed_digest_table,
                                    near_tier_vs_artifacts)
     from ..operators.ingest import assemble_verdicts, exact_gate
-    from ..operators.similarity import (ann_artifacts,
+    from ..operators.similarity import (_read_codebook, ann_artifacts,
                                         ann_gate_vs_artifacts)
     from ..operators.text import lm_artifacts, lm_score_vs_artifacts
 
     root_d = _index_artifacts(spark, sf_dir)
     root_lm = lm_artifacts(spark, sf_dir)
     root_ann = ann_artifacts(spark, sf_dir)
+    cents = _read_codebook(spark, root_ann)  # fixed per stream
     base_dg = spark.table(bucketed_digest_table(spark, sf_dir))
     emb = load_table(spark, sf_dir, "embeddings")
     out_dir = tempfile.mkdtemp(prefix="ingest_pipe_out_")
+    seen: dict = {}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        exact = exact_gate(batch_df, base_dg)
-        near = near_tier_vs_artifacts(spark, batch_df, root_d)
-        lm = lm_score_vs_artifacts(spark, batch_df, root_lm)
+        # four gates read the batch (digest pass, near-tier spine, LM
+        # bigrams + spine, the broadcast id projection) — persist the
+        # micro-batch once instead of five source scans per trigger
+        batch = batch_df.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        exact = exact_gate(batch, base_dg)
+        near = near_tier_vs_artifacts(spark, batch, root_d)
+        lm = lm_score_vs_artifacts(spark, batch, root_lm)
         batch_vecs = emb.join(
-            F.broadcast(batch_df.select(
-                F.col("doc_id").alias("vec_id"))),
+            F.broadcast(batch.select(F.col("doc_id").alias("vec_id"))),
             "vec_id", "left_semi")
-        ann = ann_gate_vs_artifacts(spark, batch_vecs, root_ann)
+        ann = ann_gate_vs_artifacts(spark, batch_vecs, root_ann, cents)
         try:
-            (assemble_verdicts(near, exact, lm, ann)
-             .write.mode("overwrite").parquet(
-                 f"{out_dir}/batch={batch_id}"))
+            report = assemble_verdicts(near, exact, lm, ann)
+            seen["schema"] = report.schema
+            report.write.mode("overwrite").parquet(
+                f"{out_dir}/batch={batch_id}")
         finally:
-            # both per-batch caches have DISTINCT plans per trigger —
-            # release even on a failed write (retries re-persist)
+            # all three per-batch caches have DISTINCT plans per
+            # trigger — release even on a failed write (retries
+            # re-persist their own copies)
             near._cached_shingles.unpersist()
             ann._cached_assign.unpersist()
+            batch.unpersist()
 
     docs = (_stream_table(spark, sf_dir, "documents")
             .filter(_bucket(F.col("doc_id")) >= INDEX_PCT))
-    with _state_partitions(spark), _scratch_checkpoint() as ckpt:
-        writer = docs.writeStream.foreachBatch(process)
-        if ckpt:
-            writer = writer.option("checkpointLocation", ckpt)
-        q = writer.trigger(availableNow=True).start()
-        q.awaitTermination()
-    global LAST_QUERY
-    LAST_QUERY = q
-    return (spark.read.schema(
+    _run_foreachbatch(spark, docs, process)
+    return _read_batched_output(
+        spark, out_dir, seen,
         "doc_id bigint, exact_dup bigint, n_candidates bigint, "
         "n_verified bigint, best_jaccard double, avg_nll_milli bigint, "
         "best_cos double, is_neardup bigint, admitted bigint")
-        .parquet(out_dir)
-        .select("doc_id", "exact_dup", "n_candidates", "n_verified",
-                "best_jaccard", "avg_nll_milli", "best_cos",
-                "is_neardup", "admitted"))
 
 
 from ..operators.ingest import _INGEST_PIPELINE_SQL  # noqa: E402
@@ -1078,15 +1095,8 @@ def stream_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = docs.schema
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1).parquet(f"{work}/in/*"))
-    with _state_partitions(spark), _scratch_checkpoint() as ckpt:
-        writer = stream.writeStream.foreachBatch(process)
-        if ckpt:
-            writer = writer.option("checkpointLocation", ckpt)
-        q = writer.trigger(availableNow=True).start()
-        q.awaitTermination()
+    _run_foreachbatch(spark, stream, process)
     bloom.destroy()  # release the gate's executor-side bitmap, if any
-    global LAST_QUERY
-    LAST_QUERY = q
     # explicit schema, like the other two stream output readers: a
     # fixture with zero new-batch docs leaves only empty partitions
     return (spark.read.schema(
