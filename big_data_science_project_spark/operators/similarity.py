@@ -1702,3 +1702,125 @@ QUERIES["ann_ivf_trained_topk"] = (ann_ivf_trained_topk, _IVF_TRAINED_SQL)
 
 # registered here so _recall_sql() can nest the trained probe's oracle
 QUERIES["ann_recall_eval"] = (ann_recall_eval, _recall_sql())
+
+
+# ---------------------------------------------------------------------------
+# Trained-IVF operating-point sweep — the tuning table for the TRAINED
+# index (the honest companion to ann_recall_sweep, whose ivf rungs
+# probe the sampled query-is-a-centroid codebook): recall@10 against
+# the exact cosine top-10 AND the exact-distance scan fraction at
+# nprobe 1 / 2 / 4, same row shape as the main sweep so a deployment
+# reads the two tables side by side. One assignment pass serves every
+# rung (the nprobe-4 candidate set contains the others); probe ranking
+# is K×D driver math (index-serving state, IEEE-sequence-identical to
+# the SQL mirror). At 100 TB each rung's n_scanned is the cells'
+# member count — the partition-pruned read the IVF layout exists for.
+# ---------------------------------------------------------------------------
+SWEEP_TRAINED_NPROBE = (1, 2, 4)
+
+
+def ann_trained_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cids, cmat, cn = _train_index_centroids(e)
+    qv = np.asarray(
+        e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding").first()["embedding"], dtype=np.float64)
+    qn = float(np.sqrt(np.cumsum(qv * qv)[-1]))
+    cos_c = np.cumsum(cmat * qv[None, :], axis=1)[:, -1] / (cn * qn)
+    order = sorted(range(len(cids)), key=lambda i: (-cos_c[i], -int(cids[i])))
+
+    n_corpus = (e.filter(F.col("vec_id") != QUERY_VEC_ID)
+                .agg(F.count(F.lit(1)).alias("n_corpus")))
+    exact = (ann_bruteforce_topk(spark, sf_dir)
+             .select("vec_id", F.lit(1).alias("hit")))
+    qvec = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv"),
+        _norm_udf(F.col("embedding")).alias("qn"))
+    # ONE assignment pass feeds every rung: persisted because each
+    # rung's candidate filter + top-k re-reads it (identical plan per
+    # (session, sf_dir) → CacheManager-deduped across repeat calls)
+    assigned = _assign_centroids(e, (cids, cmat, cn)).persist(
+        StorageLevel.MEMORY_AND_DISK_DESER)
+
+    branches = []
+    for np_ in SWEEP_TRAINED_NPROBE:
+        probe_cids = [int(cids[i]) for i in order[:np_]]
+        cands = (assigned.filter(
+            F.col("centroid_id").isin(probe_cids)
+            & (F.col("vec_id") != QUERY_VEC_ID)))
+        top = (cands.crossJoin(F.broadcast(qvec))
+               .select("vec_id",
+                       F.round(_cos_pair_udf(
+                           F.col("embedding"), F.col("qv"),
+                           F.col("nrm"), F.col("qn")), 9)
+                       .alias("cos_sim"))
+               .orderBy(F.desc("cos_sim"), "vec_id").limit(10))
+        joined = top.select("vec_id").join(exact, "vec_id", "left")
+        branches.append(
+            cands.agg(F.count(F.lit(1)).alias("n_scanned"))
+            .crossJoin(n_corpus)
+            .crossJoin(joined.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_returned"),
+                F.count("hit").cast("bigint").alias("hits"),
+                F.expr("(100 * count(hit)) div 10").cast("bigint")
+                .alias("recall_pct")))
+            .select(F.lit("ivf_trained").alias("method"),
+                    F.lit(np_).cast("int").alias("param"),
+                    F.col("n_corpus").cast("bigint").alias("n_corpus"),
+                    F.col("n_scanned").cast("bigint").alias("n_scanned"),
+                    F.expr("(1000000 * n_scanned) div n_corpus")
+                    .cast("bigint").alias("scan_pct_micro"),
+                    "n_returned", "hits", "recall_pct"))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def _trained_sweep_sql() -> str:
+    bf = QUERIES["ann_bruteforce_topk"][1]
+    arms = []
+    for np_ in SWEEP_TRAINED_NPROBE:
+        arms.append(f"""
+SELECT 'ivf_trained' AS method, CAST({np_} AS INT) AS param,
+       CAST((SELECT COUNT(*) FROM embeddings
+             WHERE vec_id != {QUERY_VEC_ID}) AS BIGINT) AS n_corpus,
+       CAST((SELECT COUNT(*) FROM cand_{np_}) AS BIGINT) AS n_scanned,
+       CAST((1000000 * (SELECT COUNT(*) FROM cand_{np_}))
+            // (SELECT COUNT(*) FROM embeddings
+                WHERE vec_id != {QUERY_VEC_ID}) AS BIGINT)
+         AS scan_pct_micro,
+       CAST((SELECT COUNT(*) FROM top_{np_}) AS BIGINT) AS n_returned,
+       CAST((SELECT COUNT(*) FROM top_{np_} t
+             JOIN exact_q x ON t.vec_id = x.vec_id) AS BIGINT) AS hits,
+       CAST((100 * (SELECT COUNT(*) FROM top_{np_} t
+                    JOIN exact_q x ON t.vec_id = x.vec_id)) // 10
+            AS BIGINT) AS recall_pct""")
+    cand_ctes = ",\n".join(f"""cand_{np_} AS (
+  SELECT a.vec_id, a.embedding FROM assigned a
+  WHERE a.centroid_id IN (SELECT cid FROM probe_order WHERE pr <= {np_})
+    AND a.vec_id != {QUERY_VEC_ID}),
+top_{np_} AS (
+  SELECT c.vec_id,
+         ROUND({_COS_SQL_TEMPLATE.format(a='c.embedding', b='q.qv')}, 9)
+           AS cos_sim
+  FROM cand_{np_} c, q
+  ORDER BY cos_sim DESC, c.vec_id
+  LIMIT 10)""" for np_ in SWEEP_TRAINED_NPROBE)
+    return f"""
+WITH {_trained_cents_sql()},
+{_TRAINED_ASSIGNED_SQL},
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+probe_order AS (
+  SELECT c.cid,
+         ROW_NUMBER() OVER (
+           ORDER BY {_COS_SQL_TEMPLATE.format(a='q.qv', b='c.cvec')} DESC,
+                    c.cid DESC) AS pr
+  FROM cents c, q),
+exact_q AS ({bf}),
+{cand_ctes}
+{' UNION ALL '.join(arms)}
+"""
+
+
+QUERIES["ann_trained_sweep"] = (ann_trained_sweep, _trained_sweep_sql())
