@@ -67,6 +67,13 @@ def code_lengths(freqs: np.ndarray) -> np.ndarray:
             depth[s] += 1
         heapq.heappush(heap, (w1 + w2, tiebreak, merged))
         tiebreak += 1
+    if int(depth.max()) > MAX_LEN:
+        # reachable only for pathologically skewed int64 histograms
+        # (Fibonacci-like counts summing past ~2^64/phi) — impossible
+        # from a bincount of an in-memory array, but the public API
+        # promises ValueError, not a silent uint64 shift overflow
+        raise ValueError(f"code_lengths: optimal code depth "
+                         f"{int(depth.max())} exceeds MAX_LEN={MAX_LEN}")
     return depth.astype(np.uint8)
 
 
@@ -78,6 +85,9 @@ def canonical_codes(lengths: np.ndarray) -> np.ndarray:
     order = sorted((int(l), s) for s, l in enumerate(lengths) if l > 0)
     if not order:
         raise ValueError("canonical_codes: all-zero length table")
+    if order[-1][0] > MAX_LEN:
+        raise ValueError(f"canonical_codes: length {order[-1][0]} "
+                         f"exceeds MAX_LEN={MAX_LEN}")
     codes = np.zeros(256, dtype=np.uint64)
     code = 0
     prev_len = order[0][0]
@@ -123,6 +133,9 @@ def decode(data: bytes, n_symbols: int, lengths: np.ndarray,
     order = sorted((int(l), s) for s, l in enumerate(lengths) if l > 0)
     if not order:
         raise ValueError("decode: all-zero length table")
+    if order[-1][0] > MAX_LEN:
+        raise ValueError(f"decode: length {order[-1][0]} exceeds "
+                         f"MAX_LEN={MAX_LEN}")
     syms_sorted = np.array([s for _, s in order], dtype=np.uint8)
     first_code: dict[int, int] = {}
     first_idx: dict[int, int] = {}
@@ -137,6 +150,13 @@ def decode(data: bytes, n_symbols: int, lengths: np.ndarray,
             first_idx[length] = i
         count[length] = count.get(length, 0) + 1
         code += 1
+    if code > (1 << prev_len):
+        # same Kraft-overflow check as canonical_codes: an overfull
+        # table (e.g. three length-1 codes) would otherwise decode to
+        # garbage symbols silently — the table arrived over the wire
+        # (MDC2 header), so the decoder must not trust it
+        raise ValueError("decode: length table is not a valid prefix "
+                         "code (Kraft overflow)")
     bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
     if nbits is not None:
         if nbits > bits.size:

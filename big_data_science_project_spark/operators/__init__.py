@@ -71,4 +71,41 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
             queries[name] = fn
             if sql is not None:
                 oracles[name] = sql
-    return queries, oracles
+    # Registry ORDER: the independent driver verifies the FIRST 50
+    # entries (rows + schema + value hash vs DuckDB), so the front of
+    # the dict must span every operator family — relational core,
+    # dedup ladder, ANN, ML, graph, text/LM, curation, ingest,
+    # timeseries, streaming, cells, multimodal, sinks — not just
+    # q01..q50 (r9 verdict item 4). Names listed here jump to the
+    # front in this order; everything else keeps module order behind
+    # them. Name-keyed consumers (tests, bench, selfcheck) are
+    # unaffected.
+    front = [
+        "q01_pricing_summary", "q02_filter_project", "q03_revenue_topn",
+        "q04_order_priority", "q05_region_revenue", "q07_window_rank",
+        "q16_asof_join", "q17_outlier_votes", "q24_percentiles",
+        "q27_skew_salted_votes", "q49_lateral_topn", "q50_recursive_spine",
+        "outlier_fit", "outlier_transform",
+        "dedup_exact", "dedup_minhash_verified", "dedup_simhash",
+        "dedup_incremental", "dedup_incremental_persisted",
+        "dedup_recall_sweep",
+        "ann_bruteforce_topk", "ann_ivf_topk", "ann_ivf_trained_topk",
+        "ann_incremental_persisted", "ann_pq_topk", "embedding_neardup",
+        "ml_gram_matrix", "ml_kmeans_lloyd", "ml_logreg_irls",
+        "graph_pagerank", "graph_components",
+        "text_token_stats", "lang_id", "text_bm25_search",
+        "text_lm_perplexity", "lm_incremental_refresh",
+        "curate_pipeline", "curate_decontaminate", "curate_pack_sequences",
+        "ingest_gate_pipeline",
+        "ts_hypertable_rollup", "ts_cusum_changepoint",
+        "stream_hourly_by_type", "stream_dedup_against_index",
+        "stream_ingest_pipeline", "stream_ingest_loop",
+        "cells_features", "cells_blur_threshold",
+        "multimodal_audio_vad", "sink_zorder_clustered",
+    ]
+    missing = [n for n in front if n not in queries]
+    if missing:
+        raise ValueError(f"front-of-registry names not found: {missing}")
+    ordered = {n: queries[n] for n in front}
+    ordered.update(queries)  # existing keys keep their front position
+    return ordered, oracles

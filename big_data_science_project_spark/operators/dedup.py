@@ -1396,12 +1396,21 @@ def bucketed_artifact_table(spark: SparkSession, root: str,
     # single-table lookup, not a full catalog listing — this runs on
     # every streaming micro-batch via the artifact-reading gates
     if not spark.catalog.tableExists(tbl):
-        (spark.read.parquet(f"{root}/{sub}")
-         .repartition(n_buckets, *[F.col(k) for k in keys])
-         .write.bucketBy(n_buckets, *keys).sortBy(*keys)
-         .option("path", os.path.join(
-             tempfile.mkdtemp(prefix=f"{sub}_bkt_"), "tbl"))
-         .mode("overwrite").saveAsTable(tbl))
+        try:
+            (spark.read.parquet(f"{root}/{sub}")
+             .repartition(n_buckets, *[F.col(k) for k in keys])
+             .write.bucketBy(n_buckets, *keys).sortBy(*keys)
+             .option("path", os.path.join(
+                 tempfile.mkdtemp(prefix=f"{sub}_bkt_"), "tbl"))
+             .mode("overwrite").saveAsTable(tbl))
+        except Exception as e:  # noqa: BLE001 — tolerate the
+            # check-then-create race: two sessions sharing a catalog
+            # can both see tableExists=False; the loser falls through
+            # to the winner's table (same parquet in, same layout out
+            # — content can't diverge). Mirrors write_once_artifacts.
+            if "TABLE_OR_VIEW_ALREADY_EXISTS" not in str(e) and \
+                    not spark.catalog.tableExists(tbl):
+                raise
     return tbl
 
 

@@ -1044,9 +1044,25 @@ def stream_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the live gate: built ONCE over the base index (1.5× headroom for
     # mid-stream admissions — an overfull bloom only raises the FP
     # rate, and every positive exact-verifies, so saturation degrades
-    # cost, never correctness), then grown per batch via merge_from
+    # cost, never correctness), then grown per batch via merge_from.
+    # Restart recovery: if the work dir already holds admitted
+    # partitions from an interrupted run, they are unioned into the
+    # initial build — a resumed stream's gate covers base ∪ every
+    # earlier admission, so it never bloom-misses (and thereby
+    # re-admits) a doc admitted before the restart. In-repo the dir is
+    # a fresh mkdtemp (always empty here), but the recovery path is the
+    # same one _admission_gate's earlier-partitions read exercises.
     n_idx = base_dg.count()
-    bloom = bloom_build(base_dg, "dg",
+    gate_src = base_dg.select("dg")
+    prior_parts = sorted(
+        f"{admitted_dir}/{d}" for d in (
+            os.listdir(admitted_dir) if os.path.isdir(admitted_dir)
+            else [])
+        if d.startswith("batch="))
+    if prior_parts:
+        gate_src = gate_src.unionByName(
+            spark.read.schema("dg string").parquet(*prior_parts))
+    bloom = bloom_build(gate_src, "dg",
                         num_bits=max(64, BITS_PER_KEY * n_idx * 3 // 2))
 
     def process(batch_df: DataFrame, batch_id: int) -> None:

@@ -194,6 +194,46 @@ def test_huffman_single_symbol_and_errors():
         decode(bits[:2], 1000, lengths)  # truncated
 
 
+def test_huffman_rejects_invalid_tables():
+    """The decoder must not trust a wire-supplied length table: an
+    overfull (Kraft-violating) table decodes to garbage silently
+    unless rejected, and lengths past MAX_LEN would overflow the
+    encoder's uint64 shifts (r9 ADVICE items 1–2)."""
+    import numpy as np
+    import pytest
+
+    from big_data_science_project_spark.functions.huffman import (
+        MAX_LEN, canonical_codes, code_lengths, decode)
+
+    # overfull: three length-1 codes — previously decoded silently
+    over = np.zeros(256, dtype=np.uint8)
+    over[:3] = 1
+    with pytest.raises(ValueError, match="Kraft"):
+        decode(b"\xff" * 4, 5, over)
+    with pytest.raises(ValueError, match="Kraft"):
+        canonical_codes(over)
+    # underfull tables stay accepted (incomplete codes are legal;
+    # unassigned prefixes raise only if actually hit)
+    under = np.zeros(256, dtype=np.uint8)
+    under[:2] = 2
+    assert decode(b"\x00", 1, under, nbits=2)[0] == 0
+    # depth past MAX_LEN: ValueError everywhere, never OverflowError.
+    # Fibonacci counts force a maximally skewed (linear-depth) tree.
+    fib = np.zeros(256, dtype=np.int64)
+    a, b = 1, 1
+    for i in range(90):
+        fib[i] = a
+        a, b = b, a + b
+    with pytest.raises(ValueError, match="MAX_LEN"):
+        code_lengths(fib)
+    deep = np.zeros(256, dtype=np.uint8)
+    deep[0] = MAX_LEN + 1
+    with pytest.raises(ValueError, match="MAX_LEN"):
+        canonical_codes(deep)
+    with pytest.raises(ValueError, match="MAX_LEN"):
+        decode(b"\x00", 1, deep)
+
+
 def test_mdc2_decodes_identically_to_mdc1_and_compresses():
     """The entropy stage must be LOSSLESS relative to MDC1's quantized
     mantissas — identical int16 PCM out of both containers — while
