@@ -614,6 +614,45 @@ def test_dedup_recall_sweep_structural(spark):
     assert got[("exact_norm", "edit2pct")][1] == 0
 
 
+def test_clustered_sweep_ivf_beats_scan_floor(spark):
+    """The r9 verdict's 'done' criterion for the planted-cluster
+    fixture: on clustered data the trained IVF must demonstrably beat
+    the recall ≈ scan-fraction floor (the ceiling on the structure-free
+    control) — recall@10 >= 90% at <= 25% scan for nprobe=1."""
+    import __spark_entry__ as e
+
+    rows = {r.param: r for r in e.queries()["ann_clustered_sweep"](
+        spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {1, 2, 4}
+    r1 = rows[1]
+    assert r1.recall_pct >= 90, r1
+    assert r1.scan_pct_micro <= 250_000, r1
+    # recall never decreases with more probes; scan strictly grows
+    assert rows[2].recall_pct >= r1.recall_pct
+    assert rows[4].recall_pct >= rows[2].recall_pct
+    assert rows[2].n_scanned > r1.n_scanned
+    assert rows[4].n_scanned > rows[2].n_scanned
+
+
+def test_semantic_tier_recovers_high_eps_rungs(spark):
+    """The Lloyd's-bucketed semantic tier must recover the eps-0.70 /
+    eps-1.20 rungs that the sign-LSH + 0.95-cosine tier loses entirely
+    (0% end-to-end) — the gap the README names as the reason 10%-noise
+    clones evade the lexical ladder."""
+    import __spark_entry__ as e
+
+    rows = e.queries()["dedup_recall_sweep_embedding"](
+        spark, "/root/testdata/sf0.001").collect()
+    got = {(r.tier, r.mutation): r.recall_pct for r in rows}
+    assert len(got) == 10  # 2 tiers x 5 rungs
+    for mut in ("eps0.70", "eps1.20"):
+        assert got[("embedding", mut)] == 0, mut   # the documented gap
+        assert got[("semantic", mut)] >= 75, mut   # the recovery
+    # the semantic tier dominates the sign-LSH tier on every rung
+    for mut in ("eps0.10", "eps0.30", "eps0.45", "eps0.70", "eps1.20"):
+        assert got[("semantic", mut)] >= got[("embedding", mut)], mut
+
+
 def test_normalized_dedup_whitespace_class_and_empty_guard(spark):
     """The review counterexamples, pinned: a newline-REWRAPPED copy must
     normalize identically to its source (whitespace is a class, never
