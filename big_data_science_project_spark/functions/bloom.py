@@ -37,6 +37,32 @@ builds the identical structure from primitives that ARE public:
 A Bloom filter answers "definitely absent" / "maybe present"; callers
 MUST exact-verify positives (see ``streaming/events.py``'s dedup gate,
 which joins only bloom-positive rows against the real index).
+
+OPERATING BOUNDARY (r9 verdict): the bitmap is corpus-COUNT-
+proportional — ``BITS_PER_KEY × n_keys`` bits, i.e. 2 bytes/key at the
+default 16 bits/key. Concretely:
+
+    1e8 keys  →   200 MB bitmap   plan-literal is out; broadcast fine
+    1e9 keys  →     2 GB bitmap   TorrentBroadcast upper comfort zone
+    2e10 keys →    40 GB bitmap   (100 TB corpus at ~5 KB/doc) — beyond
+                                  any broadcast, beyond the driver's
+                                  build-time collect() and OR-merge
+
+``BLOOM_BROADCAST_MAX_BITS`` (2^34 = 2 GB) marks the boundary. Above
+it, use the SHARDED form below: the filter lives as a bucketed
+``(w, bits)`` DataFrame — a sparse, distributed bitmap with no driver
+copy and no broadcast — and the probe is ONE co-partitioned join that
+exchanges only the batch side (the words side reads in place from its
+bucketed layout). The construction is a split-block Bloom filter (one
+64-bit block per key, k bits within the block — the same design
+Parquet's own bloom filters and Impala use, chosen here because the
+whole probe needs exactly one (w → bits) lookup: a classic k-position
+bloom would need an explode + per-key re-aggregation, which a pure
+streaming plan cannot even express before its stateful agg). Block
+blooms pay a small fpp penalty vs free-position blooms (~0.4% vs 0.2%
+at 16 bits/key, k=4, Poisson block-load analysis); positives
+exact-verify anyway, so the penalty is a few extra verify-join rows,
+never a wrong answer.
 """
 
 from __future__ import annotations
@@ -50,6 +76,12 @@ LITERAL_MAX_WORDS = 4096
 
 BITS_PER_KEY = 16  # default sizing: ~0.2% fpp at k=7
 DEFAULT_K = 7
+
+# driver-held/broadcast bitmaps stop here (2 GB ≈ 1e9 keys at 16
+# bits/key); larger gates use the sharded (w, bits) DataFrame form
+BLOOM_BROADCAST_MAX_BITS = 1 << 34
+BLOCK_SEED = 1000003   # block-address hash seed, disjoint from 0..k-1
+SHARDED_K = 4          # bits per 64-bit block: ~0.4% fpp at 16 bits/key
 
 
 class BloomFilter:
@@ -186,3 +218,90 @@ def bloom_might_contain(bloom: BloomFilter, col: Column, *,
         return pd.Series(hits)
 
     return _probe(F.array(*_positions(col, bloom.num_bits, bloom.k)))
+
+
+# ---------------------------------------------------------------------------
+# Sharded (split-block) bloom — the above-the-boundary form. See the
+# module docstring's OPERATING BOUNDARY section for when and why.
+# ---------------------------------------------------------------------------
+class ShardedBloom:
+    """A bloom filter stored as a bucketed catalog table of non-empty
+    64-bit blocks — ``(w bigint, bits bigint)``, bucketed and sorted on
+    ``w``. Sparse by construction (empty blocks take no rows), fully
+    distributed (no driver bitmap, no broadcast), probed by ONE
+    co-partitioned left join that exchanges only the batch side."""
+
+    __slots__ = ("table", "num_words", "k")
+
+    def __init__(self, table: str, num_words: int, k: int):
+        self.table = table
+        self.num_words = num_words
+        self.k = k
+
+
+def _block_addr(col: Column, num_words: int) -> Column:
+    return F.pmod(F.xxhash64(col, F.lit(BLOCK_SEED)), F.lit(num_words))
+
+
+def _block_mask(col: Column, k: int) -> Column:
+    """OR of the key's k in-block bits (each from its own hash seed)."""
+    mask = None
+    for i in range(k):
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"),
+            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(64)).cast("int"))
+        mask = bit if mask is None else mask.bitwiseOR(bit)
+    return mask
+
+
+def bloom_build_sharded(spark, df: DataFrame, col_name: str, *,
+                        num_bits: int | None = None, k: int = SHARDED_K,
+                        n_items: int | None = None,
+                        n_buckets: int = 32) -> ShardedBloom:
+    """One distributed pass over ``df[col_name]`` → bucketed block
+    table. The groupBy(w) is the single extra shuffle vs the driver
+    build; its output is at most min(num_words, k·n) rows and never
+    touches the driver. ``n_buckets`` is the fixture default — a
+    deployment sizes it like any bucketed artifact (the probe's batch
+    side repartitions to match)."""
+    import os
+    import tempfile
+    import uuid
+
+    if num_bits is None:
+        n = n_items if n_items is not None else df.count()
+        num_bits = max(64, BITS_PER_KEY * n)
+    num_words = (num_bits + 63) // 64
+    col = F.col(col_name)
+    words = (df.select(_block_addr(col, num_words).alias("w"),
+                       _block_mask(col, k).alias("m"))
+             .groupBy("w").agg(F.bit_or("m").alias("bits")))
+    tbl = f"bloom_blocks_{uuid.uuid4().hex[:12]}"
+    (words.repartition(n_buckets, F.col("w"))
+     .write.bucketBy(n_buckets, "w").sortBy("w")
+     .option("path", os.path.join(
+         tempfile.mkdtemp(prefix="bloom_blocks_"), "tbl"))
+     .mode("overwrite").saveAsTable(tbl))
+    return ShardedBloom(table=tbl, num_words=num_words, k=k)
+
+
+def bloom_probe_sharded(spark, bloom: ShardedBloom, df: DataFrame,
+                        col_name: str, out_col: str = "bloom_hit"
+                        ) -> DataFrame:
+    """``df`` + boolean ``out_col`` (False ⇒ key definitely absent).
+    One left join on the block address: the words side reads IN PLACE
+    from its bucketed layout (never exchanged — plan-asserted in
+    tests/test_bloom.py); only the batch side repartitions, so the
+    probe is batch-sized at any filter size. Safe inside a streaming
+    plan (a stream-static equi-join, no intermediate aggregation)."""
+    col = F.col(col_name)
+    words = spark.table(bloom.table).hint("merge")
+    probed = (df.withColumn("_bw", _block_addr(col, bloom.num_words))
+              .withColumn("_bm", _block_mask(col, bloom.k))
+              .join(words, F.col("_bw") == F.col("w"), "left")
+              .withColumn(out_col,
+                          F.col("bits").isNotNull()
+                          & (F.col("bits").bitwiseAND(F.col("_bm"))
+                             == F.col("_bm")))
+              .drop("_bw", "_bm", "w", "bits"))
+    return probed

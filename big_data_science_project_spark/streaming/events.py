@@ -639,6 +639,30 @@ def _exact_gate_report(new: DataFrame, idx: DataFrame,
                  F.sum("dup").cast("bigint").alias("n_exact_dup")))
 
 
+def _exact_gate_report_sharded(spark: SparkSession, new: DataFrame,
+                               idx: DataFrame, sbloom) -> DataFrame:
+    """The _exact_gate_report twin for gates past the broadcast
+    boundary (functions/bloom.py OPERATING BOUNDARY): same report
+    semantics, but the bloom is a bucketed block table probed by one
+    stream-static co-partitioned join — no driver bitmap, no broadcast,
+    only the batch side exchanges. Misses still skip the verify join;
+    block-bloom positives (~0.4% FPs) exact-verify exactly as before."""
+    from ..functions.bloom import bloom_probe_sharded
+
+    everyone = new.select("lang", F.lit(1).cast("bigint").alias("is_new"),
+                          F.lit(0).cast("bigint").alias("dup"))
+    probed = bloom_probe_sharded(spark, sbloom, new, "dg", "hit")
+    verified = (
+        probed.filter(F.col("hit")).drop("hit").hint("shuffle_hash")
+        .join(idx, F.col("dg") == F.col("idg"), "left")
+        .select("lang", F.lit(0).cast("bigint").alias("is_new"),
+                F.col("idg").isNotNull().cast("bigint").alias("dup")))
+    return (everyone.unionByName(verified)
+            .groupBy("lang")
+            .agg(F.sum("is_new").cast("bigint").alias("n_new"),
+                 F.sum("dup").cast("bigint").alias("n_exact_dup")))
+
+
 def _index_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (load_table(spark, sf_dir, "documents")
             .filter(_bucket(F.col("doc_id")) < INDEX_PCT)
@@ -647,14 +671,25 @@ def _index_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stream_dedup_against_index(spark: SparkSession, sf_dir: str, *,
                                bloom_bits: int | None = None) -> DataFrame:
-    from ..functions.bloom import bloom_build
+    from ..functions.bloom import (BITS_PER_KEY, BLOOM_BROADCAST_MAX_BITS,
+                                   bloom_build, bloom_build_sharded)
 
     docs = _stream_table(spark, sf_dir, "documents")
     new = (docs.filter(_bucket(F.col("doc_id")) >= INDEX_PCT)
            .select("lang", F.md5("text").alias("dg")))
     idx = _index_digests(spark, sf_dir)
-    bloom = bloom_build(idx, "idg", num_bits=bloom_bits)
-    report = _exact_gate_report(new, idx, bloom)
+    if bloom_bits is None:
+        bloom_bits = max(64, BITS_PER_KEY * idx.count())
+    if bloom_bits > BLOOM_BROADCAST_MAX_BITS:
+        # past the broadcast boundary: the gate lives as a bucketed
+        # block table (sparse — rows ∝ keys, not bits, so an oversized
+        # universe costs nothing), probed by a co-partitioned join
+        sbloom = bloom_build_sharded(spark, idx, "idg",
+                                     num_bits=bloom_bits)
+        report = _exact_gate_report_sharded(spark, new, idx, sbloom)
+    else:
+        bloom = bloom_build(idx, "idg", num_bits=bloom_bits)
+        report = _exact_gate_report(new, idx, bloom)
     return _run_to_table(report, "complete", "dedup_index")
 
 

@@ -215,3 +215,82 @@ def test_gate_streaming_plan_has_no_broadcast(spark):
     assert "BroadcastExchange" not in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
     assert ("ShuffledHashJoin" in plan) or ("SortMergeJoin" in plan), plan
+
+
+# ---------------------------------------------------------------------------
+# Sharded (split-block) bloom — the above-the-boundary form
+# ---------------------------------------------------------------------------
+def test_sharded_bloom_no_false_negatives_and_low_fp(spark):
+    from big_data_science_project_spark.functions.bloom import (
+        bloom_build_sharded, bloom_probe_sharded)
+
+    keys = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(MEMBERS)], "t string")
+    probe = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(MEMBERS)]
+        + [(f"absent-{i}",) for i in range(PROBES)], "t string")
+    sb = bloom_build_sharded(spark, keys, "t")
+    out = {r["t"]: r["hit"] for r in
+           bloom_probe_sharded(spark, sb, probe, "t", "hit").collect()}
+    assert all(out[f"key-{i}"] for i in range(MEMBERS)), \
+        "bloom false negative"
+    fps = sum(out[f"absent-{i}"] for i in range(PROBES))
+    # block blooms run ~0.4% fpp at 16 bits/key, k=4; allow 5x headroom
+    assert fps / PROBES < 0.02, f"fp rate {fps / PROBES:.4f}"
+
+
+def test_sharded_bloom_is_sparse_rows_scale_with_keys_not_bits(spark):
+    """The property that makes the sharded form safe past the
+    boundary: an oversized bit universe costs NOTHING (rows ∝ keys),
+    so there is no driver bitmap, no broadcast, and no reason to
+    undersize. 400 keys into a 2^35-bit universe → ≤ 400 block rows."""
+    from big_data_science_project_spark.functions.bloom import (
+        bloom_build_sharded)
+
+    keys = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(MEMBERS)], "t string")
+    sb = bloom_build_sharded(spark, keys, "t", num_bits=1 << 35)
+    assert sb.num_words == (1 << 35) // 64
+    assert spark.table(sb.table).count() <= MEMBERS
+
+
+def test_sharded_probe_plan_shuffles_only_batch_side(spark):
+    """r9 verdict item 2(c): the sharded probe must exchange ONLY the
+    batch side — the block table reads in place from its bucketed
+    layout, and nothing broadcasts."""
+    import re
+
+    from big_data_science_project_spark.functions.bloom import (
+        bloom_build_sharded, bloom_probe_sharded)
+
+    keys = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(MEMBERS)], "t string")
+    batch = spark.createDataFrame(
+        [("key-1",), ("nope-1",), ("nope-2",)], "t string")
+    sb = bloom_build_sharded(spark, keys, "t")
+    out = bloom_probe_sharded(spark, sb, batch, "t", "hit")
+    out.count()  # finalize the adaptive plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+    # exactly one hash exchange: the batch side moving into the block
+    # table's bucketing — the block side contributes none
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "SortMergeJoin" in plan, plan
+
+
+def test_stream_dedup_gate_sharded_path_matches_broadcast_path(spark):
+    """r9 verdict item 2(d): stream_dedup_against_index flips to the
+    sharded gate above BLOOM_BROADCAST_MAX_BITS and must produce the
+    identical report (the oracle doesn't know which gate ran)."""
+    from big_data_science_project_spark.functions.bloom import (
+        BLOOM_BROADCAST_MAX_BITS)
+    from big_data_science_project_spark.streaming.events import (
+        stream_dedup_against_index)
+
+    sf = "/root/testdata/sf0.001"
+    base = {tuple(r) for r in
+            stream_dedup_against_index(spark, sf).collect()}
+    sharded = {tuple(r) for r in stream_dedup_against_index(
+        spark, sf, bloom_bits=BLOOM_BROADCAST_MAX_BITS + 64).collect()}
+    assert base == sharded and len(base) > 0
