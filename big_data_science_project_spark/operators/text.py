@@ -1060,12 +1060,23 @@ def _lm_tables(idx: DataFrame
 # fixtures' natural maximum (~3.8k at sf0.1), so every oracle config
 # runs the plain cold path and the head path is exercised by the
 # straggler probe and its unit test.
+#
+# The SAME split applies to the exact-bigram join (r9 verdict item 3):
+# per-bigram multiplicity sits orders below per-history counts on Zipf
+# averages, but a 100 TB corpus has 1e6-occurrence exact bigrams ("of
+# the") whose batch rows would bypass the c1 broadcast fix only to
+# pile into one (lang, w1, w2) partition of the c12 join. Head bigrams
+# resolve map-side through a broadcast of the c12 head slice (bounded
+# by construction exactly like the c1 head: at most
+# total_bigrams/threshold keys); the tail joins shuffled as before.
 LM_HOT_HISTORY = 100_000
+LM_HOT_BIGRAM = 100_000
 
 
 def _score_against_lm(batch: DataFrame, c12: DataFrame, c1: DataFrame,
                       vocab: DataFrame, gvocab: DataFrame,
-                      hot_history: int = LM_HOT_HISTORY) -> DataFrame:
+                      hot_history: int = LM_HOT_HISTORY,
+                      hot_bigram: int = LM_HOT_BIGRAM) -> DataFrame:
     """Per-doc NLL report for ``batch`` against a trained LM — shared by
     the in-plan batch query and the streaming gate (which trains once to
     parquet artifacts and scores every micro-batch here).
@@ -1085,11 +1096,12 @@ def _score_against_lm(batch: DataFrame, c12: DataFrame, c1: DataFrame,
     branch union re-scans the batch once per branch — map-only work,
     the same trade the bloom gate makes. Values are identical to the
     single-join formulation by disjointness: a key matches the head
-    xor the tail xor neither (NULL c1 either way). The c12 join is
-    keyed on the full bigram, whose multiplicity is the per-bigram
-    count — orders of magnitude below per-history counts; a corpus
-    with a degenerate hot exact-bigram would apply the same split
-    there."""
+    xor the tail xor neither (NULL c1 either way). The c12 join gets
+    the IDENTICAL split on the per-bigram count (r9 verdict item 3):
+    a degenerate hot exact-bigram ("of the" at 1e6 occurrences) would
+    bypass the c1 broadcast fix and pile into one (lang, w1, w2)
+    partition; its head slice is bounded and broadcast the same way,
+    and the straggler probe plants exactly that adversary."""
     bigrams = F.explode(F.expr(_BIGRAMS_EXPR)).alias("b")
     nb = (batch.select("doc_id", "lang", bigrams)
           .select("doc_id", "lang", F.col("b.w1").alias("w1"),
@@ -1103,6 +1115,17 @@ def _score_against_lm(batch: DataFrame, c12: DataFrame, c1: DataFrame,
             .join(c1.filter(F.col("c1") < hot_history),
                   ["lang", "w1"], "left"))
     nb_c1 = hot.unionByName(cold)
+    # the exact-bigram join, split the same way on its own count
+    c12_head = c12.filter(F.col("c12") >= hot_bigram) \
+        .withColumnRenamed("c12", "c12_head")
+    tagged12 = nb_c1.join(F.broadcast(c12_head),
+                          ["lang", "w1", "w2"], "left")
+    hot12 = (tagged12.filter(F.col("c12_head").isNotNull())
+             .withColumn("c12", F.col("c12_head")).drop("c12_head"))
+    cold12 = (tagged12.filter(F.col("c12_head").isNull()).drop("c12_head")
+              .join(c12.filter(F.col("c12") < hot_bigram),
+                    ["lang", "w1", "w2"], "left"))
+    nb_c12 = hot12.unionByName(cold12)
     # greatest(..., 1) guards the fully-empty-index degenerate case
     v_eff = F.greatest(F.coalesce("v", F.col("gv")), F.lit(1))
     p = ((F.coalesce("c12", F.lit(0)) + 1)
@@ -1112,7 +1135,7 @@ def _score_against_lm(batch: DataFrame, c12: DataFrame, c1: DataFrame,
     # of a language shares it), so the hint is load-bearing: a
     # size-stat miss that shuffled this join would put each language's
     # entire batch in one partition
-    scored = (nb_c1.join(c12, ["lang", "w1", "w2"], "left")
+    scored = (nb_c12
               .join(F.broadcast(vocab), ["lang"], "left")
               .crossJoin(F.broadcast(gvocab))
               .select("doc_id",

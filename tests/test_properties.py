@@ -926,3 +926,13 @@ def test_lm_hot_history_split_changes_no_values(spark, lm_planted_dir):
         batch, *parts, hot_history=1 << 60).collect()))
     assert all_hot == all_cold
     assert any(r[2] > 0 for r in all_hot)  # non-degenerate: bigrams scored
+    # the c12 (exact-bigram) split obeys the same disjointness proof:
+    # every bigram hot, every bigram cold, and both splits forced at
+    # once must all score identically (r10: verdict item 3)
+    all_hot12 = sorted(map(tuple, _score_against_lm(
+        batch, *parts, hot_bigram=1).collect()))
+    all_cold12 = sorted(map(tuple, _score_against_lm(
+        batch, *parts, hot_bigram=1 << 60).collect()))
+    both_hot = sorted(map(tuple, _score_against_lm(
+        batch, *parts, hot_history=1, hot_bigram=1).collect()))
+    assert all_hot12 == all_cold12 == both_hot == all_cold

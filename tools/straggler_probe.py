@@ -138,6 +138,66 @@ def build_lm_corpus(dst: str, hot: int) -> int:
     return n_docs
 
 
+# --query lm_bigram (r9 verdict item 3) probes the OTHER LM skew: one
+# EXACT bigram ("of the") planted at --hot occurrences on both sides of
+# the split. Unlike the hot-history plant (many distinct (the, w2)
+# keys), every planted batch row here carries the SAME (lang, w1, w2)
+# key — pre-split those 1e6 rows bypass the c1 head broadcast only to
+# pile into ONE reduce partition of the c12 join; post-split the bigram
+# is in the trained c12 head slice (c12 >= LM_HOT_BIGRAM) and resolves
+# map-side. --query lm_bigram_nosplit runs the IDENTICAL corpus with
+# the c12 split disabled (hot_bigram = 2^60) — the pre-fix control that
+# shows the straggler the split removes. Per-doc text is 25 copies of
+# the bigram plus a UNIQUE tail token (varied text keeps input splits
+# balanced — same RLE lesson as the history plant).
+_LM_BI_PER_DOC = 25
+
+
+def build_lm_bigram_corpus(dst: str, hot: int) -> int:
+    """Plant ceil(hot / 25) docs per split side, each 'of the' × 25
+    plus a unique tail; returns the batch-side doc count."""
+    from big_data_science_project_spark.operators.curation import (
+        _bucket_sql)
+    from big_data_science_project_spark.operators.dedup import INDEX_PCT
+
+    n_docs = -(-hot // _LM_BI_PER_DOC)
+    con = duckdb.connect()
+    parts = [f"SELECT * FROM read_parquet('{SRC}/documents.parquet')"]
+    sides = () if n_docs == 0 else (
+        (70_000_000, f"{_bucket_sql('70000000 + i')} < {INDEX_PCT}"),
+        (80_000_000, f"{_bucket_sql('80000000 + i')} >= {INDEX_PCT}"))
+    for base, cond in sides:
+        parts.append(
+            f"(SELECT {base} + i AS doc_id, "
+            f"repeat('of the ', {_LM_BI_PER_DOC}) || 'u' || i AS text, "
+            f"'en' AS lang, 'boilerplate' AS source, 0 AS n_chars "
+            f"FROM generate_series(1, {int(n_docs * 6)}) t(i) "
+            f"WHERE {cond} LIMIT {n_docs})")
+    con.execute(f"COPY ({' UNION ALL '.join(parts)}) TO "
+                f"'{dst}/documents.parquet' "
+                f"(FORMAT PARQUET, ROW_GROUP_SIZE 2048)")
+    con.close()
+    return n_docs
+
+
+def _lm_perplexity_nosplit(spark, sf_dir: str):
+    """text_lm_perplexity with the c12 hot-bigram split DISABLED — the
+    pre-fix control the lm_bigram probe compares against."""
+    from pyspark.sql import functions as F
+
+    from big_data_science_project_spark.operators.curation import _bucket
+    from big_data_science_project_spark.operators.dedup import INDEX_PCT
+    from big_data_science_project_spark.operators.text import (
+        _lm_tables, _score_against_lm)
+    from big_data_science_project_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = _bucket(F.col("doc_id"))
+    parts = _lm_tables(d.filter(bucket < INDEX_PCT))
+    return _score_against_lm(d.filter(bucket >= INDEX_PCT), *parts,
+                             hot_bigram=1 << 60)
+
+
 def build_corpus(dst: str, hot: int, index_side: bool = False) -> None:
     # small row groups: 10^6 identical strings RLE-compress to a few
     # MB, so without them the scan collapses to one or two input
@@ -203,7 +263,8 @@ def stage_table(spark) -> list[dict]:
 
 
 def run_once(queries, hot: int, qname: str = "dedup_minhash_verified",
-             index_side: bool = False, lm: bool = False) -> dict:
+             index_side: bool = False, lm: bool = False,
+             lm_bigram: bool = False) -> dict:
     # fresh session per run so the stage table contains ONLY this run.
     # Post-shuffle coalescing is disabled so the window stage keeps all
     # 32 tasks — the probe MEASURES per-task skew, and AQE folding 31
@@ -238,7 +299,9 @@ def run_once(queries, hot: int, qname: str = "dedup_minhash_verified",
     dst = tempfile.mkdtemp(prefix=f"straggler_h{hot}_")
     n_planted_batch = 0
     try:
-        if lm:
+        if lm_bigram:
+            n_planted_batch = build_lm_bigram_corpus(dst, hot)
+        elif lm:
             n_planted_batch = build_lm_corpus(dst, hot)
         else:
             build_corpus(dst, hot, index_side)
@@ -266,25 +329,31 @@ def run_once(queries, hot: int, qname: str = "dedup_minhash_verified",
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--hot", type=int, default=1_000_000)
-    ap.add_argument("--query", choices=("minhash", "incremental", "lm"),
+    ap.add_argument("--query",
+                    choices=("minhash", "incremental", "lm",
+                             "lm_bigram", "lm_bigram_nosplit"),
                     default="minhash")
     ap.add_argument("--out", default="STRAGGLER.json")
     args = ap.parse_args()
 
     import __spark_entry__ as entry
-    queries = entry.queries()
+    queries = dict(entry.queries())
+    queries["_lm_nosplit"] = _lm_perplexity_nosplit
     qname = {"minhash": "dedup_minhash_verified",
              "incremental": "dedup_incremental",
-             "lm": "text_lm_perplexity"}[args.query]
+             "lm": "text_lm_perplexity",
+             "lm_bigram": "text_lm_perplexity",
+             "lm_bigram_nosplit": "_lm_nosplit"}[args.query]
     index_side = args.query == "incremental"
-    lm = args.query == "lm"
+    lm_bigram = args.query.startswith("lm_bigram")
+    lm = args.query == "lm" or lm_bigram
 
     print("control run (hot=0)", file=sys.stderr, flush=True)
-    control = run_once(queries, 0, qname, index_side, lm)
+    control = run_once(queries, 0, qname, index_side, lm, lm_bigram)
     print(f"  wall={control['wall_sec']}s rows={control['result_rows']}",
           file=sys.stderr)
     print(f"hot-bucket run (hot={args.hot})", file=sys.stderr, flush=True)
-    hot = run_once(queries, args.hot, qname, index_side, lm)
+    hot = run_once(queries, args.hot, qname, index_side, lm, lm_bigram)
     print(f"  wall={hot['wall_sec']}s rows={hot['result_rows']}",
           file=sys.stderr)
 
@@ -315,7 +384,21 @@ def main() -> None:
 
     result = {"src": SRC, "boiler_len": len(_BOILER), "query": qname,
               "control": control, "hot_run": hot}
-    if lm:
+    if lm_bigram:
+        result["interpretation"] = (
+            "Adversarial EXACT-BIGRAM plant (r9 verdict item 3): "
+            "~1e6 occurrences of one ('of','the') bigram on each side "
+            "of the split, auto-broadcast disabled. Read the hot_run "
+            "stage table on SHUFFLE-READ max/median: with the c12 "
+            "split disabled (lm_bigram_nosplit) the exact-bigram join "
+            "stage shows the pile-up (measured 45x shuffle-read skew, "
+            "one task reading 2.3 MB vs a 52 KB median); with the "
+            "split wired (lm_bigram) no stage carries a hot-key "
+            "shuffle-read pile-up — the head bigram resolves map-side "
+            "via the broadcast c12 head slice. Row count = control + "
+            "planted batch docs in both, and the split is "
+            "value-invariant by the disjointness unit test.")
+    elif lm:
         result["interpretation"] = (
             "Run with size-based auto-broadcast DISABLED so the "
             "c1/c12 joins take the shuffled form a 100 TB corpus "
