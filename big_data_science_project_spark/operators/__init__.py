@@ -27,9 +27,9 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     effects (sink writes, streaming runs, data-source registration) are
     excluded, as is the export query's side-effect writer.
     """
-    from . import (curation, dedup, graph, ingest, linear, multimodal,
-                   outlier, relational, segmentation, similarity, text,
-                   timeseries)
+    from . import (curation, dedup, excision, graph, ingest, linear,
+                   multimodal, outlier, relational, segmentation,
+                   similarity, text, timeseries)
     from ..streaming import events as streaming_events
     from ..sources import cells as cells_src
     from ..sources import cells_binary as cells_bin
@@ -61,8 +61,9 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
     for mod in (relational, outlier, dedup, similarity, linear, graph, text,
-                curation, ingest, timeseries, streaming_events, cells_src,
-                segmentation, multimodal, sinks_src, cells_ds, cells_bin):
+                curation, ingest, excision, timeseries, streaming_events,
+                cells_src, segmentation, multimodal, sinks_src, cells_ds,
+                cells_bin):
         for name, (fn, sql) in getattr(mod, "QUERIES", {}).items():
             if name in queries:
                 raise ValueError(f"duplicate query name: {name}")

@@ -1221,15 +1221,18 @@ from ..operators.curation import _bucket_sql as _lm_bucket_sql  # noqa: E402
 from ..operators.dedup import INDEX_PCT as _LM_INDEX_PCT  # noqa: E402
 
 
-def _lm_perplexity_sql(split: int) -> str:
+def _lm_perplexity_sql(split: int, idx_pred: str = "") -> str:
     """The full train-then-score statement at an arbitrary bucket
     split (train < split, score >= split): ``split=INDEX_PCT`` is the
     standard gate oracle; the incremental-refresh oracle uses the
     RETRAIN at split=90 — equality of the merged-counts plan against
-    it is exactly the refresh correctness claim."""
+    it is exactly the refresh correctness claim. ``idx_pred`` narrows
+    the TRAINING side only (the excision oracle retrains on the
+    survivors: decrement ≡ retrain is that equality)."""
     return f"""
 WITH idx AS (
-  SELECT * FROM documents WHERE {_lm_bucket_sql('doc_id')} < {split}),
+  SELECT * FROM documents WHERE {_lm_bucket_sql('doc_id')} < {split}
+  {idx_pred}),
 batch AS (
   SELECT * FROM documents WHERE {_lm_bucket_sql('doc_id')} >= {split}),
 ib AS (
