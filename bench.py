@@ -9,8 +9,10 @@ spine+fill (ts_resample), histogram binning, flagship outlier vote (q17),
 minhash dedup (LSH join), incremental batch-vs-index dedup (in-plan AND
 persisted-artifact paths), single-pass constraint audit, ANN (Arrow
 kernels; incremental assign trains its Lloyd's codebook per rep — the
-honest in-plan cost), LM perplexity gate, the composed all-gates ingest
-pipeline, regex redaction, streaming (stateful agg), text stats.
+honest in-plan cost), graph pagerank (the iterative-join class),
+integer-exact ML (gram matrix one-pass agg; Lloyd's k-means trains per
+rep), LM perplexity gate, the composed all-gates ingest pipeline,
+regex redaction, streaming (stateful agg), text stats.
 """
 
 from __future__ import annotations
@@ -45,6 +47,13 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "ann_incremental_assign",
+    # r10 (r9 verdict item 6): the iterative-join and
+    # exact-integer-ML cost classes, previously unmeasured
+    # round-over-round — BENCH_r09 has no entry, so their r10 rows
+    # anchor future rounds
+    "graph_pagerank",
+    "ml_gram_matrix",
+    "ml_kmeans_lloyd",
     "text_token_stats",
     "text_lm_perplexity",
     "ingest_gate_pipeline",
