@@ -257,13 +257,21 @@ def _block_mask(col: Column, k: int) -> Column:
 def bloom_build_sharded(spark, df: DataFrame, col_name: str, *,
                         num_bits: int | None = None, k: int = SHARDED_K,
                         n_items: int | None = None,
-                        n_buckets: int = 32) -> ShardedBloom:
+                        n_buckets: int = 32,
+                        cache_key: str | None = None) -> ShardedBloom:
     """One distributed pass over ``df[col_name]`` → bucketed block
     table. The groupBy(w) is the single extra shuffle vs the driver
     build; its output is at most min(num_words, k·n) rows and never
     touches the driver. ``n_buckets`` is the fixture default — a
     deployment sizes it like any bucketed artifact (the probe's batch
-    side repartitions to match)."""
+    side repartitions to match).
+
+    ``cache_key``: callers whose input is write-once per key (e.g. a
+    gate over a fixed index) pass one so the block table is built ONCE
+    per (session, key) — the bucketed_artifact_table discipline —
+    instead of rewriting an index-sized table per call. Callers over
+    varying inputs omit it and get a throwaway uuid-named table."""
+    import hashlib
     import os
     import tempfile
     import uuid
@@ -272,11 +280,19 @@ def bloom_build_sharded(spark, df: DataFrame, col_name: str, *,
         n = n_items if n_items is not None else df.count()
         num_bits = max(64, BITS_PER_KEY * n)
     num_words = (num_bits + 63) // 64
+    if cache_key is not None:
+        tag = hashlib.md5(
+            f"{cache_key}:{col_name}:{num_words}:{k}:{n_buckets}"
+            .encode()).hexdigest()[:12]
+        tbl = f"bloom_blocks_{tag}"
+        if spark.catalog.tableExists(tbl):
+            return ShardedBloom(table=tbl, num_words=num_words, k=k)
+    else:
+        tbl = f"bloom_blocks_{uuid.uuid4().hex[:12]}"
     col = F.col(col_name)
     words = (df.select(_block_addr(col, num_words).alias("w"),
                        _block_mask(col, k).alias("m"))
              .groupBy("w").agg(F.bit_or("m").alias("bits")))
-    tbl = f"bloom_blocks_{uuid.uuid4().hex[:12]}"
     (words.repartition(n_buckets, F.col("w"))
      .write.bucketBy(n_buckets, "w").sortBy("w")
      .option("path", os.path.join(

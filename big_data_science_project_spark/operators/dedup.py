@@ -1403,13 +1403,17 @@ def bucketed_artifact_table(spark: SparkSession, root: str,
              .option("path", os.path.join(
                  tempfile.mkdtemp(prefix=f"{sub}_bkt_"), "tbl"))
              .mode("overwrite").saveAsTable(tbl))
-        except Exception as e:  # noqa: BLE001 — tolerate the
+        except Exception as e:  # noqa: BLE001 — tolerate ONLY the
             # check-then-create race: two sessions sharing a catalog
-            # can both see tableExists=False; the loser falls through
-            # to the winner's table (same parquet in, same layout out
-            # — content can't diverge). Mirrors write_once_artifacts.
-            if "TABLE_OR_VIEW_ALREADY_EXISTS" not in str(e) and \
-                    not spark.catalog.tableExists(tbl):
+            # can both see tableExists=False; the loser's write fails
+            # with an already-exists error (catalog entry or table
+            # path, depending on where the winner is) and falls
+            # through to the winner's table — same parquet in, same
+            # layout out, content can't diverge. Anything else
+            # (executor loss, disk full) re-raises: a tableExists
+            # fallback here would return a registered-but-partial
+            # table and silently gate against a corrupt index.
+            if "ALREADY_EXISTS" not in str(e).upper():
                 raise
     return tbl
 

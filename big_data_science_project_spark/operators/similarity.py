@@ -1339,12 +1339,17 @@ def dedup_recall_sweep_embedding(spark: SparkSession,
     params = spark.createDataFrame(_EMB_MUTS,
                                    "m bigint, eps double, mutation string")
     # per-element: exact float32->double cast + eps*(|x|/8)*u; u's
-    # integer hash fits int64 (max (10M + 5*OFF)*1315423911 ~ 7.9e16)
+    # integer hash fits int64 (max (10M + 5*OFF)*1315423911 ~ 7.9e16).
+    # CAST(500001 AS DOUBLE), not the bare literal: Spark would type
+    # the division DECIMAL(13,8) and quantize u at 1e-8 before the
+    # double coercion (DuckDB computes DOUBLE throughout) — a ~1e-9
+    # cross-engine drift on every cosine, i.e. exactly at the 9-dp
+    # rounding boundary (r10 review)
     mut = F.expr(
         f"transform(sequence(1, {DIM}), i -> "
         "cast(element_at(embedding, i) as double) + eps * (nrm / 8.0) * "
         f"((((vec_id + m * {EMB_SWEEP_OFF}) * 1315423911"
-        " + i * 2654435761) % 1000003) / 500001.0 - 1.0))")
+        " + i * 2654435761) % 1000003) / CAST(500001 AS DOUBLE) - 1.0))")
     scored = (base.crossJoin(F.broadcast(params))
               .withColumn("emb2", mut)
               .withColumn("n2", _norm_udf("emb2"))
@@ -1423,7 +1428,8 @@ mut AS (
          list_transform(generate_series(1, {DIM}), i ->
            CAST(b.embedding[i] AS DOUBLE) + p.eps * (b.nrm / 8.0) *
            ((((b.vec_id + p.m * {EMB_SWEEP_OFF}) * 1315423911
-              + i * 2654435761) % 1000003) / 500001.0 - 1.0)) AS emb2
+              + i * 2654435761) % 1000003)
+            / CAST(500001 AS DOUBLE) - 1.0)) AS emb2
   FROM base b, params p),
 bcell AS (
   SELECT vec_id, cid FROM (
@@ -1980,15 +1986,19 @@ ANN_CL_NOISE = 0.08
 # identical text parses to identical arithmetic in Spark SQL and
 # DuckDB: *, % are same-precedence left-associative, every integer
 # intermediate fits int64 (max (vec_id + 1) * 2654435761 ≈ 5e12 at the
-# fixture's vec_id range), and the double ops (/ 500001.0, - 1.0,
-# noise scale * u) appear in the same order on both sides
+# fixture's vec_id range), and the double ops appear in the same order
+# on both sides. The divisor and noise scale are explicit
+# CAST(... AS DOUBLE): Spark parses a bare `500001.0` as DECIMAL and
+# would round the division to scale 8 (DuckDB computes DOUBLE) —
+# caught by the r10 review as ±1-micro quantization flips between the
+# engine and the oracle
 _CL_VEC_BODY = (
     f"(((vec_id * 1315423911) % 1000003 % {ANN_CL_NCLUST} + 1)"
     " * 2654435761 + CAST(i AS BIGINT) * 1315423911) % 1000003"
-    " / 500001.0 - 1.0"
-    f" + {ANN_CL_NOISE!r} * ((vec_id * 1315423911"
+    " / CAST(500001 AS DOUBLE) - 1.0"
+    f" + CAST({ANN_CL_NOISE!r} AS DOUBLE) * ((vec_id * 1315423911"
     " + CAST(i AS BIGINT) * 2654435761)"
-    " % 1000003 / 500001.0 - 1.0)")
+    " % 1000003 / CAST(500001 AS DOUBLE) - 1.0)")
 
 _CL_CORPUS_SQL = f"""corpus AS (
   SELECT vec_id, list_transform(generate_series(1, {DIM}),

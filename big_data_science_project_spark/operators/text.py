@@ -1088,44 +1088,63 @@ def _score_against_lm(batch: DataFrame, c12: DataFrame, c1: DataFrame,
     bigram (an earlier version fell back to V=1, which made p = 1 and
     ranked unindexed-language junk as the best doc in the batch).
 
-    SKEW SHAPE (r9): the history join splits hot/cold on the c1 count
-    itself — batch bigrams whose history is in the Zipf head join the
-    broadcast head slice map-side (never shuffled on their hot key);
-    the tail joins as before (bucketed layout intact for artifact
-    callers, since a filter preserves the scan's partitioning). The
-    branch union re-scans the batch once per branch — map-only work,
-    the same trade the bloom gate makes. Values are identical to the
-    single-join formulation by disjointness: a key matches the head
-    xor the tail xor neither (NULL c1 either way). The c12 join gets
-    the IDENTICAL split on the per-bigram count (r9 verdict item 3):
-    a degenerate hot exact-bigram ("of the" at 1e6 occurrences) would
-    bypass the c1 broadcast fix and pile into one (lang, w1, w2)
-    partition; its head slice is bounded and broadcast the same way,
-    and the straggler probe plants exactly that adversary."""
+    SKEW SHAPE (r9 histories, r10 exact bigrams): both count joins
+    split hot/cold on the trained counts themselves — batch bigrams
+    whose history (c1 >= hot_history) or exact bigram
+    (c12 >= hot_bigram) is in the Zipf head resolve MAP-SIDE against
+    broadcast head slices (never shuffled on their hot key); the tails
+    join as before (bucketed layout intact for artifact callers, since
+    a filter preserves the scan's partitioning). Physically: one tag
+    pass (two broadcast joins) then three disjoint branches —
+    both-hot (no shuffled joins at all), history-hot (c12 tail only),
+    cold (both tails) — re-scanning the batch once per branch,
+    map-only, the same trade the bloom gate makes. Values are
+    identical to the single-join formulation by disjointness: a key
+    matches its head xor its tail xor neither (NULL count either way),
+    and hot_bigram >= hot_history (enforced) makes a hot bigram imply
+    a hot history, so the three branches are exhaustive. The
+    degenerate adversary ("of the" at 1e6 occurrences, which bypasses
+    the c1 fix and piles into one (lang, w1, w2) partition) is exactly
+    what the lm_bigram straggler probe plants."""
+    if hot_bigram < hot_history:
+        # a hot bigram implies a hot history (c1 = Σ_w2 c12 >= c12),
+        # so with hot_bigram >= hot_history the three branches below
+        # are exhaustive; a LOWER bigram threshold would create rows
+        # that are bigram-hot yet history-cold, routing a hot history
+        # key around the head broadcast and into the tail shuffle
+        raise ValueError(
+            f"hot_bigram ({hot_bigram}) must be >= hot_history "
+            f"({hot_history})")
     bigrams = F.explode(F.expr(_BIGRAMS_EXPR)).alias("b")
     nb = (batch.select("doc_id", "lang", bigrams)
           .select("doc_id", "lang", F.col("b.w1").alias("w1"),
                   F.col("b.w2").alias("w2")))
     c1_head = c1.filter(F.col("c1") >= hot_history) \
         .withColumnRenamed("c1", "c1_head")
-    tagged = nb.join(F.broadcast(c1_head), ["lang", "w1"], "left")
-    hot = (tagged.filter(F.col("c1_head").isNotNull())
-           .withColumn("c1", F.col("c1_head")).drop("c1_head"))
-    cold = (tagged.filter(F.col("c1_head").isNull()).drop("c1_head")
-            .join(c1.filter(F.col("c1") < hot_history),
-                  ["lang", "w1"], "left"))
-    nb_c1 = hot.unionByName(cold)
-    # the exact-bigram join, split the same way on its own count
     c12_head = c12.filter(F.col("c12") >= hot_bigram) \
         .withColumnRenamed("c12", "c12_head")
-    tagged12 = nb_c1.join(F.broadcast(c12_head),
-                          ["lang", "w1", "w2"], "left")
-    hot12 = (tagged12.filter(F.col("c12_head").isNotNull())
-             .withColumn("c12", F.col("c12_head")).drop("c12_head"))
-    cold12 = (tagged12.filter(F.col("c12_head").isNull()).drop("c12_head")
-              .join(c12.filter(F.col("c12") < hot_bigram),
-                    ["lang", "w1", "w2"], "left"))
-    nb_c12 = hot12.unionByName(cold12)
+    # ONE tag pass (two map-side broadcast joins), then three DISJOINT
+    # branches — chaining the two splits instead (filter over a union
+    # over a filter over a union) would re-inline the batch subtree
+    # 2x2 = 4 times; this shape scans it 3 times, map-only (r10 review)
+    tagged = (nb.join(F.broadcast(c1_head), ["lang", "w1"], "left")
+              .join(F.broadcast(c12_head), ["lang", "w1", "w2"], "left"))
+    c1_tail = c1.filter(F.col("c1") < hot_history)
+    c12_tail = c12.filter(F.col("c12") < hot_bigram)
+    both_hot = (tagged.filter(F.col("c12_head").isNotNull())
+                .withColumn("c1", F.col("c1_head"))
+                .withColumn("c12", F.col("c12_head"))
+                .drop("c1_head", "c12_head"))
+    hist_hot = (tagged.filter(F.col("c12_head").isNull()
+                              & F.col("c1_head").isNotNull())
+                .withColumn("c1", F.col("c1_head"))
+                .drop("c1_head", "c12_head")
+                .join(c12_tail, ["lang", "w1", "w2"], "left"))
+    cold = (tagged.filter(F.col("c1_head").isNull())
+            .drop("c1_head", "c12_head")
+            .join(c1_tail, ["lang", "w1"], "left")
+            .join(c12_tail, ["lang", "w1", "w2"], "left"))
+    nb_c12 = both_hot.unionByName(hist_hot).unionByName(cold)
     # greatest(..., 1) guards the fully-empty-index degenerate case
     v_eff = F.greatest(F.coalesce("v", F.col("gv")), F.lit(1))
     p = ((F.coalesce("c12", F.lit(0)) + 1)

@@ -626,10 +626,20 @@ def _exact_gate_report(new: DataFrame, idx: DataFrame,
     # misses now contribute to the report without being hashed against
     # the bloom a second time or shuffled on dg.
     hit = bloom_might_contain(bloom, F.col("dg"))
+    return _gate_report_tail(new, new.filter(hit), idx)
+
+
+def _gate_report_tail(new: DataFrame, positives: DataFrame,
+                      idx: DataFrame) -> DataFrame:
+    """The everyone-branch + verify-join + report aggregation shared
+    by BOTH physical gates (broadcast bloom and sharded block bloom) —
+    one place, so the two paths cannot drift on report semantics
+    (exactly the discipline _exact_gate_report's docstring promises
+    for the streaming/batch twins)."""
     everyone = new.select("lang", F.lit(1).cast("bigint").alias("is_new"),
                           F.lit(0).cast("bigint").alias("dup"))
     verified = (
-        new.filter(hit).hint("shuffle_hash")
+        positives.hint("shuffle_hash")
         .join(idx, F.col("dg") == F.col("idg"), "left")
         .select("lang", F.lit(0).cast("bigint").alias("is_new"),
                 F.col("idg").isNotNull().cast("bigint").alias("dup")))
@@ -649,18 +659,9 @@ def _exact_gate_report_sharded(spark: SparkSession, new: DataFrame,
     block-bloom positives (~0.4% FPs) exact-verify exactly as before."""
     from ..functions.bloom import bloom_probe_sharded
 
-    everyone = new.select("lang", F.lit(1).cast("bigint").alias("is_new"),
-                          F.lit(0).cast("bigint").alias("dup"))
     probed = bloom_probe_sharded(spark, sbloom, new, "dg", "hit")
-    verified = (
-        probed.filter(F.col("hit")).drop("hit").hint("shuffle_hash")
-        .join(idx, F.col("dg") == F.col("idg"), "left")
-        .select("lang", F.lit(0).cast("bigint").alias("is_new"),
-                F.col("idg").isNotNull().cast("bigint").alias("dup")))
-    return (everyone.unionByName(verified)
-            .groupBy("lang")
-            .agg(F.sum("is_new").cast("bigint").alias("n_new"),
-                 F.sum("dup").cast("bigint").alias("n_exact_dup")))
+    return _gate_report_tail(new, probed.filter(F.col("hit")).drop("hit"),
+                             idx)
 
 
 def _index_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -684,8 +685,11 @@ def stream_dedup_against_index(spark: SparkSession, sf_dir: str, *,
         # past the broadcast boundary: the gate lives as a bucketed
         # block table (sparse — rows ∝ keys, not bits, so an oversized
         # universe costs nothing), probed by a co-partitioned join
-        sbloom = bloom_build_sharded(spark, idx, "idg",
-                                     num_bits=bloom_bits)
+        sbloom = bloom_build_sharded(
+            spark, idx, "idg", num_bits=bloom_bits,
+            # the index digests are fixed per sf_dir → build once per
+            # session instead of one index-sized table per stream run
+            cache_key=f"dedup_index:{sf_dir}")
         report = _exact_gate_report_sharded(spark, new, idx, sbloom)
     else:
         bloom = bloom_build(idx, "idg", num_bits=bloom_bits)

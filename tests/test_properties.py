@@ -920,19 +920,22 @@ def test_lm_hot_history_split_changes_no_values(spark, lm_planted_dir):
     bk = _bucket(F.col("doc_id"))
     parts = _lm_tables(d.filter(bk < INDEX_PCT))
     batch = d.filter(bk >= INDEX_PCT)
-    all_hot = sorted(map(tuple, _score_against_lm(
-        batch, *parts, hot_history=1).collect()))
+    import pytest
+
+    # the three disjoint branches (both-hot / history-hot / cold),
+    # each forced to carry EVERY row in turn, must score identically
+    # (r9 c1 split + r10 c12 split, one disjointness proof)
     all_cold = sorted(map(tuple, _score_against_lm(
-        batch, *parts, hot_history=1 << 60).collect()))
-    assert all_hot == all_cold
-    assert any(r[2] > 0 for r in all_hot)  # non-degenerate: bigrams scored
-    # the c12 (exact-bigram) split obeys the same disjointness proof:
-    # every bigram hot, every bigram cold, and both splits forced at
-    # once must all score identically (r10: verdict item 3)
-    all_hot12 = sorted(map(tuple, _score_against_lm(
-        batch, *parts, hot_bigram=1).collect()))
-    all_cold12 = sorted(map(tuple, _score_against_lm(
-        batch, *parts, hot_bigram=1 << 60).collect()))
+        batch, *parts, hot_history=1 << 60,
+        hot_bigram=1 << 60).collect()))
+    hist_hot = sorted(map(tuple, _score_against_lm(
+        batch, *parts, hot_history=1, hot_bigram=1 << 60).collect()))
     both_hot = sorted(map(tuple, _score_against_lm(
         batch, *parts, hot_history=1, hot_bigram=1).collect()))
-    assert all_hot12 == all_cold12 == both_hot == all_cold
+    assert both_hot == hist_hot == all_cold
+    assert any(r[2] > 0 for r in all_cold)  # non-degenerate: bigrams scored
+    # a bigram threshold below the history threshold would route
+    # hot-history rows around the head broadcast — rejected loudly
+    with pytest.raises(ValueError, match="hot_bigram"):
+        _score_against_lm(batch, *parts,
+                          hot_history=1 << 60, hot_bigram=1)
