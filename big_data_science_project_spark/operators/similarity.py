@@ -2105,3 +2105,123 @@ cents AS (
 
 QUERIES["ann_clustered_sweep"] = (ann_clustered_sweep,
                                   _clustered_sweep_sql())
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup, end to end on clustered data — the DEPLOYED shape of
+# the sweep's 'semantic' tier: candidates come from the TRAINED
+# Lloyd's cell (one map-only assignment pass; candidate generation is
+# cell-bucketed, never all-pairs — the embedding twin of the LSH band
+# join), verification is the exact cosine at the semantic bound.
+# Runs on the planted clustered corpus (_clustered_corpus), where
+# semantic duplicates exist by construction (intra-component cosine
+# ~0.994 >> cross-component ~0): one row per vector with its cell, the
+# cell-candidate count, how many verified as semantic dups, the best
+# cosine, and the collapse representative (min vec_id among itself and
+# its dups — the keep-first rule, per-vertex like dedup_keep_best).
+# Never empty (left shape), value-oracled.
+#
+# Scale: the per-cell self-join is O(|cell|²) — the same quadratic the
+# LSH tier caps with LSH_MAX_BUCKET; production applies the identical
+# cap to cells (IVF sizes K ~ √N, which bounds |cell| by design), and
+# a cell that outgrows it degrades to the PQ/int8 coarse rungs already
+# measured in ann_recall_sweep. The fixture's 8 fixed cells are the
+# oracle-friendly constant, not the scale claim.
+# ---------------------------------------------------------------------------
+EMB_SEMANTIC_DUP_COS = 0.98
+
+
+def dedup_embedding_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = _clustered_corpus(e)
+    cents = _train_clustered_centroids(e)
+    assigned = _assign_centroids(corpus, cents).persist(
+        StorageLevel.MEMORY_AND_DISK_DESER)
+    a = assigned.select(F.col("vec_id").alias("id1"),
+                        F.col("embedding").alias("v1"),
+                        F.col("nrm").alias("n1"), "centroid_id")
+    b = assigned.select(F.col("vec_id").alias("id2"),
+                        F.col("embedding").alias("v2"),
+                        F.col("nrm").alias("n2"),
+                        F.col("centroid_id").alias("cid2"))
+    pairs = (a.join(b, (F.col("centroid_id") == F.col("cid2"))
+                    & (F.col("id1") != F.col("id2")))
+             .select("id1", "id2", "centroid_id",
+                     F.round(_cos_pair_udf(F.col("v1"), F.col("v2"),
+                                           F.col("n1"), F.col("n2")), 9)
+                     .alias("cos_sim")))
+    per = (pairs.groupBy(F.col("id1").alias("vec_id"))
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_cell_candidates"),
+                F.sum(F.when(F.col("cos_sim") >= EMB_SEMANTIC_DUP_COS, 1)
+                      .otherwise(0)).cast("bigint").alias("n_semantic_dups"),
+                F.round(F.max("cos_sim"), 9).alias("best_cos"),
+                F.min(F.when(F.col("cos_sim") >= EMB_SEMANTIC_DUP_COS,
+                             F.col("id2"))).alias("min_dup_id")))
+    return (assigned.select("vec_id", "centroid_id")
+            .join(per, "vec_id", "left")
+            .select("vec_id", "centroid_id",
+                    F.coalesce("n_cell_candidates", F.lit(0))
+                    .cast("bigint").alias("n_cell_candidates"),
+                    F.coalesce("n_semantic_dups", F.lit(0))
+                    .cast("bigint").alias("n_semantic_dups"),
+                    "best_cos",
+                    F.least(F.col("vec_id"),
+                            F.coalesce("min_dup_id", F.col("vec_id")))
+                    .cast("bigint").alias("canonical_id")))
+
+
+def _dedup_semantic_sql() -> str:
+    from .linear import lloyd_sql_iter_ctes
+
+    cents_ctes = f"""{_CL_CORPUS_SQL},
+pts AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+           AS em
+  FROM corpus),
+c0 AS (SELECT vec_id AS cid, em AS cm FROM pts
+       ORDER BY vec_id LIMIT {N_CENTROIDS}){lloyd_sql_iter_ctes(ANN_KM_ITERS)},
+cents AS (
+  SELECT cid, list_transform(cm, x -> CAST(x AS DOUBLE) / 1000000.0)
+           AS cvec
+  FROM c{ANN_KM_ITERS})"""
+    return f"""
+WITH {cents_ctes},
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_SQL_TEMPLATE.format(a='e.embedding',
+                                                b='c.cvec')} DESC,
+                      c.cid DESC) AS rn
+    FROM corpus e CROSS JOIN cents c
+  ) t WHERE rn = 1),
+pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         ROUND({_COS_SQL_TEMPLATE.format(a='a.embedding',
+                                         b='b.embedding')}, 9) AS cos_sim
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id != b.vec_id),
+per AS (
+  SELECT id1 AS vec_id,
+         CAST(COUNT(*) AS BIGINT) AS n_cell_candidates,
+         CAST(SUM(CASE WHEN cos_sim >= {EMB_SEMANTIC_DUP_COS}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_semantic_dups,
+         ROUND(MAX(cos_sim), 9) AS best_cos,
+         MIN(CASE WHEN cos_sim >= {EMB_SEMANTIC_DUP_COS}
+             THEN id2 END) AS min_dup_id
+  FROM pairs GROUP BY id1)
+SELECT s.vec_id, s.centroid_id,
+       CAST(COALESCE(p.n_cell_candidates, 0) AS BIGINT)
+         AS n_cell_candidates,
+       CAST(COALESCE(p.n_semantic_dups, 0) AS BIGINT) AS n_semantic_dups,
+       p.best_cos,
+       CAST(LEAST(s.vec_id, COALESCE(p.min_dup_id, s.vec_id)) AS BIGINT)
+         AS canonical_id
+FROM assigned s LEFT JOIN per p ON s.vec_id = p.vec_id
+"""
+
+
+QUERIES["dedup_embedding_semantic"] = (dedup_embedding_semantic,
+                                       _dedup_semantic_sql())

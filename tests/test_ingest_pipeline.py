@@ -11,9 +11,10 @@ SF = "/root/testdata/sf0.001"
 # artifact subdirs that are index-sized (or index-derived and growing)
 # and must therefore never appear under a BroadcastExchange; vocab /
 # gvocab (per-language / single-row) are legitimately broadcast-sized.
-# c1 is special-cased below: its Zipf-HEAD slice (c1 >= LM_HOT_HISTORY,
-# bounded by construction — at most total/threshold keys) broadcasts as
-# the history-skew mitigation, but the full table must not
+# c1 AND c12 are special-cased below: their Zipf-HEAD slices
+# (count >= LM_HOT_HISTORY / LM_HOT_BIGRAM, bounded by construction —
+# at most total/threshold keys) broadcast as the skew mitigation, but
+# the full tables must not
 _INDEX_SIZED = ("/digests", "/bands", "/shingles", "/c12", "/assigned")
 
 
@@ -46,7 +47,7 @@ def test_composed_plan_never_broadcasts_an_index_side(spark):
         ingest_gate_pipeline)
 
     from big_data_science_project_spark.operators.text import (
-        LM_HOT_HISTORY)
+        LM_HOT_BIGRAM, LM_HOT_HISTORY)
 
     plan = _executed_plan(ingest_gate_pipeline(spark, SF))
     lines = plan.splitlines()
@@ -77,8 +78,13 @@ def test_composed_plan_never_broadcasts_an_index_side(spark):
             # inner/outer Join does NOT count: index⋈index output is
             # still index-sized and must never broadcast.
             upto = window.split(sub)[0]
-            assert ("Aggregate" in upto or "LeftSemi" in upto
-                    or "LeftAnti" in upto), (
+            # the bounded c12 Zipf-head slice (r10 exact-bigram skew
+            # split) is the one legitimate c12 broadcast — its head
+            # filter must be visible on the subtree
+            head_ok = (sub == "/c12"
+                       and f">= {LM_HOT_BIGRAM}" in window)
+            assert head_ok or ("Aggregate" in upto or "LeftSemi" in upto
+                               or "LeftAnti" in upto), (
                 f"index artifact {sub} broadcast unreduced:\n{window}")
         # c12 paths also contain the substring "c1" — boundary-match
         if "c1_bkt" in window or "/c1/" in window:
