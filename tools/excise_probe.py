@@ -1,0 +1,137 @@
+"""Measure the excision lifecycle's cost claim (r10): applying a
+takedown set to the persisted artifacts (operators/excision.py —
+decrement/delete/recount) must be MUCH cheaper than rebuilding the
+artifacts from the surviving corpus, at sf0.1 and at a 10× replica
+(tools/scale_probe.build_scaled — key-shifted, content-perturbed).
+
+What's timed, per scale:
+  excise   excised_artifacts() with the SOURCE artifacts pre-built
+           outside the timer (production has them persisted; the
+           excision job starts from them) and the excised cache
+           cleared per rep — i.e. the decrement/delete/recount work
+           itself, including its honest corpus-scale parts (the
+           survivor scan for the provenance-free digests and the
+           affected-language token recount).
+  retrain  rebuilding all three artifact families (dedup index, LM
+           tables, ANN index) with their write-once caches cleared —
+           the from-scratch alternative a pipeline without the
+           excision operators would run. Timed on the FULL corpus,
+           which overstates the survivor retrain by ≤ ~3% (the
+           excision set is ~3% of index docs) — noted, and in the
+           conservative direction for the ratio's denominator? No:
+           full-corpus retrain is SLIGHTLY SLOWER than survivor
+           retrain, so the reported ratio flatters excise by ≤ ~3%;
+           the measured gap is ~an order of magnitude, far past that.
+
+Usage: python tools/excise_probe.py [--rep 10] [--out EXCISE_BENCH.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_ART_CACHES = ("_bdsp_dedup_index", "_bdsp_lm_artifacts",
+               "_bdsp_ann_index", "_bdsp_excised")
+
+
+def _clear(spark, sf_dir: str, attrs) -> None:
+    for a in attrs:
+        cache = getattr(spark, a, None)
+        if cache is not None:
+            cache.pop(sf_dir, None)
+
+
+def _build_sources(spark, sf_dir: str) -> None:
+    from big_data_science_project_spark.operators.dedup import (
+        _index_artifacts)
+    from big_data_science_project_spark.operators.similarity import (
+        ann_artifacts)
+    from big_data_science_project_spark.operators.text import lm_artifacts
+
+    _index_artifacts(spark, sf_dir)
+    lm_artifacts(spark, sf_dir)
+    ann_artifacts(spark, sf_dir)
+
+
+def time_excise(spark, sf_dir: str, reps: int = 3) -> float:
+    from big_data_science_project_spark.operators.excision import (
+        excised_artifacts)
+
+    _build_sources(spark, sf_dir)  # production starting state, untimed
+    best = None
+    for _ in range(reps):
+        _clear(spark, sf_dir, ("_bdsp_excised",))
+        t0 = time.perf_counter()
+        excised_artifacts(spark, sf_dir)
+        t = time.perf_counter() - t0
+        best = t if best is None else min(best, t)
+    return round(best, 3)
+
+
+def time_retrain(spark, sf_dir: str, reps: int = 3) -> float:
+    best = None
+    for _ in range(reps):
+        _clear(spark, sf_dir, _ART_CACHES[:3])
+        t0 = time.perf_counter()
+        _build_sources(spark, sf_dir)
+        t = time.perf_counter() - t0
+        best = t if best is None else min(best, t)
+    return round(best, 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rep", type=int, default=10)
+    ap.add_argument("--out", default="EXCISE_BENCH.json")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from tools.scale_probe import SRC, build_scaled
+
+    spark = (SparkSession.builder.master(
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate())
+
+    dst = tempfile.mkdtemp(prefix=f"exciseprobe_x{args.rep}_")
+    print(f"building {args.rep}x corpus at {dst}", file=sys.stderr)
+    build_scaled(dst, args.rep)
+
+    result = {"rep": args.rep, "src": SRC, "scales": {}}
+    for label, d in (("sf01", SRC), (f"x{args.rep}", dst)):
+        print(f"timing {label}", file=sys.stderr, flush=True)
+        ex = time_excise(spark, d)
+        rt = time_retrain(spark, d)
+        result["scales"][label] = {
+            "excise_sec": ex, "retrain_sec": rt,
+            "excise_over_retrain": round(ex / rt, 3) if rt else None}
+        print(f"  excise {ex}s retrain {rt}s", file=sys.stderr)
+    e1 = result["scales"]["sf01"]
+    e2 = result["scales"][f"x{args.rep}"]
+    result["excise_scale_ratio"] = (
+        round(e2["excise_sec"] / e1["excise_sec"], 2)
+        if e1["excise_sec"] else None)
+    result["interpretation"] = (
+        "excise = decrement/delete/recount from persisted artifacts "
+        "(sources pre-built, untimed); retrain = rebuilding all three "
+        "artifact families from the corpus (full-corpus, which "
+        "overstates a survivor retrain by <= ~3%). The lifecycle claim "
+        "is excise_over_retrain well under 1 at both scales.")
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+    shutil.rmtree(dst, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
