@@ -293,11 +293,20 @@ def bloom_build_sharded(spark, df: DataFrame, col_name: str, *,
     words = (df.select(_block_addr(col, num_words).alias("w"),
                        _block_mask(col, k).alias("m"))
              .groupBy("w").agg(F.bit_or("m").alias("bits")))
-    (words.repartition(n_buckets, F.col("w"))
-     .write.bucketBy(n_buckets, "w").sortBy("w")
-     .option("path", os.path.join(
-         tempfile.mkdtemp(prefix="bloom_blocks_"), "tbl"))
-     .mode("overwrite").saveAsTable(tbl))
+    try:
+        (words.repartition(n_buckets, F.col("w"))
+         .write.bucketBy(n_buckets, "w").sortBy("w")
+         .option("path", os.path.join(
+             tempfile.mkdtemp(prefix="bloom_blocks_"), "tbl"))
+         .mode("overwrite").saveAsTable(tbl))
+    except Exception as e:  # noqa: BLE001 — the deterministic-name
+        # path has the same check-then-create race as
+        # dedup.bucketed_artifact_table: two racers both see
+        # tableExists False; the loser falls through to the winner's
+        # identical table. Anything else re-raises.
+        from ..operators.dedup import _is_already_exists
+        if cache_key is None or not _is_already_exists(e):
+            raise
     return ShardedBloom(table=tbl, num_words=num_words, k=k)
 
 

@@ -1413,9 +1413,18 @@ def bucketed_artifact_table(spark: SparkSession, root: str,
             # (executor loss, disk full) re-raises: a tableExists
             # fallback here would return a registered-but-partial
             # table and silently gate against a corrupt index.
-            if "ALREADY_EXISTS" not in str(e).upper():
+            # Normalized match: Spark's in-memory catalog raises
+            # [TABLE_OR_VIEW_ALREADY_EXISTS]; a Hive metastore
+            # surfaces AlreadyExistsException — same race, no
+            # underscore.
+            if not _is_already_exists(e):
                 raise
     return tbl
+
+
+def _is_already_exists(e: Exception) -> bool:
+    u = str(e).upper().replace("_", "").replace(" ", "")
+    return "ALREADYEXISTS" in u
 
 
 def bucketed_digest_table(spark: SparkSession, sf_dir: str) -> str:

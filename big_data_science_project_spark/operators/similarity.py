@@ -2068,7 +2068,13 @@ def ann_clustered_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                         assigned, qvec, exact, n_corpus)
 
 
-def _clustered_sweep_sql() -> str:
+def _clustered_cents_assigned_sql() -> tuple[str, str]:
+    """(cents_ctes, assigned_sql) over the PLANTED corpus — the
+    corpus + quantize + Lloyd's chain + double-cents, and the
+    cosine-argmax assignment (max-cid tie). ONE source for the
+    clustered-sweep and semantic-dedup oracles: the quantization
+    constant, init rule, iteration plumbing, and tie convention must
+    not be able to drift between them."""
     from .linear import lloyd_sql_iter_ctes
 
     cents_ctes = f"""{_CL_CORPUS_SQL},
@@ -2093,6 +2099,11 @@ cents AS (
                       c.cid DESC) AS rn
     FROM corpus e CROSS JOIN cents c
   ) t WHERE rn = 1)"""
+    return cents_ctes, assigned_sql
+
+
+def _clustered_sweep_sql() -> str:
+    cents_ctes, assigned_sql = _clustered_cents_assigned_sql()
     exact_sql = f"""
   SELECT c.vec_id FROM corpus c, q
   WHERE c.vec_id != {QUERY_VEC_ID}
@@ -2171,32 +2182,10 @@ def dedup_embedding_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_semantic_sql() -> str:
-    from .linear import lloyd_sql_iter_ctes
-
-    cents_ctes = f"""{_CL_CORPUS_SQL},
-pts AS (
-  SELECT vec_id, list_transform(embedding,
-           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
-           AS em
-  FROM corpus),
-c0 AS (SELECT vec_id AS cid, em AS cm FROM pts
-       ORDER BY vec_id LIMIT {N_CENTROIDS}){lloyd_sql_iter_ctes(ANN_KM_ITERS)},
-cents AS (
-  SELECT cid, list_transform(cm, x -> CAST(x AS DOUBLE) / 1000000.0)
-           AS cvec
-  FROM c{ANN_KM_ITERS})"""
+    cents_ctes, assigned_sql = _clustered_cents_assigned_sql()
     return f"""
 WITH {cents_ctes},
-assigned AS (
-  SELECT vec_id, embedding, centroid_id FROM (
-    SELECT e.vec_id, e.embedding, c.cid AS centroid_id,
-           ROW_NUMBER() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY {_COS_SQL_TEMPLATE.format(a='e.embedding',
-                                                b='c.cvec')} DESC,
-                      c.cid DESC) AS rn
-    FROM corpus e CROSS JOIN cents c
-  ) t WHERE rn = 1),
+{assigned_sql},
 pairs AS (
   SELECT a.vec_id AS id1, b.vec_id AS id2,
          ROUND({_COS_SQL_TEMPLATE.format(a='a.embedding',

@@ -80,9 +80,12 @@ def test_composed_plan_never_broadcasts_an_index_side(spark):
             upto = window.split(sub)[0]
             # the bounded c12 Zipf-head slice (r10 exact-bigram skew
             # split) is the one legitimate c12 broadcast — its head
-            # filter must be visible on the subtree
-            head_ok = (sub == "/c12"
-                       and f">= {LM_HOT_BIGRAM}" in window)
+            # filter must be visible on the subtree, anchored to the
+            # c12 COLUMN (a c1-head filter in the same window carries
+            # the same threshold and must not satisfy this)
+            import re as _re
+            head_ok = (sub == "/c12" and _re.search(
+                rf"c12#\d+L? >= {LM_HOT_BIGRAM}", window) is not None)
             assert head_ok or ("Aggregate" in upto or "LeftSemi" in upto
                                or "LeftAnti" in upto), (
                 f"index artifact {sub} broadcast unreduced:\n{window}")

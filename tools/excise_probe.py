@@ -46,7 +46,11 @@ def _clear(spark, sf_dir: str, attrs) -> None:
     for a in attrs:
         cache = getattr(spark, a, None)
         if cache is not None:
-            cache.pop(sf_dir, None)
+            old_root = cache.pop(sf_dir, None)
+            if old_root:  # each rep rebuilds into a fresh tempdir —
+                # reclaim the superseded tree or 3 reps × 2 scales of
+                # multi-GB artifact copies pile up under /tmp
+                shutil.rmtree(old_root, ignore_errors=True)
 
 
 def _build_sources(spark, sf_dir: str) -> None:
