@@ -680,6 +680,147 @@ SELECT * FROM t1 UNION ALL SELECT * FROM t2
 
 
 # ---------------------------------------------------------------------------
+# BPE ENCODE — the other half of the tokenizer story: text_bpe_merges
+# TRAINS the merge table; this applies it, which is what a training-
+# data pipeline actually runs over every document (token counts drive
+# packing and budgeting — curate_pack_sequences / curate_token_budget
+# consume them). Merges are trained on the GLOBAL word distribution
+# (identical chain to text_bpe_merges — the tokenizer is one model for
+# the whole corpus) and applied to each LANGUAGE's word table; the
+# report is per-language exact-integer compression: how many base
+# symbols (characters) the corpus tokenizes into vs how many BPE
+# tokens after BPE_ITERS merges.
+#
+# Shape: the merge chain is plan-only — each round's argmax pair is a
+# one-row DataFrame crossJoin-broadcast into the next round's replace
+# (no driver collect); applying a merge is a map-only string replace
+# over the VOCAB-sized distinct-word table, never the corpus (the
+# per-word results re-weight by word count at the end). At 100 TB the
+# vocabulary is the small side by construction — this is exactly how
+# production tokenizers amortize: tokenize the vocab, join counts.
+# ---------------------------------------------------------------------------
+def _bpe_spaced(words: DataFrame, *extra_cols: str) -> DataFrame:
+    return words.select(
+        *extra_cols,
+        F.concat(F.lit(" "),
+                 F.expr(r"regexp_replace(w, '(.)', '$1 ')")).alias("seq"),
+        "n", F.length("w").cast("bigint").alias("n_symbols"))
+
+
+def _bpe_apply(sdf: DataFrame, t: DataFrame) -> DataFrame:
+    """Apply one trained merge (one-row (m1, m2)) to spaced ``sdf`` —
+    the double replace handles overlapping occurrences, the trainer's
+    convention."""
+    tb = F.broadcast(t.select(F.col("s1").alias("m1"),
+                              F.col("s2").alias("m2")))
+    pat = F.concat(F.lit(" "), F.col("m1"), F.lit(" "),
+                   F.col("m2"), F.lit(" "))
+    rep = F.concat(F.lit(" "), F.col("m1"), F.col("m2"), F.lit(" "))
+    cols = [c for c in sdf.columns if c != "seq"]
+    return (sdf.crossJoin(tb)
+            .select(F.replace(F.replace("seq", pat, rep),
+                              pat, rep).alias("seq"), *cols))
+
+
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    lwords = (d.select("lang", F.explode(F.split("text", " ")).alias("w"))
+              .filter(F.length("w") > 0)
+              .groupBy("lang", "w").agg(F.count(F.lit(1)).alias("n")))
+    gwords = lwords.groupBy("w").agg(F.sum("n").cast("bigint").alias("n"))
+    gseqs = _bpe_spaced(gwords).persist(
+        StorageLevel.MEMORY_AND_DISK_DESER)  # vocab-sized, read per round
+    lseqs = _bpe_spaced(lwords, "lang")
+
+    def pair_counts(sdf):
+        a = F.split(F.trim(F.col("seq")), " ")
+        pairs = F.expr(
+            "transform(sequence(0, size(split(trim(seq), ' ')) - 2),"
+            " i -> struct(split(trim(seq), ' ')[i] as s1,"
+            "             split(trim(seq), ' ')[i + 1] as s2))")
+        return (sdf.filter(F.size(a) >= 2)
+                .select(F.explode(pairs).alias("p"), "n")
+                .groupBy("p.s1", "p.s2")
+                .agg(F.sum("n").cast("bigint").alias("pair_count")))
+
+    for _ in range(BPE_ITERS):
+        t = (pair_counts(gseqs)
+             .orderBy(F.desc("pair_count"), "s1", "s2").limit(1))
+        gseqs = _bpe_apply(gseqs, t)
+        lseqs = _bpe_apply(lseqs, t)
+
+    n_tok = F.size(F.split(F.trim("seq"), " ")).cast("bigint")
+    return (lseqs
+            .select("lang", "n", "n_symbols", n_tok.alias("n_tokens"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_distinct_words"),
+                 F.sum("n").cast("bigint").alias("n_occurrences"),
+                 F.sum(F.col("n") * F.col("n_symbols")).cast("bigint")
+                 .alias("n_symbols"),
+                 F.sum(F.col("n") * F.col("n_tokens")).cast("bigint")
+                 .alias("n_bpe_tokens"))
+            .withColumn("compression_micro",
+                        F.expr("(1000000 * n_symbols) div n_bpe_tokens")
+                        .cast("bigint")))
+
+
+def _bpe_encode_sql() -> str:
+    """Generated CTE chain: the trainer's global rounds (seq{i}, pc{i},
+    t{i}) PLUS the per-language application chain (lseq{i}); unrolled
+    for BPE_ITERS so the two oracles can never disagree on the merge
+    order convention."""
+    rep = ("replace(replace({src}.seq,"
+           " ' ' || t.s1 || ' ' || t.s2 || ' ',"
+           " ' ' || t.s1 || t.s2 || ' '),"
+           " ' ' || t.s1 || ' ' || t.s2 || ' ',"
+           " ' ' || t.s1 || t.s2 || ' ')")
+    parts = [f"""
+WITH lwords AS (
+  SELECT lang, w, COUNT(*) AS n FROM (
+    SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE LENGTH(w) > 0 GROUP BY lang, w),
+words AS (SELECT w, CAST(SUM(n) AS BIGINT) AS n FROM lwords GROUP BY w),
+seq0 AS (
+  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq, n FROM words),
+lseq0 AS (
+  SELECT lang, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq, n,
+         CAST(LENGTH(w) AS BIGINT) AS n_symbols
+  FROM lwords)"""]
+    for i in range(1, BPE_ITERS + 1):
+        parts.append(f""",
+pc{i} AS (
+  SELECT a[i] AS s1, a[i + 1] AS s2, CAST(SUM(n) AS BIGINT) AS pair_count
+  FROM (SELECT string_split(trim(seq), ' ') AS a, n FROM seq{i - 1}),
+       LATERAL (SELECT unnest(generate_series(1, len(a) - 1)) AS i) g
+  WHERE len(a) >= 2
+  GROUP BY 1, 2),
+t{i} AS (
+  SELECT s1, s2 FROM pc{i}
+  ORDER BY pair_count DESC, s1, s2 LIMIT 1),
+seq{i} AS (
+  SELECT {rep.format(src='s')} AS seq, s.n FROM seq{i - 1} s, t{i} t),
+lseq{i} AS (
+  SELECT s.lang, {rep.format(src='s')} AS seq, s.n, s.n_symbols
+  FROM lseq{i - 1} s, t{i} t)""")
+    parts.append(f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+       CAST(SUM(n) AS BIGINT) AS n_occurrences,
+       CAST(SUM(n * n_symbols) AS BIGINT) AS n_symbols,
+       CAST(SUM(n * len(string_split(trim(seq), ' '))) AS BIGINT)
+         AS n_bpe_tokens,
+       CAST((1000000 * SUM(n * n_symbols))
+            // SUM(n * len(string_split(trim(seq), ' '))) AS BIGINT)
+         AS compression_micro
+FROM lseq{BPE_ITERS}
+GROUP BY lang""")
+    return "".join(parts)
+
+
+QUERIES["text_bpe_encode"] = (text_bpe_encode, _bpe_encode_sql())
+
+
+# ---------------------------------------------------------------------------
 # Inverted-index build — the retrieval-side complement of text_bm25_search:
 # materialize per-term posting lists (document frequency, total term
 # frequency, and the first POSTINGS_CAP doc ids in ascending order).
