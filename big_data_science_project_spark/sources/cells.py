@@ -327,3 +327,72 @@ GROUP BY t.image_id
 HAVING SUM(CASE WHEN ABS(t.value - s.mean) < 0.5 * sqrt(s.variance)
            THEN -1 ELSE 1 END) < 0
 """)
+
+
+# ---------------------------------------------------------------------------
+# K6 — SURF descriptors per channel (reference calc_descriptor,
+# ``feature extraction.py:27-35``: convertScaleAbs → uint8 →
+# ``surf.detectAndCompute`` with hessianThreshold=400, upright=True,
+# created at ``:9``; dead code there — the only call, ``:122``, is
+# commented out — but part of the surveyed surface, so implemented from
+# the published algorithm in functions/surf.py rather than skipped).
+#
+# Layout mirrors the reference exactly: one detect+describe PER CHANNEL
+# on the saturate-cast uint8 image. The reference prints the raw
+# descriptor matrix; a distributed engine must not ship N×64 floats per
+# keypoint to the driver, so the query returns the per-(image, channel)
+# summary a pipeline would aggregate anyway — keypoint count, mean
+# detection scale, and an order-independent integer checksum of the
+# descriptor matrix (micros quantization, the repo's integer-cents
+# pattern) that pins every descriptor value byte-for-byte across
+# partitionings without materializing it. Rows-only: box-filter NMS and
+# Haar sampling aren't DuckDB-expressible; tests/test_surf.py carries
+# the value weight (goldens + invariance properties).
+# ---------------------------------------------------------------------------
+def cells_surf_descriptors(spark: SparkSession, sf_dir: str = "",
+                           n_images: int = 24) -> DataFrame:
+    from ..functions import surf as S
+    from ..functions.image_kernels import _to_uint8
+
+    # 48px images: the 9..51 box filters need room (default 16px fixtures
+    # leave no interior for the NMS middle layers); blob radii scale with
+    # the image so every channel has a detectable feature
+    cells = load_cells(spark, n_images=n_images, width=48, height=48)
+    wh = F.col("width") * F.col("height")
+    per_ch = cells.select(
+        "image_id", "width", "height",
+        F.explode(F.sequence(F.lit(0), F.col("n_channels") - 1))
+        .alias("channel"), "data",
+    ).select(
+        "image_id", "channel", "width", "height",
+        F.slice("data", F.col("channel") * wh + 1, wh).alias("data_ch"))
+
+    schema = T.StructType([
+        T.StructField("image_id", T.LongType()),
+        T.StructField("channel", T.IntegerType()),
+        T.StructField("n_keypoints", T.IntegerType()),
+        T.StructField("mean_scale", T.DoubleType()),
+        T.StructField("desc_checksum_micros", T.LongType()),
+    ])
+
+    def describe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for img_id, ch, w, h, data in zip(
+                    pdf["image_id"], pdf["channel"], pdf["width"],
+                    pdf["height"], pdf["data_ch"]):
+                img = _to_uint8(np.asarray(data, dtype=np.float64)
+                                .reshape(int(w), int(h))).astype(np.float64)
+                kps, desc = S.surf_detect_describe(img)
+                checksum = int(np.rint(desc * 1e6).astype(np.int64).sum())
+                mean_scale = float(np.round(kps[:, 2].mean(), 6)) \
+                    if kps.shape[0] else 0.0
+                out.append((int(img_id), int(ch), int(kps.shape[0]),
+                            mean_scale, checksum))
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return (per_ch.mapInPandas(describe, schema)
+            .orderBy("image_id", "channel"))
+
+
+QUERIES["cells_surf_descriptors"] = (cells_surf_descriptors, None)  # rows-only
