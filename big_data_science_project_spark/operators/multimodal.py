@@ -31,7 +31,8 @@ from pyspark.sql import types as T
 
 from ..functions.adpcm_codec import adpcm_decode, adpcm_encode
 from ..functions.flac_codec import flac_decode, flac_encode
-from ..functions.mdct_codec import mdct_decode, mdct_encode
+from ..functions.mdct_codec import (mdct_decode, mdct_decode_psycho,
+                                    mdct_encode)
 from ..functions.jpeg_codec import jpeg_decode, jpeg_encode
 from ..functions.png_codec import png_decode, png_encode
 from ..sources.cells import load_cells
@@ -134,15 +135,16 @@ def make_frame_sample_udf(every_k: int):
 # codec are REAL — stdlib/numpy implementations (functions/png_codec.py,
 # jpeg_codec.py, flac_codec.py, adpcm_codec.py, mdct_codec.py), closing
 # the reference's image-sink boundary (feature extraction.py:89-91
-# cv.imwrite) plus all three audio tiers: lossless (FLAC), time-domain
-# lossy (ADPCM), and transform-domain lossy (MDCT — the mp3/opus spine:
-# window → MDCT → quantize → adaptive canonical-Huffman entropy coding,
-# the MDC2 container; what the spine still lacks vs mp3 is the
-# psychoacoustic bit-allocation MODEL, not machinery). Only BITSTREAM
-# compatibility with mp3/opus still needs libraries not in this
-# container: for those names the UDF shape is real, the body raises
-# unless the fake is requested, and the fake is deterministic
-# (hash-derived) so tests and oracles are stable.
+# cv.imwrite) plus every published audio tier: lossless (FLAC),
+# time-domain lossy (ADPCM), and the full transform-codec spine —
+# window → MDCT → quantize → adaptive canonical-Huffman entropy coding
+# (MDC2) → PSYCHOACOUSTIC bit allocation (MDC3: pseudo-critical bands,
+# asymmetric spread masking, per-band scalefactors + masking-driven
+# mantissa widths; mdct_codec.py's simplified MPEG-1 model 1). The ONLY
+# remaining gap vs mp3/opus is format BITSTREAM compatibility, which
+# needs codec libraries not in this container: for those names the UDF
+# shape is real, the body raises unless the fake is requested, and the
+# fake is deterministic (hash-derived) so tests and oracles are stable.
 # ---------------------------------------------------------------------------
 def decode_external(payload: bytes, codec: str, use_fake: bool = False) -> np.ndarray:
     """Decode an external image/audio payload to a flat float32 array.
@@ -170,6 +172,8 @@ def decode_external(payload: bytes, codec: str, use_fake: bool = False) -> np.nd
             return adpcm_decode(payload).astype(np.float32).reshape(-1)
         if codec == "mdct":
             return mdct_decode(payload).astype(np.float32).reshape(-1)
+        if codec == "mdct_psycho":
+            return mdct_decode_psycho(payload).astype(np.float32).reshape(-1)
         raise NotImplementedError(
             f"codec {codec!r}: decoder libraries not available in this "
             "environment; pass use_fake=True for the deterministic stub")
@@ -580,8 +584,9 @@ QUERIES["multimodal_mdct_roundtrip"] = (multimodal_mdct_roundtrip, None)
 # (identical decoded PCM — pinned by tests/test_mdct_codec.py), so the
 # SNR columns MATCH multimodal_mdct_roundtrip row-for-row and only
 # bytes_mdct_huff shrinks (~3.7x under MDC1 on program material). The
-# remaining mp3/opus gap is psychoacoustic bit allocation + format
-# bitstream compatibility (the disclosed stub above).
+# remaining mp3/opus gap is format bitstream compatibility (the
+# disclosed stub above); the psychoacoustic allocation tier is the
+# MDC3 query below.
 # ---------------------------------------------------------------------------
 def multimodal_mdct_entropy_roundtrip(spark: SparkSession,
                                       sf_dir: str = "") -> DataFrame:
@@ -594,6 +599,35 @@ def multimodal_mdct_entropy_roundtrip(spark: SparkSession,
 
 QUERIES["multimodal_mdct_entropy_roundtrip"] = (
     multimodal_mdct_entropy_roundtrip, None)
+
+
+# ---------------------------------------------------------------------------
+# PSYCHOACOUSTIC MDCT round-trip (MDC3, functions/mdct_codec.py) — the
+# tier mp3/opus actually live on: a simplified MPEG-1 psychoacoustic
+# model 1 (25 pseudo-critical bands, asymmetric spread masking, 30 dB
+# tonal offset, absolute threshold) drives PER-BAND scalefactors and
+# mantissa widths, so masked bands ship zero bits and transmitted bands
+# exactly as many as their threshold demands (noise-to-mask <= 0 dB by
+# construction — the contract tests/test_mdct_codec.py pins, along
+# with the measured comparison: on broadband material MDC2's global
+# scalefactor violates the masking threshold in ~80% of signal-carrying
+# bands at this corpus's rates; MDC3 in <10% residual). Same report
+# harness, so bytes/SNR are directly comparable with the MDC1/MDC2
+# rows; expect LOWER SNR here — a perceptual codec spends nothing on
+# noise the model says is inaudible, which plain SNR still counts.
+# Format bitstream compat (mp3/opus framing) stays the disclosed stub.
+# ---------------------------------------------------------------------------
+def multimodal_mdct_psycho_roundtrip(spark: SparkSession,
+                                     sf_dir: str = "") -> DataFrame:
+    from ..functions.mdct_codec import (mdct_decode_psycho,
+                                        mdct_encode_psycho)
+
+    return _lossy_audio_roundtrip(spark, mdct_encode_psycho,
+                                  mdct_decode_psycho, "bytes_mdct_psycho")
+
+
+QUERIES["multimodal_mdct_psycho_roundtrip"] = (
+    multimodal_mdct_psycho_roundtrip, None)
 
 
 # ---------------------------------------------------------------------------

@@ -295,3 +295,169 @@ def test_mdct_entropy_query_matches_uncoded_snr(spark):
     assert (ent.min_snr_db, ent.avg_snr_db, ent.n_lossless) == \
         (base.min_snr_db, base.avg_snr_db, base.n_lossless)
     assert ent.bytes_mdct_huff < base.bytes_mdct
+
+
+# ---------------------------------------------------------------------------
+# MDC3 — the psychoacoustic bit-allocation container
+# ---------------------------------------------------------------------------
+def _mix_signal(n=16000, seed=3):
+    """Two tones + a drifting noise floor — broadband program material,
+    the case a per-block global scalefactor handles worst."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n)
+    x = (2500 * np.sin(2 * np.pi * 180 * t / 8000)
+         + 900 * np.sin(2 * np.pi * 1100 * t / 8000)
+         + np.cumsum(rng.normal(0, 30, n)) * 0.05
+         + rng.normal(0, 60, n))
+    return np.clip(x, -32768, 32767).astype(np.int16)
+
+
+def test_mdc3_design_contract():
+    """The allocation IS the psychoacoustic model: every transmitted
+    band's design noise (step²/12 against the DECODED scalefactor) sits
+    below its masking threshold, with the minimal width that does so;
+    every dropped band's energy sits below its threshold; decoded
+    scalefactors never clip the band max (ceil quantization)."""
+    from big_data_science_project_spark.functions import mdct_codec as M
+
+    coeffs = M.mdct(M._frame(_mix_signal().astype(np.float64)))
+    thr, sf_codes, bits = M.psycho_analyze(coeffs)
+    sf_dec = M.sf_decode(sf_codes)
+    for b in range(M.N_BANDS):
+        lo, hi = M._BAND_EDGES[b], M._BAND_EDGES[b + 1]
+        e_band = (coeffs[:, lo:hi] ** 2).mean(axis=1)
+        band_max = np.abs(coeffs[:, lo:hi]).max(axis=1)
+        for blk in range(len(coeffs)):
+            B, T = int(bits[blk, b]), thr[blk, b]
+            if B == 0:
+                assert e_band[blk] <= T
+                continue
+            assert sf_dec[blk, b] >= band_max[blk] - 1e-9
+            step = sf_dec[blk, b] / (2 ** (B - 1) - 1)
+            if B < 8:
+                assert step * step / 12.0 <= T
+            if B > 2:  # minimality: one bit fewer must miss the target
+                prev = sf_dec[blk, b] / (2 ** (B - 2) - 1)
+                assert prev * prev / 12.0 > T
+
+
+def test_mdc3_masks_prune_bits_on_tonal_material():
+    """A pure tone must leave most bands fully masked (0 bits) — the
+    allocation tracks content, not coefficient count."""
+    from big_data_science_project_spark.functions import mdct_codec as M
+
+    t = np.arange(16000)
+    x = (3000 * np.sin(2 * np.pi * 107 * t / 8000)).astype(np.int16)
+    coeffs = M.mdct(M._frame(x.astype(np.float64)))
+    _, _, bits = M.psycho_analyze(coeffs)
+    # the window's leakage skirt is real signal, so mid bands keep a
+    # few bits — but a third of the cells are fully masked and the
+    # average width is well under the uniform tier's flat 8
+    assert (bits == 0).mean() > 0.3
+    assert bits.mean() < 4.0
+    # and full silence allocates nothing at all, decoding losslessly
+    z = np.zeros(3000, dtype=np.int16)
+    enc = M.mdct_encode_psycho(z)
+    assert np.array_equal(M.mdct_decode_psycho(enc)[:, 0], z)
+
+
+def test_mdc3_roundtrip_quality_and_size():
+    from big_data_science_project_spark.functions import mdct_codec as M
+
+    t = np.arange(16000)
+    x = (3000 * np.sin(2 * np.pi * 107 * t / 8000)).astype(np.int16)
+    x[3000:4500] = 0
+    enc = M.mdct_encode_psycho(x)
+    dec = M.mdct_decode_psycho(enc)[:, 0]
+    err = x.astype(np.float64) - dec.astype(np.float64)
+    snr = 10 * np.log10((x.astype(np.float64) ** 2).sum()
+                        / (err ** 2).sum())
+    assert snr >= 30.0
+    assert len(enc) < 0.5 * len(M.mdct_encode(x))  # well under MDC1
+
+
+def test_mdc3_nmr_beats_uniform_quantizer_on_broadband():
+    """The measured psychoacoustic claim: on broadband material the
+    uniform 8-bit tier (MDC2, per-block global scalefactor) violates
+    the masking threshold in most signal-carrying (block, band) cells;
+    the model-driven tier keeps a small residual (rint worst case +
+    overlap-add re-analysis), at whatever bytes that requires."""
+    from big_data_science_project_spark.functions import mdct_codec as M
+
+    x = _mix_signal()
+
+    def violations(decoded):
+        c_in = M.mdct(M._frame(x.astype(np.float64)))
+        c_out = M.mdct(M._frame(decoded.astype(np.float64)))
+        thr, _, _ = M.psycho_analyze(c_in)
+        viol = tot = 0
+        for b in range(M.N_BANDS):
+            lo, hi = M._BAND_EDGES[b], M._BAND_EDGES[b + 1]
+            ne = ((c_in[:, lo:hi] - c_out[:, lo:hi]) ** 2).mean(axis=1)
+            sig = (c_in[:, lo:hi] ** 2).mean(axis=1)
+            live = sig > M._ABS_FLOOR
+            viol += int((ne[live] > thr[live, b]).sum())
+            tot += int(live.sum())
+        return viol / tot
+
+    uniform = violations(M.mdct_decode_entropy(M.mdct_encode_entropy(x))[:, 0])
+    psycho = violations(M.mdct_decode_psycho(M.mdct_encode_psycho(x))[:, 0])
+    assert uniform > 0.5
+    assert psycho < 0.15
+
+
+def test_mdc3_multichannel_and_error_contract():
+    from big_data_science_project_spark.functions import mdct_codec as M
+
+    t = np.arange(4000)
+    x = (2000 * np.sin(2 * np.pi * 200 * t / 8000)).astype(np.int16)
+    stereo = np.stack([x, (x // 2).astype(np.int16)], axis=1)
+    dec = M.mdct_decode_psycho(M.mdct_encode_psycho(stereo, 16000))
+    assert dec.shape == stereo.shape
+    # each channel decodes independently of its neighbor
+    mono0 = M.mdct_decode_psycho(M.mdct_encode_psycho(x, 16000))[:, 0]
+    assert np.array_equal(dec[:, 0], mono0)
+
+    with pytest.raises(ValueError):
+        M.mdct_decode_psycho(b"MDC3")
+    with pytest.raises(ValueError):
+        M.mdct_decode_psycho(b"XXXX" + bytes(20))
+    enc = M.mdct_encode_psycho(x)
+    with pytest.raises(ValueError):
+        M.mdct_decode_psycho(enc + b"\x00")
+    with pytest.raises(ValueError):
+        M.mdct_decode_psycho(enc[:-1])
+
+
+def test_mdc3_corrupt_any_byte_never_crashes():
+    """Exhaustive single-byte fuzz, same contract as MDC1/MDC2/ADPCM:
+    ValueError or a valid int16 buffer, never another exception."""
+    from big_data_science_project_spark.functions import mdct_codec as M
+
+    x = (3000 * np.sin(np.arange(2000) * 0.3)).astype(np.int16)
+    enc = bytes(M.mdct_encode_psycho(x))
+    for pos in range(len(enc)):
+        mut = bytearray(enc)
+        mut[pos] ^= 0x5A
+        try:
+            out = M.mdct_decode_psycho(bytes(mut))
+            assert out.dtype == np.int16
+        except ValueError:
+            pass
+
+
+def test_mdct_psycho_query_reports(spark):
+    """In-plan: the psycho tier's report is comparable with the other
+    audio tiers — every clip compresses well under MDC1's 2:1 and the
+    SNR floor holds the quality point the 30 dB offset buys."""
+    import __spark_entry__ as e
+
+    q = e.queries()
+    base = q["multimodal_mdct_roundtrip"](
+        spark, "/root/testdata/sf0.001").collect()[0]
+    psy = q["multimodal_mdct_psycho_roundtrip"](
+        spark, "/root/testdata/sf0.001").collect()[0]
+    assert psy.n_clips == base.n_clips
+    assert psy.bytes_raw == base.bytes_raw
+    assert psy.bytes_mdct_psycho < 0.5 * base.bytes_mdct
+    assert psy.min_snr_db >= 28
