@@ -510,8 +510,11 @@ def mdct_decode_psycho(data: bytes) -> np.ndarray:
         alloc, pos = _read_entropy_section(
             data, pos, blocks * N_BANDS, "allocation")
         bits = alloc.reshape(blocks, N_BANDS)
-        if int(bits.max(initial=0)) > 8:
-            raise ValueError("mdct3: allocation wider than 8 bits")
+        # width 1 is as malformed as >8: the encoder's minimum is 2
+        # (2^0 - 1 = 0 levels would divide by zero below and cast NaN
+        # to int16 silently — the fuzz contract demands a ValueError)
+        if int(bits.max(initial=0)) > 8 or bool((bits == 1).any()):
+            raise ValueError("mdct3: allocation width out of range")
         n_active = int((bits > 0).sum())
         if len(data) < pos + n_active:
             raise ValueError("mdct3: truncated scalefactor block")

@@ -107,10 +107,18 @@ def detect_keypoints(img: np.ndarray,
 
     A keypoint is a strict 26-neighbor maximum across the 3x3 spatial
     x 3-size neighborhood inside one octave, above the threshold."""
-    ii = integral_image(img)
+    return _detect_from_ii(integral_image(img), hessian_threshold, octaves)
+
+
+def _detect_from_ii(ii: np.ndarray, hessian_threshold: float,
+                    octaves=OCTAVE_SIZES) -> np.ndarray:
     found = []
+    resp_cache: dict[int, np.ndarray] = {}  # sizes 15/27 recur across octaves
     for sizes in octaves:
-        resp = np.stack([hessian_response(ii, s) for s in sizes])
+        for s in sizes:
+            if s not in resp_cache:
+                resp_cache[s] = hessian_response(ii, s)
+        resp = np.stack([resp_cache[s] for s in sizes])
         for layer in range(1, len(sizes) - 1):
             cur = resp[layer]
             cand = cur > hessian_threshold
@@ -167,9 +175,12 @@ def _haar_responses(ii: np.ndarray, rows: np.ndarray, cols: np.ndarray,
 def describe_keypoints(img: np.ndarray, kps: np.ndarray) -> np.ndarray:
     """Upright 64-dim descriptors for (N, 3) keypoints; (N, 64) float64,
     each row L2-normalized (zero rows stay zero)."""
+    return _describe_from_ii(integral_image(img), kps)
+
+
+def _describe_from_ii(ii: np.ndarray, kps: np.ndarray) -> np.ndarray:
     if kps.shape[0] == 0:
         return np.zeros((0, _DESC_DIM), dtype=np.float64)
-    ii = integral_image(img)
     # 20x20 sample lattice at offsets (i + 0.5) * s, i in -10..9
     grid = np.arange(-10, 10, dtype=np.float64) + 0.5
     gr, gc = np.meshgrid(grid, grid, indexing="ij")   # (20, 20)
@@ -199,6 +210,8 @@ def describe_keypoints(img: np.ndarray, kps: np.ndarray) -> np.ndarray:
 def surf_detect_describe(img: np.ndarray,
                          hessian_threshold: float = HESSIAN_THRESHOLD
                          ) -> tuple[np.ndarray, np.ndarray]:
-    """detectAndCompute analogue: (keypoints (N,3), descriptors (N,64))."""
-    kps = detect_keypoints(img, hessian_threshold)
-    return kps, describe_keypoints(img, kps)
+    """detectAndCompute analogue: (keypoints (N,3), descriptors (N,64)).
+    The integral image is built once and shared by both stages."""
+    ii = integral_image(img)
+    kps = _detect_from_ii(ii, hessian_threshold)
+    return kps, _describe_from_ii(ii, kps)

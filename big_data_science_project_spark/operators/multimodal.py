@@ -153,10 +153,13 @@ def decode_external(payload: bytes, codec: str, use_fake: bool = False) -> np.nd
     sequential, gray/4:4:4 color) decode for real, yielding raw 0..255
     sample values; ``codec="flac"`` (16-bit fixed-predictor subset)
     decodes for real too, yielding int16 sample values as float32, as
-    does ``codec="adpcm"`` (IMA 4-bit, the lossy audio tier).
-    Psychoacoustic codecs (mp3/opus) would dispatch to ffmpeg — absent
-    here, so they raise unless ``use_fake=True`` (a deterministic
-    pseudo-decode: first 16 bytes of sha256 as float32 levels)."""
+    do ``codec="adpcm"`` (IMA 4-bit, the time-domain lossy tier),
+    ``codec="mdct"`` (the transform-domain tier) and
+    ``codec="mdct_psycho"`` (the psychoacoustically bit-allocated MDC3
+    tier). Only FORMAT-bitstream codecs (mp3/opus framing) would
+    dispatch to ffmpeg — absent here, so those names raise unless
+    ``use_fake=True`` (a deterministic pseudo-decode: first 16 bytes
+    of sha256 as float32 levels)."""
     if not use_fake:
         # module-level import: a runtime relative import inside a UDF body
         # fails on workers that can't import the package by name (the

@@ -357,6 +357,8 @@ def cells_surf_descriptors(spark: SparkSession, sf_dir: str = "",
     # 48px images: the 9..51 box filters need room (default 16px fixtures
     # leave no interior for the NMS middle layers); blob radii scale with
     # the image so every channel has a detectable feature
+    from ..functions.image_kernels import channel_slice
+
     cells = load_cells(spark, n_images=n_images, width=48, height=48)
     wh = F.col("width") * F.col("height")
     per_ch = cells.select(
@@ -365,7 +367,7 @@ def cells_surf_descriptors(spark: SparkSession, sf_dir: str = "",
         .alias("channel"), "data",
     ).select(
         "image_id", "channel", "width", "height",
-        F.slice("data", F.col("channel") * wh + 1, wh).alias("data_ch"))
+        channel_slice(F.col("data"), F.col("channel"), wh).alias("data_ch"))
 
     schema = T.StructType([
         T.StructField("image_id", T.LongType()),

@@ -428,6 +428,23 @@ def test_mdc3_multichannel_and_error_contract():
     with pytest.raises(ValueError):
         M.mdct_decode_psycho(enc[:-1])
 
+    # a CRAFTED stream with allocation width 1 (the encoder's minimum
+    # is 2; 2^0 - 1 = 0 levels would divide by zero) must raise loudly,
+    # not cast NaN to int16 — found by review, pinned here
+    import struct
+    n = 300
+    blocks = M._blocks_for(n)
+    bits = np.zeros((blocks, M.N_BANDS), dtype=np.uint8)
+    bits[0, 0] = 1
+    parts = [M._MAGIC3, struct.pack(">BIQ", 1, 8000, n)]
+    parts.extend(M._entropy_section(bits.reshape(-1)))
+    parts.append(bytes(1))  # one scalefactor code for the active band
+    width0 = int(M._BAND_WIDTHS[0])
+    parts.extend(M._entropy_section(
+        np.full(width0, 128, dtype=np.uint8)))
+    with pytest.raises(ValueError, match="width out of range"):
+        M.mdct_decode_psycho(b"".join(parts))
+
 
 def test_mdc3_corrupt_any_byte_never_crashes():
     """Exhaustive single-byte fuzz, same contract as MDC1/MDC2/ADPCM:
