@@ -700,6 +700,139 @@ QUERIES["multimodal_phash_dedup"] = (multimodal_phash_dedup, None)  # rows-only
 
 
 # ---------------------------------------------------------------------------
+# SURF near-duplicate image detection — the STRUCTURAL image-dedup tier
+# beside the global phash one, and the K6 descriptors doing the job
+# local features exist for. Classic visual-matching pipeline, each
+# stage the Spark-shaped version of the published technique:
+#
+#   1. per image: upright SURF keypoints + 64-dim unit descriptors
+#      (functions/surf.py) inside one Arrow batch — pixels never
+#      shuffle, only (image_id, kp, descriptor) rows do;
+#   2. LSH candidates: each descriptor's 64-bit SIGN pattern splits
+#      into four 16-bit bands; a self-join on (band, value) proposes
+#      pairs (the sign pattern is stable under the contrast/brightness
+#      edits the upright descriptor is built to survive — banding makes
+#      near-misses still collide on >=1 band, and the join is banded,
+#      NEVER all-pairs, with the dedup ladder's hot-bucket cap);
+#   3. verify: exact cosine >= 0.99 via zip_with/aggregate (unit
+#      norms make the dot product the cosine) — JVM-side, no Python;
+#   4. GEOMETRIC verification, the step cosine alone cannot replace on
+#      low-texture corpora (every cells image is a disk, so isolated
+#      descriptor cosines run to 0.998 BETWEEN DISTINCT images):
+#      matched keypoints vote for their translation (dr, dc); a pair
+#      is a near-duplicate only when >= MIN_ALIGNED keypoints agree on
+#      ONE translation — Hough pose clustering as a groupBy.
+#
+# The planted clones are contrast-scaled (x0.7) copies of four
+# feature-rich images; their votes land on (0, 0) with 6-10 aligned
+# keypoints while the best cross-image conspiracy on this fixture
+# musters 2 (tests pin both margins). Disclosed limit, same shape as
+# the lexical ladder's short-document guard: an image with fewer than
+# MIN_ALIGNED keypoints (a featureless frame) cannot clear the vote —
+# that is the global phash tier's job, not the structural tier's.
+# Rows-only: SURF NMS is not DuckDB-expressible; tests/test_surf.py +
+# tests/test_multimodal.py carry the values.
+# ---------------------------------------------------------------------------
+SURF_DEDUP_IMAGES = 16
+SURF_DEDUP_CLONES = 4
+SURF_CLONE_OFFSET = 9000
+SURF_MATCH_COS = 0.99
+SURF_MIN_ALIGNED = 3
+SURF_BAND_CAP = 32  # drop degenerate sign-band buckets (ladder idiom)
+
+
+def multimodal_surf_neardup(spark: SparkSession,
+                            sf_dir: str = "") -> DataFrame:
+    from ..functions import surf as S
+    from ..functions.image_kernels import _to_uint8
+    from ..sources.cells import load_cells
+
+    cells = load_cells(spark, n_images=SURF_DEDUP_IMAGES,
+                       width=48, height=48)
+    wh = F.col("width") * F.col("height")
+    ch0 = cells.select(
+        "image_id", "width", "height",
+        F.slice("data", F.lit(1), wh).alias("data_ch"))
+    clones = (ch0.filter(F.col("image_id") < SURF_DEDUP_CLONES)
+              .select((F.col("image_id") + SURF_CLONE_OFFSET)
+                      .alias("image_id"), "width", "height",
+                      F.transform("data_ch", lambda x: x * F.lit(0.7))
+                      .alias("data_ch")))
+    allimg = ch0.unionByName(clones)
+
+    kp_schema = T.StructType([
+        T.StructField("image_id", T.LongType()),
+        T.StructField("kp_r", T.LongType()),
+        T.StructField("kp_c", T.LongType()),
+        T.StructField("band_id", T.IntegerType()),
+        T.StructField("band_val", T.LongType()),
+        T.StructField("desc", T.ArrayType(T.DoubleType())),
+    ])
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for img_id, w, h, data in zip(pdf["image_id"], pdf["width"],
+                                          pdf["height"], pdf["data_ch"]):
+                img = _to_uint8(np.asarray(data, dtype=np.float64)
+                                .reshape(int(w), int(h))).astype(np.float64)
+                kps, desc = S.surf_detect_describe(img)
+                for i in range(len(kps)):
+                    sig = int(np.packbits(
+                        (desc[i] > 0).astype(np.uint8)[::-1],
+                        bitorder="little").view(np.uint64)[0])
+                    for b in range(4):
+                        rows.append((int(img_id), int(kps[i, 0]),
+                                     int(kps[i, 1]), b,
+                                     (sig >> (16 * b)) & 0xFFFF,
+                                     desc[i].tolist()))
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in kp_schema.fields])
+
+    kp = allimg.mapInPandas(extract, kp_schema)
+    # hot-bucket cap: a sign-band value shared by too many keypoints is
+    # structure-free (the all-zeros band of flat descriptors) — capped
+    # exactly like LSH_MAX_BUCKET caps shingle bands in the text ladder
+    bucket_ok = (kp.groupBy("band_id", "band_val")
+                 .agg(F.count(F.lit(1)).alias("n"))
+                 .filter(F.col("n") <= SURF_BAND_CAP)
+                 .select("band_id", "band_val"))
+    kp = kp.join(F.broadcast(bucket_ok), ["band_id", "band_val"])
+
+    a, b = kp.alias("a"), kp.alias("b")
+    cand = (a.join(b, on=[F.col("a.band_id") == F.col("b.band_id"),
+                          F.col("a.band_val") == F.col("b.band_val"),
+                          F.col("a.image_id") < F.col("b.image_id")])
+            .select(F.col("a.image_id").alias("image_a"),
+                    F.col("b.image_id").alias("image_b"),
+                    F.col("a.kp_r").alias("ra"), F.col("a.kp_c").alias("ca"),
+                    F.col("b.kp_r").alias("rb"), F.col("b.kp_c").alias("cb"),
+                    F.col("a.desc").alias("da"), F.col("b.desc").alias("db"))
+            # a keypoint pair colliding on several bands is ONE match
+            .dropDuplicates(["image_a", "image_b", "ra", "ca", "rb", "cb"]))
+    cos = F.aggregate(
+        F.zip_with("da", "db", lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    verified = (cand.withColumn("cos", cos)
+                .filter(F.col("cos") >= SURF_MATCH_COS))
+    votes = (verified
+             .groupBy("image_a", "image_b",
+                      (F.col("ra") - F.col("rb")).alias("dr"),
+                      (F.col("ca") - F.col("cb")).alias("dc"))
+             .agg(F.count(F.lit(1)).alias("n_aligned")))
+    best = (votes.groupBy("image_a", "image_b")
+            .agg(F.max_by(F.struct("n_aligned", "dr", "dc"),
+                          "n_aligned").alias("top"))
+            .select("image_a", "image_b", "top.n_aligned",
+                    "top.dr", "top.dc")
+            .filter(F.col("n_aligned") >= SURF_MIN_ALIGNED))
+    return best.orderBy("image_a", "image_b")
+
+
+QUERIES["multimodal_surf_neardup"] = (multimodal_surf_neardup, None)
+
+
+# ---------------------------------------------------------------------------
 # Audio modality — opaque PCM payloads with typed metadata, the audio
 # member of the multimodal surface (mandate: "image/audio/video as
 # opaque binary columns"). Payloads are deterministic synthetic int16

@@ -138,3 +138,22 @@ def test_cells_surf_query_matches_local(spark):
             want_scale = float(np.round(kps[:, 2].mean(), 6)) \
                 if kps.shape[0] else 0.0
             assert got.mean_scale == pytest.approx(want_scale)
+
+
+@pytest.mark.usefixtures("spark")
+def test_surf_neardup_finds_planted_clones_only(spark):
+    """The structural image-dedup tier: exactly the four planted
+    contrast-scaled clones pair with their originals, each on the
+    identity translation with >= MIN_ALIGNED aligned keypoints, and no
+    cross-image conspiracy clears the vote (the fixture's best is 2)."""
+    from big_data_science_project_spark.operators.multimodal import (
+        SURF_CLONE_OFFSET, SURF_DEDUP_CLONES, SURF_MIN_ALIGNED,
+        multimodal_surf_neardup)
+
+    rows = multimodal_surf_neardup(spark).collect()
+    assert len(rows) == SURF_DEDUP_CLONES
+    for r in rows:
+        assert r.image_b == r.image_a + SURF_CLONE_OFFSET
+        assert (r.dr, r.dc) == (0, 0)
+        assert r.n_aligned >= SURF_MIN_ALIGNED
+    assert sorted(r.image_a for r in rows) == list(range(SURF_DEDUP_CLONES))
