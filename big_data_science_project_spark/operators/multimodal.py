@@ -22,9 +22,11 @@ frame sampling can drop bytes BEFORE they are ever widened to doubles.
 from __future__ import annotations
 
 import hashlib
+from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -764,8 +766,7 @@ def multimodal_surf_neardup(spark: SparkSession,
         T.StructField("image_id", T.LongType()),
         T.StructField("kp_r", T.LongType()),
         T.StructField("kp_c", T.LongType()),
-        T.StructField("band_id", T.IntegerType()),
-        T.StructField("band_val", T.LongType()),
+        T.StructField("bands", T.ArrayType(T.LongType())),
         T.StructField("desc", T.ArrayType(T.DoubleType())),
     ])
 
@@ -778,51 +779,75 @@ def multimodal_surf_neardup(spark: SparkSession,
                                 .reshape(int(w), int(h))).astype(np.float64)
                 kps, desc = S.surf_detect_describe(img)
                 for i in range(len(kps)):
-                    sig = int(np.packbits(
-                        (desc[i] > 0).astype(np.uint8)[::-1],
-                        bitorder="little").view(np.uint64)[0])
-                    for b in range(4):
-                        rows.append((int(img_id), int(kps[i, 0]),
-                                     int(kps[i, 1]), b,
-                                     (sig >> (16 * b)) & 0xFFFF,
-                                     desc[i].tolist()))
+                    # band b = sign bits of descriptor dims 16b..16b+15,
+                    # folded as plain ints (no byte-order reinterpretation
+                    # — identical on any executor architecture)
+                    sign = desc[i] > 0
+                    bands = [int(sum(1 << j for j in range(16)
+                                     if sign[16 * b + j]))
+                             for b in range(4)]
+                    rows.append((int(img_id), int(kps[i, 0]),
+                                 int(kps[i, 1]), bands, desc[i].tolist()))
             yield pd.DataFrame(rows,
                                columns=[f.name for f in kp_schema.fields])
 
-    kp = allimg.mapInPandas(extract, kp_schema)
+    # the expensive Python stage (generation + detect + describe) feeds
+    # the bucket count, the band self-join, and the descriptor joins —
+    # persist so it runs once (cells.py:171 idiom)
+    kp = allimg.mapInPandas(extract, kp_schema) \
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    # slim band rows: the 64-double descriptor does NOT ride the LSH
+    # shuffle — candidates carry only ids and coordinates, descriptors
+    # join back after the pair dedup
+    band = kp.select("image_id", "kp_r", "kp_c",
+                     F.posexplode("bands").alias("band_id", "band_val"))
+    descs = kp.select("image_id", "kp_r", "kp_c", "desc")
     # hot-bucket cap: a sign-band value shared by too many keypoints is
     # structure-free (the all-zeros band of flat descriptors) — capped
     # exactly like LSH_MAX_BUCKET caps shingle bands in the text ladder
-    bucket_ok = (kp.groupBy("band_id", "band_val")
+    bucket_ok = (band.groupBy("band_id", "band_val")
                  .agg(F.count(F.lit(1)).alias("n"))
                  .filter(F.col("n") <= SURF_BAND_CAP)
                  .select("band_id", "band_val"))
-    kp = kp.join(F.broadcast(bucket_ok), ["band_id", "band_val"])
+    band = band.join(F.broadcast(bucket_ok), ["band_id", "band_val"])
 
-    a, b = kp.alias("a"), kp.alias("b")
+    a, b = band.alias("a"), band.alias("b")
     cand = (a.join(b, on=[F.col("a.band_id") == F.col("b.band_id"),
                           F.col("a.band_val") == F.col("b.band_val"),
                           F.col("a.image_id") < F.col("b.image_id")])
             .select(F.col("a.image_id").alias("image_a"),
                     F.col("b.image_id").alias("image_b"),
                     F.col("a.kp_r").alias("ra"), F.col("a.kp_c").alias("ca"),
-                    F.col("b.kp_r").alias("rb"), F.col("b.kp_c").alias("cb"),
-                    F.col("a.desc").alias("da"), F.col("b.desc").alias("db"))
+                    F.col("b.kp_r").alias("rb"), F.col("b.kp_c").alias("cb"))
             # a keypoint pair colliding on several bands is ONE match
             .dropDuplicates(["image_a", "image_b", "ra", "ca", "rb", "cb"]))
+    da, db = descs.alias("da"), descs.alias("db")
+    pairs = (cand
+             .join(da, on=[F.col("image_a") == F.col("da.image_id"),
+                           F.col("ra") == F.col("da.kp_r"),
+                           F.col("ca") == F.col("da.kp_c")])
+             .join(db, on=[F.col("image_b") == F.col("db.image_id"),
+                           F.col("rb") == F.col("db.kp_r"),
+                           F.col("cb") == F.col("db.kp_c")]))
     cos = F.aggregate(
-        F.zip_with("da", "db", lambda x, y: x * y),
+        F.zip_with("da.desc", "db.desc", lambda x, y: x * y),
         F.lit(0.0), lambda acc, x: acc + x)
-    verified = (cand.withColumn("cos", cos)
+    verified = (pairs.withColumn("cos", cos)
                 .filter(F.col("cos") >= SURF_MATCH_COS))
     votes = (verified
              .groupBy("image_a", "image_b",
                       (F.col("ra") - F.col("rb")).alias("dr"),
                       (F.col("ca") - F.col("cb")).alias("dc"))
              .agg(F.count(F.lit(1)).alias("n_aligned")))
+    # deterministic on vote ties: max_by key is (count, then the
+    # smallest (dr, dc)) — bare n_aligned would emit a partitioning-
+    # dependent translation when two bins tie (segmentation.py:434 idiom)
     best = (votes.groupBy("image_a", "image_b")
-            .agg(F.max_by(F.struct("n_aligned", "dr", "dc"),
-                          "n_aligned").alias("top"))
+            .agg(F.max_by(
+                F.struct("n_aligned", "dr", "dc"),
+                F.struct(F.col("n_aligned"),
+                         (-F.col("dr")).alias("ndr"),
+                         (-F.col("dc")).alias("ndc"))).alias("top"))
             .select("image_a", "image_b", "top.n_aligned",
                     "top.dr", "top.dc")
             .filter(F.col("n_aligned") >= SURF_MIN_ALIGNED))
