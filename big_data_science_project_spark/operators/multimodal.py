@@ -743,32 +743,23 @@ SURF_MIN_ALIGNED = 3
 SURF_BAND_CAP = 32  # drop degenerate sign-band buckets (ladder idiom)
 
 
-def multimodal_surf_neardup(spark: SparkSession,
-                            sf_dir: str = "") -> DataFrame:
+_SURF_KP_SCHEMA = T.StructType([
+    T.StructField("image_id", T.LongType()),
+    T.StructField("kp_r", T.LongType()),
+    T.StructField("kp_c", T.LongType()),
+    T.StructField("bands", T.ArrayType(T.LongType())),
+    T.StructField("desc", T.ArrayType(T.DoubleType())),
+])
+
+
+def _surf_keypoints(images: DataFrame) -> DataFrame:
+    """(image_id, width, height, data_ch) -> persisted keypoint table
+    (image_id, kp_r, kp_c, bands[4], desc[64]) — the expensive Python
+    stage (decode + detect + describe), run once per image inside one
+    Arrow batch and PERSISTED because every caller fans it into
+    several join branches (cells.py:171 idiom)."""
     from ..functions import surf as S
     from ..functions.image_kernels import _to_uint8
-    from ..sources.cells import load_cells
-
-    cells = load_cells(spark, n_images=SURF_DEDUP_IMAGES,
-                       width=48, height=48)
-    wh = F.col("width") * F.col("height")
-    ch0 = cells.select(
-        "image_id", "width", "height",
-        F.slice("data", F.lit(1), wh).alias("data_ch"))
-    clones = (ch0.filter(F.col("image_id") < SURF_DEDUP_CLONES)
-              .select((F.col("image_id") + SURF_CLONE_OFFSET)
-                      .alias("image_id"), "width", "height",
-                      F.transform("data_ch", lambda x: x * F.lit(0.7))
-                      .alias("data_ch")))
-    allimg = ch0.unionByName(clones)
-
-    kp_schema = T.StructType([
-        T.StructField("image_id", T.LongType()),
-        T.StructField("kp_r", T.LongType()),
-        T.StructField("kp_c", T.LongType()),
-        T.StructField("bands", T.ArrayType(T.LongType())),
-        T.StructField("desc", T.ArrayType(T.DoubleType())),
-    ])
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -788,40 +779,54 @@ def multimodal_surf_neardup(spark: SparkSession,
                              for b in range(4)]
                     rows.append((int(img_id), int(kps[i, 0]),
                                  int(kps[i, 1]), bands, desc[i].tolist()))
-            yield pd.DataFrame(rows,
-                               columns=[f.name for f in kp_schema.fields])
+            yield pd.DataFrame(rows, columns=[f.name
+                                              for f in _SURF_KP_SCHEMA.fields])
 
-    # the expensive Python stage (generation + detect + describe) feeds
-    # the bucket count, the band self-join, and the descriptor joins —
-    # persist so it runs once (cells.py:171 idiom)
-    kp = allimg.mapInPandas(extract, kp_schema) \
+    return images.mapInPandas(extract, _SURF_KP_SCHEMA) \
         .persist(StorageLevel.MEMORY_AND_DISK_DESER)
-    # slim band rows: the 64-double descriptor does NOT ride the LSH
-    # shuffle — candidates carry only ids and coordinates, descriptors
-    # join back after the pair dedup
-    band = kp.select("image_id", "kp_r", "kp_c",
-                     F.posexplode("bands").alias("band_id", "band_val"))
-    descs = kp.select("image_id", "kp_r", "kp_c", "desc")
+
+
+def _surf_votes(kp_left: DataFrame, kp_right: DataFrame,
+                same_table: bool) -> DataFrame:
+    """Banded match + cosine verify + Hough translation vote between two
+    keypoint tables -> (image_a, image_b, n_aligned, dr, dc) for pairs
+    clearing SURF_MIN_ALIGNED. ``same_table=True`` runs the self-join
+    form (image_a < image_b); False assumes DISJOINT id spaces (the
+    batch-vs-index ingest shape) and pairs every left image with every
+    colliding right image."""
+    def slim(kp):
+        return kp.select("image_id", "kp_r", "kp_c",
+                         F.posexplode("bands").alias("band_id", "band_val"))
+
+    band_l, band_r = slim(kp_left), slim(kp_right)
     # hot-bucket cap: a sign-band value shared by too many keypoints is
     # structure-free (the all-zeros band of flat descriptors) — capped
-    # exactly like LSH_MAX_BUCKET caps shingle bands in the text ladder
-    bucket_ok = (band.groupBy("band_id", "band_val")
+    # exactly like LSH_MAX_BUCKET caps shingle bands in the text ladder;
+    # counted over BOTH sides so a degenerate value is dropped everywhere
+    bucket_ok = (band_l.unionByName(band_r)
+                 .groupBy("band_id", "band_val")
                  .agg(F.count(F.lit(1)).alias("n"))
                  .filter(F.col("n") <= SURF_BAND_CAP)
                  .select("band_id", "band_val"))
-    band = band.join(F.broadcast(bucket_ok), ["band_id", "band_val"])
+    band_l = band_l.join(F.broadcast(bucket_ok), ["band_id", "band_val"])
+    band_r = band_r.join(F.broadcast(bucket_ok), ["band_id", "band_val"])
 
-    a, b = band.alias("a"), band.alias("b")
+    a, b = band_l.alias("a"), band_r.alias("b")
+    pair_cond = (F.col("a.image_id") < F.col("b.image_id")) if same_table \
+        else (F.col("a.image_id") != F.col("b.image_id"))
     cand = (a.join(b, on=[F.col("a.band_id") == F.col("b.band_id"),
                           F.col("a.band_val") == F.col("b.band_val"),
-                          F.col("a.image_id") < F.col("b.image_id")])
+                          pair_cond])
             .select(F.col("a.image_id").alias("image_a"),
                     F.col("b.image_id").alias("image_b"),
                     F.col("a.kp_r").alias("ra"), F.col("a.kp_c").alias("ca"),
                     F.col("b.kp_r").alias("rb"), F.col("b.kp_c").alias("cb"))
             # a keypoint pair colliding on several bands is ONE match
             .dropDuplicates(["image_a", "image_b", "ra", "ca", "rb", "cb"]))
-    da, db = descs.alias("da"), descs.alias("db")
+    # descriptors did NOT ride the LSH shuffle — join them back only for
+    # the deduped candidate pairs
+    da = kp_left.select("image_id", "kp_r", "kp_c", "desc").alias("da")
+    db = kp_right.select("image_id", "kp_r", "kp_c", "desc").alias("db")
     pairs = (cand
              .join(da, on=[F.col("image_a") == F.col("da.image_id"),
                            F.col("ra") == F.col("da.kp_r"),
@@ -842,7 +847,7 @@ def multimodal_surf_neardup(spark: SparkSession,
     # deterministic on vote ties: max_by key is (count, then the
     # smallest (dr, dc)) — bare n_aligned would emit a partitioning-
     # dependent translation when two bins tie (segmentation.py:434 idiom)
-    best = (votes.groupBy("image_a", "image_b")
+    return (votes.groupBy("image_a", "image_b")
             .agg(F.max_by(
                 F.struct("n_aligned", "dr", "dc"),
                 F.struct(F.col("n_aligned"),
@@ -851,10 +856,143 @@ def multimodal_surf_neardup(spark: SparkSession,
             .select("image_a", "image_b", "top.n_aligned",
                     "top.dr", "top.dc")
             .filter(F.col("n_aligned") >= SURF_MIN_ALIGNED))
-    return best.orderBy("image_a", "image_b")
+
+
+def multimodal_surf_neardup(spark: SparkSession,
+                            sf_dir: str = "") -> DataFrame:
+    cells = load_cells(spark, n_images=SURF_DEDUP_IMAGES,
+                       width=48, height=48)
+    wh = F.col("width") * F.col("height")
+    ch0 = cells.select(
+        "image_id", "width", "height",
+        F.slice("data", F.lit(1), wh).alias("data_ch"))
+    clones = (ch0.filter(F.col("image_id") < SURF_DEDUP_CLONES)
+              .select((F.col("image_id") + SURF_CLONE_OFFSET)
+                      .alias("image_id"), "width", "height",
+                      F.transform("data_ch", lambda x: x * F.lit(0.7))
+                      .alias("data_ch")))
+    kp = _surf_keypoints(ch0.unionByName(clones))
+    return _surf_votes(kp, kp, same_table=True) \
+        .orderBy("image_a", "image_b")
 
 
 QUERIES["multimodal_surf_neardup"] = (multimodal_surf_neardup, None)
+
+
+# ---------------------------------------------------------------------------
+# Composed image-ingest dedup gate — the IMAGE twin of the text
+# pipeline's ingest_gate_pipeline (operators/ingest.py): one fresh
+# batch screened against an index through every image-dedup tier the
+# engine has, cheapest first, one verdict row per batch image.
+#
+#   exact       md5 of the packed payload ∈ index digests — byte-level
+#               copies; the only tier a bit-identical re-upload needs.
+#   phash       aHash-64 ∈ index hashes — survives re-encodes,
+#               low-amplitude noise, brightness/contrast edits (the
+#               global tier; one 8-byte key per image shuffles).
+#   structural  SURF sign-band LSH + cosine + Hough translation vote
+#               (>= SURF_MIN_ALIGNED keypoints agreeing on one (dr,
+#               dc)) — survives LOCAL edits that change every global
+#               hash: the planted batch carries occluded copies (a
+#               10x10 patch stamped over the corner) whose digest AND
+#               phash differ while interior keypoint descriptors are
+#               untouched (Gaussian-weighted windows make the far-away
+#               patch contribution negligible) — the exact failure
+#               mode global hashing has and local features exist for.
+#
+# Tier precedence is cost order: a batch image caught by a cheaper
+# tier never reaches the next one's verdict (the joins still run
+# batch-wide — at fixture scale filtering first saves nothing, and at
+# 100 TB the cascade is a policy choice the caller makes by feeding
+# tier outputs forward; the ledger matters more: digests and hashes
+# shuffle 8-16 bytes per image, keypoints ~100 rows per 1000 images,
+# pixels never).
+# Rows-only: the SURF tier is not DuckDB-expressible; the planted
+# expectations (exact copy of image 2, +0.4 re-encode of image 5,
+# occluded copies of images 0-1, four fresh images admitted) are
+# pinned in tests/test_multimodal.py.
+# ---------------------------------------------------------------------------
+INGEST_IMG_INDEX = 16           # index images 0..15
+INGEST_IMG_FRESH = 4            # batch brings 16..19 (genuinely new)
+INGEST_IMG_OFFSET = 10_000      # planted batch duplicates: 1000x + src
+
+
+def multimodal_ingest_dedup(spark: SparkSession,
+                            sf_dir: str = "") -> DataFrame:
+    wh = F.col("width") * F.col("height")
+    allgen = load_cells(spark, n_images=INGEST_IMG_INDEX + INGEST_IMG_FRESH,
+                        width=48, height=48)
+    ch0 = allgen.select(
+        "image_id", "width", "height",
+        F.slice("data", F.lit(1), wh).alias("data_ch"))
+    index = ch0.filter(F.col("image_id") < INGEST_IMG_INDEX)
+    fresh = ch0.filter(F.col("image_id") >= INGEST_IMG_INDEX)
+
+    def plant(src_ids, fn):
+        return (ch0.filter(F.col("image_id").isin(src_ids))
+                .select((F.col("image_id") + INGEST_IMG_OFFSET)
+                        .alias("image_id"), "width", "height",
+                        fn(F.col("data_ch")).alias("data_ch")))
+
+    h = F.col("height")
+    occlude = lambda c: F.transform(
+        c, lambda x, i: F.when(
+            ((i / h).cast("long") >= 2) & ((i / h).cast("long") < 12)
+            & ((i % h) >= 2) & ((i % h) < 12), F.lit(200.0)).otherwise(x))
+    batch = (fresh
+             .unionByName(plant([2], lambda c: c))                  # exact
+             .unionByName(plant([5], lambda c: F.transform(
+                 c, lambda x: x + F.lit(0.4))))                     # re-encode
+             .unionByName(plant([0, 1], occlude)))                  # local edit
+
+    def enc(df):
+        return df.select(
+            "image_id", "width", "height",
+            pack_f32(F.col("data_ch")).alias("payload"))
+
+    idx_e, bat_e = enc(index), enc(batch)
+    idx_sig = idx_e.select(
+        F.col("image_id").alias("index_id"),
+        F.md5("payload").alias("digest"),
+        _ahash64("payload", F.lit(1), "width", "height").alias("phash"))
+    bat_sig = bat_e.select(
+        "image_id", F.md5("payload").alias("digest"),
+        _ahash64("payload", F.lit(1), "width", "height").alias("phash"))
+
+    # the signature table is index-card sized — broadcast both tiers
+    ex = (bat_sig.join(F.broadcast(idx_sig.select("digest", "index_id")),
+                       "digest")
+          .groupBy("image_id")
+          .agg(F.min("index_id").alias("exact_src")))
+    ph = (bat_sig.join(F.broadcast(idx_sig.select("phash", "index_id")),
+                       "phash")
+          .groupBy("image_id")
+          .agg(F.min("index_id").alias("phash_src")))
+
+    kp_idx = _surf_keypoints(index)
+    kp_bat = _surf_keypoints(batch)
+    st = (_surf_votes(kp_idx, kp_bat, same_table=False)
+          .groupBy(F.col("image_b").alias("image_id"))
+          .agg(F.max_by("image_a", F.struct(
+              F.col("n_aligned"), -F.col("image_a"))).alias("struct_src")))
+
+    verdict = (batch.select("image_id")
+               .join(ex, "image_id", "left")
+               .join(ph, "image_id", "left")
+               .join(st, "image_id", "left")
+               .select(
+                   "image_id",
+                   F.when(F.col("exact_src").isNotNull(), F.lit("exact"))
+                    .when(F.col("phash_src").isNotNull(), F.lit("phash"))
+                    .when(F.col("struct_src").isNotNull(),
+                          F.lit("structural"))
+                    .otherwise(F.lit("admitted")).alias("tier"),
+                   F.coalesce("exact_src", "phash_src", "struct_src")
+                    .alias("evidence_id")))
+    return verdict.orderBy("image_id")
+
+
+QUERIES["multimodal_ingest_dedup"] = (multimodal_ingest_dedup, None)
 
 
 # ---------------------------------------------------------------------------

@@ -366,3 +366,24 @@ def test_adpcm_roundtrip_query_quality(spark):
     # band-limited tones; 20 dB is a conservative floor for EVERY clip
     assert row.min_snr_db >= 20
     assert row.avg_snr_db >= row.min_snr_db
+
+
+def test_ingest_dedup_tiers_and_evidence(spark):
+    """The composed image-ingest gate: each planted batch image is
+    caught by exactly the tier built for its edit — byte copy by the
+    digest, +0.4 re-encode by the global phash, occluded (local-edit)
+    copies by the SURF structural vote with the right source as
+    evidence — and the four genuinely fresh images are admitted."""
+    from big_data_science_project_spark.operators.multimodal import (
+        INGEST_IMG_OFFSET, multimodal_ingest_dedup)
+
+    rows = {r.image_id: r for r in multimodal_ingest_dedup(spark).collect()}
+    assert len(rows) == 8
+    for fresh_id in (16, 17, 18, 19):
+        assert rows[fresh_id].tier == "admitted"
+        assert rows[fresh_id].evidence_id is None
+    expect = {2: "exact", 5: "phash", 0: "structural", 1: "structural"}
+    for src, tier in expect.items():
+        got = rows[src + INGEST_IMG_OFFSET]
+        assert got.tier == tier, (src, got)
+        assert got.evidence_id == src
