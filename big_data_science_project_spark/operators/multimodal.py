@@ -801,9 +801,11 @@ def _surf_votes(kp_left: DataFrame, kp_right: DataFrame,
     band_l, band_r = slim(kp_left), slim(kp_right)
     # hot-bucket cap: a sign-band value shared by too many keypoints is
     # structure-free (the all-zeros band of flat descriptors) — capped
-    # exactly like LSH_MAX_BUCKET caps shingle bands in the text ladder;
-    # counted over BOTH sides so a degenerate value is dropped everywhere
-    bucket_ok = (band_l.unionByName(band_r)
+    # exactly like LSH_MAX_BUCKET caps shingle bands in the text ladder.
+    # In the self-join shape left and right ARE the same table: count it
+    # once, or every keypoint counts twice and the cap silently halves
+    counted = band_l if same_table else band_l.unionByName(band_r)
+    bucket_ok = (counted
                  .groupBy("band_id", "band_val")
                  .agg(F.count(F.lit(1)).alias("n"))
                  .filter(F.col("n") <= SURF_BAND_CAP)
@@ -914,7 +916,7 @@ QUERIES["multimodal_surf_neardup"] = (multimodal_surf_neardup, None)
 # ---------------------------------------------------------------------------
 INGEST_IMG_INDEX = 16           # index images 0..15
 INGEST_IMG_FRESH = 4            # batch brings 16..19 (genuinely new)
-INGEST_IMG_OFFSET = 10_000      # planted batch duplicates: 1000x + src
+INGEST_IMG_OFFSET = 10_000      # planted batch duplicates: 10000 + src
 
 
 def multimodal_ingest_dedup(spark: SparkSession,
@@ -939,25 +941,28 @@ def multimodal_ingest_dedup(spark: SparkSession,
         c, lambda x, i: F.when(
             ((i / h).cast("long") >= 2) & ((i / h).cast("long") < 12)
             & ((i % h) >= 2) & ((i % h) < 12), F.lit(200.0)).otherwise(x))
+    # batch and index each feed several subtrees (signature joins, the
+    # keypoint stage, the verdict base) — persist so the generator and
+    # the encode/hash Python stages run once per side (cells.py:171 idiom)
+    index = index.persist(StorageLevel.MEMORY_AND_DISK_DESER)
     batch = (fresh
              .unionByName(plant([2], lambda c: c))                  # exact
              .unionByName(plant([5], lambda c: F.transform(
                  c, lambda x: x + F.lit(0.4))))                     # re-encode
-             .unionByName(plant([0, 1], occlude)))                  # local edit
+             .unionByName(plant([0, 1], occlude))                   # local edit
+             .persist(StorageLevel.MEMORY_AND_DISK_DESER))
 
-    def enc(df):
-        return df.select(
-            "image_id", "width", "height",
-            pack_f32(F.col("data_ch")).alias("payload"))
+    def sig(df, id_alias):
+        enc = df.select("image_id", "width", "height",
+                        pack_f32(F.col("data_ch")).alias("payload"))
+        return enc.select(
+            F.col("image_id").alias(id_alias),
+            F.md5("payload").alias("digest"),
+            _ahash64("payload", F.lit(1), "width", "height")
+            .alias("phash")).persist(StorageLevel.MEMORY_AND_DISK_DESER)
 
-    idx_e, bat_e = enc(index), enc(batch)
-    idx_sig = idx_e.select(
-        F.col("image_id").alias("index_id"),
-        F.md5("payload").alias("digest"),
-        _ahash64("payload", F.lit(1), "width", "height").alias("phash"))
-    bat_sig = bat_e.select(
-        "image_id", F.md5("payload").alias("digest"),
-        _ahash64("payload", F.lit(1), "width", "height").alias("phash"))
+    idx_sig = sig(index, "index_id")
+    bat_sig = sig(batch, "image_id")
 
     # the signature table is index-card sized — broadcast both tiers
     ex = (bat_sig.join(F.broadcast(idx_sig.select("digest", "index_id")),
