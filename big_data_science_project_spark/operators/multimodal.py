@@ -1001,6 +1001,141 @@ QUERIES["multimodal_ingest_dedup"] = (multimodal_ingest_dedup, None)
 
 
 # ---------------------------------------------------------------------------
+# Audio landmark-fingerprint dedup — the AUDIO member of the dedup
+# family, completing the modality symmetry (text ladder / image
+# phash+SURF / audio landmarks). The published design (peak-pair
+# landmark hashing with a time-offset vote — the constellation scheme
+# every audio-ID service descends from, Wang 2003) in the same Spark
+# shape as the image tier:
+#
+#   1. per clip: MDCT frames (the codec's own transform) → dominant
+#      bin per live frame → landmark hashes (f_anchor, f_other, dt)
+#      over a fan-out-3 window, each carrying its anchor frame time —
+#      one Arrow batch per clip, samples never shuffle;
+#   2. candidates: self-join on the hash (banded, never all-pairs,
+#      hot-hash cap — the ladder idiom);
+#   3. verification = the time-offset VOTE: matched landmarks from a
+#      true copy agree on ONE (t_a - t_b); unrelated clips that share
+#      spectral content scatter. Same Hough-style groupBy as the SURF
+#      tier's translation vote, with time standing in for (dr, dc).
+#
+# The fixture is chirps (frequency sweeps), not the VAD fixture's
+# constant tones — a constant tone repeats ONE dominant bin all clip,
+# which degenerates every landmark into the same hash (a join hot
+# bucket carrying no identity); sweeps give the varied spectrum the
+# published scheme assumes. Planted clones: a time-SHIFTED copy
+# (crop — votes land on the shift, 8 frames), an amplitude-scaled
+# copy (argmax bins are scale-invariant), and a REAL ADPCM
+# encode→decode round-trip (codec noise leaves dominant bins intact).
+# Measured margins on the 66 cross pairs: clones >= 162 votes, best
+# unrelated pair 58 (similar-slope chirps genuinely share a bin
+# sequence at one offset) — AUDIO_FP_MIN_VOTES sits between with
+# >= 1.8x headroom each way, pinned in tests/test_multimodal.py.
+# Rows-only: MDCT peak tracking is not DuckDB-expressible.
+# ---------------------------------------------------------------------------
+AUDIO_FP_CLIPS = 12
+AUDIO_FP_CLONE_OFFSET = 20_000
+AUDIO_FP_MIN_VOTES = 110
+AUDIO_FP_HASH_CAP = 64          # degenerate-hash cap (ladder idiom)
+AUDIO_FP_FANOUT = 3
+AUDIO_FP_ENERGY_GATE = 1e6      # live-frame gate, coeff-energy units
+AUDIO_FP_SHIFT = 2048           # samples cropped from the shift clone
+
+
+def _gen_chirp(cid: int) -> np.ndarray:
+    """2 s linear chirp, clip-keyed start/end frequency and amplitude."""
+    n = AUDIO_SR * AUDIO_SEC
+    t = np.arange(n, dtype=np.float64)
+    f0 = 150.0 + 37.0 * (cid % 11)
+    f1 = f0 + 400.0 + 23.0 * (cid % 7)
+    ph = 2.0 * np.pi * (f0 * t + (f1 - f0) / (2.0 * n) * t * t) / AUDIO_SR
+    amp = 3000.0 + 150.0 * (cid % 5)
+    return (amp * np.sin(ph)).astype(np.int16)
+
+
+def _fp_corpus_pcm(cid: int) -> np.ndarray:
+    """Corpus clip by id: base chirps, plus the three planted clones
+    (shifted / amplitude-scaled / ADPCM-re-encoded copies)."""
+    if cid < AUDIO_FP_CLONE_OFFSET:
+        return _gen_chirp(cid)
+    src = _gen_chirp(cid - AUDIO_FP_CLONE_OFFSET)
+    which = cid - AUDIO_FP_CLONE_OFFSET
+    if which == 0:                       # time shift: crop the head
+        return src[AUDIO_FP_SHIFT:]
+    if which == 1:                       # amplitude scale
+        return np.clip(src.astype(np.float64) * 0.6,
+                       -32768, 32767).astype(np.int16)
+    # which == 2: REAL lossy re-encode through the ADPCM codec
+    return adpcm_decode(adpcm_encode(src, AUDIO_SR))[:, 0]
+
+
+def multimodal_audio_fingerprint_dedup(spark: SparkSession,
+                                       sf_dir: str = "") -> DataFrame:
+    from ..functions import mdct_codec as M
+
+    ids = list(range(AUDIO_FP_CLIPS)) + [AUDIO_FP_CLONE_OFFSET + i
+                                         for i in range(3)]
+    clips = spark.createDataFrame([(i,) for i in ids], "clip_id long") \
+        .repartition(8, "clip_id")
+
+    lm_schema = T.StructType([
+        T.StructField("clip_id", T.LongType()),
+        T.StructField("f1", T.IntegerType()),
+        T.StructField("f2", T.IntegerType()),
+        T.StructField("dt", T.IntegerType()),
+        T.StructField("t_anchor", T.IntegerType()),
+    ])
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cid in pdf["clip_id"]:
+                x = _fp_corpus_pcm(int(cid)).astype(np.float64)
+                coeffs = M.mdct(M._frame(x))
+                peaks = np.abs(coeffs).argmax(axis=1)
+                energy = (coeffs ** 2).sum(axis=1)
+                live = np.flatnonzero(energy > AUDIO_FP_ENERGY_GATE)
+                for a_i, a in enumerate(live):
+                    for b in live[a_i + 1: a_i + 1 + AUDIO_FP_FANOUT]:
+                        rows.append((int(cid), int(peaks[a]),
+                                     int(peaks[b]), int(b - a), int(a)))
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in lm_schema.fields])
+
+    lm = clips.mapInPandas(extract, lm_schema) \
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    hash_ok = (lm.groupBy("f1", "f2", "dt")
+               .agg(F.count(F.lit(1)).alias("n"))
+               .filter(F.col("n") <= AUDIO_FP_HASH_CAP)
+               .select("f1", "f2", "dt"))
+    lm = lm.join(F.broadcast(hash_ok), ["f1", "f2", "dt"])
+
+    a, b = lm.alias("a"), lm.alias("b")
+    votes = (a.join(b, on=[F.col("a.f1") == F.col("b.f1"),
+                           F.col("a.f2") == F.col("b.f2"),
+                           F.col("a.dt") == F.col("b.dt"),
+                           F.col("a.clip_id") < F.col("b.clip_id")])
+             .groupBy(F.col("a.clip_id").alias("clip_a"),
+                      F.col("b.clip_id").alias("clip_b"),
+                      (F.col("a.t_anchor") - F.col("b.t_anchor"))
+                      .alias("offset"))
+             .agg(F.count(F.lit(1)).alias("n_votes")))
+    # deterministic on ties, smallest offset wins (SURF-vote idiom)
+    return (votes.groupBy("clip_a", "clip_b")
+            .agg(F.max_by(F.struct("n_votes", "offset"),
+                          F.struct(F.col("n_votes"),
+                                   (-F.col("offset")).alias("noff")))
+                 .alias("top"))
+            .select("clip_a", "clip_b", "top.n_votes", "top.offset")
+            .filter(F.col("n_votes") >= AUDIO_FP_MIN_VOTES)
+            .orderBy("clip_a", "clip_b"))
+
+
+QUERIES["multimodal_audio_fingerprint_dedup"] = (
+    multimodal_audio_fingerprint_dedup, None)
+
+
+# ---------------------------------------------------------------------------
 # Audio modality — opaque PCM payloads with typed metadata, the audio
 # member of the multimodal surface (mandate: "image/audio/video as
 # opaque binary columns"). Payloads are deterministic synthetic int16

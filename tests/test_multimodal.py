@@ -387,3 +387,24 @@ def test_ingest_dedup_tiers_and_evidence(spark):
         got = rows[src + INGEST_IMG_OFFSET]
         assert got.tier == tier, (src, got)
         assert got.evidence_id == src
+
+
+def test_audio_fingerprint_dedup_finds_planted_clones_only(spark):
+    """The audio dedup tier: exactly the three planted clones pair with
+    their sources — the cropped copy at the 8-frame offset
+    (AUDIO_FP_SHIFT / 256 MDCT hop), the amplitude-scaled and
+    ADPCM-re-encoded copies at offset 0 — and no unrelated chirp pair
+    clears AUDIO_FP_MIN_VOTES (measured best conspiracy: 58)."""
+    from big_data_science_project_spark.operators.multimodal import (
+        AUDIO_FP_CLONE_OFFSET, AUDIO_FP_MIN_VOTES, AUDIO_FP_SHIFT,
+        multimodal_audio_fingerprint_dedup)
+
+    rows = multimodal_audio_fingerprint_dedup(spark).collect()
+    assert len(rows) == 3
+    by_src = {r.clip_a: r for r in rows}
+    assert set(by_src) == {0, 1, 2}
+    for src, r in by_src.items():
+        assert r.clip_b == src + AUDIO_FP_CLONE_OFFSET
+        assert r.n_votes >= AUDIO_FP_MIN_VOTES
+    assert by_src[0].offset == AUDIO_FP_SHIFT // 256
+    assert by_src[1].offset == 0 and by_src[2].offset == 0
