@@ -68,6 +68,15 @@ def _frame(x: np.ndarray) -> np.ndarray:
     return buf[idx]
 
 
+def analysis_frames(x: np.ndarray) -> np.ndarray:
+    """Public framing entry point: 1-D float signal -> (B, 2N)
+    50%-overlapped frames (the _frame padding contract — one leading and
+    one trailing half-window — is part of this function's interface;
+    operators outside the codec, e.g. the audio fingerprint tier, index
+    anchor frames against it)."""
+    return _frame(x)
+
+
 def mdct(frames: np.ndarray) -> np.ndarray:
     """(B, 2N) windowed frames → (B, N) coefficients."""
     return (frames * _WIN) @ _COS

@@ -1027,10 +1027,12 @@ QUERIES["multimodal_ingest_dedup"] = (multimodal_ingest_dedup, None)
 # (crop — votes land on the shift, 8 frames), an amplitude-scaled
 # copy (argmax bins are scale-invariant), and a REAL ADPCM
 # encode→decode round-trip (codec noise leaves dominant bins intact).
-# Measured margins on the 66 cross pairs: clones >= 162 votes, best
+# Measured margins over all 105 non-clone pairs of the 15-clip corpus
+# (base-base AND base-vs-wrong-clone): clones >= 162 votes, best
 # unrelated pair 58 (similar-slope chirps genuinely share a bin
-# sequence at one offset) — AUDIO_FP_MIN_VOTES sits between with
-# >= 1.8x headroom each way, pinned in tests/test_multimodal.py.
+# sequence at one offset) — AUDIO_FP_MIN_VOTES = 110 sits between at
+# 1.47x under the weakest clone and 1.90x over the best impostor,
+# pinned in tests/test_multimodal.py.
 # Rows-only: MDCT peak tracking is not DuckDB-expressible.
 # ---------------------------------------------------------------------------
 AUDIO_FP_CLIPS = 12
@@ -1091,7 +1093,7 @@ def multimodal_audio_fingerprint_dedup(spark: SparkSession,
             rows = []
             for cid in pdf["clip_id"]:
                 x = _fp_corpus_pcm(int(cid)).astype(np.float64)
-                coeffs = M.mdct(M._frame(x))
+                coeffs = M.mdct(M.analysis_frames(x))
                 peaks = np.abs(coeffs).argmax(axis=1)
                 energy = (coeffs ** 2).sum(axis=1)
                 live = np.flatnonzero(energy > AUDIO_FP_ENERGY_GATE)

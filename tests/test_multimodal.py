@@ -395,9 +395,14 @@ def test_audio_fingerprint_dedup_finds_planted_clones_only(spark):
     (AUDIO_FP_SHIFT / 256 MDCT hop), the amplitude-scaled and
     ADPCM-re-encoded copies at offset 0 — and no unrelated chirp pair
     clears AUDIO_FP_MIN_VOTES (measured best conspiracy: 58)."""
+    from big_data_science_project_spark.functions.mdct_codec import N_COEFF
     from big_data_science_project_spark.operators.multimodal import (
         AUDIO_FP_CLONE_OFFSET, AUDIO_FP_MIN_VOTES, AUDIO_FP_SHIFT,
         multimodal_audio_fingerprint_dedup)
+
+    # the exact-offset guarantee below holds only because the crop is a
+    # whole number of MDCT hops — misaligned frames would scatter votes
+    assert AUDIO_FP_SHIFT % N_COEFF == 0
 
     rows = multimodal_audio_fingerprint_dedup(spark).collect()
     assert len(rows) == 3
@@ -406,5 +411,5 @@ def test_audio_fingerprint_dedup_finds_planted_clones_only(spark):
     for src, r in by_src.items():
         assert r.clip_b == src + AUDIO_FP_CLONE_OFFSET
         assert r.n_votes >= AUDIO_FP_MIN_VOTES
-    assert by_src[0].offset == AUDIO_FP_SHIFT // 256
+    assert by_src[0].offset == AUDIO_FP_SHIFT // N_COEFF
     assert by_src[1].offset == 0 and by_src[2].offset == 0
