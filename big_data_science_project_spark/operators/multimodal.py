@@ -740,7 +740,18 @@ SURF_DEDUP_CLONES = 4
 SURF_CLONE_OFFSET = 9000
 SURF_MATCH_COS = 0.99
 SURF_MIN_ALIGNED = 3
-SURF_BAND_CAP = 32  # drop degenerate sign-band buckets (ladder idiom)
+# Degenerate-bucket cap, PER-IMAGE-NORMALIZED (ladder idiom, made
+# scale-stable): a band value is dropped when it averages more than
+# this many keypoints per image that carries it. A fixed global count
+# (the first cut used 32) is corpus-size-dependent — at 10x the images
+# it silently drops the legitimately-shared structure buckets that
+# clone matching rides on, eroding recall exactly when the corpus
+# grows (measured: clone votes 6-10 -> 5-9 at 160 images under the
+# fixed cap). Normalizing by distinct images keeps the target — a
+# structure-free value repeated MANY times by the SAME images (the
+# all-zeros band of flat descriptors) — while shared-across-images
+# structure survives at any corpus size.
+SURF_BAND_PER_IMAGE = 4
 
 
 _SURF_KP_SCHEMA = T.StructType([
@@ -807,8 +818,10 @@ def _surf_votes(kp_left: DataFrame, kp_right: DataFrame,
     counted = band_l if same_table else band_l.unionByName(band_r)
     bucket_ok = (counted
                  .groupBy("band_id", "band_val")
-                 .agg(F.count(F.lit(1)).alias("n"))
-                 .filter(F.col("n") <= SURF_BAND_CAP)
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.countDistinct("image_id").alias("n_img"))
+                 .filter(F.col("n") <=
+                         F.lit(SURF_BAND_PER_IMAGE) * F.col("n_img"))
                  .select("band_id", "band_val"))
     band_l = band_l.join(F.broadcast(bucket_ok), ["band_id", "band_val"])
     band_r = band_r.join(F.broadcast(bucket_ok), ["band_id", "band_val"])
@@ -1038,7 +1051,13 @@ QUERIES["multimodal_ingest_dedup"] = (multimodal_ingest_dedup, None)
 AUDIO_FP_CLIPS = 12
 AUDIO_FP_CLONE_OFFSET = 20_000
 AUDIO_FP_MIN_VOTES = 110
-AUDIO_FP_HASH_CAP = 64          # degenerate-hash cap (ladder idiom)
+# per-clip-normalized degenerate-hash cap (see SURF_BAND_PER_IMAGE for
+# the rationale): a constant tone emits ONE hash ~170 times per clip
+# (>> 8) and is dropped; chirp landmarks repeat <= 3 times per clip and
+# survive no matter how many clips legitimately share them — a fixed
+# global count collapsed recall to ZERO at 10x the clips (measured:
+# even the planted clones lost their hashes to the cap)
+AUDIO_FP_PER_CLIP = 8
 AUDIO_FP_FANOUT = 3
 AUDIO_FP_ENERGY_GATE = 1e6      # live-frame gate, coeff-energy units
 AUDIO_FP_SHIFT = 2048           # samples cropped from the shift clone
@@ -1107,8 +1126,10 @@ def multimodal_audio_fingerprint_dedup(spark: SparkSession,
     lm = clips.mapInPandas(extract, lm_schema) \
         .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     hash_ok = (lm.groupBy("f1", "f2", "dt")
-               .agg(F.count(F.lit(1)).alias("n"))
-               .filter(F.col("n") <= AUDIO_FP_HASH_CAP)
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.countDistinct("clip_id").alias("n_clips"))
+               .filter(F.col("n") <=
+                       F.lit(AUDIO_FP_PER_CLIP) * F.col("n_clips"))
                .select("f1", "f2", "dt"))
     lm = lm.join(F.broadcast(hash_ok), ["f1", "f2", "dt"])
 
