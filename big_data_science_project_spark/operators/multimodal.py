@@ -1159,6 +1159,138 @@ QUERIES["multimodal_audio_fingerprint_dedup"] = (
 
 
 # ---------------------------------------------------------------------------
+# Video frame-fingerprint dedup — the VIDEO member of the dedup family,
+# closing the modality square (text ladder / image phash+SURF / audio
+# landmarks / video frame constellation). Same candidates+vote
+# discipline as the audio tier with frames standing in for landmarks:
+#
+#   1. per clip: one 64-bit aHash per frame (2x2 block means
+#      thresholded at the FRAME's own mean — the per-frame threshold
+#      makes the hash invariant to the brightness drift and to global
+#      brightness edits), extracted in one Arrow batch;
+#   2. candidates: self-join on the frame hash, per-clip-normalized
+#      degenerate cap (a static clip repeating one frame forever is
+#      the constant-tone analogue);
+#   3. verification: the frame-OFFSET vote — a true copy's matching
+#      frames agree on ONE time offset (a trimmed copy votes AT its
+#      trim length), unrelated clips with coincidentally-equal frames
+#      scatter.
+#
+# Fixture: motion clips (a bright square on a clip-keyed path over a
+# drifting background) — the scene-cut fixture's uniform gradient
+# frames hash identically within a clip (the degenerate case), so the
+# dedup fixture needs per-frame CONTENT, exactly like the audio tier
+# needed chirps. Planted clones: a 6-frame TRIM of clip 0 (found at
+# offset 6) and a +30 brightness edit of clip 1 (hash-invariant,
+# offset 0). Measured margins: clones 42/48 votes, best unrelated pair
+# 8 (same-velocity paths collide periodically) — threshold 24 sits at
+# 1.75x under the weakest clone and 3.0x over the best impostor,
+# test-pinned. Rows-only (pixel hashing is not DuckDB-expressible).
+# ---------------------------------------------------------------------------
+VIDEO_FP_CLIPS = 16
+VIDEO_FP_FRAMES = 48
+VIDEO_FP_HW = 16
+VIDEO_FP_CLONE_OFFSET = 30_000
+VIDEO_FP_MIN_VOTES = 24
+VIDEO_FP_PER_CLIP = 8
+VIDEO_FP_TRIM = 6
+
+
+def _gen_motion_video(cid: int) -> np.ndarray:
+    """(FRAMES, H, W) uint8: a 4x4 bright square on a clip-keyed wrap
+    path over a +1/frame drifting background."""
+    n, hw = VIDEO_FP_FRAMES, VIDEO_FP_HW
+    x0, y0 = 1 + (cid * 5) % 11, 1 + (cid * 3) % 11
+    dx, dy = 1 + cid % 3, 1 + (cid // 3) % 3
+    vid = np.empty((n, hw, hw), dtype=np.uint8)
+    for f in range(n):
+        img = np.full((hw, hw), 40 + f, dtype=np.int32)
+        x, y = (x0 + f * dx) % (hw - 4), (y0 + f * dy) % (hw - 4)
+        img[y:y + 4, x:x + 4] += 120
+        vid[f] = np.clip(img, 0, 255).astype(np.uint8)
+    return vid
+
+
+def _video_fp_corpus(cid: int) -> np.ndarray:
+    if cid < VIDEO_FP_CLONE_OFFSET:
+        return _gen_motion_video(cid)
+    which = cid - VIDEO_FP_CLONE_OFFSET
+    src = _gen_motion_video(which)
+    if which == 0:                       # trim: drop the head frames
+        return src[VIDEO_FP_TRIM:]
+    # which == 1: global brightness edit (the aHash-invariant class)
+    return np.clip(src.astype(np.int32) + 30, 0, 255).astype(np.uint8)
+
+
+def _frame_ahash64(frame: np.ndarray) -> int:
+    """Per-frame 64-bit block-mean hash, thresholded at the frame's own
+    mean (brightness-invariant); plain int folding (no byte-order
+    reinterpretation)."""
+    hw = frame.shape[0]
+    b = hw // 8
+    sm = frame.reshape(8, b, 8, b).mean(axis=(1, 3))
+    bits = (sm > sm.mean()).reshape(-1)
+    v = int(sum(1 << i for i in range(64) if bits[i]))
+    # fold to signed int64: bit 63 set would overflow Arrow's long
+    # (the same wrap _ahash64 applies via the uint64 -> int64 view)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def multimodal_video_fingerprint_dedup(spark: SparkSession,
+                                       sf_dir: str = "") -> DataFrame:
+    ids = list(range(VIDEO_FP_CLIPS)) + [VIDEO_FP_CLONE_OFFSET + i
+                                         for i in range(2)]
+    clips = spark.createDataFrame([(i,) for i in ids], "clip_id long") \
+        .repartition(8, "clip_id")
+
+    fh_schema = T.StructType([
+        T.StructField("clip_id", T.LongType()),
+        T.StructField("fhash", T.LongType()),
+        T.StructField("t", T.IntegerType()),
+    ])
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cid in pdf["clip_id"]:
+                vid = _video_fp_corpus(int(cid))
+                for t in range(len(vid)):
+                    rows.append((int(cid), _frame_ahash64(vid[t]), t))
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in fh_schema.fields])
+
+    fh = clips.mapInPandas(extract, fh_schema) \
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    hash_ok = (fh.groupBy("fhash")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.countDistinct("clip_id").alias("n_clips"))
+               .filter(F.col("n") <=
+                       F.lit(VIDEO_FP_PER_CLIP) * F.col("n_clips"))
+               .select("fhash"))
+    fh = fh.join(F.broadcast(hash_ok), "fhash")
+
+    a, b = fh.alias("a"), fh.alias("b")
+    votes = (a.join(b, on=[F.col("a.fhash") == F.col("b.fhash"),
+                           F.col("a.clip_id") < F.col("b.clip_id")])
+             .groupBy(F.col("a.clip_id").alias("clip_a"),
+                      F.col("b.clip_id").alias("clip_b"),
+                      (F.col("a.t") - F.col("b.t")).alias("offset"))
+             .agg(F.count(F.lit(1)).alias("n_votes")))
+    return (votes.groupBy("clip_a", "clip_b")
+            .agg(F.max_by(F.struct("n_votes", "offset"),
+                          F.struct(F.col("n_votes"),
+                                   (-F.col("offset")).alias("noff")))
+                 .alias("top"))
+            .select("clip_a", "clip_b", "top.n_votes", "top.offset")
+            .filter(F.col("n_votes") >= VIDEO_FP_MIN_VOTES)
+            .orderBy("clip_a", "clip_b"))
+
+
+QUERIES["multimodal_video_fingerprint_dedup"] = (
+    multimodal_video_fingerprint_dedup, None)
+
+
+# ---------------------------------------------------------------------------
 # Audio modality — opaque PCM payloads with typed metadata, the audio
 # member of the multimodal surface (mandate: "image/audio/video as
 # opaque binary columns"). Payloads are deterministic synthetic int16

@@ -413,3 +413,24 @@ def test_audio_fingerprint_dedup_finds_planted_clones_only(spark):
         assert r.n_votes >= AUDIO_FP_MIN_VOTES
     assert by_src[0].offset == AUDIO_FP_SHIFT // N_COEFF
     assert by_src[1].offset == 0 and by_src[2].offset == 0
+
+
+def test_video_fingerprint_dedup_finds_planted_clones_only(spark):
+    """The video dedup tier: exactly the two planted clones pair with
+    their sources — the 6-frame trim AT offset 6, the +30 brightness
+    edit (per-frame-mean aHash is brightness-invariant) at offset 0 —
+    and no unrelated motion-clip pair clears VIDEO_FP_MIN_VOTES
+    (measured best conspiracy: 8 of 48 frames)."""
+    from big_data_science_project_spark.operators.multimodal import (
+        VIDEO_FP_CLONE_OFFSET, VIDEO_FP_MIN_VOTES, VIDEO_FP_TRIM,
+        multimodal_video_fingerprint_dedup)
+
+    rows = multimodal_video_fingerprint_dedup(spark).collect()
+    assert len(rows) == 2
+    by_src = {r.clip_a: r for r in rows}
+    assert set(by_src) == {0, 1}
+    for src, r in by_src.items():
+        assert r.clip_b == src + VIDEO_FP_CLONE_OFFSET
+        assert r.n_votes >= VIDEO_FP_MIN_VOTES
+    assert by_src[0].offset == VIDEO_FP_TRIM
+    assert by_src[1].offset == 0

@@ -131,6 +131,41 @@ def audio_tier(spark, n_clips: int):
             "false_pairs": mistakes}
 
 
+def video_tier(spark, n_clips: int):
+    """Frame fingerprint over n_clips motion clips + the 2 planted
+    clones. The motion paths WRAP, so two clips with the same velocity
+    (dx, dy) trace the identical closed loop and differ only in phase —
+    a time-shift vote legitimately aligns them (verified: at 160 clips
+    every flagged non-clone pair is same-velocity, none differ). Those
+    are genuine cyclic twins, classified apart from mistakes."""
+    import big_data_science_project_spark.operators.multimodal as MM
+
+    old = MM.VIDEO_FP_CLIPS
+    MM.VIDEO_FP_CLIPS = n_clips
+    try:
+        rows = MM.multimodal_video_fingerprint_dedup(spark).collect()
+    finally:
+        MM.VIDEO_FP_CLIPS = old
+    clone_pairs = sum(1 for r in rows
+                      if r.clip_b == r.clip_a + MM.VIDEO_FP_CLONE_OFFSET)
+
+    def _velocity(cid: int):
+        cid %= MM.VIDEO_FP_CLONE_OFFSET
+        return (1 + cid % 3, 1 + (cid // 3) % 3)
+
+    twins = mistakes = 0
+    for r in rows:
+        if r.clip_b == r.clip_a + MM.VIDEO_FP_CLONE_OFFSET:
+            continue
+        if _velocity(r.clip_a) == _velocity(r.clip_b):
+            twins += 1
+        else:
+            mistakes += 1
+    return {"n_clips": n_clips, "pairs": len(rows),
+            "clone_pairs": clone_pairs, "cyclic_twins": twins,
+            "false_pairs": mistakes}
+
+
 def ingest_tier(spark, n_index: int):
     """Composed gate with a growing INDEX and the constant 8-image
     batch — the per-ingest cost that must NOT scale with the corpus."""
@@ -162,6 +197,7 @@ def main():
     report = {"rep": args.rep, "tiers": {}}
     for name, fn, base in (("surf_neardup", surf_tier, 16),
                            ("audio_fingerprint", audio_tier, 12),
+                           ("video_fingerprint", video_tier, 16),
                            ("ingest_gate_index", ingest_tier, 16)):
         t1, r1 = _timed(lambda: fn(spark, base))
         t2, r2 = _timed(lambda: fn(spark, base * args.rep))
