@@ -1090,6 +1090,41 @@ def _fp_corpus_pcm(cid: int) -> np.ndarray:
     return adpcm_decode(adpcm_encode(src, AUDIO_SR))[:, 0]
 
 
+def _constellation_votes(rows: DataFrame, hash_cols: tuple,
+                         per_entity: int, min_votes: int,
+                         entity: str = "clip_id",
+                         t: str = "t") -> DataFrame:
+    """Shared candidates+vote spine of the audio and video fingerprint
+    tiers (one discipline, two modalities): per-entity-normalized
+    degenerate-hash cap, banded self-join on the hash columns, and the
+    time-offset Hough vote with the deterministic smallest-offset
+    tie-break. ``rows`` should already be persisted by the caller (it
+    feeds both the cap count and the self-join)."""
+    hash_ok = (rows.groupBy(*hash_cols)
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.countDistinct(entity).alias("n_ent"))
+               .filter(F.col("n") <= F.lit(per_entity) * F.col("n_ent"))
+               .select(*hash_cols))
+    rows = rows.join(F.broadcast(hash_ok), list(hash_cols))
+    a, b = rows.alias("a"), rows.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in hash_cols]
+    cond.append(F.col(f"a.{entity}") < F.col(f"b.{entity}"))
+    votes = (a.join(b, on=cond)
+             .groupBy(F.col(f"a.{entity}").alias("clip_a"),
+                      F.col(f"b.{entity}").alias("clip_b"),
+                      (F.col(f"a.{t}") - F.col(f"b.{t}")).alias("offset"))
+             .agg(F.count(F.lit(1)).alias("n_votes")))
+    # deterministic on ties, smallest offset wins (SURF-vote idiom)
+    return (votes.groupBy("clip_a", "clip_b")
+            .agg(F.max_by(F.struct("n_votes", "offset"),
+                          F.struct(F.col("n_votes"),
+                                   (-F.col("offset")).alias("noff")))
+                 .alias("top"))
+            .select("clip_a", "clip_b", "top.n_votes", "top.offset")
+            .filter(F.col("n_votes") >= min_votes)
+            .orderBy("clip_a", "clip_b"))
+
+
 def multimodal_audio_fingerprint_dedup(spark: SparkSession,
                                        sf_dir: str = "") -> DataFrame:
     from ..functions import mdct_codec as M
@@ -1125,33 +1160,9 @@ def multimodal_audio_fingerprint_dedup(spark: SparkSession,
 
     lm = clips.mapInPandas(extract, lm_schema) \
         .persist(StorageLevel.MEMORY_AND_DISK_DESER)
-    hash_ok = (lm.groupBy("f1", "f2", "dt")
-               .agg(F.count(F.lit(1)).alias("n"),
-                    F.countDistinct("clip_id").alias("n_clips"))
-               .filter(F.col("n") <=
-                       F.lit(AUDIO_FP_PER_CLIP) * F.col("n_clips"))
-               .select("f1", "f2", "dt"))
-    lm = lm.join(F.broadcast(hash_ok), ["f1", "f2", "dt"])
-
-    a, b = lm.alias("a"), lm.alias("b")
-    votes = (a.join(b, on=[F.col("a.f1") == F.col("b.f1"),
-                           F.col("a.f2") == F.col("b.f2"),
-                           F.col("a.dt") == F.col("b.dt"),
-                           F.col("a.clip_id") < F.col("b.clip_id")])
-             .groupBy(F.col("a.clip_id").alias("clip_a"),
-                      F.col("b.clip_id").alias("clip_b"),
-                      (F.col("a.t_anchor") - F.col("b.t_anchor"))
-                      .alias("offset"))
-             .agg(F.count(F.lit(1)).alias("n_votes")))
-    # deterministic on ties, smallest offset wins (SURF-vote idiom)
-    return (votes.groupBy("clip_a", "clip_b")
-            .agg(F.max_by(F.struct("n_votes", "offset"),
-                          F.struct(F.col("n_votes"),
-                                   (-F.col("offset")).alias("noff")))
-                 .alias("top"))
-            .select("clip_a", "clip_b", "top.n_votes", "top.offset")
-            .filter(F.col("n_votes") >= AUDIO_FP_MIN_VOTES)
-            .orderBy("clip_a", "clip_b"))
+    return _constellation_votes(lm, ("f1", "f2", "dt"),
+                                AUDIO_FP_PER_CLIP, AUDIO_FP_MIN_VOTES,
+                                t="t_anchor")
 
 
 QUERIES["multimodal_audio_fingerprint_dedup"] = (
@@ -1192,7 +1203,12 @@ VIDEO_FP_FRAMES = 48
 VIDEO_FP_HW = 16
 VIDEO_FP_CLONE_OFFSET = 30_000
 VIDEO_FP_MIN_VOTES = 24
-VIDEO_FP_PER_CLIP = 8
+# a velocity-(3,3) clip loops its 12-px wrap path in 4 frames, so each
+# of its 4 distinct frame hashes legitimately recurs 48/4 = 12 times —
+# the cap must sit ABOVE the fastest loop (review finding: at 8 such
+# clips lost every hash and their clones became undetectable) while
+# still dropping the static-clip degenerate (one hash 48x per clip)
+VIDEO_FP_PER_CLIP = 16
 VIDEO_FP_TRIM = 6
 
 
@@ -1230,10 +1246,11 @@ def _frame_ahash64(frame: np.ndarray) -> int:
     b = hw // 8
     sm = frame.reshape(8, b, 8, b).mean(axis=(1, 3))
     bits = (sm > sm.mean()).reshape(-1)
-    v = int(sum(1 << i for i in range(64) if bits[i]))
-    # fold to signed int64: bit 63 set would overflow Arrow's long
-    # (the same wrap _ahash64 applies via the uint64 -> int64 view)
-    return v - (1 << 64) if v >= (1 << 63) else v
+    # same vectorized fold as _ahash64: uint64 weights summed, then
+    # reinterpreted signed so bit 63 cannot overflow Arrow's long
+    weights = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+    return int(np.int64(weights[bits].sum(dtype=np.uint64)
+                        .astype(np.uint64).view(np.int64)))
 
 
 def multimodal_video_fingerprint_dedup(spark: SparkSession,
@@ -1261,29 +1278,8 @@ def multimodal_video_fingerprint_dedup(spark: SparkSession,
 
     fh = clips.mapInPandas(extract, fh_schema) \
         .persist(StorageLevel.MEMORY_AND_DISK_DESER)
-    hash_ok = (fh.groupBy("fhash")
-               .agg(F.count(F.lit(1)).alias("n"),
-                    F.countDistinct("clip_id").alias("n_clips"))
-               .filter(F.col("n") <=
-                       F.lit(VIDEO_FP_PER_CLIP) * F.col("n_clips"))
-               .select("fhash"))
-    fh = fh.join(F.broadcast(hash_ok), "fhash")
-
-    a, b = fh.alias("a"), fh.alias("b")
-    votes = (a.join(b, on=[F.col("a.fhash") == F.col("b.fhash"),
-                           F.col("a.clip_id") < F.col("b.clip_id")])
-             .groupBy(F.col("a.clip_id").alias("clip_a"),
-                      F.col("b.clip_id").alias("clip_b"),
-                      (F.col("a.t") - F.col("b.t")).alias("offset"))
-             .agg(F.count(F.lit(1)).alias("n_votes")))
-    return (votes.groupBy("clip_a", "clip_b")
-            .agg(F.max_by(F.struct("n_votes", "offset"),
-                          F.struct(F.col("n_votes"),
-                                   (-F.col("offset")).alias("noff")))
-                 .alias("top"))
-            .select("clip_a", "clip_b", "top.n_votes", "top.offset")
-            .filter(F.col("n_votes") >= VIDEO_FP_MIN_VOTES)
-            .orderBy("clip_a", "clip_b"))
+    return _constellation_votes(fh, ("fhash",),
+                                VIDEO_FP_PER_CLIP, VIDEO_FP_MIN_VOTES)
 
 
 QUERIES["multimodal_video_fingerprint_dedup"] = (

@@ -1,5 +1,6 @@
 """Scale probe for the multimodal dedup tiers (SURF structural, audio
-landmark fingerprint, composed image-ingest gate).
+landmark fingerprint, video frame fingerprint, composed image-ingest
+gate).
 
 These operators run on deterministic generator corpora rather than the
 sf-parametrized parquet, so tools/scale_probe.py's fixture replication
