@@ -75,34 +75,53 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # Registry ORDER: the independent driver verifies the FIRST 50
     # entries (rows + schema + value hash vs DuckDB), so the front of
     # the dict must span every operator family — relational core,
-    # dedup ladder, ANN, ML, graph, text/LM, curation, ingest,
-    # timeseries, streaming, cells, multimodal, sinks — not just
-    # q01..q50 (r9 verdict item 4). Names listed here jump to the
-    # front in this order; everything else keeps module order behind
-    # them. Name-keyed consumers (tests, bench, selfcheck) are
+    # dedup ladder, ANN, ML, graph, text/LM, curation, excision,
+    # timeseries, streaming, cells, sinks — not just q01..q50 (r9
+    # verdict item 4). The window ROTATES per round (r10 verdict item
+    # 1): rounds 1-10 checked the same 50, leaving ~158 oracles never
+    # independently driver-verified. This round's front keeps five
+    # stable canaries (q01, q17, dedup_incremental,
+    # ingest_gate_pipeline, stream_hourly_by_type) and fills the other
+    # 45 slots from the never-driver-checked value-oracled set (union
+    # of CORRECTNESS_r01..r10 keys excluded). Names listed here jump
+    # to the front in this order; everything else keeps module order
+    # behind them. Name-keyed consumers (tests, bench, selfcheck) are
     # unaffected.
     front = [
-        "q01_pricing_summary", "q02_filter_project", "q03_revenue_topn",
-        "q04_order_priority", "q05_region_revenue", "q07_window_rank",
-        "q16_asof_join", "q17_outlier_votes", "q24_percentiles",
-        "q27_skew_salted_votes", "q49_lateral_topn", "q50_recursive_spine",
-        "outlier_fit", "outlier_transform",
-        "dedup_exact", "dedup_minhash_verified", "dedup_simhash",
-        "dedup_incremental", "dedup_incremental_persisted",
-        "dedup_recall_sweep",
-        "ann_bruteforce_topk", "ann_ivf_topk", "ann_ivf_trained_topk",
-        "ann_incremental_persisted", "ann_pq_topk", "embedding_neardup",
-        "ml_gram_matrix", "ml_kmeans_lloyd", "ml_logreg_irls",
-        "graph_pagerank", "graph_components",
-        "text_token_stats", "lang_id", "text_bm25_search",
-        "text_lm_perplexity", "lm_incremental_refresh",
-        "curate_pipeline", "curate_decontaminate", "curate_pack_sequences",
-        "ingest_gate_pipeline",
-        "ts_hypertable_rollup", "ts_cusum_changepoint",
-        "stream_hourly_by_type", "stream_dedup_against_index",
-        "stream_ingest_pipeline", "stream_ingest_loop",
-        "cells_features", "cells_blur_threshold",
-        "multimodal_audio_vad", "sink_zorder_clustered",
+        # canaries — stable across rounds
+        "q01_pricing_summary", "q17_outlier_votes",
+        "dedup_incremental", "ingest_gate_pipeline",
+        "stream_hourly_by_type",
+        # relational: never-driver-checked window
+        "q51_scd2", "q52_approx_percentile", "q58_funnel",
+        "q62_mode_median", "q64_asof_nearest", "q66_group_by_all",
+        "q68_bag_set_ops", "q71_skew_autosalt", "q74_pivot_multiagg",
+        # dedup ladder
+        "dedup_exact_normalized", "dedup_lsh_hot_buckets",
+        "dedup_containment", "dedup_embedding_semantic",
+        # ANN / similarity
+        "ann_lsh_topk", "ann_filtered_topk", "ann_multiprobe_range",
+        "ann_hybrid_rrf", "ann_clustered_sweep",
+        # ML
+        "ml_ridge_predict", "ml_pca_spectrum", "ml_auc_exact",
+        "ml_decision_stump",
+        # graph
+        "graph_triangles", "graph_bfs_levels", "graph_kcore",
+        # text / LM
+        "text_quality", "doc_fingerprint", "text_bpe_merges",
+        "text_inverted_index", "text_naive_bayes_langid",
+        "text_sparse_cosine_topk",
+        # curation
+        "curate_split", "curate_quality_filter", "curate_mixture_weights",
+        # excision lifecycle
+        "artifact_excise", "lm_excise_rescore",
+        # timeseries
+        "ts_resample_ffill", "ts_ewma",
+        # streaming
+        "stream_welford_by_type", "stream_stream_join", "stream_sessions",
+        "stream_dedup_within_watermark", "stream_ann_gate",
+        # cells + sinks
+        "cells_outlier_filter", "sink_bucketed_join",
     ]
     missing = [n for n in front if n not in queries]
     if missing:

@@ -79,6 +79,44 @@ def test_external_codec_stub_contract():
     assert (a == b).all() and a.dtype == np.float32 and len(a) == 16
 
 
+def test_decode_external_descope_message():
+    # the mp3/opus descope is PERMANENT and the error message must keep
+    # naming every real codec tier so the boundary stays self-documenting
+    # (r10 verdict item 8)
+    for name in ("mp3", "opus"):
+        with pytest.raises(NotImplementedError) as ei:
+            M.decode_external(b"\x00\x01", name)
+        msg = str(ei.value)
+        assert "format-bitstream framing" in msg
+        for tier in ("png", "jpeg", "flac", "adpcm", "mdct",
+                     "mdct_psycho"):
+            assert tier in msg
+        assert "ffmpeg" in msg
+    # the six named tiers must all be REAL dispatch targets, not just
+    # prose: each decodes its own encoder's output without use_fake
+    from big_data_science_project_spark.functions.adpcm_codec import (
+        adpcm_encode)
+    from big_data_science_project_spark.functions.flac_codec import (
+        flac_encode)
+    from big_data_science_project_spark.functions.jpeg_codec import (
+        jpeg_encode)
+    from big_data_science_project_spark.functions.mdct_codec import (
+        mdct_encode, mdct_encode_psycho)
+    from big_data_science_project_spark.functions.png_codec import (
+        png_encode)
+
+    img = np.full((8, 8), 200, dtype=np.uint8)
+    pcm = (np.sin(np.linspace(0, 20, 1024)) * 3000).astype(np.int16)
+    payloads = {
+        "png": png_encode(img), "jpeg": jpeg_encode(img, 90),
+        "flac": flac_encode(pcm), "adpcm": adpcm_encode(pcm),
+        "mdct": mdct_encode(pcm), "mdct_psycho": mdct_encode_psycho(pcm),
+    }
+    for codec, payload in payloads.items():
+        out = M.decode_external(payload, codec)
+        assert out.dtype == np.float32 and len(out) > 0, codec
+
+
 def test_external_decode_udf(spark):
     df = spark.createDataFrame(
         [(1, bytearray(b"abc")), (2, bytearray(b"abc"))], "id long, payload binary")
@@ -434,3 +472,29 @@ def test_video_fingerprint_dedup_finds_planted_clones_only(spark):
         assert r.n_votes >= VIDEO_FP_MIN_VOTES
     assert by_src[0].offset == VIDEO_FP_TRIM
     assert by_src[1].offset == 0
+
+
+def test_export_payloads_per_task_manifest(spark, tmp_path):
+    """S5 sink manifest is bounded by TASK COUNT, not corpus size (r10
+    verdict finding 1): one summary row per non-empty task, sums equal
+    to the global totals, every file really on disk."""
+    import os
+
+    from big_data_science_project_spark.operators.multimodal import (
+        encode_cells, export_payloads, load_cells, multimodal_export)
+
+    enc = encode_cells(load_cells(spark, n_images=32)).repartition(4)
+    base = str(tmp_path / "exp")
+    rows = export_payloads(enc, base).collect()
+    # bounded: at most one row per task, never one per image
+    assert 1 <= len(rows) <= 4
+    assert sum(r.n_files for r in rows) == 32
+    assert sum(r.n_distinct_paths for r in rows) == 32
+    on_disk = [f for f in os.listdir(base) if f.endswith(".bin")]
+    assert len(on_disk) == 32
+    assert sum(r.n_bytes for r in rows) == sum(
+        os.path.getsize(os.path.join(base, f)) for f in on_disk)
+    # the registry query aggregates the manifest in-plan
+    out = multimodal_export(spark).collect()
+    assert len(out) == 1 and out[0].n_files == 32
+    assert out[0].n_distinct_paths == 32
