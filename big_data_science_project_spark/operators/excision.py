@@ -27,12 +27,14 @@ representation allows:
              the excised docs only) subtracted from the persisted
              counts; rows reaching zero drop. c1 re-derives from the
              decremented c12 (sum over w2 — LM-sized, never corpus).
-  LM vocab   the non-mergeable part, exactly as for additions the
-             distinct-token SET was: affected LANGUAGES (D's langs)
-             recount their tokens from that language's survivor shard
-             only; unaffected languages carry their persisted rows
-             verbatim. The global vocab re-derives from the merged
-             token set.
+  LM vocab   DECREMENT, exactly like c12 (r10 verdict item 4): the
+             persisted wdoc table keeps (lang, w, doc_count) — in how
+             many documents of this language token w appears — so
+             excision subtracts D's own doc counts (one scan of the
+             excised docs) and drops rows reaching zero; per-language
+             vocab sizes re-derive as row counts and the global vocab
+             as a distinct count over the vocab-sized table. No
+             survivor-shard rescan at any corpus size.
   ANN        delete on vec_id against the centroid_id-PARTITIONED
              index — at scale only the cells holding an excised
              vector are rewritten (partition-pruned delete); the
@@ -87,7 +89,7 @@ def excised_artifacts(spark: SparkSession, sf_dir: str) -> str:
     from ..sources.tables import write_once_artifacts
     from .dedup import _index_artifacts
     from .similarity import ann_artifacts
-    from .text import _lm_tables, _tokens, lm_artifacts
+    from .text import _lm_tables, _wdoc_counts, lm_artifacts
 
     def build(root: str) -> None:
         dd_root = _index_artifacts(spark, sf_dir)
@@ -122,21 +124,25 @@ def excised_artifacts(spark: SparkSession, sf_dir: str) -> str:
          .groupBy("lang", "w1")
          .agg(F.sum("c12").cast("bigint").alias("c1"))
          .write.mode("overwrite").parquet(f"{root}/c1"))
-        # vocab: recount ONLY the affected languages' survivor shards
-        aff = [r["lang"] for r in exc.select("lang").distinct().collect()]
-        toks_aff = (surv.filter(F.col("lang").isin(aff))
-                    .select("lang", F.explode(_tokens("text")).alias("w"))
-                    .distinct())
-        toks_keep = (spark.read.parquet(f"{lm_root}/toks")
-                     .filter(~F.col("lang").isin(aff)))
-        toks_keep.unionByName(toks_aff).write.mode("overwrite") \
-            .parquet(f"{root}/toks")
-        vocab_keep = (spark.read.parquet(f"{lm_root}/vocab")
-                      .filter(~F.col("lang").isin(aff)))
-        (vocab_keep.unionByName(
-            toks_aff.groupBy("lang").agg(F.countDistinct("w").alias("v")))
+        # vocab: DECREMENT the persisted (lang, w, doc_count) table by
+        # D's own doc counts — one scan of the EXCISED docs only, the
+        # exact c12 discipline (r10 verdict item 4). Rows reaching zero
+        # drop (no survivor uses the token); unaffected languages'
+        # rows pass through untouched because D contributes no counts
+        # for them. No survivor-shard rescan at ANY corpus size — the
+        # decrement reads D plus two vocab-sized tables.
+        d_wdoc = _wdoc_counts(exc).withColumnRenamed("doc_count", "dc")
+        wdoc_x = (spark.read.parquet(f"{lm_root}/wdoc")
+                  .join(F.broadcast(d_wdoc), ["lang", "w"], "left")
+                  .select("lang", "w",
+                          (F.col("doc_count") - F.coalesce("dc", F.lit(0)))
+                          .cast("bigint").alias("doc_count"))
+                  .filter(F.col("doc_count") > 0))
+        wdoc_x.write.mode("overwrite").parquet(f"{root}/wdoc")
+        (spark.read.parquet(f"{root}/wdoc")
+         .groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("v"))
          .write.mode("overwrite").parquet(f"{root}/vocab"))
-        (spark.read.parquet(f"{root}/toks")
+        (spark.read.parquet(f"{root}/wdoc")
          .agg(F.countDistinct("w").alias("gv"))
          .write.mode("overwrite").parquet(f"{root}/gvocab"))
 
@@ -190,6 +196,8 @@ def artifact_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fam("lm_gvocab", rd(f"{lm}/gvocab"), rd(f"{x}/gvocab"),
              F.sum("gv")),
         _fam("lm_vocab", rd(f"{lm}/vocab"), rd(f"{x}/vocab"), F.sum("v")),
+        _fam("lm_wdoc", rd(f"{lm}/wdoc"), rd(f"{x}/wdoc"),
+             F.sum("doc_count")),
         _fam("shingles", rd(f"{dd}/shingles"), rd(f"{x}/shingles")),
     ]
     out = fams[0]
@@ -265,6 +273,14 @@ lm_vocab_b AS (SELECT lang, COUNT(DISTINCT w) AS v FROM lm_toks_b
                GROUP BY lang),
 lm_vocab_a AS (SELECT lang, COUNT(DISTINCT w) AS v FROM lm_toks_a
                GROUP BY lang),
+lm_wd_b AS (SELECT lang, w, COUNT(DISTINCT doc_id) AS dc
+            FROM (SELECT lang, doc_id,
+                         unnest(string_split(text, ' ')) AS w FROM idx)
+            GROUP BY 1, 2),
+lm_wd_a AS (SELECT lang, w, COUNT(DISTINCT doc_id) AS dc
+            FROM (SELECT lang, doc_id,
+                         unnest(string_split(text, ' ')) AS w FROM surv)
+            GROUP BY 1, 2),
 ann_b AS (SELECT vec_id, centroid_id FROM assigned
           WHERE {_bucket_sql('vec_id')} < {INDEX_PCT}),
 ann_a AS (SELECT * FROM ann_b WHERE NOT ({_EXC_VEC_SQL})),
@@ -288,6 +304,9 @@ counts(artifact, n_before, n_after, content_sum) AS (
   UNION ALL SELECT 'lm_vocab', (SELECT COUNT(*) FROM lm_vocab_b),
          (SELECT COUNT(*) FROM lm_vocab_a),
          (SELECT CAST(SUM(v) AS BIGINT) FROM lm_vocab_a)
+  UNION ALL SELECT 'lm_wdoc', (SELECT COUNT(*) FROM lm_wd_b),
+         (SELECT COUNT(*) FROM lm_wd_a),
+         (SELECT CAST(SUM(dc) AS BIGINT) FROM lm_wd_a)
   UNION ALL SELECT 'shingles', (SELECT COUNT(*) FROM hashed),
          (SELECT COUNT(*) FROM sh_after), NULL)
 SELECT artifact, CAST(n_before AS BIGINT) AS n_before,

@@ -1327,8 +1327,20 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                              c12, c1, vocab, gvocab)
 
 
+def _wdoc_counts(docs: DataFrame) -> DataFrame:
+    """(lang, w, doc_count): in how many documents of this language does
+    token w appear — the mergeable/decrementable vocabulary unit shared
+    by the artifact build, the incremental refresh, and excision (the
+    three must count identically or decrement≢retrain)."""
+    return (docs.select("lang", "doc_id",
+                        F.explode(_tokens("text")).alias("w"))
+            .distinct()
+            .groupBy("lang", "w")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("doc_count")))
+
+
 def lm_artifacts(spark: SparkSession, sf_dir: str) -> str:
-    """Write-once LM artifacts (c12/c1/vocab/gvocab parquet) per
+    """Write-once LM artifacts (c12/c1/vocab/gvocab/wdoc parquet) per
     (session, sf_dir) — the quality-gate twin of the dedup family's
     ``_index_artifacts``, on the shared write-once lifecycle: the LM
     trains once over the existing corpus and every ingest re-reads the
@@ -1345,11 +1357,17 @@ def lm_artifacts(spark: SparkSession, sf_dir: str) -> str:
         c1.write.mode("overwrite").parquet(f"{root}/c1")
         vocab.write.mode("overwrite").parquet(f"{root}/vocab")
         gvocab.write.mode("overwrite").parquet(f"{root}/gvocab")
-        # the distinct token SET (vocab-sized), not just its size:
-        # counts are mergeable as sums but a distinct-count is not —
-        # the incremental refresh needs the set to union new tokens in
-        (idx.select("lang", F.explode(_tokens("text")).alias("w"))
-         .distinct().write.mode("overwrite").parquet(f"{root}/toks"))
+        # per-(lang, token) DOCUMENT counts — the DECREMENTABLE
+        # vocabulary representation (r10 verdict item 4). A distinct
+        # token SET can union new tokens in (adds) but cannot answer
+        # "does any survivor still use this token?" on a delete without
+        # rescanning the language's survivor shard — at 100 TB that
+        # scan dominates excise cost. doc_count is a plain sum, so adds
+        # are union+re-sum and excision is subtract-D's-counts +
+        # drop-zeros, both LM-sized merges exactly like c12; vocab
+        # sizes re-derive as row counts per lang, the global vocab as
+        # COUNT(DISTINCT w) over the vocab-sized table.
+        _wdoc_counts(idx).write.mode("overwrite").parquet(f"{root}/wdoc")
 
     return write_once_artifacts(spark, "_bdsp_lm_artifacts", sf_dir,
                                 "lm_artifacts_", build)
@@ -1443,10 +1461,11 @@ QUERIES["text_lm_perplexity"] = (text_lm_perplexity, _LM_PERPLEXITY_SQL)
 # the model needs is mergeable: bigram counts are sums (partial batch
 # counts unioned with the persisted c12 and re-aggregated — the q36
 # incremental-maintenance pattern), c1 re-derives from the merged c12
-# (sum-of-sums), and the vocabulary merges as a distinct union of the
-# persisted token SET with the batch's tokens (which is why
-# lm_artifacts stores toks, not just the count v — a distinct-count is
-# not mergeable from counts). Split: buckets 80-89 are the docs a
+# (sum-of-sums), and the vocabulary merges through wdoc — per-(lang,
+# token) DOCUMENT counts, a plain sum like c12 (which is why
+# lm_artifacts stores wdoc, not just the count v: a distinct-count is
+# not mergeable, a doc count is — and the SAME representation
+# decrements under excision). Split: buckets 80-89 are the docs a
 # prior ingest ADMITTED (the ingest loop's batch 0), 90-99 the stream
 # still to score.
 #
@@ -1475,19 +1494,22 @@ def lm_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # partial counts from the admitted batch (one batch-sized scan)
     c12_b, _, _, _ = _lm_tables(admitted)
-    toks_b = (admitted.select("lang", F.explode(_tokens("text"))
-                              .alias("w")).distinct())
+    wdoc_b = _wdoc_counts(admitted)
 
-    # merge with the persisted tables — LM-sized aggregations only
+    # merge with the persisted tables — LM-sized aggregations only.
+    # The vocabulary merges through wdoc (per-(lang, w) doc counts):
+    # union + re-sum, the same mergeable shape as c12 — and the SAME
+    # artifact excision decrements, so adds and deletes are symmetric.
     c12_m = (spark.read.parquet(f"{root}/c12").unionByName(c12_b)
              .groupBy("lang", "w1", "w2")
              .agg(F.sum("c12").cast("bigint").alias("c12")))
     c1_m = c12_m.groupBy("lang", "w1").agg(
         F.sum("c12").cast("bigint").alias("c1"))
-    toks_m = (spark.read.parquet(f"{root}/toks").unionByName(toks_b)
-              .distinct())
-    vocab_m = toks_m.groupBy("lang").agg(F.count(F.lit(1)).alias("v"))
-    gvocab_m = toks_m.agg(F.countDistinct("w").alias("gv"))
+    wdoc_m = (spark.read.parquet(f"{root}/wdoc").unionByName(wdoc_b)
+              .groupBy("lang", "w")
+              .agg(F.sum("doc_count").cast("bigint").alias("doc_count")))
+    vocab_m = wdoc_m.groupBy("lang").agg(F.count(F.lit(1)).alias("v"))
+    gvocab_m = wdoc_m.agg(F.countDistinct("w").alias("gv"))
 
     return _score_against_lm(rest, c12_m, c1_m, vocab_m, gvocab_m)
 

@@ -46,10 +46,12 @@ def excise_dir(spark):
     shutil.rmtree(d, ignore_errors=True)
 
 
-def test_vocab_recount_shrinks_on_unique_token(spark, excise_dir):
-    """The excised doc's unique token must LEAVE the vocabulary — the
-    case a stale carried-over vocab row could never fail on the real
-    fixture (where every token survives excision)."""
+def test_vocab_decrement_drops_unique_token(spark, excise_dir):
+    """The excised doc's unique token must LEAVE the vocabulary via the
+    wdoc DECREMENT (no survivor-shard rescan): its (en, zzzunique) row
+    reaches doc_count 0 and drops, shared tokens' doc counts decrement
+    but survive, and the untouched language's rows pass through
+    verbatim."""
     from big_data_science_project_spark.operators.excision import (
         excised_artifacts)
     from big_data_science_project_spark.operators.text import lm_artifacts
@@ -60,11 +62,16 @@ def test_vocab_recount_shrinks_on_unique_token(spark, excise_dir):
            spark.read.parquet(f"{lm}/vocab").collect()}
     v_a = {r.lang: r.v for r in
            spark.read.parquet(f"{x}/vocab").collect()}
-    assert v_a["en"] < v_b["en"]          # recounted branch shrank
-    assert v_a["fr"] == v_b["fr"]         # carried-over branch intact
-    toks_a = {(r.lang, r.w) for r in
-              spark.read.parquet(f"{x}/toks").collect()}
-    assert ("en", "zzzunique") not in toks_a
+    assert v_a["en"] < v_b["en"]          # decremented branch shrank
+    assert v_a["fr"] == v_b["fr"]         # untouched branch intact
+    wd_b = {(r.lang, r.w): r.doc_count for r in
+            spark.read.parquet(f"{lm}/wdoc").collect()}
+    wd_a = {(r.lang, r.w): r.doc_count for r in
+            spark.read.parquet(f"{x}/wdoc").collect()}
+    assert wd_b[("en", "zzzunique")] == 1
+    assert ("en", "zzzunique") not in wd_a          # reached zero → gone
+    assert wd_a[("en", "the")] == wd_b[("en", "the")] - 1  # decremented
+    assert wd_a[("fr", "renard")] == wd_b[("fr", "renard")]  # verbatim
     gv_b = spark.read.parquet(f"{lm}/gvocab").first().gv
     gv_a = spark.read.parquet(f"{x}/gvocab").first().gv
     assert gv_a < gv_b

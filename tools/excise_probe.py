@@ -8,10 +8,13 @@ What's timed, per scale:
   excise   excised_artifacts() with the SOURCE artifacts pre-built
            outside the timer (production has them persisted; the
            excision job starts from them) and the excised cache
-           cleared per rep — i.e. the decrement/delete/recount work
-           itself, including its honest corpus-scale parts (the
-           survivor scan for the provenance-free digests and the
-           affected-language token recount).
+           cleared per rep — i.e. the decrement/delete work itself.
+           Since r11 the vocabulary DECREMENTS through the persisted
+           wdoc table (no affected-language survivor rescan); the one
+           remaining honest corpus-scale part is the survivor scan
+           re-deriving the provenance-free digests artifact
+           (production stores (doc_id, dg) pairs and avoids it too —
+           operators/excision.py module docstring).
   retrain  rebuilding all three artifact families (dedup index, LM
            tables, ANN index) with their write-once caches cleared —
            the from-scratch alternative a pipeline without the
@@ -126,11 +129,14 @@ def main() -> None:
         round(e2["excise_sec"] / e1["excise_sec"], 2)
         if e1["excise_sec"] else None)
     result["interpretation"] = (
-        "excise = decrement/delete/recount from persisted artifacts "
-        "(sources pre-built, untimed); retrain = rebuilding all three "
-        "artifact families from the corpus (full-corpus, which "
-        "overstates a survivor retrain by <= ~3%). The lifecycle claim "
-        "is excise_over_retrain well under 1 at both scales.")
+        "excise = decrement/delete from persisted artifacts (sources "
+        "pre-built, untimed; vocabulary decrements through the wdoc "
+        "table since r11 — no affected-language rescan); retrain = "
+        "rebuilding all three artifact families from the corpus "
+        "(full-corpus, which overstates a survivor retrain by <= ~3%). "
+        "The lifecycle claim is excise_over_retrain well under 1 at "
+        "both scales, with excise_scale_ratio far below the data "
+        "growth factor.")
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
