@@ -1356,7 +1356,16 @@ def _index_artifacts(spark: SparkSession, sf_dir: str) -> str:
 
         idx = (load_table(spark, sf_dir, "documents")
                .filter(_bucket(F.col("doc_id")) < INDEX_PCT))
-        (idx.select(F.md5("text").alias("dg")).distinct()
+        # digest PROVENANCE pairs alongside the collapsed digest set:
+        # the exact tier keeps joining the (dg)-only table, but
+        # excision (operators/excision.py) deletes pairs by doc_id and
+        # re-derives digests-after from THIS table — never a survivor
+        # corpus scan (r10 verdict: "production stores (doc_id, dg)
+        # pairs"; now the engine does too)
+        (idx.select("doc_id", F.md5("text").alias("dg"))
+            .write.mode("overwrite").parquet(f"{root}/digest_pairs"))
+        (spark.read.parquet(f"{root}/digest_pairs")
+            .select("dg").distinct()
             .write.mode("overwrite").parquet(f"{root}/digests"))
         _hashed_shingles_df(idx).write.mode("overwrite") \
             .parquet(f"{root}/shingles")

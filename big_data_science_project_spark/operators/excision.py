@@ -7,12 +7,13 @@ the corpus. ``excised_artifacts`` applies one excision set D to every
 persisted artifact family, each by the cheapest sound mechanism its
 representation allows:
 
-  digests    the (dg)-only artifact keeps no provenance, so a digest
-             may be removed only if NO survivor shares it — re-derived
-             from the survivor scan (production stores (doc_id, dg)
-             pairs to make this a pure delete + existence re-check;
-             the fixture artifact is the collapsed form, so the scan
-             is the honest cost and is documented as such)
+  digests    a digest may be removed only if NO survivor shares it,
+             which the (dg)-only exact-tier table cannot answer — so
+             the index ALSO persists (doc_id, dg) provenance pairs
+             (dedup.py _index_artifacts), and excision is a pure
+             anti-join delete on doc_id + re-collapse to distinct dg:
+             digest-table-sized, never a survivor corpus scan (the
+             exact tier keeps its collapsed table untouched)
   shingles   per-doc provenance retained → pure broadcast anti-join
   bands      delete on doc_id (same anti-join). Sound but lossy-safe:
              a bucket the build-time cap (LSH_MAX_BUCKET) dropped
@@ -101,8 +102,12 @@ def excised_artifacts(spark: SparkSession, sf_dir: str) -> str:
         surv = idx.filter(~_doc_excised())
         exc_ids = exc.select("doc_id")
 
-        # digests: survivor re-derivation (see module docstring)
-        (surv.select(F.md5("text").alias("dg")).distinct()
+        # digests: delete provenance pairs by doc_id, then re-collapse —
+        # digest-table-sized, never a survivor corpus scan (the index
+        # stores (doc_id, dg) pairs exactly for this)
+        (spark.read.parquet(f"{dd_root}/digest_pairs")
+         .join(F.broadcast(exc_ids), "doc_id", "left_anti")
+         .select("dg").distinct()
          .write.mode("overwrite").parquet(f"{root}/digests"))
         # shingles / bands: pure deletes on retained provenance; the
         # excised id set is takedown-sized, hence the broadcast hint

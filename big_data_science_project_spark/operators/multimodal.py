@@ -1122,25 +1122,50 @@ def _fp_corpus_pcm(cid: int) -> np.ndarray:
     return adpcm_decode(adpcm_encode(src, AUDIO_SR))[:, 0]
 
 
-def _constellation_votes(rows: DataFrame, hash_cols: tuple,
-                         per_entity: int, min_votes: int,
-                         entity: str = "clip_id",
-                         t: str = "t") -> DataFrame:
-    """Shared candidates+vote spine of the audio and video fingerprint
-    tiers (one discipline, two modalities): per-entity-normalized
-    degenerate-hash cap, banded self-join on the hash columns, and the
-    time-offset Hough vote with the deterministic smallest-offset
-    tie-break. ``rows`` should already be persisted by the caller (it
-    feeds both the cap count and the self-join)."""
+def _fp_hash_cap(rows: DataFrame, hash_cols: tuple, per_entity: int,
+                 entity: str) -> DataFrame:
+    """Per-entity-normalized degenerate-hash cap: drop hashes occurring
+    more than ``per_entity`` times per distinct entity emitting them (a
+    constant tone / static clip floods ONE hash; legitimately shared
+    hashes scale with the entities sharing them and survive). Shared by
+    the self-join tiers, the artifact builds, and the gates' batch
+    sides — the cap must count identically everywhere."""
     hash_ok = (rows.groupBy(*hash_cols)
                .agg(F.count(F.lit(1)).alias("n"),
                     F.countDistinct(entity).alias("n_ent"))
                .filter(F.col("n") <= F.lit(per_entity) * F.col("n_ent"))
                .select(*hash_cols))
-    rows = rows.join(F.broadcast(hash_ok), list(hash_cols))
-    a, b = rows.alias("a"), rows.alias("b")
-    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in hash_cols]
-    cond.append(F.col(f"a.{entity}") < F.col(f"b.{entity}"))
+    return rows.join(F.broadcast(hash_ok), list(hash_cols))
+
+
+def _constellation_votes(rows: DataFrame, hash_cols: tuple,
+                         per_entity: int, min_votes: int,
+                         entity: str = "clip_id",
+                         t: str = "t",
+                         index: DataFrame | None = None) -> DataFrame:
+    """Shared candidates+vote spine of the audio and video fingerprint
+    tiers (one discipline, two modalities): per-entity-normalized
+    degenerate-hash cap, banded hash join (never all-pairs), and the
+    time-offset Hough vote with the deterministic smallest-offset
+    tie-break. ``rows`` should already be persisted by the caller (it
+    feeds both the cap count and the join).
+
+    Self-join mode (``index=None``): within-corpus dedup, pairs
+    ``entity_a < entity_b``. Batch-vs-index mode: ``rows`` is the FRESH
+    BATCH (capped on the fly, per-batch scale) and ``index`` the
+    persisted fingerprint table — capped at BUILD time and read through
+    its bucketed layout, so the index side is never exchanged; only the
+    batch's hashes shuffle. ``clip_a`` is then the index entity and
+    ``clip_b`` the batch entity, and ``offset`` keeps its self-join
+    meaning (a trimmed batch copy votes AT its trim length)."""
+    rows = _fp_hash_cap(rows, hash_cols, per_entity, entity)
+    if index is None:
+        a, b = rows.alias("a"), rows.alias("b")
+        cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in hash_cols]
+        cond.append(F.col(f"a.{entity}") < F.col(f"b.{entity}"))
+    else:
+        a, b = index.alias("a"), rows.alias("b")
+        cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in hash_cols]
     votes = (a.join(b, on=cond)
              .groupBy(F.col(f"a.{entity}").alias("clip_a"),
                       F.col(f"b.{entity}").alias("clip_b"),
@@ -1157,28 +1182,28 @@ def _constellation_votes(rows: DataFrame, hash_cols: tuple,
             .orderBy("clip_a", "clip_b"))
 
 
-def multimodal_audio_fingerprint_dedup(spark: SparkSession,
-                                       sf_dir: str = "") -> DataFrame:
+_AUDIO_LM_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.LongType()),
+    T.StructField("f1", T.IntegerType()),
+    T.StructField("f2", T.IntegerType()),
+    T.StructField("dt", T.IntegerType()),
+    T.StructField("t_anchor", T.IntegerType()),
+])
+
+
+def _audio_lm_extract(gen):
+    """mapInPandas landmark extractor over a clip-id table, with the
+    PCM source injected — the self-join tier, the persisted index
+    build, and the ingest gate's batch side all run THIS function (the
+    landmark definition must not drift between them, or index and
+    batch hashes stop matching)."""
     from ..functions import mdct_codec as M
-
-    ids = list(range(AUDIO_FP_CLIPS)) + [AUDIO_FP_CLONE_OFFSET + i
-                                         for i in range(3)]
-    clips = spark.createDataFrame([(i,) for i in ids], "clip_id long") \
-        .repartition(8, "clip_id")
-
-    lm_schema = T.StructType([
-        T.StructField("clip_id", T.LongType()),
-        T.StructField("f1", T.IntegerType()),
-        T.StructField("f2", T.IntegerType()),
-        T.StructField("dt", T.IntegerType()),
-        T.StructField("t_anchor", T.IntegerType()),
-    ])
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for cid in pdf["clip_id"]:
-                x = _fp_corpus_pcm(int(cid)).astype(np.float64)
+                x = gen(int(cid)).astype(np.float64)
                 coeffs = M.mdct(M.analysis_frames(x))
                 peaks = np.abs(coeffs).argmax(axis=1)
                 energy = (coeffs ** 2).sum(axis=1)
@@ -1188,9 +1213,20 @@ def multimodal_audio_fingerprint_dedup(spark: SparkSession,
                         rows.append((int(cid), int(peaks[a]),
                                      int(peaks[b]), int(b - a), int(a)))
             yield pd.DataFrame(rows,
-                               columns=[f.name for f in lm_schema.fields])
+                               columns=[f.name for f in
+                                        _AUDIO_LM_SCHEMA.fields])
 
-    lm = clips.mapInPandas(extract, lm_schema) \
+    return extract
+
+
+def multimodal_audio_fingerprint_dedup(spark: SparkSession,
+                                       sf_dir: str = "") -> DataFrame:
+    ids = list(range(AUDIO_FP_CLIPS)) + [AUDIO_FP_CLONE_OFFSET + i
+                                         for i in range(3)]
+    clips = spark.createDataFrame([(i,) for i in ids], "clip_id long") \
+        .repartition(8, "clip_id")
+    lm = clips.mapInPandas(_audio_lm_extract(_fp_corpus_pcm),
+                           _AUDIO_LM_SCHEMA) \
         .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     return _constellation_votes(lm, ("f1", "f2", "dt"),
                                 AUDIO_FP_PER_CLIP, AUDIO_FP_MIN_VOTES,
@@ -1285,30 +1321,40 @@ def _frame_ahash64(frame: np.ndarray) -> int:
                         .astype(np.uint64).view(np.int64)))
 
 
+_VIDEO_FH_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.LongType()),
+    T.StructField("fhash", T.LongType()),
+    T.StructField("t", T.IntegerType()),
+])
+
+
+def _video_fh_extract(gen):
+    """mapInPandas per-frame-hash extractor with the frame source
+    injected — shared by the self-join tier, the persisted index build,
+    and the ingest gate's batch side (same no-drift contract as
+    ``_audio_lm_extract``)."""
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cid in pdf["clip_id"]:
+                vid = gen(int(cid))
+                for t in range(len(vid)):
+                    rows.append((int(cid), _frame_ahash64(vid[t]), t))
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in
+                                        _VIDEO_FH_SCHEMA.fields])
+
+    return extract
+
+
 def multimodal_video_fingerprint_dedup(spark: SparkSession,
                                        sf_dir: str = "") -> DataFrame:
     ids = list(range(VIDEO_FP_CLIPS)) + [VIDEO_FP_CLONE_OFFSET + i
                                          for i in range(2)]
     clips = spark.createDataFrame([(i,) for i in ids], "clip_id long") \
         .repartition(8, "clip_id")
-
-    fh_schema = T.StructType([
-        T.StructField("clip_id", T.LongType()),
-        T.StructField("fhash", T.LongType()),
-        T.StructField("t", T.IntegerType()),
-    ])
-
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for cid in pdf["clip_id"]:
-                vid = _video_fp_corpus(int(cid))
-                for t in range(len(vid)):
-                    rows.append((int(cid), _frame_ahash64(vid[t]), t))
-            yield pd.DataFrame(rows,
-                               columns=[f.name for f in fh_schema.fields])
-
-    fh = clips.mapInPandas(extract, fh_schema) \
+    fh = clips.mapInPandas(_video_fh_extract(_video_fp_corpus),
+                           _VIDEO_FH_SCHEMA) \
         .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     return _constellation_votes(fh, ("fhash",),
                                 VIDEO_FP_PER_CLIP, VIDEO_FP_MIN_VOTES)
@@ -1316,6 +1362,213 @@ def multimodal_video_fingerprint_dedup(spark: SparkSession,
 
 QUERIES["multimodal_video_fingerprint_dedup"] = (
     multimodal_video_fingerprint_dedup, None)
+
+
+# ---------------------------------------------------------------------------
+# Audio + video BATCH-vs-INDEX ingest gates (r10 verdict item 2) — the
+# shape a real pipeline runs daily: a fresh batch of clips screened
+# against a PERSISTED fingerprint index, composed tiers cheapest first,
+# one verdict row per batch clip. This closes the gate square the same
+# way the fingerprint tiers closed the dedup square: text
+# (ingest_gate_pipeline) / image (multimodal_ingest_dedup) / audio /
+# video all run the digest-exact tier first and a content tier second.
+#
+#   exact        md5 of the raw samples ∈ index digests — byte-level
+#                re-uploads; index side is clip-count-sized (broadcast)
+#   fingerprint  the modality's constellation tier against the
+#                persisted landmark/frame-hash table: the index side
+#                was capped AT BUILD time and reads through its
+#                BUCKETED layout on the hash columns (the
+#                dedup_incremental_persisted discipline), so per batch
+#                only the batch's hashes shuffle — batch cost is
+#                independent of index growth by construction, which
+#                tools/multimodal_scale_probe.py measures.
+#
+# Extraction, capping, and voting are the SAME functions as the
+# within-corpus tiers (_audio_lm_extract / _video_fh_extract /
+# _fp_hash_cap / _constellation_votes) — index and batch hashes cannot
+# drift. Rows-only (peak tracking / pixel hashing are not
+# DuckDB-expressible); planted expectations pinned in
+# tests/test_multimodal.py: per modality a byte-copy caught exact, a
+# shifted/trimmed copy caught fingerprint AT its offset, a
+# re-encoded/brightness-edited copy caught fingerprint, fresh clips
+# admitted.
+# ---------------------------------------------------------------------------
+_FP_DG_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.LongType()),
+    T.StructField("dg", T.StringType()),
+])
+
+
+def _fp_digest_extract(gen):
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cids = [int(c) for c in pdf["clip_id"]]
+            yield pd.DataFrame({
+                "clip_id": cids,
+                "dg": [hashlib.md5(gen(c).tobytes()).hexdigest()
+                       for c in cids],
+            })
+    return extract
+
+
+def audio_fp_artifacts(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once audio fingerprint index (digests + BUILD-TIME-capped
+    landmarks) over the base corpus clips — the persisted state the
+    ingest gate screens against (write_once_artifacts lifecycle, like
+    the dedup index and LM tables)."""
+    from ..sources.tables import write_once_artifacts
+
+    def build(root: str) -> None:
+        clips = spark.createDataFrame(
+            [(i,) for i in range(AUDIO_FP_CLIPS)], "clip_id long") \
+            .repartition(8, "clip_id")
+        lm = clips.mapInPandas(_audio_lm_extract(_gen_chirp),
+                               _AUDIO_LM_SCHEMA) \
+            .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        _fp_hash_cap(lm, ("f1", "f2", "dt"), AUDIO_FP_PER_CLIP,
+                     "clip_id").write.mode("overwrite") \
+            .parquet(f"{root}/landmarks")
+        clips.mapInPandas(_fp_digest_extract(_gen_chirp), _FP_DG_SCHEMA) \
+            .write.mode("overwrite").parquet(f"{root}/digests")
+        lm.unpersist()
+
+    return write_once_artifacts(spark, "_bdsp_audio_fp", sf_dir,
+                                "audiofp_", build)
+
+
+def video_fp_artifacts(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once video fingerprint index (digests + capped frame
+    hashes) — the video twin of ``audio_fp_artifacts``."""
+    from ..sources.tables import write_once_artifacts
+
+    def build(root: str) -> None:
+        clips = spark.createDataFrame(
+            [(i,) for i in range(VIDEO_FP_CLIPS)], "clip_id long") \
+            .repartition(8, "clip_id")
+        fh = clips.mapInPandas(_video_fh_extract(_gen_motion_video),
+                               _VIDEO_FH_SCHEMA) \
+            .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        _fp_hash_cap(fh, ("fhash",), VIDEO_FP_PER_CLIP, "clip_id") \
+            .write.mode("overwrite").parquet(f"{root}/framehashes")
+        clips.mapInPandas(_fp_digest_extract(_gen_motion_video),
+                          _FP_DG_SCHEMA) \
+            .write.mode("overwrite").parquet(f"{root}/digests")
+        fh.unpersist()
+
+    return write_once_artifacts(spark, "_bdsp_video_fp", sf_dir,
+                                "videofp_", build)
+
+
+# gate batch plants — id space disjoint from the dedup fixtures' clones
+AUDIO_GATE_OFFSET = 40_000
+AUDIO_GATE_FRESH = (AUDIO_FP_CLIPS, AUDIO_FP_CLIPS + 1,
+                    AUDIO_FP_CLIPS + 2)      # genuinely new chirps
+AUDIO_GATE_COPY_SRC = 2        # byte-identical re-upload → exact tier
+AUDIO_GATE_SHIFT_SRC = 0       # time-shifted copy → fingerprint tier
+AUDIO_GATE_REENC_SRC = 1       # ADPCM re-encode → fingerprint tier
+
+
+def _audio_gate_pcm(cid: int) -> np.ndarray:
+    if cid < AUDIO_GATE_OFFSET:
+        return _gen_chirp(cid)
+    which = cid - AUDIO_GATE_OFFSET
+    src = _gen_chirp(which)
+    if which == AUDIO_GATE_COPY_SRC:
+        return src
+    if which == AUDIO_GATE_SHIFT_SRC:
+        return src[AUDIO_FP_SHIFT:]
+    return adpcm_decode(adpcm_encode(src, AUDIO_SR))[:, 0]
+
+
+VIDEO_GATE_OFFSET = 50_000
+VIDEO_GATE_FRESH = (VIDEO_FP_CLIPS, VIDEO_FP_CLIPS + 1)
+VIDEO_GATE_COPY_SRC = 3        # byte-identical re-upload → exact tier
+VIDEO_GATE_TRIM_SRC = 0        # head-trimmed copy → fingerprint tier
+VIDEO_GATE_BRIGHT_SRC = 1      # +30 brightness edit → fingerprint tier
+
+
+def _video_gate_frames(cid: int) -> np.ndarray:
+    if cid < VIDEO_GATE_OFFSET:
+        return _gen_motion_video(cid)
+    which = cid - VIDEO_GATE_OFFSET
+    src = _gen_motion_video(which)
+    if which == VIDEO_GATE_COPY_SRC:
+        return src
+    if which == VIDEO_GATE_TRIM_SRC:
+        return src[VIDEO_FP_TRIM:]
+    return np.clip(src.astype(np.int32) + 30, 0, 255).astype(np.uint8)
+
+
+def _fp_gate(spark: SparkSession, root: str, batch_ids: list,
+             gen, extract_fn, extract_schema, fp_sub: str,
+             hash_cols: tuple, per_entity: int, min_votes: int,
+             t: str) -> DataFrame:
+    """Shared gate composition: digest-exact (broadcast, clip-count
+    sized) → constellation fingerprint vs the bucketed persisted index
+    → one verdict row per batch clip, cheapest tier wins."""
+    from .dedup import bucketed_artifact_table
+
+    clips = spark.createDataFrame([(i,) for i in batch_ids],
+                                  "clip_id long") \
+        .repartition(4, "clip_id")
+    bat_dg = clips.mapInPandas(_fp_digest_extract(gen), _FP_DG_SCHEMA)
+    idx_dg = (spark.read.parquet(f"{root}/digests")
+              .select(F.col("clip_id").alias("index_id"), "dg"))
+    exact = (bat_dg.join(F.broadcast(idx_dg), "dg")
+             .groupBy("clip_id")
+             .agg(F.min("index_id").alias("exact_src")))
+
+    bat_rows = clips.mapInPandas(extract_fn(gen), extract_schema) \
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    idx_rows = spark.table(bucketed_artifact_table(
+        spark, root, fp_sub, list(hash_cols))).hint("merge")
+    votes = _constellation_votes(bat_rows, hash_cols, per_entity,
+                                 min_votes, t=t, index=idx_rows)
+    fp = (votes.groupBy(F.col("clip_b").alias("clip_id"))
+          .agg(F.max_by("clip_a", F.struct(F.col("n_votes"),
+                                           -F.col("clip_a")))
+               .alias("fp_src")))
+
+    return (clips.join(exact, "clip_id", "left")
+            .join(fp, "clip_id", "left")
+            .select("clip_id",
+                    F.when(F.col("exact_src").isNotNull(), F.lit("exact"))
+                     .when(F.col("fp_src").isNotNull(),
+                           F.lit("fingerprint"))
+                     .otherwise(F.lit("admitted")).alias("tier"),
+                    F.coalesce("exact_src", "fp_src").alias("evidence_id"))
+            .orderBy("clip_id"))
+
+
+def multimodal_audio_ingest_gate(spark: SparkSession,
+                                 sf_dir: str = "") -> DataFrame:
+    root = audio_fp_artifacts(spark, sf_dir)
+    batch_ids = list(AUDIO_GATE_FRESH) + [
+        AUDIO_GATE_OFFSET + s for s in
+        (AUDIO_GATE_SHIFT_SRC, AUDIO_GATE_REENC_SRC, AUDIO_GATE_COPY_SRC)]
+    return _fp_gate(spark, root, batch_ids, _audio_gate_pcm,
+                    _audio_lm_extract, _AUDIO_LM_SCHEMA, "landmarks",
+                    ("f1", "f2", "dt"), AUDIO_FP_PER_CLIP,
+                    AUDIO_FP_MIN_VOTES, t="t_anchor")
+
+
+def multimodal_video_ingest_gate(spark: SparkSession,
+                                 sf_dir: str = "") -> DataFrame:
+    root = video_fp_artifacts(spark, sf_dir)
+    batch_ids = list(VIDEO_GATE_FRESH) + [
+        VIDEO_GATE_OFFSET + s for s in
+        (VIDEO_GATE_TRIM_SRC, VIDEO_GATE_BRIGHT_SRC, VIDEO_GATE_COPY_SRC)]
+    return _fp_gate(spark, root, batch_ids, _video_gate_frames,
+                    _video_fh_extract, _VIDEO_FH_SCHEMA, "framehashes",
+                    ("fhash",), VIDEO_FP_PER_CLIP, VIDEO_FP_MIN_VOTES,
+                    t="t")
+
+
+QUERIES["multimodal_audio_ingest_gate"] = (multimodal_audio_ingest_gate,
+                                           None)
+QUERIES["multimodal_video_ingest_gate"] = (multimodal_video_ingest_gate,
+                                           None)
 
 
 # ---------------------------------------------------------------------------

@@ -498,3 +498,147 @@ def test_export_payloads_per_task_manifest(spark, tmp_path):
     out = multimodal_export(spark).collect()
     assert len(out) == 1 and out[0].n_files == 32
     assert out[0].n_distinct_paths == 32
+
+
+def test_audio_ingest_gate_tiers(spark):
+    """Batch-vs-index audio gate: fresh chirps admitted; the byte-copy
+    caught by the EXACT tier; the time-shifted and ADPCM-re-encoded
+    copies caught by the FINGERPRINT tier against the persisted index,
+    each pointing at its true source clip."""
+    from big_data_science_project_spark.operators.multimodal import (
+        AUDIO_GATE_COPY_SRC, AUDIO_GATE_FRESH, AUDIO_GATE_OFFSET,
+        AUDIO_GATE_REENC_SRC, AUDIO_GATE_SHIFT_SRC,
+        multimodal_audio_ingest_gate)
+
+    by_id = {r.clip_id: r for r in
+             multimodal_audio_ingest_gate(spark).collect()}
+    assert len(by_id) == len(AUDIO_GATE_FRESH) + 3
+    for f in AUDIO_GATE_FRESH:
+        assert by_id[f].tier == "admitted"
+        assert by_id[f].evidence_id is None
+    cp = by_id[AUDIO_GATE_OFFSET + AUDIO_GATE_COPY_SRC]
+    assert cp.tier == "exact" and cp.evidence_id == AUDIO_GATE_COPY_SRC
+    for src in (AUDIO_GATE_SHIFT_SRC, AUDIO_GATE_REENC_SRC):
+        r = by_id[AUDIO_GATE_OFFSET + src]
+        assert r.tier == "fingerprint" and r.evidence_id == src
+
+
+def test_video_ingest_gate_tiers(spark):
+    """Batch-vs-index video gate: fresh motion clips admitted; byte-copy
+    exact; trimmed and brightness-edited copies fingerprint-caught."""
+    from big_data_science_project_spark.operators.multimodal import (
+        VIDEO_GATE_BRIGHT_SRC, VIDEO_GATE_COPY_SRC, VIDEO_GATE_FRESH,
+        VIDEO_GATE_OFFSET, VIDEO_GATE_TRIM_SRC,
+        multimodal_video_ingest_gate)
+
+    by_id = {r.clip_id: r for r in
+             multimodal_video_ingest_gate(spark).collect()}
+    assert len(by_id) == len(VIDEO_GATE_FRESH) + 3
+    for f in VIDEO_GATE_FRESH:
+        assert by_id[f].tier == "admitted"
+        assert by_id[f].evidence_id is None
+    cp = by_id[VIDEO_GATE_OFFSET + VIDEO_GATE_COPY_SRC]
+    assert cp.tier == "exact" and cp.evidence_id == VIDEO_GATE_COPY_SRC
+    for src in (VIDEO_GATE_TRIM_SRC, VIDEO_GATE_BRIGHT_SRC):
+        r = by_id[VIDEO_GATE_OFFSET + src]
+        assert r.tier == "fingerprint" and r.evidence_id == src
+
+
+def test_gate_votes_land_at_true_offsets(spark):
+    """The gate's batch-vs-index constellation votes carry the SAME
+    offset semantics as the self-join tiers: the shifted audio clone
+    votes at its crop length in MDCT frames, the trimmed video clone at
+    its trim length, the re-encode/brightness edits at 0 — and every
+    surviving vote clears the modality's threshold with its true
+    source."""
+    import big_data_science_project_spark.operators.multimodal as MM
+    from big_data_science_project_spark.functions.mdct_codec import N_COEFF
+    from big_data_science_project_spark.operators.dedup import (
+        bucketed_artifact_table)
+
+    # audio
+    root = MM.audio_fp_artifacts(spark, "")
+    batch_ids = [MM.AUDIO_GATE_OFFSET + s for s in
+                 (MM.AUDIO_GATE_SHIFT_SRC, MM.AUDIO_GATE_REENC_SRC)]
+    clips = spark.createDataFrame([(i,) for i in batch_ids],
+                                  "clip_id long")
+    bat = clips.mapInPandas(MM._audio_lm_extract(MM._audio_gate_pcm),
+                            MM._AUDIO_LM_SCHEMA).persist()
+    idx = spark.table(bucketed_artifact_table(
+        spark, root, "landmarks", ["f1", "f2", "dt"]))
+    votes = {(r.clip_a, r.clip_b): r for r in MM._constellation_votes(
+        bat, ("f1", "f2", "dt"), MM.AUDIO_FP_PER_CLIP,
+        MM.AUDIO_FP_MIN_VOTES, t="t_anchor", index=idx).collect()}
+    sh = votes[(MM.AUDIO_GATE_SHIFT_SRC,
+                MM.AUDIO_GATE_OFFSET + MM.AUDIO_GATE_SHIFT_SRC)]
+    assert sh.offset == MM.AUDIO_FP_SHIFT // N_COEFF
+    re_ = votes[(MM.AUDIO_GATE_REENC_SRC,
+                 MM.AUDIO_GATE_OFFSET + MM.AUDIO_GATE_REENC_SRC)]
+    assert re_.offset == 0
+    bat.unpersist()
+
+    # video
+    vroot = MM.video_fp_artifacts(spark, "")
+    vbatch = [MM.VIDEO_GATE_OFFSET + s for s in
+              (MM.VIDEO_GATE_TRIM_SRC, MM.VIDEO_GATE_BRIGHT_SRC)]
+    vclips = spark.createDataFrame([(i,) for i in vbatch],
+                                   "clip_id long")
+    vbat = vclips.mapInPandas(MM._video_fh_extract(MM._video_gate_frames),
+                              MM._VIDEO_FH_SCHEMA).persist()
+    vidx = spark.table(bucketed_artifact_table(
+        spark, vroot, "framehashes", ["fhash"]))
+    vvotes = {(r.clip_a, r.clip_b): r for r in MM._constellation_votes(
+        vbat, ("fhash",), MM.VIDEO_FP_PER_CLIP, MM.VIDEO_FP_MIN_VOTES,
+        index=vidx).collect()}
+    tr = vvotes[(MM.VIDEO_GATE_TRIM_SRC,
+                 MM.VIDEO_GATE_OFFSET + MM.VIDEO_GATE_TRIM_SRC)]
+    assert tr.offset == MM.VIDEO_FP_TRIM
+    br = vvotes[(MM.VIDEO_GATE_BRIGHT_SRC,
+                 MM.VIDEO_GATE_OFFSET + MM.VIDEO_GATE_BRIGHT_SRC)]
+    assert br.offset == 0
+    vbat.unpersist()
+
+
+def test_gate_fingerprint_join_shuffles_only_batch_side(spark):
+    """The gates' scale claim, plan-pinned (the sharded-bloom idiom):
+    the persisted fingerprint index reads IN PLACE from its bucketed
+    layout — the votes join exchanges only the batch side's hashes, so
+    per-batch cost is independent of index growth."""
+    import re
+
+    import big_data_science_project_spark.operators.multimodal as MM
+    from big_data_science_project_spark.operators.dedup import (
+        bucketed_artifact_table)
+
+    root = MM.audio_fp_artifacts(spark, "")
+    clips = spark.createDataFrame(
+        [(MM.AUDIO_GATE_OFFSET + MM.AUDIO_GATE_SHIFT_SRC,)],
+        "clip_id long")
+    bat = clips.mapInPandas(MM._audio_lm_extract(MM._audio_gate_pcm),
+                            MM._AUDIO_LM_SCHEMA).persist()
+    idx = spark.table(bucketed_artifact_table(
+        spark, root, "landmarks", ["f1", "f2", "dt"])).hint("merge")
+    def plan_of(index_df):
+        v = MM._constellation_votes(
+            bat, ("f1", "f2", "dt"), MM.AUDIO_FP_PER_CLIP,
+            MM.AUDIO_FP_MIN_VOTES, t="t_anchor", index=index_df)
+        v.count()  # finalize the adaptive plan
+        return v._jdf.queryExecution().executedPlan().toString()
+
+    plan = plan_of(idx)
+    assert "Bucketed: true" in plan, plan
+    assert "SortMergeJoin" in plan, plan
+
+    def n_hash_exchanges(p):
+        return len(re.findall(r"Exchange hashpartitioning", p))
+
+    # comparative pin: every hash exchange in the bucketed plan is on
+    # the BATCH lineage (cap count, votes join input, vote aggregates).
+    # Reading the SAME index from plain parquet adds exactly ONE more —
+    # the index side moving into the join — proving the bucketed scan
+    # contributes none.
+    plan_plain = plan_of(
+        spark.read.parquet(f"{root}/landmarks").hint("merge"))
+    assert n_hash_exchanges(plan) == n_hash_exchanges(plan_plain) - 1, \
+        (plan, plan_plain)
+    bat.unpersist()
