@@ -1182,3 +1182,250 @@ SELECT t.lang, CAST(t.n_new AS BIGINT) AS n_new,
        CAST(COALESCE(a.n_admitted, 0) AS BIGINT) AS n_admitted
 FROM tot t LEFT JOIN adm a USING (lang)
 """)
+
+
+# ---------------------------------------------------------------------------
+# STREAMING EXCISION (r10 verdict item 3) — takedowns wired into the
+# live loop, closing the retraction lifecycle end-to-end: the batch
+# path (operators/excision.py) excises persisted artifacts offline;
+# this loop handles a takedown ARRIVING MID-STREAM, between add
+# batches, against the gate's own state. Each trigger carries an ``op``
+# column ("add" | "excise"); within a trigger excisions apply FIRST
+# (declared policy: a same-trigger re-upload of just-taken-down content
+# is re-admitted, not blocked).
+#
+#   admitted deletes   the admitted-digest store is GENERATIONED
+#                      (admitted/gen=G/batch=K): a takedown anti-joins
+#                      every current-generation partition against the
+#                      takedown digests (broadcast — takedown-sized)
+#                      into generation G+1 and bumps the pointer. No
+#                      in-place overwrite of a file being read; a
+#                      retried excise re-derives the same content
+#                      (idempotent), and the driver loop is bounded by
+#                      the batch count (a deployment compacts
+#                      partitions exactly as the ingest loop notes).
+#   bloom rebuild      bits can't subtract (excision.py's recorded
+#                      policy) — the gate REBUILDS from digests-after:
+#                      base ∪ the new generation's partitions, same
+#                      num_bits/k. tests/test_streaming_incremental.py
+#                      asserts the rebuilt BITMAP equals a from-scratch
+#                      build over the survivors (merge≡retrain, third
+#                      use — this time on the gate itself).
+#   LM decrements      the takedown batch's own bigram counts (c12-
+#                      shaped) and per-(lang, token) doc counts
+#                      (wdoc-shaped) are emitted per batch — the exact
+#                      mergeable decrement rows the artifact generation
+#                      applies (operators/excision.py); the test pins
+#                      subtract-streamed-decrements ≡ retrain-on-
+#                      survivors for both tables.
+#
+# Re-admission is REAL and by design: a doc admitted in batch 0 and
+# excised in batch 1 re-enters in batch 2 — after the rebuild the gate
+# usually bloom-MISSES it (clean admit); on a false positive the exact
+# verify finds no survivor row and admits identically. The fixture's
+# batch 2 re-uploads the excised docs alongside the fresh 90-99 docs.
+#
+# Value oracle: the three-batch structure is deterministic, so the
+# whole add/excise/re-add ledger is mirrored in SQL (admission = fresh
+# rep vs index ∪ surviving admissions, exactly the engine's semantics).
+# ---------------------------------------------------------------------------
+STREAM_EXCISE_MOD, STREAM_EXCISE_RES = 7, 3
+
+
+def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time as _time
+
+    from ..functions.bloom import BITS_PER_KEY, bloom_build
+    from ..operators.dedup import bucketed_digest_table
+    from ..operators.text import _lm_tables, _wdoc_counts
+
+    base_tbl = bucketed_digest_table(spark, sf_dir)
+    base_dg = spark.table(base_tbl)
+    work = tempfile.mkdtemp(prefix="ingest_excise_")
+    report_dir, dec_dir = f"{work}/report", f"{work}/lm_decrements"
+
+    docs = load_table(spark, sf_dir, "documents")
+    bk = _bucket(F.col("doc_id"))
+    take_pred = ((bk >= INDEX_PCT) & (bk < 90)
+                 & (F.col("doc_id") % STREAM_EXCISE_MOD
+                    == STREAM_EXCISE_RES))
+    staged = [
+        docs.filter((bk >= INDEX_PCT) & (bk < 90))
+            .withColumn("op", F.lit("add")),
+        docs.filter(take_pred).withColumn("op", F.lit("excise")),
+        docs.filter(bk >= 90).unionByName(docs.filter(take_pred))
+            .withColumn("op", F.lit("add")),
+    ]
+    for i, b in enumerate(staged):
+        p = f"{work}/in/f{i}"
+        b.coalesce(1).write.mode("overwrite").parquet(p)
+        t = _time.time() - 300 + i * 60
+        for fname in os.listdir(p):
+            os.utime(os.path.join(p, fname), (t, t))
+
+    n_idx = base_dg.count()
+    num_bits = max(64, BITS_PER_KEY * n_idx * 3 // 2)
+    state = {"gen": 0,
+             "bloom": bloom_build(base_dg.select("dg"), "dg",
+                                  num_bits=num_bits)}
+
+    def _gen_dir(g: int) -> str:
+        return f"{work}/admitted/gen={g}"
+
+    def _parts(g: int, before: int | None = None) -> list:
+        d = _gen_dir(g)
+        return sorted(
+            f"{d}/{name}" for name in
+            (os.listdir(d) if os.path.isdir(d) else [])
+            if name.startswith("batch=")
+            and (before is None or int(name.split("=")[1]) < before))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window as W
+
+        excs = batch_df.filter(F.col("op") == "excise").drop("op")
+        adds = batch_df.filter(F.col("op") == "add").drop("op")
+
+        if not excs.isEmpty():
+            excs = excs.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+            take_dg = excs.select(F.md5("text").alias("dg")).distinct()
+            g, g2 = state["gen"], state["gen"] + 1
+            before = (spark.read.schema("dg string")
+                      .parquet(*_parts(g)) if _parts(g) else None)
+            for part in _parts(g):
+                (spark.read.schema("dg string").parquet(part)
+                 .join(F.broadcast(take_dg), "dg", "left_anti")
+                 .write.mode("overwrite")
+                 .parquet(f"{_gen_dir(g2)}/{os.path.basename(part)}"))
+            state["gen"] = g2
+            # rebuild from digests-after — same num_bits/k, so the
+            # bitmap is comparable against a from-scratch survivor
+            # build (the recorded rebuild-only policy made executable)
+            after_src = base_dg.select("dg")
+            if _parts(g2):
+                after_src = after_src.unionByName(
+                    spark.read.schema("dg string").parquet(*_parts(g2)))
+            old = state["bloom"]
+            state["bloom"] = bloom_build(after_src, "dg",
+                                         num_bits=num_bits, k=old.k)
+            old.destroy()
+            # mergeable LM decrement rows, c12- and wdoc-shaped
+            _lm_tables(excs)[0].write.mode("overwrite").parquet(
+                f"{dec_dir}/batch={batch_id}/c12")
+            _wdoc_counts(excs).write.mode("overwrite").parquet(
+                f"{dec_dir}/batch={batch_id}/wdoc")
+            hit = (excs.select("lang", F.md5("text").alias("dg"))
+                   .join(before, "dg", "left_semi")
+                   if before is not None else excs.limit(0)
+                   .select("lang", F.md5("text").alias("dg")))
+            (excs.groupBy("lang")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+             .join(hit.groupBy("lang")
+                   .agg(F.count(F.lit(1)).cast("bigint")
+                        .alias("n_excised")), "lang", "left")
+             .select("lang", F.lit("excise").alias("op"), "n_rows",
+                     F.lit(None).cast("bigint").alias("n_admitted"),
+                     F.coalesce("n_excised", F.lit(0)).cast("bigint")
+                     .alias("n_excised"))
+             .write.mode("overwrite")
+             .parquet(f"{report_dir}/batch={batch_id}_excise"))
+            excs.unpersist()
+
+        if not adds.isEmpty():
+            g = state["gen"]
+            earlier = (spark.read.schema("dg string")
+                       .parquet(*_parts(g, before=batch_id))
+                       if _parts(g, before=batch_id) else None)
+            b = adds.select("doc_id", "lang", F.md5("text").alias("dg"))
+            reps = (b.withColumn(
+                        "rn", F.row_number().over(
+                            W.partitionBy("dg").orderBy("doc_id")))
+                    .filter(F.col("rn") == 1).drop("rn"))
+            admitted = _admission_gate(reps, base_dg, earlier,
+                                       state["bloom"])
+            try:
+                admitted.select("dg").write.mode("overwrite").parquet(
+                    f"{_gen_dir(g)}/batch={batch_id}")
+                (b.groupBy("lang")
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+                 .join(admitted.groupBy("lang")
+                       .agg(F.count(F.lit(1)).cast("bigint")
+                            .alias("n_admitted")), "lang", "left")
+                 .select("lang", F.lit("add").alias("op"), "n_rows",
+                         F.coalesce("n_admitted", F.lit(0))
+                         .cast("bigint").alias("n_admitted"),
+                         F.lit(None).cast("bigint").alias("n_excised"))
+                 .write.mode("overwrite")
+                 .parquet(f"{report_dir}/batch={batch_id}_add"))
+                state["bloom"].merge_from(bloom_build(
+                    admitted.select("dg"), "dg",
+                    num_bits=state["bloom"].num_bits,
+                    k=state["bloom"].k))
+            finally:
+                admitted._gate_cache.unpersist()
+
+    schema = staged[0].schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{work}/in/*"))
+    _run_foreachbatch(spark, stream, process)
+    state["bloom"].destroy()
+
+    out = (spark.read.schema(
+        "lang string, op string, n_rows bigint, "
+        "n_admitted bigint, n_excised bigint")
+        .parquet(f"{report_dir}/*")
+        .groupBy("lang")
+        .agg(F.sum(F.when(F.col("op") == "add", F.col("n_rows")))
+             .cast("bigint").alias("n_new"),
+             F.sum(F.coalesce("n_admitted", F.lit(0)))
+             .cast("bigint").alias("n_admitted"),
+             F.sum(F.coalesce("n_excised", F.lit(0)))
+             .cast("bigint").alias("n_excised")))
+    # handles for the gate-state and decrement≡retrain tests
+    out._excise_state = {"work": work, "gen": state["gen"],
+                         "bloom": state["bloom"], "num_bits": num_bits,
+                         "dec_dir": dec_dir, "base_tbl": base_tbl}
+    return out
+
+
+QUERIES["stream_ingest_excise_loop"] = (stream_ingest_excise_loop, f"""
+WITH b0 AS (
+  SELECT doc_id, lang, md5(text) AS dg FROM documents
+  WHERE {_bucket_sql('doc_id')} >= {INDEX_PCT}
+    AND {_bucket_sql('doc_id')} < 90),
+take AS (
+  SELECT doc_id, lang, dg FROM b0
+  WHERE doc_id % {STREAM_EXCISE_MOD} = {STREAM_EXCISE_RES}),
+b2 AS (
+  SELECT doc_id, lang, md5(text) AS dg FROM documents
+  WHERE {_bucket_sql('doc_id')} >= 90
+  UNION ALL SELECT doc_id, lang, dg FROM take),
+idx AS (SELECT DISTINCT md5(text) AS dg FROM documents
+        WHERE {_bucket_sql('doc_id')} < {INDEX_PCT}),
+rep0 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY dg ORDER BY doc_id)
+         AS rn FROM b0),
+a0 AS (SELECT dg, lang FROM rep0
+       WHERE rn = 1 AND dg NOT IN (SELECT dg FROM idx)),
+exc_hit AS (SELECT t.lang FROM take t
+            WHERE t.dg IN (SELECT dg FROM a0)),
+a1 AS (SELECT * FROM a0 WHERE dg NOT IN (SELECT dg FROM take)),
+rep2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY dg ORDER BY doc_id)
+         AS rn FROM b2),
+a2 AS (SELECT dg, lang FROM rep2
+       WHERE rn = 1 AND dg NOT IN (SELECT dg FROM idx)
+         AND dg NOT IN (SELECT dg FROM a1)),
+langs AS (SELECT DISTINCT lang FROM (
+  SELECT lang FROM b0 UNION ALL SELECT lang FROM b2
+  UNION ALL SELECT lang FROM take)),
+adds AS (SELECT lang, COUNT(*) AS n FROM (
+  SELECT lang FROM b0 UNION ALL SELECT lang FROM b2) GROUP BY lang),
+adm AS (SELECT lang, COUNT(*) AS n FROM (
+  SELECT lang FROM a0 UNION ALL SELECT lang FROM a2) GROUP BY lang),
+exc AS (SELECT lang, COUNT(*) AS n FROM exc_hit GROUP BY lang)
+SELECT l.lang, CAST(COALESCE(adds.n, 0) AS BIGINT) AS n_new,
+       CAST(COALESCE(adm.n, 0) AS BIGINT) AS n_admitted,
+       CAST(COALESCE(exc.n, 0) AS BIGINT) AS n_excised
+FROM langs l
+LEFT JOIN adds USING (lang) LEFT JOIN adm USING (lang)
+LEFT JOIN exc USING (lang)
+""")

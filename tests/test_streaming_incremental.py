@@ -423,3 +423,107 @@ def test_stream_ingest_pipeline_matches_batch_twin(spark):
     got = sorted(map(tuple, ev.stream_ingest_pipeline(spark, sf).collect()))
     want = sorted(map(tuple, ingest_gate_pipeline(spark, sf).collect()))
     assert got == want and got
+
+
+def test_stream_excise_readmission_and_gate_state(spark):
+    """Streaming excision end-to-end (merge≡retrain, third use — on the
+    gate itself): a doc admitted in batch 0 and excised in batch 1 is
+    RE-ADMITTED in batch 2 (declared policy); the post-run bloom bitmap
+    equals a from-scratch build over base ∪ surviving admissions — the
+    excised digests' bits are gone unless a survivor shares them."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from big_data_science_project_spark.functions.bloom import bloom_build
+    from big_data_science_project_spark.operators.curation import _bucket
+    from big_data_science_project_spark.operators.dedup import INDEX_PCT
+    from big_data_science_project_spark.sources.tables import load_table
+    from big_data_science_project_spark.streaming.events import (
+        STREAM_EXCISE_MOD, STREAM_EXCISE_RES, stream_ingest_excise_loop)
+
+    sf = "/root/testdata/sf0.01"
+    out = stream_ingest_excise_loop(spark, sf)
+    report = {r.lang: r for r in out.collect()}
+    st = out._excise_state
+
+    docs = load_table(spark, sf, "documents")
+    bk = _bucket(F.col("doc_id"))
+    b0 = docs.filter((bk >= INDEX_PCT) & (bk < 90))
+    take_dg = {r.dg for r in
+               b0.filter(F.col("doc_id") % STREAM_EXCISE_MOD
+                         == STREAM_EXCISE_RES)
+               .select(F.md5("text").alias("dg")).collect()}
+    assert take_dg, "fixture must plant a non-empty takedown set"
+    assert sum(r.n_excised for r in report.values()) > 0
+
+    gen_dir = f"{st['work']}/admitted/gen={st['gen']}"
+    parts = {d: f"{gen_dir}/{d}" for d in os.listdir(gen_dir)}
+    assert set(parts) == {"batch=0", "batch=2"}
+    dg0 = {r.dg for r in
+           spark.read.schema("dg string").parquet(parts["batch=0"])
+           .collect()}
+    dg2 = {r.dg for r in
+           spark.read.schema("dg string").parquet(parts["batch=2"])
+           .collect()}
+    # excised from batch 0's partition, re-admitted in batch 2's
+    assert not (take_dg & dg0)
+    assert take_dg <= dg2
+
+    # gate-state equality: rebuilt-then-grown bitmap == from-scratch
+    survivors = (spark.table(st["base_tbl"]).select("dg")
+                 .unionByName(spark.read.schema("dg string")
+                              .parquet(f"{gen_dir}/batch=*")))
+    fresh = bloom_build(survivors, "dg", num_bits=st["num_bits"],
+                        k=st["bloom"].k)
+    assert np.array_equal(st["bloom"].words, fresh.words)
+
+
+def test_stream_excise_lm_decrements_equal_retrain(spark):
+    """The streamed LM decrement rows are the exact mergeable artifact:
+    full-batch c12/wdoc minus the takedown batch's streamed counts ==
+    training from scratch on the survivors (decrement≡retrain for the
+    mid-stream path)."""
+    from pyspark.sql import functions as F
+
+    from big_data_science_project_spark.operators.curation import _bucket
+    from big_data_science_project_spark.operators.dedup import INDEX_PCT
+    from big_data_science_project_spark.operators.text import (
+        _lm_tables, _wdoc_counts)
+    from big_data_science_project_spark.sources.tables import load_table
+    from big_data_science_project_spark.streaming.events import (
+        STREAM_EXCISE_MOD, STREAM_EXCISE_RES, stream_ingest_excise_loop)
+
+    sf = "/root/testdata/sf0.01"
+    st = stream_ingest_excise_loop(spark, sf)._excise_state
+    dec = f"{st['dec_dir']}/batch=1"
+
+    docs = load_table(spark, sf, "documents")
+    bk = _bucket(F.col("doc_id"))
+    b0 = docs.filter((bk >= INDEX_PCT) & (bk < 90))
+    take_pred = (F.col("doc_id") % STREAM_EXCISE_MOD
+                 == STREAM_EXCISE_RES)
+    surv = b0.filter(~take_pred)
+
+    d12 = (spark.read.parquet(f"{dec}/c12")
+           .withColumnRenamed("c12", "d12"))
+    c12_dec = (_lm_tables(b0)[0]
+               .join(d12, ["lang", "w1", "w2"], "left")
+               .select("lang", "w1", "w2",
+                       (F.col("c12") - F.coalesce("d12", F.lit(0)))
+                       .cast("bigint").alias("c12"))
+               .filter(F.col("c12") > 0))
+    want12 = sorted(map(tuple, _lm_tables(surv)[0].collect()))
+    assert sorted(map(tuple, c12_dec.collect())) == want12
+
+    dwd = (spark.read.parquet(f"{dec}/wdoc")
+           .withColumnRenamed("doc_count", "dc"))
+    wdoc_dec = (_wdoc_counts(b0)
+                .join(dwd, ["lang", "w"], "left")
+                .select("lang", "w",
+                        (F.col("doc_count") - F.coalesce("dc", F.lit(0)))
+                        .cast("bigint").alias("doc_count"))
+                .filter(F.col("doc_count") > 0))
+    want_wd = sorted(map(tuple, _wdoc_counts(surv).collect()))
+    assert sorted(map(tuple, wdoc_dec.collect())) == want_wd
