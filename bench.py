@@ -61,6 +61,12 @@ HEADLINE = [
     "stream_sliding_by_type",
     "cells_outlier_filter",
     "multimodal_features",
+    # r11 anchors: the streaming retraction lifecycle (full
+    # add/excise/re-add run per rep) and the audio batch-vs-index gate
+    # (fingerprint index write-once; reps measure the per-batch
+    # screening cost the scale probe claims is index-insensitive)
+    "stream_ingest_excise_loop",
+    "multimodal_audio_ingest_gate",
 ]
 
 
