@@ -771,7 +771,15 @@ SURF_DEDUP_IMAGES = 16
 SURF_DEDUP_CLONES = 4
 SURF_CLONE_OFFSET = 9000
 SURF_MATCH_COS = 0.99
-SURF_MIN_ALIGNED = 3
+# Hough-vote floor. 3 sufficed at the 20-image fixture (best cross-image
+# conspiracy 2), but the coincidence budget grows with the corpus: the
+# 100x probe (1600 images, ~1.28M candidate pair slots) produced 66
+# different-radius pairs ALL at n_aligned 3-4, while every true match —
+# contrast clones (6-10), occluded gate copies (8-10) — sits at >= 6.
+# 5 splits the measured gap: zero spurious pairs at 100x, full recall
+# at every scale (the r10 cap-normalization lesson, applied to the vote
+# threshold).
+SURF_MIN_ALIGNED = 5
 # Degenerate-bucket cap, PER-IMAGE-NORMALIZED (ladder idiom, made
 # scale-stable): a band value is dropped when it averages more than
 # this many keypoints per image that carries it. A fixed global count

@@ -249,6 +249,7 @@ def main():
 
     spark = (SparkSession.builder.master("local[32]")
              .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.driver.memory", "48g")
              .appName("multimodal-scale-probe").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
