@@ -136,12 +136,20 @@ def _cc_edges(nodes: DataFrame) -> DataFrame:
     return star.union(bridge)
 
 
+def _cc_sym(edges: DataFrame) -> DataFrame:
+    """Undirected view of the star/bridge edges — both directions of
+    every edge, persisted because every propagation round re-reads it
+    (shared by graph_components and graph_label_propagation)."""
+    return (edges.union(edges.select(F.col("v").alias("u"),
+                                     F.col("u").alias("v")))
+            .persist(StorageLevel.MEMORY_AND_DISK_DESER))
+
+
 def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = load_table(spark, sf_dir, "documents").select("doc_id")
     edges = _cc_edges(nodes)
     # undirected: propagate along both directions of every edge
-    sym = edges.union(edges.select(F.col("v").alias("u"),
-                                   F.col("u").alias("v"))).persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    sym = _cc_sym(edges)
     labels = nodes.select("doc_id", F.col("doc_id").alias("lab"))
     for _ in range(CC_ITERS):
         nb = (sym.join(labels, sym.u == labels.doc_id)
@@ -451,10 +459,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     nodes = docs.select("doc_id", "lang")
-    edges = _cc_edges(nodes.select("doc_id"))
-    sym = (edges.union(edges.select(F.col("v").alias("u"),
-                                    F.col("u").alias("v")))
-           .persist(StorageLevel.MEMORY_AND_DISK_DESER))
+    sym = _cc_sym(_cc_edges(nodes.select("doc_id")))
     labels = (nodes.filter(F.col("doc_id") % LP_SEED_MOD == 0)
               .select("doc_id", F.col("lang").alias("lab"),
                       F.lit(0).alias("rnd")))

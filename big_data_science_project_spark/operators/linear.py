@@ -901,9 +901,14 @@ def _stump_pred(j, t, p):
 
 
 def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _boost_feats(spark, sf_dir).select(
-        "*", F.lit(1_000_000).cast("bigint").alias("w"),
-        F.lit(0).cast("bigint").alias("margin"))
+    # persisted like Lloyd's pts (linear.py Lloyd's convention): each
+    # round issues two driver actions (candidate table + ensemble
+    # error), so the weight table is cached and re-cached per round
+    # instead of re-deriving buckets/splits/exp-chains from parquet
+    docs = (_boost_feats(spark, sf_dir)
+            .select("*", F.lit(1_000_000).cast("bigint").alias("w"),
+                    F.lit(0).cast("bigint").alias("margin"))
+            .persist(StorageLevel.MEMORY_AND_DISK_DESER))
     cand = F.explode(F.array(*[
         F.struct(F.lit(j).alias("j"), F.lit(t).cast("bigint").alias("t"),
                  F.lit(p).alias("p"))
@@ -934,6 +939,7 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha_micro = best["alpha_micro"]
         alpha = alpha_micro / 1e6
         pred = _stump_pred(F.lit(j), F.lit(t), F.lit(pol))
+        prev = docs
         docs = (docs
                 .withColumn("margin",
                             F.col("margin") + F.lit(alpha_micro) * pred)
@@ -941,16 +947,19 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "w",
                     F.round(F.col("w").cast("double") * F.exp(
                         F.when(pred != F.col("y"), F.lit(alpha))
-                        .otherwise(F.lit(-alpha)))).cast("bigint")))
+                        .otherwise(F.lit(-alpha)))).cast("bigint"))
+                .persist(StorageLevel.MEMORY_AND_DISK_DESER))
         ens = docs.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.when(F.when(F.col("margin") >= 0, 1).otherwise(-1)
                          != F.col("y"), 1).otherwise(0))
             .cast("bigint").alias("ens_miss")).collect()[0]  # 1 row
+        prev.unpersist()
         rows.append((k, j, int(t), pol,
                      (1_000_000 * best["werr"]) // best["wtot"],
                      alpha_micro,
                      (1_000_000 * ens["ens_miss"]) // ens["n"]))
+    docs.unpersist()
     return spark.createDataFrame(
         rows, "round int, feature int, threshold bigint, polarity int, "
               "werr_ppm bigint, alpha_micro bigint, ens_err_ppm bigint")
