@@ -900,18 +900,23 @@ def _stump_pred(j, t, p):
     return F.when(hit, p).otherwise(-p)
 
 
-def _adaboost_train(spark: SparkSession, sf_dir: str):
+def _adaboost_train(spark: SparkSession, sf_dir: str, report: bool = True):
     """Run the boosting loop; returns (stumps, report_rows) where
     stumps = [(round, j, t, p, alpha_micro)] is the MODEL (the thing
     ml_adaboost_persisted writes as an artifact) and report_rows are
-    ml_adaboost_stumps' per-round training stats."""
+    ml_adaboost_stumps' per-round training stats. With report=False
+    (the artifact build) the margin column and the per-round ensemble
+    -error aggregate are skipped entirely — training needs only the
+    weights, and the final round's reweight is never computed since no
+    round 4 consumes it."""
     # persisted like Lloyd's pts (linear.py Lloyd's convention): each
     # round issues two driver actions (candidate table + ensemble
     # error), so the weight table is cached and re-cached per round
     # instead of re-deriving buckets/splits/exp-chains from parquet
-    docs = (_boost_feats(spark, sf_dir)
-            .select("*", F.lit(1_000_000).cast("bigint").alias("w"),
-                    F.lit(0).cast("bigint").alias("margin"))
+    cols = ["*", F.lit(1_000_000).cast("bigint").alias("w")]
+    if report:
+        cols.append(F.lit(0).cast("bigint").alias("margin"))
+    docs = (_boost_feats(spark, sf_dir).select(*cols)
             .persist(StorageLevel.MEMORY_AND_DISK_DESER))
     cand = F.explode(F.array(*[
         F.struct(F.lit(j).alias("j"), F.lit(t).cast("bigint").alias("t"),
@@ -943,27 +948,33 @@ def _adaboost_train(spark: SparkSession, sf_dir: str):
         alpha_micro = best["alpha_micro"]
         alpha = alpha_micro / 1e6
         stumps.append((k, j, int(t), pol, alpha_micro))
+        if not report:
+            if k == BOOST_ROUNDS:
+                break  # the last round's reweight has no consumer
+            rows = None
         pred = _stump_pred(F.lit(j), F.lit(t), F.lit(pol))
+        upd = docs
+        if report:
+            upd = upd.withColumn(
+                "margin", F.col("margin") + F.lit(alpha_micro) * pred)
         prev = docs
-        docs = (docs
-                .withColumn("margin",
-                            F.col("margin") + F.lit(alpha_micro) * pred)
-                .withColumn(
+        docs = (upd.withColumn(
                     "w",
                     F.round(F.col("w").cast("double") * F.exp(
                         F.when(pred != F.col("y"), F.lit(alpha))
                         .otherwise(F.lit(-alpha)))).cast("bigint"))
                 .persist(StorageLevel.MEMORY_AND_DISK_DESER))
-        ens = docs.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(F.when(F.col("margin") >= 0, 1).otherwise(-1)
-                         != F.col("y"), 1).otherwise(0))
-            .cast("bigint").alias("ens_miss")).collect()[0]  # 1 row
         prev.unpersist()
-        rows.append((k, j, int(t), pol,
-                     (1_000_000 * best["werr"]) // best["wtot"],
-                     alpha_micro,
-                     (1_000_000 * ens["ens_miss"]) // ens["n"]))
+        if report:
+            ens = docs.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.when(F.col("margin") >= 0, 1).otherwise(-1)
+                             != F.col("y"), 1).otherwise(0))
+                .cast("bigint").alias("ens_miss")).collect()[0]  # 1 row
+            rows.append((k, j, int(t), pol,
+                         (1_000_000 * best["werr"]) // best["wtot"],
+                         alpha_micro,
+                         (1_000_000 * ens["ens_miss"]) // ens["n"]))
     docs.unpersist()
     return stumps, rows
 
@@ -1074,7 +1085,7 @@ def _adaboost_artifacts(spark: SparkSession, sf_dir: str) -> str:
     from ..sources.tables import write_once_artifacts
 
     def build(root: str) -> None:
-        stumps, _ = _adaboost_train(spark, sf_dir)
+        stumps, _ = _adaboost_train(spark, sf_dir, report=False)
         (spark.createDataFrame(
             stumps, "round int, j int, t bigint, p int, alpha_micro bigint")
          .coalesce(1).write.mode("overwrite").parquet(f"{root}/stumps"))

@@ -102,14 +102,16 @@ def test_label_propagation_matches_python_reference(spark):
     docs = _docs()
     lang = {d["doc_id"]: d["lang"] for d in docs}
     ids = set(lang)
+    # setdefault mirrors the engine's join semantics: a derived hub id
+    # absent from the corpus still participates as an edge endpoint
     nbrs: dict = {i: [] for i in ids}
     for v in ids:
         if v % CC_BLOCK != 0:
             u = v - v % CC_BLOCK
-            nbrs[u].append(v); nbrs[v].append(u)
+            nbrs.setdefault(u, []).append(v); nbrs[v].append(u)
         elif v >= CC_BLOCK and (v // CC_BLOCK) % CC_GROUP != 0:
             u = v - CC_BLOCK
-            nbrs[u].append(v); nbrs[v].append(u)
+            nbrs.setdefault(u, []).append(v); nbrs[v].append(u)
 
     labels = {i: (lang[i], 0) for i in ids if i % LP_SEED_MOD == 0}
     for k in range(1, LP_ITERS + 1):
@@ -144,9 +146,13 @@ def test_corpus_drift_matches_python_reference(spark):
     from big_data_science_project_spark.operators.curation import (
         DRIFT_BASE_PCT, DRIFT_EN_KEEP_PCT)
 
+    # every lang in the corpus gets a row (the engine groups ALL docs
+    # by lang, so 0/0 languages still appear)
     nb: dict = {}
     nc: dict = {}
+    langs = set()
     for d in _docs():
+        langs.add(d["lang"])
         snap = _bucket(f"snap#{d['doc_id']}")
         if snap < DRIFT_BASE_PCT:
             nb[d["lang"]] = nb.get(d["lang"], 0) + 1
@@ -156,7 +162,7 @@ def test_corpus_drift_matches_python_reference(spark):
     tb, tc = sum(nb.values()), sum(nc.values())
 
     got = QUERIES["curate_corpus_drift"](spark, SF).collect()
-    assert len(got) == len(set(nb) | set(nc))
+    assert len(got) == len(langs)
     for g in got:
         b, c = nb.get(g["lang"], 0), nc.get(g["lang"], 0)
         assert (g["n_base"], g["n_cur"]) == (b, c)
@@ -174,13 +180,13 @@ def test_corpus_drift_matches_python_reference(spark):
 # ---------------------------------------------------------------------------
 def test_dup_rate_matches_python_reference(spark):
     from big_data_science_project_spark.operators.curation import (
-        CLONE_PCT, DUP_SAMPLE_PCT)
+        CLONE_ID_OFFSET, CLONE_PCT, DUP_SAMPLE_PCT)
 
     corpus = []
     for d in _docs():
         corpus.append((d["doc_id"], d["text"]))
         if _bucket(f"clone#{d['doc_id']}") < CLONE_PCT:
-            corpus.append((d["doc_id"] + 10_000_000, d["text"]))
+            corpus.append((d["doc_id"] + CLONE_ID_OFFSET, d["text"]))
     cs = [(i, t) for (i, t) in corpus if _bucket(t) < DUP_SAMPLE_PCT]
     rs = [(i, t) for (i, t) in corpus
           if _bucket(f"row#{i}") < DUP_SAMPLE_PCT]
