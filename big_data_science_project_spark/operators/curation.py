@@ -840,7 +840,13 @@ FROM wt
 # ---------------------------------------------------------------------------
 CLONE_PCT = 10        # planted duplicate share (one clone per hit)
 DUP_SAMPLE_PCT = 20   # sample share for BOTH estimators
-CLONE_ID_OFFSET = 10_000_000  # clones are new rows: fresh doc_id
+# Clones get fresh doc_ids above every real one; a collision would
+# silently bias the row-sample estimator (clone and original would
+# share an in_rs flag). Fixture doc_ids top out at 5e3 (sf0.1) and grow
+# ~linearly in sf, so 1e7 holds to ~sf200; the precondition
+# max(doc_id) < CLONE_ID_OFFSET is pinned by the independent-mirror
+# test so a fixture change fails loudly instead of skewing the result.
+CLONE_ID_OFFSET = 10_000_000
 
 
 def curate_dup_rate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -139,7 +139,13 @@ def _cc_edges(nodes: DataFrame) -> DataFrame:
 def _cc_sym(edges: DataFrame) -> DataFrame:
     """Undirected view of the star/bridge edges — both directions of
     every edge, persisted because every propagation round re-reads it
-    (shared by graph_components and graph_label_propagation)."""
+    (shared by graph_components and graph_label_propagation).
+
+    The persist is intentionally session-lifetime: the returned plan is
+    lazy, so unpersisting inside the query function would evict the
+    blocks before the caller materializes the result. plan_cached reuse
+    means the same blocks back every rerun of either graph query, and
+    MEMORY_AND_DISK keeps eviction safe under memory pressure."""
     return (edges.union(edges.select(F.col("v").alias("u"),
                                      F.col("u").alias("v")))
             .persist(StorageLevel.MEMORY_AND_DISK_DESER))

@@ -944,6 +944,15 @@ def _adaboost_train(spark: SparkSession, sf_dir: str, report: bool = True):
                              " as bigint)").alias("alpha_micro"))
               .collect())  # bounded: |BOOST_CANDS| x 2 rows
         best = min(sc, key=lambda r: (r["werr"], r["j"], r["t"], r["p"]))
+        # alpha = 0.5*ln((wtot-werr)/werr) needs 0 < werr < wtot; the
+        # planted 2% label noise guarantees every stump errs, but that
+        # is a fixture invariant — fail loudly here rather than let a
+        # fixture change produce inf in Spark while the DuckDB oracle
+        # errors on CAST(inf AS BIGINT) (silent cross-engine divergence)
+        if not 0 < best["werr"] < best["wtot"]:
+            raise ValueError(
+                f"adaboost round {k}: degenerate stump werr="
+                f"{best['werr']} wtot={best['wtot']} — alpha undefined")
         j, t, pol = best["j"], best["t"], best["p"]
         alpha_micro = best["alpha_micro"]
         alpha = alpha_micro / 1e6

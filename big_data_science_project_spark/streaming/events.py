@@ -1028,6 +1028,74 @@ QUERIES["stream_ingest_pipeline"] = (stream_ingest_pipeline,
 # the earliest batch (ties: min doc_id) — exactly the oracle's
 # ROW_NUMBER() OVER (ORDER BY batch_no, doc_id).
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# Generationed admitted-digest store, shared by the ingest and excise
+# loops (r11 verdict item 3 made the compaction step executable). The
+# layout is root/gen=G/batch=K: every add batch appends one batch
+# partition to the current generation; excision and compaction each
+# REWRITE into generation G+1 and bump the pointer, so no file being
+# read is ever overwritten in place and a retried driver step
+# re-derives byte-identical content from the same pinned part set
+# (max batch id and part listing are deterministic per call).
+#
+# Without compaction both live loops grow one partition per batch and
+# the excise loop one generation directory per takedown — at 100 TB
+# with daily takedowns the listing and per-batch unions grow without
+# bound. _compact_gen folds gen=G's partitions into ONE partition in
+# gen=G+1 labeled batch=<max compacted id>, which keeps the
+# ``before=batch_id`` retry semantics: any future batch id exceeds the
+# label, and a retry of the compacting batch reruns against the same
+# pinned part set. Compaction changes the digest SET not at all, so
+# the gate's bloom and every later admission decision are provably
+# identical — tests/test_streaming_incremental.py runs the excise loop
+# with COMPACT_EVERY=2 and pins result-equality against the
+# uncompacted run plus the bounded part count.
+# ---------------------------------------------------------------------------
+COMPACT_EVERY = 8  # compact when the current generation holds >= this
+
+
+def _gen_parts(root: str, g: int, before: int | None = None) -> list:
+    """Pinned (driver-side listdir, never a glob) batch partitions of
+    generation ``g``, optionally only those committed before
+    ``before`` — the per-batch retry fence."""
+    d = f"{root}/gen={g}"
+    return sorted(
+        f"{d}/{name}" for name in
+        (os.listdir(d) if os.path.isdir(d) else [])
+        if name.startswith("batch=")
+        and (before is None or int(name.split("=")[1]) < before))
+
+
+def _cur_gen(root: str) -> int:
+    """Highest generation present on disk (restart recovery), 0 if
+    the store is empty."""
+    if not os.path.isdir(root):
+        return 0
+    gens = [int(d.split("=")[1]) for d in os.listdir(root)
+            if d.startswith("gen=")]
+    return max(gens, default=0)
+
+
+def _compact_gen(spark: SparkSession, root: str, state: dict) -> None:
+    """Fold the current generation's batch partitions into one
+    partition in the next generation and bump the pointer. A no-op
+    below two partitions. The fixture compacts to a single file
+    (digest rows are small); a deployment would size the coalesce to
+    ceil(store_bytes / target_file_size) — the bound that matters is
+    the PART COUNT, which becomes 1 regardless."""
+    g = state["gen"]
+    parts = _gen_parts(root, g)
+    if len(parts) < 2:
+        return
+    g2 = g + 1
+    max_k = max(int(p.rsplit("=", 1)[1]) for p in parts)
+    (spark.read.schema("dg string").parquet(*parts)
+     .coalesce(1)
+     .write.mode("overwrite")
+     .parquet(f"{root}/gen={g2}/batch={max_k}"))
+    state["gen"] = g2
+
+
 def _admission_gate(reps: DataFrame, base_dg: DataFrame,
                     earlier: DataFrame | None, bloom) -> DataFrame:
     """Bloom-gated exact admission for one micro-batch: ``reps`` is one
@@ -1057,7 +1125,9 @@ def _admission_gate(reps: DataFrame, base_dg: DataFrame,
     return out
 
 
-def stream_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_ingest_loop(spark: SparkSession, sf_dir: str,
+                       splits: tuple = ((INDEX_PCT, 90), (90, 100)),
+                       ) -> DataFrame:
     import time as _time
 
     from ..functions.bloom import BITS_PER_KEY, bloom_build
@@ -1070,9 +1140,11 @@ def stream_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     bk = _bucket(F.col("doc_id"))
-    # stage the two arrival files, mtime-pinned so FileStreamSource
-    # admits them oldest-first (one per trigger)
-    for i, (lo, hi) in enumerate(((INDEX_PCT, 90), (90, 100))):
+    # stage the arrival files (default: the oracle's two sub-buckets;
+    # the compaction test passes a finer split so compaction fires
+    # MID-stream with add batches still to come), mtime-pinned so
+    # FileStreamSource admits them oldest-first (one per trigger)
+    for i, (lo, hi) in enumerate(splits):
         p = f"{work}/in/f{i}"
         (docs.filter((bk >= lo) & (bk < hi))
          .coalesce(1).write.mode("overwrite").parquet(p))
@@ -1093,11 +1165,12 @@ def stream_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same one _admission_gate's earlier-partitions read exercises.
     n_idx = base_dg.count()
     gate_src = base_dg.select("dg")
-    prior_parts = sorted(
-        f"{admitted_dir}/{d}" for d in (
-            os.listdir(admitted_dir) if os.path.isdir(admitted_dir)
-            else [])
-        if d.startswith("batch="))
+    # generationed store (shared helpers above): restart recovery
+    # unions the CURRENT generation's partitions into the initial
+    # build — a resumed stream's gate covers base ∪ every earlier
+    # admission regardless of how many compactions preceded the crash
+    state = {"gen": _cur_gen(admitted_dir)}
+    prior_parts = _gen_parts(admitted_dir, state["gen"])
     if prior_parts:
         gate_src = gate_src.unionByName(
             spark.read.schema("dg string").parquet(*prior_parts))
@@ -1109,12 +1182,8 @@ def stream_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         # driver-side listdir, not a glob: the set of earlier
         # partitions must be pinned per batch (see header comment)
-        earlier_parts = sorted(
-            f"{admitted_dir}/{d}" for d in (
-                os.listdir(admitted_dir) if os.path.isdir(admitted_dir)
-                else [])
-            if d.startswith("batch=")
-            and int(d.split("=")[1]) < batch_id)
+        earlier_parts = _gen_parts(admitted_dir, state["gen"],
+                                   before=batch_id)
         earlier = (spark.read.schema("dg string").parquet(*earlier_parts)
                    if earlier_parts else None)
         b = batch_df.select("doc_id", "lang", F.md5("text").alias("dg"))
@@ -1125,7 +1194,7 @@ def stream_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         admitted = _admission_gate(reps, base_dg, earlier, bloom)
         try:
             admitted.select("dg").write.mode("overwrite").parquet(
-                f"{admitted_dir}/batch={batch_id}")
+                f"{admitted_dir}/gen={state['gen']}/batch={batch_id}")
             report = (b.groupBy("lang")
                       .agg(F.count(F.lit(1)).cast("bigint")
                            .alias("n_new"))
@@ -1146,6 +1215,10 @@ def stream_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
             # deduped — so release even on a failed write (the retry
             # re-persists its own copy)
             admitted._gate_cache.unpersist()
+        # bound the store's part count (digest set unchanged — the
+        # bloom and all later admissions are unaffected)
+        if len(_gen_parts(admitted_dir, state["gen"])) >= COMPACT_EVERY:
+            _compact_gen(spark, admitted_dir, state)
 
     schema = docs.schema
     stream = (spark.readStream.schema(schema)
@@ -1154,13 +1227,17 @@ def stream_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom.destroy()  # release the gate's executor-side bitmap, if any
     # explicit schema, like the other two stream output readers: a
     # fixture with zero new-batch docs leaves only empty partitions
-    return (spark.read.schema(
+    out = (spark.read.schema(
         "lang string, n_new bigint, n_admitted bigint")
         .parquet(report_dir)
         .groupBy("lang")
         .agg(F.sum("n_new").cast("bigint").alias("n_new"),
              F.sum(F.coalesce(F.col("n_admitted"), F.lit(0)))
              .cast("bigint").alias("n_admitted")))
+    # handle for the compaction-identity test
+    out._ingest_state = {"work": work, "admitted_root": admitted_dir,
+                         "gen": state["gen"], "base_tbl": base_tbl}
+    return out
 
 
 QUERIES["stream_ingest_loop"] = (stream_ingest_loop, f"""
@@ -1269,16 +1346,15 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
              "bloom": bloom_build(base_dg.select("dg"), "dg",
                                   num_bits=num_bits)}
 
+    admitted_root = f"{work}/admitted"
+
     def _gen_dir(g: int) -> str:
-        return f"{work}/admitted/gen={g}"
+        return f"{admitted_root}/gen={g}"
 
     def _parts(g: int, before: int | None = None) -> list:
-        d = _gen_dir(g)
-        return sorted(
-            f"{d}/{name}" for name in
-            (os.listdir(d) if os.path.isdir(d) else [])
-            if name.startswith("batch=")
-            and (before is None or int(name.split("=")[1]) < before))
+        # shared generationed-store helpers (module level, also used
+        # by the ingest loop and by compaction)
+        return _gen_parts(admitted_root, g, before)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window as W
@@ -1363,6 +1439,12 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
                     k=state["bloom"].k))
             finally:
                 admitted._gate_cache.unpersist()
+            # bound the store's part count; the digest set — and so
+            # the rebuilt-bloom ≡ from-scratch and every later
+            # admission decision — is unchanged (test-pinned with
+            # COMPACT_EVERY=2 against the uncompacted run)
+            if len(_parts(state["gen"])) >= COMPACT_EVERY:
+                _compact_gen(spark, admitted_root, state)
 
     schema = staged[0].schema
     stream = (spark.readStream.schema(schema)
@@ -1370,10 +1452,17 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     _run_foreachbatch(spark, stream, process)
     state["bloom"].destroy()
 
+    # explicit driver-side listing, not a glob: passing "report/*"
+    # makes FileStreamSink.hasMetadata stat the raw glob string as a
+    # literal path during analysis and WARN-log a FileNotFoundException
+    # stack (harmless but it polluted BENCH_r11's stderr — r11 verdict
+    # item 4); enumerated paths stat clean
+    report_parts = sorted(
+        f"{report_dir}/{d}" for d in os.listdir(report_dir))
     out = (spark.read.schema(
         "lang string, op string, n_rows bigint, "
         "n_admitted bigint, n_excised bigint")
-        .parquet(f"{report_dir}/*")
+        .parquet(*report_parts)
         .groupBy("lang")
         .agg(F.sum(F.when(F.col("op") == "add", F.col("n_rows")))
              .cast("bigint").alias("n_new"),

@@ -98,3 +98,42 @@ def test_oracles_are_subset_of_queries():
     queries, oracles = collect_registry()
     extra = set(oracles) - set(queries)
     assert not extra, f"oracles without a query: {sorted(extra)}"
+
+
+def test_multimodal_scale_artifact_matches_probe_schema():
+    """Probe-to-artifact consistency pin (r11 verdict item 1): in r11
+    the probe gained two tiers and a 100x rung but the committed
+    MULTIMODAL_SCALE.json kept the old 4-tier, 10x-only schema — a
+    committed claim with no committed evidence. This test makes that
+    class impossible: the artifact's tier set and rung keys must match
+    the probe's own TIERS/DEFAULT_REPS tables, so upgrading the probe
+    without regenerating its artifact fails CI."""
+    sys_path = os.path.join(os.path.dirname(README), "tools")
+    import sys
+    sys.path.insert(0, sys_path)
+    try:
+        from multimodal_scale_probe import DEFAULT_REPS, TIERS
+    finally:
+        sys.path.remove(sys_path)
+
+    art_path = os.path.join(os.path.dirname(README),
+                            "MULTIMODAL_SCALE.json")
+    with open(art_path) as f:
+        art = json.load(f)
+
+    assert art.get("reps") == list(DEFAULT_REPS), (
+        f"artifact reps {art.get('reps')} != probe DEFAULT_REPS "
+        f"{list(DEFAULT_REPS)} — rerun tools/multimodal_scale_probe.py")
+    expect_tiers = {name for name, _ in TIERS}
+    assert set(art.get("tiers", {})) == expect_tiers, (
+        f"artifact tiers {sorted(art.get('tiers', {}))} != probe tiers "
+        f"{sorted(expect_tiers)} — rerun tools/multimodal_scale_probe.py")
+    rungs = ["base"] + [f"x{r}" for r in DEFAULT_REPS]
+    for name, entry in art["tiers"].items():
+        for rung in rungs:
+            assert rung in entry, (f"{name} missing rung {rung} — rerun "
+                                   "the probe with its default reps")
+            # the artifact's standing claim: zero false pairs at every
+            # rung that reports the pair-verdict shape
+            if "false_pairs" in entry[rung]:
+                assert entry[rung]["false_pairs"] == 0, (name, rung)

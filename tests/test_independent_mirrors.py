@@ -187,6 +187,11 @@ def test_dup_rate_matches_python_reference(spark):
         corpus.append((d["doc_id"], d["text"]))
         if _bucket(f"clone#{d['doc_id']}") < CLONE_PCT:
             corpus.append((d["doc_id"] + CLONE_ID_OFFSET, d["text"]))
+    # clone ids must not collide with real ids — a collision silently
+    # biases the row-sample estimator (shared in_rs flag), so pin the
+    # offset's precondition: every real doc_id sits below the offset
+    assert max(d["doc_id"] for d in _docs()) < CLONE_ID_OFFSET, \
+        "real doc_id >= CLONE_ID_OFFSET — clone ids would collide"
     cs = [(i, t) for (i, t) in corpus if _bucket(t) < DUP_SAMPLE_PCT]
     rs = [(i, t) for (i, t) in corpus
           if _bucket(f"row#{i}") < DUP_SAMPLE_PCT]

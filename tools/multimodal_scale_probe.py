@@ -239,9 +239,19 @@ CAP_NOTE = ("candidate pairs per entity per surviving hash <= "
             "at every rung")
 
 
+# The committed MULTIMODAL_SCALE.json must carry exactly these tiers
+# at exactly these rungs — tests/test_doc_counts.py pins the artifact's
+# tier set and rung keys to this table, so a probe upgrade can never
+# ship without its regenerated artifact again (r11 verdict item 1).
+DEFAULT_REPS = (10, 100)
+TIERS = (("surf_neardup", 16), ("audio_fingerprint", 12),
+         ("video_fingerprint", 16), ("ingest_gate_index", 16),
+         ("audio_gate_index", 12), ("video_gate_index", 16))
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--reps", default="10,100",
+    ap.add_argument("--reps", default=",".join(map(str, DEFAULT_REPS)),
                     help="comma-separated scale factors beyond base")
     ap.add_argument("--out", default="MULTIMODAL_SCALE.json")
     args = ap.parse_args()
@@ -253,13 +263,13 @@ def main():
              .appName("multimodal-scale-probe").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
+    fns = {"surf_neardup": surf_tier, "audio_fingerprint": audio_tier,
+           "video_fingerprint": video_tier, "ingest_gate_index": ingest_tier,
+           "audio_gate_index": audio_gate_tier,
+           "video_gate_index": video_gate_tier}
     report = {"reps": reps, "cap_bound": CAP_NOTE, "tiers": {}}
-    for name, fn, base in (("surf_neardup", surf_tier, 16),
-                           ("audio_fingerprint", audio_tier, 12),
-                           ("video_fingerprint", video_tier, 16),
-                           ("ingest_gate_index", ingest_tier, 16),
-                           ("audio_gate_index", audio_gate_tier, 12),
-                           ("video_gate_index", video_gate_tier, 16)):
+    for name, base in TIERS:
+        fn = fns[name]
         t1, r1 = _timed(lambda: fn(spark, base))
         entry = {"base": {"sec": round(t1, 3), **r1}}
         for rep in reps:

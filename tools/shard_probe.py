@@ -38,7 +38,9 @@ def probe(spark, sf_dir: str, label: str, n_reps: int = 3) -> dict:
     out = None
     for _ in range(n_reps):
         if out:
-            shutil.rmtree(out, ignore_errors=True)
+            # remove the whole mkdtemp parent, not just the 'shards'
+            # subdir — otherwise each rep leaks one empty temp dir
+            shutil.rmtree(os.path.dirname(out), ignore_errors=True)
         out = os.path.join(tempfile.mkdtemp(prefix="shard_probe_"), "shards")
         t0 = time.time()
         shard_writer(spark, sf_dir).write.partitionBy("shard").parquet(out)
