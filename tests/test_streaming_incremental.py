@@ -527,3 +527,93 @@ def test_stream_excise_lm_decrements_equal_retrain(spark):
                 .filter(F.col("doc_count") > 0))
     want_wd = sorted(map(tuple, _wdoc_counts(surv).collect()))
     assert sorted(map(tuple, wdoc_dec.collect())) == want_wd
+
+
+# ---------------------------------------------------------------------------
+# Store compaction (r11 verdict item 3): folding a generation's batch
+# partitions into one partition in the next generation must leave the
+# digest SET — and therefore the gate's bloom and every later
+# admission decision — exactly as it was, while bounding the part
+# count the per-batch unions and listings grow with.
+# ---------------------------------------------------------------------------
+def test_mid_stream_compaction_preserves_admissions(spark, monkeypatch):
+    """Run the ingest loop over FOUR add batches so compaction (forced
+    at COMPACT_EVERY=2) fires mid-stream with add batches still to
+    come; the report and the final admitted-digest set must equal the
+    uncompacted run's, and the final generation must hold exactly one
+    partition however many batches ran."""
+    import big_data_science_project_spark.streaming.events as ev
+    from big_data_science_project_spark.operators.dedup import INDEX_PCT
+
+    sf = "/root/testdata/sf0.01"
+    splits = ((INDEX_PCT, 84), (84, 88), (88, 92), (92, 100))
+
+    plain = ev.stream_ingest_loop(spark, sf, splits=splits)
+    want = sorted(map(tuple, plain.collect()))
+    assert want, "fixture must admit something"
+
+    monkeypatch.setattr(ev, "COMPACT_EVERY", 2)
+    compacted = ev.stream_ingest_loop(spark, sf, splits=splits)
+    got = sorted(map(tuple, compacted.collect()))
+    assert got == want  # every remaining batch admitted identically
+
+    st, st0 = compacted._ingest_state, plain._ingest_state
+    # compaction really ran mid-stream: batches 0+1 folded before
+    # batch 2, then again before batch 3 (gen bumps at 2 parts)
+    assert st["gen"] == 3 and st0["gen"] == 0
+    parts = ev._gen_parts(st["admitted_root"], st["gen"])
+    assert len(parts) == 1  # bounded by a constant, not batch count
+    plain_parts = ev._gen_parts(st0["admitted_root"], st0["gen"])
+    assert len(plain_parts) == len(splits)
+
+    def dgs(paths):
+        return {r.dg for r in
+                spark.read.schema("dg string").parquet(*paths).collect()}
+
+    assert dgs(parts) == dgs(plain_parts)  # digest-set identity
+
+
+def test_excise_loop_compaction_preserves_gate_state(spark, monkeypatch):
+    """The excise loop with compaction forced on (COMPACT_EVERY=2)
+    must produce the identical add/excise/re-add ledger AND the
+    identical post-run gate: digest set equal to the uncompacted run's
+    and bloom bitmap equal to a from-scratch build over
+    base ∪ surviving admissions."""
+    import numpy as np
+
+    import big_data_science_project_spark.streaming.events as ev
+    from big_data_science_project_spark.functions.bloom import bloom_build
+
+    sf = "/root/testdata/sf0.01"
+    plain = ev.stream_ingest_excise_loop(spark, sf)
+    want = sorted(map(tuple, plain.collect()))
+    st0 = plain._excise_state
+
+    monkeypatch.setattr(ev, "COMPACT_EVERY", 2)
+    out = ev.stream_ingest_excise_loop(spark, sf)
+    got = sorted(map(tuple, out.collect()))
+    assert got == want and got
+    st = out._excise_state
+
+    # excise bumped gen 0->1, then batch 2's add + compaction -> gen 2
+    assert st["gen"] == st0["gen"] + 1
+    parts = ev._gen_parts(f"{st['work']}/admitted", st["gen"])
+    assert len(parts) == 1
+    plain_parts = ev._gen_parts(f"{st0['work']}/admitted", st0["gen"])
+    assert len(plain_parts) == 2  # batch=0 (rewritten) + batch=2
+
+    def dgs(paths):
+        return {r.dg for r in
+                spark.read.schema("dg string").parquet(*paths).collect()}
+
+    assert dgs(parts) == dgs(plain_parts)
+
+    # gate-state identity through compaction: the live bloom (rebuilt
+    # at excision, grown at batch 2, untouched by compaction) equals a
+    # from-scratch build over base ∪ the COMPACTED store
+    survivors = (spark.table(st["base_tbl"]).select("dg")
+                 .unionByName(spark.read.schema("dg string")
+                              .parquet(*parts)))
+    fresh = bloom_build(survivors, "dg", num_bits=st["num_bits"],
+                        k=st["bloom"].k)
+    assert np.array_equal(st["bloom"].words, fresh.words)
