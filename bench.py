@@ -104,6 +104,24 @@ def main() -> None:
     from big_data_science_project_spark.functions.actions import (
         checksum_count)
 
+    # HOST-CALIBRATION CANARY (r11 verdict item 5): a solo min-of-5 of
+    # one fixed pure-JVM query, taken immediately before the suite on
+    # the same session. r11's totals carried a uniform ~1.28× host-
+    # level slowdown that needed a judge rerun to adjudicate; with the
+    # canary recorded alongside the totals, a uniform shift is
+    # self-diagnosing — divide per-query times by
+    # (host_canary_sec / BASELINE.md's canary) before calling a plan
+    # regression. q01 is ideal: scan+agg, whole-stage codegen, no
+    # Python, no streaming machinery.
+    canary = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        checksum_count(queries["q01_pricing_summary"](spark, sf_dir))
+        canary = min(canary, time.perf_counter() - t0)
+    canary = round(canary, 3)
+    print(f"# host_canary q01 solo min-of-5: {canary:.3f}s",
+          file=sys.stderr)
+
     times: dict[str, float] = {}
     for rep in range(3):
         for name in HEADLINE:
@@ -121,6 +139,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "host_canary_sec": canary,
         "sf": sf,
     }))
 
