@@ -1309,7 +1309,16 @@ FROM tot t LEFT JOIN adm a USING (lang)
 STREAM_EXCISE_MOD, STREAM_EXCISE_RES = 7, 3
 
 
-def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
+                              excise_splits: int = 1) -> DataFrame:
+    """``excise_splits`` > 1 stages the takedown set as K separate
+    mtime-ordered files → K sequential takedown TRIGGERS, each paying
+    its own generation rewrite + index-digest-sized bloom rebuild (the
+    rebuild-only policy's known per-batch cost). The final ledger is
+    split-invariant — the slices are disjoint and excisions precede
+    adds within each trigger — which the burst test pins against the
+    K=1 run; tools/excise_probe.py's burst rung times K=1 vs K>1 to
+    price per-burst rebuild amortization (r11 verdict item 7)."""
     import time as _time
 
     from ..functions.bloom import BITS_PER_KEY, bloom_build
@@ -1326,11 +1335,17 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     take_pred = ((bk >= INDEX_PCT) & (bk < 90)
                  & (F.col("doc_id") % STREAM_EXCISE_MOD
                     == STREAM_EXCISE_RES))
+    take = docs.filter(take_pred)
+    # takedown ids are RES mod MOD; slicing on (id - RES) / MOD cycles
+    # through the K slices without interacting with the mod-MOD pick
+    slice_of = (((F.col("doc_id") - STREAM_EXCISE_RES)
+                 / STREAM_EXCISE_MOD).cast("long") % excise_splits)
     staged = [
         docs.filter((bk >= INDEX_PCT) & (bk < 90))
             .withColumn("op", F.lit("add")),
-        docs.filter(take_pred).withColumn("op", F.lit("excise")),
-        docs.filter(bk >= 90).unionByName(docs.filter(take_pred))
+        *[take.filter(slice_of == j).withColumn("op", F.lit("excise"))
+          for j in range(excise_splits)],
+        docs.filter(bk >= 90).unionByName(take)
             .withColumn("op", F.lit("add")),
     ]
     for i, b in enumerate(staged):
@@ -1342,11 +1357,18 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_idx = base_dg.count()
     num_bits = max(64, BITS_PER_KEY * n_idx * 3 // 2)
-    state = {"gen": 0,
-             "bloom": bloom_build(base_dg.select("dg"), "dg",
-                                  num_bits=num_bits)}
-
     admitted_root = f"{work}/admitted"
+    # restart recovery mirrors the ingest loop: resume at the highest
+    # on-disk generation and cover its partitions in the initial gate
+    # (in-repo the dir is a fresh mkdtemp, so this starts at gen 0)
+    gate_src = base_dg.select("dg")
+    g0 = _cur_gen(admitted_root)
+    if _gen_parts(admitted_root, g0):
+        gate_src = gate_src.unionByName(
+            spark.read.schema("dg string")
+            .parquet(*_gen_parts(admitted_root, g0)))
+    state = {"gen": g0,
+             "bloom": bloom_build(gate_src, "dg", num_bits=num_bits)}
 
     def _gen_dir(g: int) -> str:
         return f"{admitted_root}/gen={g}"

@@ -617,3 +617,36 @@ def test_excise_loop_compaction_preserves_gate_state(spark, monkeypatch):
     fresh = bloom_build(survivors, "dg", num_bits=st["num_bits"],
                         k=st["bloom"].k)
     assert np.array_equal(st["bloom"].words, fresh.words)
+
+
+def test_excise_burst_split_invariant(spark):
+    """A takedown burst staged as K=3 sequential triggers (each paying
+    its own generation rewrite + bloom rebuild) must produce the exact
+    ledger of the single batched trigger — the slices are disjoint and
+    excisions precede adds within each trigger. This is the semantic
+    floor under tools/excise_probe.py's burst rung: the K runs it
+    times are interchangeable in RESULT, differing only in cost."""
+    import numpy as np
+
+    from big_data_science_project_spark.functions.bloom import bloom_build
+    from big_data_science_project_spark.streaming.events import (
+        stream_ingest_excise_loop)
+
+    sf = "/root/testdata/sf0.01"
+    plain = stream_ingest_excise_loop(spark, sf)
+    want = sorted(map(tuple, plain.collect()))
+    burst = stream_ingest_excise_loop(spark, sf, excise_splits=3)
+    got = sorted(map(tuple, burst.collect()))
+    assert got == want and got
+
+    # and the post-run gate is the same gate: bitmap identity with a
+    # from-scratch build over base ∪ the burst run's surviving store
+    st = burst._excise_state
+    import big_data_science_project_spark.streaming.events as ev
+    parts = ev._gen_parts(f"{st['work']}/admitted", st["gen"])
+    survivors = (spark.table(st["base_tbl"]).select("dg")
+                 .unionByName(spark.read.schema("dg string")
+                              .parquet(*parts)))
+    fresh = bloom_build(survivors, "dg", num_bits=st["num_bits"],
+                        k=st["bloom"].k)
+    assert np.array_equal(st["bloom"].words, fresh.words)

@@ -94,6 +94,31 @@ def time_retrain(spark, sf_dir: str, reps: int = 3) -> float:
     return round(best, 3)
 
 
+BURST_K = 4  # takedown batches in the burst rung
+
+
+def time_burst(spark, sf_dir: str, k: int, reps: int = 2) -> float:
+    """Wall of the full streaming lifecycle with the takedown set
+    staged as ``k`` sequential trigger batches — each pays its own
+    generation rewrite + index-digest-sized bloom rebuild. k=1 is the
+    batched-within-a-trigger-window alternative. The base digest table
+    is pre-built untimed (persisted production state)."""
+    from big_data_science_project_spark.operators.dedup import (
+        bucketed_digest_table)
+    from big_data_science_project_spark.streaming.events import (
+        stream_ingest_excise_loop)
+
+    bucketed_digest_table(spark, sf_dir)
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        stream_ingest_excise_loop(spark, sf_dir,
+                                  excise_splits=k).collect()
+        t = time.perf_counter() - t0
+        best = t if best is None else min(best, t)
+    return round(best, 3)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rep", type=int, default=10)
@@ -123,6 +148,32 @@ def main() -> None:
             "excise_sec": ex, "retrain_sec": rt,
             "excise_over_retrain": round(ex / rt, 3) if rt else None}
         print(f"  excise {ex}s retrain {rt}s", file=sys.stderr)
+    # takedown-burst rung (r11 verdict item 7): K sequential takedown
+    # batches through the REAL streaming loop vs the same set batched
+    # into one trigger — prices the per-burst bloom-rebuild
+    # amortization of the rebuild-only policy
+    result["takedown_burst"] = {}
+    for label, d in (("sf01", SRC), (f"x{args.rep}", dst)):
+        print(f"burst timing {label}", file=sys.stderr, flush=True)
+        t1 = time_burst(spark, d, 1)
+        tk = time_burst(spark, d, BURST_K)
+        result["takedown_burst"][label] = {
+            "k": BURST_K,
+            "batched_sec": t1,
+            "sequential_sec": tk,
+            "marginal_per_takedown_batch_sec":
+                round((tk - t1) / (BURST_K - 1), 3),
+            "sequential_over_batched": round(tk / t1, 3) if t1 else None}
+        print(f"  batched(K=1) {t1}s sequential(K={BURST_K}) {tk}s",
+              file=sys.stderr)
+    result["burst_interpretation"] = (
+        f"sequential = the takedown set split into K={BURST_K} "
+        "separate triggers, each paying one generation rewrite + one "
+        "index-digest-sized bloom rebuild; batched = one trigger, one "
+        "rebuild (the ledger is split-invariant, test-pinned). "
+        "marginal_per_takedown_batch_sec is the per-extra-batch price "
+        "of the rebuild-only policy; if sequential_over_batched grows "
+        "with scale, batch takedowns within a trigger window.")
     e1 = result["scales"]["sf01"]
     e2 = result["scales"][f"x{args.rep}"]
     result["excise_scale_ratio"] = (
