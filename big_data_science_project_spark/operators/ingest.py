@@ -124,3 +124,84 @@ LEFT JOIN ann a ON a.vec_id = d.doc_id
 
 QUERIES["ingest_gate_pipeline"] = (ingest_gate_pipeline,
                                    _INGEST_PIPELINE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Unified cross-modality admission pipeline (r11 verdict item 6) — the
+# shape a production corpus intake runs nightly: ONE operator takes the
+# mixed-modality batch (text documents + image/audio/video clips, each
+# family's planted fixture) and emits ONE verdict row per item with
+# modality, winning tier, and the evidence behind it. Composition only:
+# every per-modality gate keeps existing exactly as it is (text gates
+# value-oracled by _INGEST_PIPELINE_SQL; media gates pinned by their
+# planted-expectation tests), and tests/test_ingest_pipeline.py pins
+# that this union changes no row of any of them.
+#
+# Unified schema:
+#   modality        text | image | audio | video
+#   item_id         doc_id / image_id / clip_id in the modality's space
+#   tier            the CHEAPEST tier that caught the item —
+#                   text:  exact | near | ann | admitted
+#                   image: exact | phash | structural | admitted
+#                   a/v:   exact | fingerprint | admitted
+#   evidence_id     media: the index item the tier matched (null when
+#                   admitted); text: null — the text gates measure
+#                   against aggregate artifacts (bands, LM, IVF cells),
+#                   not a single source row
+#   evidence_milli  text: the winning tier's signal ×1000 (exact→1000,
+#                   near→best_jaccard, ann→best_cos); media: null
+#   admitted        1 iff no tier caught it (the text LM score stays a
+#                   reported signal, not a cutoff — ingest_gate_pipeline
+#                   policy)
+#
+# 100 TB shape: each sub-gate is batch-sized work against persisted or
+# broadcast index state (their own shuffle ledgers); the union is a
+# plan-level concatenation — no shuffle, no barrier. A deployment
+# dispatches on a stored modality column (partition pruning), exactly
+# this union read in reverse.
+# ---------------------------------------------------------------------------
+def unified_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lazy import: operators/__init__ loads ingest before multimodal
+    from .multimodal import (multimodal_audio_ingest_gate,
+                             multimodal_ingest_dedup,
+                             multimodal_video_ingest_gate)
+
+    text = ingest_gate_pipeline(spark, sf_dir)
+    is_near = F.col("n_verified") > 0
+    is_ann = F.coalesce("is_neardup", F.lit(0)) == 1
+    text_u = text.select(
+        F.lit("text").alias("modality"),
+        F.col("doc_id").cast("long").alias("item_id"),
+        F.when(F.col("exact_dup") == 1, F.lit("exact"))
+         .when(is_near, F.lit("near"))
+         .when(is_ann, F.lit("ann"))
+         .otherwise(F.lit("admitted")).alias("tier"),
+        F.lit(None).cast("bigint").alias("evidence_id"),
+        F.when(F.col("exact_dup") == 1, F.lit(1000))
+         .when(is_near, F.round(F.col("best_jaccard") * 1000))
+         .when(is_ann, F.round(F.col("best_cos") * 1000))
+         .cast("bigint").alias("evidence_milli"))
+
+    def media(df: DataFrame, modality: str, id_col: str) -> DataFrame:
+        return df.select(
+            F.lit(modality).alias("modality"),
+            F.col(id_col).cast("long").alias("item_id"),
+            "tier",
+            F.col("evidence_id").cast("bigint").alias("evidence_id"),
+            F.lit(None).cast("bigint").alias("evidence_milli"))
+
+    unified = (text_u
+               .unionByName(media(multimodal_ingest_dedup(spark, sf_dir),
+                                  "image", "image_id"))
+               .unionByName(media(
+                   multimodal_audio_ingest_gate(spark, sf_dir),
+                   "audio", "clip_id"))
+               .unionByName(media(
+                   multimodal_video_ingest_gate(spark, sf_dir),
+                   "video", "clip_id")))
+    return unified.withColumn(
+        "admitted",
+        (F.col("tier") == "admitted").cast("bigint"))
+
+
+QUERIES["unified_ingest_gate"] = (unified_ingest_gate, None)

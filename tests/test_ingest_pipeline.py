@@ -108,3 +108,68 @@ def test_admitted_iff_every_binary_gate_passes(spark):
                    and (r.is_neardup or 0) == 0)
         assert r.admitted == want, r
         assert r.avg_nll_milli is None or r.avg_nll_milli >= 0
+
+
+# ---------------------------------------------------------------------------
+# Unified cross-modality admission (r11 verdict item 6): composition
+# must change no verdict of any per-modality gate, and the planted
+# mixed fixture must land every tier where its own gate's tests pin it.
+# ---------------------------------------------------------------------------
+def test_unified_gate_equals_per_modality_gates(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_science_project_spark.operators.ingest import (
+        ingest_gate_pipeline, unified_ingest_gate)
+    from big_data_science_project_spark.operators.multimodal import (
+        multimodal_audio_ingest_gate, multimodal_ingest_dedup,
+        multimodal_video_ingest_gate)
+
+    uni = unified_ingest_gate(spark, SF).collect()
+    got = {(r.modality, r.item_id):
+           (r.tier, r.evidence_id, r.evidence_milli, r.admitted)
+           for r in uni}
+    assert len(got) == len(uni), "duplicate (modality, item) verdicts"
+    assert {r.modality for r in uni} == {"text", "image", "audio",
+                                         "video"}
+
+    # independent re-derivation of the unified shape from each raw
+    # gate output (test-side mapping, not the operator's)
+    want = {}
+    for r in ingest_gate_pipeline(spark, SF).collect():
+        if r.exact_dup == 1:
+            tier, ev = "exact", 1000
+        elif r.n_verified > 0:
+            tier, ev = "near", round(r.best_jaccard * 1000)
+        elif (r.is_neardup or 0) == 1:
+            tier, ev = "ann", round(r.best_cos * 1000)
+        else:
+            tier, ev = "admitted", None
+        want[("text", r.doc_id)] = (tier, None, ev,
+                                    1 if tier == "admitted" else 0)
+    for modality, df, idc in (
+            ("image", multimodal_ingest_dedup(spark, SF), "image_id"),
+            ("audio", multimodal_audio_ingest_gate(spark, SF),
+             "clip_id"),
+            ("video", multimodal_video_ingest_gate(spark, SF),
+             "clip_id")):
+        for r in df.collect():
+            want[(modality, r[idc])] = (
+                r.tier, r.evidence_id, None,
+                1 if r.tier == "admitted" else 0)
+    assert got == want
+
+    # planted mixed-fixture expectations, cheapest tier each (the same
+    # pins the per-gate tests carry, now proven through the union)
+    from big_data_science_project_spark.operators import multimodal as M
+    assert got[("audio",
+                M.AUDIO_GATE_OFFSET + M.AUDIO_GATE_COPY_SRC)][0] == "exact"
+    assert got[("audio", M.AUDIO_GATE_OFFSET
+                + M.AUDIO_GATE_SHIFT_SRC)][0] == "fingerprint"
+    assert got[("video",
+                M.VIDEO_GATE_OFFSET + M.VIDEO_GATE_COPY_SRC)][0] == "exact"
+    assert got[("video", M.VIDEO_GATE_OFFSET
+                + M.VIDEO_GATE_TRIM_SRC)][0] == "fingerprint"
+    assert got[("image",
+                M.INGEST_IMG_OFFSET + 2)][0] == "exact"
+    for (mod, _id), (tier, _e, _m, admitted) in got.items():
+        assert admitted == (1 if tier == "admitted" else 0), (mod, _id)
