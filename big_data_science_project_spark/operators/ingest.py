@@ -160,16 +160,13 @@ QUERIES["ingest_gate_pipeline"] = (ingest_gate_pipeline,
 # dispatches on a stored modality column (partition pruning), exactly
 # this union read in reverse.
 # ---------------------------------------------------------------------------
-def unified_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # lazy import: operators/__init__ loads ingest before multimodal
-    from .multimodal import (multimodal_audio_ingest_gate,
-                             multimodal_ingest_dedup,
-                             multimodal_video_ingest_gate)
-
-    text = ingest_gate_pipeline(spark, sf_dir)
+def _text_to_unified(text_verdicts: DataFrame) -> DataFrame:
+    """Map ingest_gate_pipeline's per-doc verdict columns onto the
+    unified row shape — shared by the batch gate and its streaming
+    twin so the tier precedence and evidence encoding exist once."""
     is_near = F.col("n_verified") > 0
     is_ann = F.coalesce("is_neardup", F.lit(0)) == 1
-    text_u = text.select(
+    return text_verdicts.select(
         F.lit("text").alias("modality"),
         F.col("doc_id").cast("long").alias("item_id"),
         F.when(F.col("exact_dup") == 1, F.lit("exact"))
@@ -182,21 +179,33 @@ def unified_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
          .when(is_ann, F.round(F.col("best_cos") * 1000))
          .cast("bigint").alias("evidence_milli"))
 
-    def media(df: DataFrame, modality: str, id_col: str) -> DataFrame:
-        return df.select(
-            F.lit(modality).alias("modality"),
-            F.col(id_col).cast("long").alias("item_id"),
-            "tier",
-            F.col("evidence_id").cast("bigint").alias("evidence_id"),
-            F.lit(None).cast("bigint").alias("evidence_milli"))
 
-    unified = (text_u
-               .unionByName(media(multimodal_ingest_dedup(spark, sf_dir),
-                                  "image", "image_id"))
-               .unionByName(media(
+def _media_to_unified(df: DataFrame, modality: str,
+                      id_col: str) -> DataFrame:
+    """Map a media gate's (id, tier, evidence_id) verdict onto the
+    unified row shape."""
+    return df.select(
+        F.lit(modality).alias("modality"),
+        F.col(id_col).cast("long").alias("item_id"),
+        "tier",
+        F.col("evidence_id").cast("bigint").alias("evidence_id"),
+        F.lit(None).cast("bigint").alias("evidence_milli"))
+
+
+def unified_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lazy import: operators/__init__ loads ingest before multimodal
+    from .multimodal import (multimodal_audio_ingest_gate,
+                             multimodal_ingest_dedup,
+                             multimodal_video_ingest_gate)
+
+    unified = (_text_to_unified(ingest_gate_pipeline(spark, sf_dir))
+               .unionByName(_media_to_unified(
+                   multimodal_ingest_dedup(spark, sf_dir),
+                   "image", "image_id"))
+               .unionByName(_media_to_unified(
                    multimodal_audio_ingest_gate(spark, sf_dir),
                    "audio", "clip_id"))
-               .unionByName(media(
+               .unionByName(_media_to_unified(
                    multimodal_video_ingest_gate(spark, sf_dir),
                    "video", "clip_id")))
     return unified.withColumn(

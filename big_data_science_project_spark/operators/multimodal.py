@@ -972,8 +972,14 @@ INGEST_IMG_FRESH = 4            # batch brings 16..19 (genuinely new)
 INGEST_IMG_OFFSET = 10_000      # planted batch duplicates: 10000 + src
 
 
-def multimodal_ingest_dedup(spark: SparkSession,
-                            sf_dir: str = "") -> DataFrame:
+def multimodal_ingest_dedup(spark: SparkSession, sf_dir: str = "",
+                            only_ids: DataFrame | None = None,
+                            ) -> DataFrame:
+    """``only_ids`` (one ``image_id`` column) restricts the screened
+    batch to a subset of its items — each image's verdict depends only
+    on itself vs the index, so screening a subset per micro-batch and
+    unioning equals screening the whole batch at once (the streaming
+    unified gate's twin property, test-pinned)."""
     wh = F.col("width") * F.col("height")
     allgen = load_cells(spark, n_images=INGEST_IMG_INDEX + INGEST_IMG_FRESH,
                         width=48, height=48)
@@ -1002,8 +1008,11 @@ def multimodal_ingest_dedup(spark: SparkSession,
              .unionByName(plant([2], lambda c: c))                  # exact
              .unionByName(plant([5], lambda c: F.transform(
                  c, lambda x: x + F.lit(0.4))))                     # re-encode
-             .unionByName(plant([0, 1], occlude))                   # local edit
-             .persist(StorageLevel.MEMORY_AND_DISK_DESER))
+             .unionByName(plant([0, 1], occlude)))                  # local edit
+    if only_ids is not None:
+        batch = batch.join(F.broadcast(only_ids.select("image_id")),
+                           "image_id", "left_semi")
+    batch = batch.persist(StorageLevel.MEMORY_AND_DISK_DESER)
 
     def sig(df, id_alias):
         enc = df.select("image_id", "width", "height",
@@ -1511,15 +1520,19 @@ def _video_gate_frames(cid: int) -> np.ndarray:
 def _fp_gate(spark: SparkSession, root: str, batch_ids: list,
              gen, extract_fn, extract_schema, fp_sub: str,
              hash_cols: tuple, per_entity: int, min_votes: int,
-             t: str) -> DataFrame:
+             t: str, clips: DataFrame | None = None) -> DataFrame:
     """Shared gate composition: digest-exact (broadcast, clip-count
     sized) → constellation fingerprint vs the bucketed persisted index
-    → one verdict row per batch clip, cheapest tier wins."""
+    → one verdict row per batch clip, cheapest tier wins. ``clips``
+    (one ``clip_id`` column) overrides ``batch_ids`` — the streaming
+    unified gate feeds each micro-batch's media subset straight from
+    the stream, no driver-side collect."""
     from .dedup import bucketed_artifact_table
 
-    clips = spark.createDataFrame([(i,) for i in batch_ids],
-                                  "clip_id long") \
-        .repartition(4, "clip_id")
+    if clips is None:
+        clips = spark.createDataFrame([(i,) for i in batch_ids],
+                                      "clip_id long")
+    clips = clips.select("clip_id").repartition(4, "clip_id")
     bat_dg = clips.mapInPandas(_fp_digest_extract(gen), _FP_DG_SCHEMA)
     idx_dg = (spark.read.parquet(f"{root}/digests")
               .select(F.col("clip_id").alias("index_id"), "dg"))
@@ -1549,8 +1562,9 @@ def _fp_gate(spark: SparkSession, root: str, batch_ids: list,
             .orderBy("clip_id"))
 
 
-def multimodal_audio_ingest_gate(spark: SparkSession,
-                                 sf_dir: str = "") -> DataFrame:
+def multimodal_audio_ingest_gate(spark: SparkSession, sf_dir: str = "",
+                                 clips: DataFrame | None = None,
+                                 ) -> DataFrame:
     root = audio_fp_artifacts(spark, sf_dir)
     batch_ids = list(AUDIO_GATE_FRESH) + [
         AUDIO_GATE_OFFSET + s for s in
@@ -1558,11 +1572,12 @@ def multimodal_audio_ingest_gate(spark: SparkSession,
     return _fp_gate(spark, root, batch_ids, _audio_gate_pcm,
                     _audio_lm_extract, _AUDIO_LM_SCHEMA, "landmarks",
                     ("f1", "f2", "dt"), AUDIO_FP_PER_CLIP,
-                    AUDIO_FP_MIN_VOTES, t="t_anchor")
+                    AUDIO_FP_MIN_VOTES, t="t_anchor", clips=clips)
 
 
-def multimodal_video_ingest_gate(spark: SparkSession,
-                                 sf_dir: str = "") -> DataFrame:
+def multimodal_video_ingest_gate(spark: SparkSession, sf_dir: str = "",
+                                 clips: DataFrame | None = None,
+                                 ) -> DataFrame:
     root = video_fp_artifacts(spark, sf_dir)
     batch_ids = list(VIDEO_GATE_FRESH) + [
         VIDEO_GATE_OFFSET + s for s in
@@ -1570,7 +1585,7 @@ def multimodal_video_ingest_gate(spark: SparkSession,
     return _fp_gate(spark, root, batch_ids, _video_gate_frames,
                     _video_fh_extract, _VIDEO_FH_SCHEMA, "framehashes",
                     ("fhash",), VIDEO_FP_PER_CLIP, VIDEO_FP_MIN_VOTES,
-                    t="t")
+                    t="t", clips=clips)
 
 
 QUERIES["multimodal_audio_ingest_gate"] = (multimodal_audio_ingest_gate,

@@ -975,6 +975,153 @@ QUERIES["stream_ingest_pipeline"] = (stream_ingest_pipeline,
 
 
 # ---------------------------------------------------------------------------
+# STREAMING unified cross-modality intake — the live twin of
+# operators/ingest.py::unified_ingest_gate (r12; the batch gate is the
+# nightly shape, this is the intake running as items ARRIVE). A mixed
+# stream of (modality, item_id, lang, text) rows is consumed in
+# micro-batches; per trigger each modality's subset is screened by its
+# own gate — text against the persisted dedup/LM/ANN artifacts, audio/
+# video against their persisted fingerprint indexes, images against
+# the deterministic in-plan index — and the per-item unified verdicts
+# are appended. Every gate is per-item vs STATIC index state (no
+# cross-batch coupling), so any micro-batch split unions to the batch
+# gate's exact result — the same twin property stream_ingest_pipeline
+# pins for text, here pinned across all four modalities.
+#
+# Media payloads stay generator-keyed ids on the stream (the repo's
+# opaque-payload convention): the gates' mapInPandas extractors
+# regenerate payloads executor-side from the id, exactly where a real
+# deployment would decode the payload column of the same row.
+# ---------------------------------------------------------------------------
+def stream_unified_ingest_gate(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    import time as _time
+
+    from ..operators import multimodal as MM
+    from ..operators.dedup import (_index_artifacts,
+                                   bucketed_digest_table,
+                                   near_tier_vs_artifacts)
+    from ..operators.ingest import (_media_to_unified, _text_to_unified,
+                                    assemble_verdicts, exact_gate)
+    from ..operators.similarity import (_read_codebook, ann_artifacts,
+                                        ann_gate_vs_artifacts)
+    from ..operators.text import lm_artifacts, lm_score_vs_artifacts
+
+    # persisted text artifacts + fingerprint indexes, built before the
+    # stream starts (production state, same as the batch gate)
+    root_d = _index_artifacts(spark, sf_dir)
+    root_lm = lm_artifacts(spark, sf_dir)
+    root_ann = ann_artifacts(spark, sf_dir)
+    root_afp = MM.audio_fp_artifacts(spark, sf_dir)
+    root_vfp = MM.video_fp_artifacts(spark, sf_dir)
+    cents = _read_codebook(spark, root_ann)
+    base_dg = spark.table(bucketed_digest_table(spark, sf_dir))
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # stage the SAME mixed item set the batch gate screens, split into
+    # two mtime-ordered arrival files by item-id parity (each file
+    # carries every modality — a genuinely mixed trigger)
+    text_rows = (load_table(spark, sf_dir, "documents")
+                 .filter(_bucket(F.col("doc_id")) >= INDEX_PCT)
+                 .select(F.lit("text").alias("modality"),
+                         F.col("doc_id").cast("long").alias("item_id"),
+                         "lang", "text"))
+    media_ids = {
+        "image": list(range(MM.INGEST_IMG_INDEX,
+                            MM.INGEST_IMG_INDEX + MM.INGEST_IMG_FRESH))
+        + [MM.INGEST_IMG_OFFSET + s for s in (2, 5, 0, 1)],
+        "audio": list(MM.AUDIO_GATE_FRESH)
+        + [MM.AUDIO_GATE_OFFSET + s for s in
+           (MM.AUDIO_GATE_SHIFT_SRC, MM.AUDIO_GATE_REENC_SRC,
+            MM.AUDIO_GATE_COPY_SRC)],
+        "video": list(MM.VIDEO_GATE_FRESH)
+        + [MM.VIDEO_GATE_OFFSET + s for s in
+           (MM.VIDEO_GATE_TRIM_SRC, MM.VIDEO_GATE_BRIGHT_SRC,
+            MM.VIDEO_GATE_COPY_SRC)],
+    }
+    media_rows = spark.createDataFrame(
+        [(m, i, None, None) for m, ids in media_ids.items()
+         for i in ids],
+        "modality string, item_id long, lang string, text string")
+    mixed = text_rows.unionByName(media_rows)
+
+    work = tempfile.mkdtemp(prefix="unified_gate_")
+    out_dir = f"{work}/out"
+    for j in range(2):
+        p = f"{work}/in/f{j}"
+        (mixed.filter(F.col("item_id") % 2 == j)
+         .coalesce(1).write.mode("overwrite").parquet(p))
+        t = _time.time() - 300 + j * 60
+        for fname in os.listdir(p):
+            os.utime(os.path.join(p, fname), (t, t))
+
+    seen: dict = {}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        parts, caches = [], []
+        docs = (batch.filter(F.col("modality") == "text")
+                .select(F.col("item_id").alias("doc_id"), "lang",
+                        "text"))
+        if not docs.isEmpty():
+            exact = exact_gate(docs, base_dg)
+            near = near_tier_vs_artifacts(spark, docs, root_d)
+            lm = lm_score_vs_artifacts(spark, docs, root_lm)
+            vecs = emb.join(
+                F.broadcast(docs.select(F.col("doc_id")
+                                        .alias("vec_id"))),
+                "vec_id", "left_semi")
+            ann = ann_gate_vs_artifacts(spark, vecs, root_ann, cents)
+            parts.append(_text_to_unified(
+                assemble_verdicts(near, exact, lm, ann)))
+            caches += [near._cached_shingles, ann._cached_assign]
+        img = (batch.filter(F.col("modality") == "image")
+               .select(F.col("item_id").alias("image_id")))
+        if not img.isEmpty():
+            parts.append(_media_to_unified(
+                MM.multimodal_ingest_dedup(spark, sf_dir, only_ids=img),
+                "image", "image_id"))
+        for modality, gate, root in (
+                ("audio", MM.multimodal_audio_ingest_gate, root_afp),
+                ("video", MM.multimodal_video_ingest_gate, root_vfp)):
+            clips = (batch.filter(F.col("modality") == modality)
+                     .select(F.col("item_id").alias("clip_id")))
+            if not clips.isEmpty():
+                parts.append(_media_to_unified(
+                    gate(spark, sf_dir, clips=clips), modality,
+                    "clip_id"))
+        try:
+            if parts:
+                report = parts[0]
+                for p in parts[1:]:
+                    report = report.unionByName(p)
+                report = report.withColumn(
+                    "admitted",
+                    (F.col("tier") == "admitted").cast("bigint"))
+                seen["schema"] = report.schema
+                report.write.mode("overwrite").parquet(
+                    f"{out_dir}/batch={batch_id}")
+        finally:
+            for c in caches:
+                c.unpersist()
+            batch.unpersist()
+
+    schema = ("modality string, item_id long, lang string, "
+              "text string")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{work}/in/*"))
+    _run_foreachbatch(spark, stream, process)
+    return _read_batched_output(
+        spark, out_dir, seen,
+        "modality string, item_id bigint, tier string, "
+        "evidence_id bigint, evidence_milli bigint, admitted bigint")
+
+
+QUERIES["stream_unified_ingest_gate"] = (stream_unified_ingest_gate,
+                                         None)
+
+
+# ---------------------------------------------------------------------------
 # STREAMING ingest loop with LIVE index refresh — closes the r7 honesty
 # note ("a plain parquet static side snapshots its file listing; live
 # refresh needs a re-read"): exact-gate ADMISSION, where a doc admitted

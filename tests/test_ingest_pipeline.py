@@ -173,3 +173,26 @@ def test_unified_gate_equals_per_modality_gates(spark):
                 M.INGEST_IMG_OFFSET + 2)][0] == "exact"
     for (mod, _id), (tier, _e, _m, admitted) in got.items():
         assert admitted == (1 if tier == "admitted" else 0), (mod, _id)
+
+
+def test_stream_unified_gate_matches_batch_twin(spark):
+    """The live mixed-modality intake must reproduce the batch unified
+    gate row-for-row: every per-modality gate screens each item against
+    static index state only (no cross-batch coupling), so the two
+    mtime-ordered mixed triggers union to the one-shot batch result —
+    the stream_ingest_pipeline twin property, extended to all four
+    modalities through the shared _text_to_unified/_media_to_unified
+    mapping."""
+    from big_data_science_project_spark.operators.ingest import (
+        unified_ingest_gate)
+    from big_data_science_project_spark.streaming.events import (
+        stream_unified_ingest_gate)
+
+    got = sorted(map(tuple,
+                     stream_unified_ingest_gate(spark, SF).collect()))
+    want = sorted(map(tuple, unified_ingest_gate(spark, SF).collect()))
+    assert got == want and got
+    # both files really carried a mixed batch: every modality appears
+    # in each parity split of the staged item set
+    mods = {m for m, *_ in got}
+    assert mods == {"text", "image", "audio", "video"}
