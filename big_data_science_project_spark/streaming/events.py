@@ -1189,14 +1189,27 @@ QUERIES["stream_unified_ingest_gate"] = (stream_unified_ingest_gate,
 # the excise loop one generation directory per takedown — at 100 TB
 # with daily takedowns the listing and per-batch unions grow without
 # bound. _compact_gen folds gen=G's partitions into ONE partition in
-# gen=G+1 labeled batch=<max compacted id>, which keeps the
-# ``before=batch_id`` retry semantics: any future batch id exceeds the
-# label, and a retry of the compacting batch reruns against the same
-# pinned part set. Compaction changes the digest SET not at all, so
-# the gate's bloom and every later admission decision are provably
-# identical — tests/test_streaming_incremental.py runs the excise loop
-# with COMPACT_EVERY=2 and pins result-equality against the
-# uncompacted run plus the bounded part count.
+# gen=G+1 labeled batch=<max compacted id>.
+#
+# ORDERING (the retry fence): compaction runs at the START of a
+# trigger, fenced to partitions committed strictly BEFORE the active
+# batch id — so the fold's label is always < the active id. Run at the
+# END of a trigger it would fold the batch's own just-written
+# partition and label the fold with that batch's id, and a foreachBatch
+# RETRY of the batch would then (a) read earlier=before=batch_id
+# WITHOUT the fold (missing every prior admission → duplicate
+# re-admits) and (b) overwrite the fold with its own batch partition
+# (clobbering all prior admitted digests). With the start-of-trigger
+# fence a retry sees the fold in its earlier set and its own rewrite
+# lands beside it, and re-running the compacting trigger no-ops (the
+# fenced set is already one partition). The residual ≥COMPACT_EVERY
+# tail the last trigger leaves behind is swept by one unfenced
+# compaction after the stream finishes (no retry can race it).
+# Compaction changes the digest SET not at all, so the gate's bloom
+# and every later admission decision are provably identical —
+# tests/test_streaming_incremental.py runs both loops with
+# COMPACT_EVERY=2 and pins result-equality against the uncompacted
+# run plus the bounded part count.
 # ---------------------------------------------------------------------------
 COMPACT_EVERY = 8  # compact when the current generation holds >= this
 
@@ -1223,15 +1236,19 @@ def _cur_gen(root: str) -> int:
     return max(gens, default=0)
 
 
-def _compact_gen(spark: SparkSession, root: str, state: dict) -> None:
+def _compact_gen(spark: SparkSession, root: str, state: dict,
+                 before: int | None = None) -> None:
     """Fold the current generation's batch partitions into one
     partition in the next generation and bump the pointer. A no-op
-    below two partitions. The fixture compacts to a single file
-    (digest rows are small); a deployment would size the coalesce to
+    below two partitions. ``before`` is the active batch id when called
+    at the start of a trigger — only strictly-earlier partitions fold,
+    so the fold's label stays below the active id (header comment: the
+    retry fence). The fixture compacts to a single file (digest rows
+    are small); a deployment would size the coalesce to
     ceil(store_bytes / target_file_size) — the bound that matters is
     the PART COUNT, which becomes 1 regardless."""
     g = state["gen"]
-    parts = _gen_parts(root, g)
+    parts = _gen_parts(root, g, before=before)
     if len(parts) < 2:
         return
     g2 = g + 1
@@ -1327,6 +1344,14 @@ def stream_ingest_loop(spark: SparkSession, sf_dir: str,
     def process(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window as W
 
+        # bound the store's part count BEFORE this batch reads or
+        # writes anything, fenced to strictly-earlier partitions — the
+        # fold's label stays < batch_id, so the earlier read below
+        # includes it and a retry of this batch can never clobber it
+        # (generationed-store header comment)
+        if len(_gen_parts(admitted_dir, state["gen"],
+                          before=batch_id)) >= COMPACT_EVERY:
+            _compact_gen(spark, admitted_dir, state, before=batch_id)
         # driver-side listdir, not a glob: the set of earlier
         # partitions must be pinned per batch (see header comment)
         earlier_parts = _gen_parts(admitted_dir, state["gen"],
@@ -1362,16 +1387,18 @@ def stream_ingest_loop(spark: SparkSession, sf_dir: str,
             # deduped — so release even on a failed write (the retry
             # re-persists its own copy)
             admitted._gate_cache.unpersist()
-        # bound the store's part count (digest set unchanged — the
-        # bloom and all later admissions are unaffected)
-        if len(_gen_parts(admitted_dir, state["gen"])) >= COMPACT_EVERY:
-            _compact_gen(spark, admitted_dir, state)
 
     schema = docs.schema
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1).parquet(f"{work}/in/*"))
     _run_foreachbatch(spark, stream, process)
     bloom.destroy()  # release the gate's executor-side bitmap, if any
+    # end-of-stream sweep: the last trigger can leave >= COMPACT_EVERY
+    # partitions behind (compaction is start-of-trigger-fenced and no
+    # next trigger comes); the stream is finished so no retry can race
+    # an unfenced fold (digest set unchanged either way)
+    if len(_gen_parts(admitted_dir, state["gen"])) >= COMPACT_EVERY:
+        _compact_gen(spark, admitted_dir, state)
     # explicit schema, like the other two stream output readers: a
     # fixture with zero new-batch docs leaves only empty partitions
     out = (spark.read.schema(
@@ -1462,10 +1489,14 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
     mtime-ordered files → K sequential takedown TRIGGERS, each paying
     its own generation rewrite + index-digest-sized bloom rebuild (the
     rebuild-only policy's known per-batch cost). The final ledger is
-    split-invariant — the slices are disjoint and excisions precede
-    adds within each trigger — which the burst test pins against the
-    K=1 run; tools/excise_probe.py's burst rung times K=1 vs K>1 to
-    price per-burst rebuild amortization (r11 verdict item 7)."""
+    split-invariant — the slices are doc_id-disjoint, excisions precede
+    adds within each trigger, and n_excised counts each takedown row
+    against the PRE-BURST store snapshot (so even two takedown rows
+    sharing a digest across slices count identically however the burst
+    is sliced — the in-process comment). The burst test pins ledger
+    equality against the K=1 run; tools/excise_probe.py's burst rung
+    times K=1 vs K>1 to price per-burst rebuild amortization (r11
+    verdict item 7)."""
     import time as _time
 
     from ..functions.bloom import BITS_PER_KEY, bloom_build
@@ -1528,6 +1559,13 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
     def process(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window as W
 
+        # start-of-trigger compaction, fenced to strictly-earlier
+        # partitions (generationed-store header comment: the fold's
+        # label stays < batch_id, so this trigger's earlier read sees
+        # it and a retry can never clobber it)
+        if len(_parts(state["gen"], before=batch_id)) >= COMPACT_EVERY:
+            _compact_gen(spark, admitted_root, state, before=batch_id)
+
         excs = batch_df.filter(F.col("op") == "excise").drop("op")
         adds = batch_df.filter(F.col("op") == "add").drop("op")
 
@@ -1559,9 +1597,27 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
                 f"{dec_dir}/batch={batch_id}/c12")
             _wdoc_counts(excs).write.mode("overwrite").parquet(
                 f"{dec_dir}/batch={batch_id}/wdoc")
+            # BURST-STABLE hit counting: a takedown row counts as
+            # excised iff its digest was in the store at the FIRST
+            # excise trigger of the burst (consecutive excise triggers
+            # form one burst; an add trigger closes it). Counting
+            # against the per-trigger store would make n_excised
+            # depend on how a burst is sliced whenever two takedown
+            # rows share a digest across slices — slice 1 excises the
+            # digest, slice 2's row no longer hits. The snapshot is a
+            # read over the pre-burst generation's pinned part paths;
+            # generations are rewritten, never deleted, so the paths
+            # stay readable for the burst's duration (and a retried
+            # trigger recomputes the identical count). Within one run
+            # only — burst grouping is driver-session state, like the
+            # live bloom itself.
+            if not state.get("in_burst"):
+                state["in_burst"] = True
+                state["burst_store"] = before
+            snap = state["burst_store"]
             hit = (excs.select("lang", F.md5("text").alias("dg"))
-                   .join(before, "dg", "left_semi")
-                   if before is not None else excs.limit(0)
+                   .join(snap, "dg", "left_semi")
+                   if snap is not None else excs.limit(0)
                    .select("lang", F.md5("text").alias("dg")))
             (excs.groupBy("lang")
              .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
@@ -1577,6 +1633,10 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
             excs.unpersist()
 
         if not adds.isEmpty():
+            # an add trigger closes any open takedown burst (the
+            # burst-stable hit-count snapshot above)
+            state["in_burst"] = False
+            state["burst_store"] = None
             g = state["gen"]
             earlier = (spark.read.schema("dg string")
                        .parquet(*_parts(g, before=batch_id))
@@ -1608,18 +1668,17 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
                     k=state["bloom"].k))
             finally:
                 admitted._gate_cache.unpersist()
-            # bound the store's part count; the digest set — and so
-            # the rebuilt-bloom ≡ from-scratch and every later
-            # admission decision — is unchanged (test-pinned with
-            # COMPACT_EVERY=2 against the uncompacted run)
-            if len(_parts(state["gen"])) >= COMPACT_EVERY:
-                _compact_gen(spark, admitted_root, state)
 
     schema = staged[0].schema
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1).parquet(f"{work}/in/*"))
     _run_foreachbatch(spark, stream, process)
     state["bloom"].destroy()
+    # end-of-stream sweep (see stream_ingest_loop): fold any residual
+    # >= COMPACT_EVERY tail the fenced start-of-trigger compaction
+    # couldn't touch — the stream is done, so no retry can race it
+    if len(_parts(state["gen"])) >= COMPACT_EVERY:
+        _compact_gen(spark, admitted_root, state)
 
     # explicit driver-side listing, not a glob: passing "report/*"
     # makes FileStreamSink.hasMetadata stat the raw glob string as a

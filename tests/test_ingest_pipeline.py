@@ -133,15 +133,24 @@ def test_unified_gate_equals_per_modality_gates(spark):
                                          "video"}
 
     # independent re-derivation of the unified shape from each raw
-    # gate output (test-side mapping, not the operator's)
+    # gate output (test-side mapping, not the operator's). The milli
+    # re-derivation must round HALF_UP like Spark's F.round — Python's
+    # built-in round() is banker's (half-to-even) and would fail on a
+    # correct value landing exactly on .5 (e.g. jaccard 1/16 -> 62.5).
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _milli(v):
+        return int(Decimal(v * 1000).quantize(
+            Decimal(1), rounding=ROUND_HALF_UP))
+
     want = {}
     for r in ingest_gate_pipeline(spark, SF).collect():
         if r.exact_dup == 1:
             tier, ev = "exact", 1000
         elif r.n_verified > 0:
-            tier, ev = "near", round(r.best_jaccard * 1000)
+            tier, ev = "near", _milli(r.best_jaccard)
         elif (r.is_neardup or 0) == 1:
-            tier, ev = "ann", round(r.best_cos * 1000)
+            tier, ev = "ann", _milli(r.best_cos)
         else:
             tier, ev = "admitted", None
         want[("text", r.doc_id)] = (tier, None, ev,

@@ -558,8 +558,9 @@ def test_mid_stream_compaction_preserves_admissions(spark, monkeypatch):
     assert got == want  # every remaining batch admitted identically
 
     st, st0 = compacted._ingest_state, plain._ingest_state
-    # compaction really ran mid-stream: batches 0+1 folded before
-    # batch 2, then again before batch 3 (gen bumps at 2 parts)
+    # compaction really ran mid-stream: batches 0+1 fold at the START
+    # of batch 2 (fenced below its id), {fold, batch 2} at the start
+    # of batch 3, and the end-of-stream sweep folds {fold, batch 3}
     assert st["gen"] == 3 and st0["gen"] == 0
     parts = ev._gen_parts(st["admitted_root"], st["gen"])
     assert len(parts) == 1  # bounded by a constant, not batch count
@@ -595,7 +596,10 @@ def test_excise_loop_compaction_preserves_gate_state(spark, monkeypatch):
     assert got == want and got
     st = out._excise_state
 
-    # excise bumped gen 0->1, then batch 2's add + compaction -> gen 2
+    # excise bumped gen 0->1; the end-of-stream sweep folds batch 2's
+    # add beside the rewritten batch 0 -> gen 2 (start-of-trigger
+    # compaction is fenced below the active id, so the sweep is where
+    # the final fold happens here)
     assert st["gen"] == st0["gen"] + 1
     parts = ev._gen_parts(f"{st['work']}/admitted", st["gen"])
     assert len(parts) == 1
