@@ -214,3 +214,85 @@ def unified_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["unified_ingest_gate"] = (unified_ingest_gate, None)
+
+
+# ---------------------------------------------------------------------------
+# Driver-hashable companion to the unified gate (r12 verdict item 7):
+# unified_ingest_gate is rows-only because the media tiers (SURF vote,
+# MDCT landmarks, frame hashes) aren't DuckDB-expressible — but the
+# planted mixed-fixture EXPECTATIONS are constants: which item each
+# tier catches and which index item is its evidence are pinned by the
+# per-gate pytest tests (tests/test_multimodal.py) and don't depend on
+# sf_dir (the media fixtures are deterministic generators). This
+# companion selects exactly the media verdict rows of the unified
+# gate, and its oracle is a VALUES literal DERIVED FROM THE SAME
+# PLANTED CONSTANTS — so the driver's rows+schema+hash compare turns
+# the pytest pins into an independently-checked value oracle. Any
+# drift in a gate's verdict (a tier stops catching its plant, an
+# evidence id moves) now fails the driver gate, not just pytest.
+# ---------------------------------------------------------------------------
+def unified_media_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .multimodal import (multimodal_audio_ingest_gate,
+                             multimodal_ingest_dedup,
+                             multimodal_video_ingest_gate)
+
+    return (_media_to_unified(multimodal_ingest_dedup(spark, sf_dir),
+                              "image", "image_id")
+            .unionByName(_media_to_unified(
+                multimodal_audio_ingest_gate(spark, sf_dir),
+                "audio", "clip_id"))
+            .unionByName(_media_to_unified(
+                multimodal_video_ingest_gate(spark, sf_dir),
+                "video", "clip_id"))
+            .select("modality", "item_id", "tier", "evidence_id"))
+
+
+def _media_expect_sql() -> str:
+    """The planted expectations as one VALUES literal, derived from the
+    fixture constants (single source of truth with the generators):
+    fresh items admitted with no evidence; each planted edit caught by
+    the tier built for it with its source as evidence."""
+    from . import multimodal as M
+
+    rows: list[tuple] = []
+    for i in range(M.INGEST_IMG_INDEX,
+                   M.INGEST_IMG_INDEX + M.INGEST_IMG_FRESH):
+        rows.append(("image", i, "admitted", None))
+    rows += [("image", M.INGEST_IMG_OFFSET + 2, "exact", 2),
+             ("image", M.INGEST_IMG_OFFSET + 5, "phash", 5),
+             ("image", M.INGEST_IMG_OFFSET + 0, "structural", 0),
+             ("image", M.INGEST_IMG_OFFSET + 1, "structural", 1)]
+    for c in M.AUDIO_GATE_FRESH:
+        rows.append(("audio", c, "admitted", None))
+    rows += [("audio", M.AUDIO_GATE_OFFSET + s, "fingerprint", s)
+             for s in (M.AUDIO_GATE_SHIFT_SRC, M.AUDIO_GATE_REENC_SRC)]
+    rows.append(("audio", M.AUDIO_GATE_OFFSET + M.AUDIO_GATE_COPY_SRC,
+                 "exact", M.AUDIO_GATE_COPY_SRC))
+    for c in M.VIDEO_GATE_FRESH:
+        rows.append(("video", c, "admitted", None))
+    rows += [("video", M.VIDEO_GATE_OFFSET + s, "fingerprint", s)
+             for s in (M.VIDEO_GATE_TRIM_SRC, M.VIDEO_GATE_BRIGHT_SRC)]
+    rows.append(("video", M.VIDEO_GATE_OFFSET + M.VIDEO_GATE_COPY_SRC,
+                 "exact", M.VIDEO_GATE_COPY_SRC))
+
+    vals = ",\n  ".join(
+        f"('{m}', {i}, '{t}', "
+        + ("NULL" if e is None else str(e)) + ")"
+        for m, i, t, e in rows)
+    return f"""
+SELECT modality, CAST(item_id AS BIGINT) AS item_id, tier,
+       CAST(evidence_id AS BIGINT) AS evidence_id
+FROM (VALUES
+  {vals}) AS t(modality, item_id, tier, evidence_id)
+"""
+
+
+def _register_media() -> None:
+    # bottom-of-module registration (the excision.py idiom): the SQL
+    # needs multimodal's fixture constants, and multimodal imports
+    # nothing from ingest, so this import is cycle-free
+    QUERIES["unified_media_verdicts"] = (unified_media_verdicts,
+                                         _media_expect_sql())
+
+
+_register_media()

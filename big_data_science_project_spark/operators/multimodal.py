@@ -1479,14 +1479,36 @@ def video_fp_artifacts(spark: SparkSession, sf_dir: str) -> str:
 
 # gate batch plants — id space disjoint from the dedup fixtures' clones
 AUDIO_GATE_OFFSET = 40_000
-AUDIO_GATE_FRESH = (AUDIO_FP_CLIPS, AUDIO_FP_CLIPS + 1,
-                    AUDIO_FP_CLIPS + 2)      # genuinely new chirps
 AUDIO_GATE_COPY_SRC = 2        # byte-identical re-upload → exact tier
 AUDIO_GATE_SHIFT_SRC = 0       # time-shifted copy → fingerprint tier
 AUDIO_GATE_REENC_SRC = 1       # ADPCM re-encode → fingerprint tier
 
+# Fresh gate clips are their OWN generator family, not corpus ids past
+# the index end (r12 verdict item 2): ids derived from AUDIO_FP_CLIPS
+# became index members once the scale probe grew the index, so the
+# x10/x100 rungs stopped demonstrating precision on novel content
+# (admitted fell to 0 — every "fresh" clip was an exact twin of an
+# index clip). _gen_fresh_chirp sweeps DOWN through 2.2–3.1 kHz while
+# _gen_chirp tops out at f1 = 520 + 538 ≈ 1.06 kHz at ANY index size,
+# so a fresh clip shares no MDCT peak bin (hence no landmark hash) and
+# no byte stream (no digest) with any index clip at any probe rung.
+AUDIO_GATE_FRESH_OFFSET = 60_000
+AUDIO_GATE_FRESH = tuple(AUDIO_GATE_FRESH_OFFSET + k for k in range(3))
+
+
+def _gen_fresh_chirp(k: int) -> np.ndarray:
+    n = AUDIO_SR * AUDIO_SEC
+    t = np.arange(n, dtype=np.float64)
+    f0 = 3100.0 - 41.0 * (k % 9)
+    f1 = f0 - 600.0 - 31.0 * (k % 4)
+    ph = 2.0 * np.pi * (f0 * t + (f1 - f0) / (2.0 * n) * t * t) / AUDIO_SR
+    amp = 2800.0 + 170.0 * (k % 3)
+    return (amp * np.sin(ph)).astype(np.int16)
+
 
 def _audio_gate_pcm(cid: int) -> np.ndarray:
+    if cid >= AUDIO_GATE_FRESH_OFFSET:
+        return _gen_fresh_chirp(cid - AUDIO_GATE_FRESH_OFFSET)
     if cid < AUDIO_GATE_OFFSET:
         return _gen_chirp(cid)
     which = cid - AUDIO_GATE_OFFSET
@@ -1499,13 +1521,36 @@ def _audio_gate_pcm(cid: int) -> np.ndarray:
 
 
 VIDEO_GATE_OFFSET = 50_000
-VIDEO_GATE_FRESH = (VIDEO_FP_CLIPS, VIDEO_FP_CLIPS + 1)
 VIDEO_GATE_COPY_SRC = 3        # byte-identical re-upload → exact tier
 VIDEO_GATE_TRIM_SRC = 0        # head-trimmed copy → fingerprint tier
 VIDEO_GATE_BRIGHT_SRC = 1      # +30 brightness edit → fingerprint tier
 
+# Video twin of AUDIO_GATE_FRESH_OFFSET: a 6×6 bright patch whose
+# per-frame aHash always sets 36 bits, while EVERY corpus clip's 4×4
+# patch sets exactly 16 (uniform drifting background, patch pixels the
+# only ones above the frame mean, no wrap — _gen_motion_video) — so a
+# fresh clip can never share a frame hash or digest with the index,
+# however far the probe scales it.
+VIDEO_GATE_FRESH_OFFSET = 70_000
+VIDEO_GATE_FRESH = tuple(VIDEO_GATE_FRESH_OFFSET + k for k in range(2))
+
+
+def _gen_fresh_video(k: int) -> np.ndarray:
+    n, hw = VIDEO_FP_FRAMES, VIDEO_FP_HW
+    x0, y0 = 2 + (k * 7) % 9, 2 + (k * 5) % 9
+    dx, dy = 1 + k % 2, 2 - k % 2
+    vid = np.empty((n, hw, hw), dtype=np.uint8)
+    for f in range(n):
+        img = np.full((hw, hw), 40 + f, dtype=np.int32)
+        x, y = (x0 + f * dx) % (hw - 6), (y0 + f * dy) % (hw - 6)
+        img[y:y + 6, x:x + 6] += 120
+        vid[f] = np.clip(img, 0, 255).astype(np.uint8)
+    return vid
+
 
 def _video_gate_frames(cid: int) -> np.ndarray:
+    if cid >= VIDEO_GATE_FRESH_OFFSET:
+        return _gen_fresh_video(cid - VIDEO_GATE_FRESH_OFFSET)
     if cid < VIDEO_GATE_OFFSET:
         return _gen_motion_video(cid)
     which = cid - VIDEO_GATE_OFFSET

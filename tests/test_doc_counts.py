@@ -137,3 +137,13 @@ def test_multimodal_scale_artifact_matches_probe_schema():
             # rung that reports the pair-verdict shape
             if "false_pairs" in entry[rung]:
                 assert entry[rung]["false_pairs"] == 0, (name, rung)
+            # gate rungs must demonstrate PRECISION on genuinely novel
+            # content too (r12 verdict item 2): every rung of every
+            # batch-vs-index gate must admit its fresh plants — before
+            # the fresh-clip generators got their own salted families,
+            # scaled indexes swallowed them as exact twins and the
+            # x10/x100 rungs proved detection but not precision
+            if "tiers" in entry[rung]:
+                assert entry[rung]["tiers"].get("admitted", 0) > 0, (
+                    f"{name} {rung}: no fresh item admitted — the "
+                    "fresh plants collided with the scaled index")
