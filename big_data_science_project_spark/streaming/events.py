@@ -1260,6 +1260,68 @@ def _compact_gen(spark: SparkSession, root: str, state: dict,
     state["gen"] = g2
 
 
+# ---------------------------------------------------------------------------
+# LM LEDGER (r12 verdict item 3) — the excise loop previously emitted
+# one lm_decrements/batch=K partition pair per takedown trigger and
+# nothing ever folded them: a bounded (LM-sized × batches) but
+# unbounded-in-batch-count leak. The ledger generalizes those
+# partitions into the loop's own persisted c12/wdoc state under the
+# SAME generationed lifecycle as the admitted-digest store:
+#
+#   lm_ledger/gen=G/batch=K/{c12,wdoc}   SIGNED mergeable count rows —
+#       an add trigger writes its batch's (+) counts, a takedown
+#       trigger its (−) counts (the exact rows operators/excision.py
+#       applies); a mixed trigger writes both in one partition.
+#   fold   _compact_lm_gen nets a generation's partitions by key
+#       (groupBy-sum, zero-net rows drop) into ONE partition in G+1 —
+#       start-of-trigger with the before=batch_id fence plus the
+#       end-of-stream sweep, exactly _compact_gen's discipline, so a
+#       foreachBatch retry can neither miss nor clobber a fold.
+#
+# The live LM at any instant = Σ(current generation's partitions),
+# c12 > 0 rows; because counts are mergeable the fold changes the net
+# table not at all, and the net table ≡ training from scratch on the
+# surviving add-row multiset — the decrement≡retrain proof, re-pinned
+# post-fold by tests/test_streaming_incremental.py (fifth use of the
+# pattern). Scale shape: each trigger's write is batch-sized (bigram
+# explode + agg on the trigger's docs only); the fold reads
+# ledger-sized tables (vocab × generations, never corpus) and runs
+# once per COMPACT_EVERY triggers.
+# ---------------------------------------------------------------------------
+_LM_C12_SCHEMA = "lang string, w1 string, w2 string, c12 bigint"
+_LM_WD_SCHEMA = "lang string, w string, doc_count bigint"
+
+
+def _compact_lm_gen(spark: SparkSession, root: str, state: dict,
+                    before: int | None = None) -> None:
+    """Fold the LM ledger's current generation into one netted
+    partition in the next (``_compact_gen``'s fencing discipline;
+    see the ledger header). Keeps non-zero nets of EITHER sign — a
+    negative net (a takedown of never-added content) stays a recorded
+    debt rather than being silently dropped; the read side filters
+    c12 > 0 when materializing the live LM."""
+    g = state["gen"]
+    parts = _gen_parts(root, g, before=before)
+    if len(parts) < 2:
+        return
+    g2 = g + 1
+    max_k = max(int(p.rsplit("=", 1)[1]) for p in parts)
+    dest = f"{root}/gen={g2}/batch={max_k}"
+    (spark.read.schema(_LM_C12_SCHEMA)
+     .parquet(*[f"{p}/c12" for p in parts])
+     .groupBy("lang", "w1", "w2")
+     .agg(F.sum("c12").cast("bigint").alias("c12"))
+     .filter(F.col("c12") != 0)
+     .write.mode("overwrite").parquet(f"{dest}/c12"))
+    (spark.read.schema(_LM_WD_SCHEMA)
+     .parquet(*[f"{p}/wdoc" for p in parts])
+     .groupBy("lang", "w")
+     .agg(F.sum("doc_count").cast("bigint").alias("doc_count"))
+     .filter(F.col("doc_count") != 0)
+     .write.mode("overwrite").parquet(f"{dest}/wdoc"))
+    state["gen"] = g2
+
+
 def _admission_gate(reps: DataFrame, base_dg: DataFrame,
                     earlier: DataFrame | None, bloom) -> DataFrame:
     """Bloom-gated exact admission for one micro-batch: ``reps`` is one
@@ -1462,13 +1524,16 @@ FROM tot t LEFT JOIN adm a USING (lang)
 #                      asserts the rebuilt BITMAP equals a from-scratch
 #                      build over the survivors (merge≡retrain, third
 #                      use — this time on the gate itself).
-#   LM decrements      the takedown batch's own bigram counts (c12-
-#                      shaped) and per-(lang, token) doc counts
-#                      (wdoc-shaped) are emitted per batch — the exact
-#                      mergeable decrement rows the artifact generation
-#                      applies (operators/excision.py); the test pins
-#                      subtract-streamed-decrements ≡ retrain-on-
-#                      survivors for both tables.
+#   LM ledger          every trigger writes its batch's SIGNED c12 and
+#                      wdoc count rows into the generationed LM ledger
+#                      (adds +, takedowns − — the exact mergeable
+#                      decrement rows the artifact generation applies,
+#                      operators/excision.py), folded at COMPACT_EVERY
+#                      partitions by _compact_lm_gen (r12 verdict item
+#                      3: decrement partitions no longer accumulate
+#                      per-takedown forever). The tests pin the net
+#                      ledger ≡ retrain-on-survivors for both tables,
+#                      including through a mid-stream fold.
 #
 # Re-admission is REAL and by design: a doc admitted in batch 0 and
 # excised in batch 1 re-enters in batch 2 — after the rebuild the gate
@@ -1506,7 +1571,7 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
     base_tbl = bucketed_digest_table(spark, sf_dir)
     base_dg = spark.table(base_tbl)
     work = tempfile.mkdtemp(prefix="ingest_excise_")
-    report_dir, dec_dir = f"{work}/report", f"{work}/lm_decrements"
+    report_dir, lm_root = f"{work}/report", f"{work}/lm_ledger"
 
     docs = load_table(spark, sf_dir, "documents")
     bk = _bucket(F.col("doc_id"))
@@ -1547,6 +1612,7 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
             .parquet(*_gen_parts(admitted_root, g0)))
     state = {"gen": g0,
              "bloom": bloom_build(gate_src, "dg", num_bits=num_bits)}
+    lm_state = {"gen": _cur_gen(lm_root)}
 
     def _gen_dir(g: int) -> str:
         return f"{admitted_root}/gen={g}"
@@ -1562,12 +1628,18 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
         # start-of-trigger compaction, fenced to strictly-earlier
         # partitions (generationed-store header comment: the fold's
         # label stays < batch_id, so this trigger's earlier read sees
-        # it and a retry can never clobber it)
+        # it and a retry can never clobber it) — digest store and LM
+        # ledger under one policy
         if len(_parts(state["gen"], before=batch_id)) >= COMPACT_EVERY:
             _compact_gen(spark, admitted_root, state, before=batch_id)
+        if len(_gen_parts(lm_root, lm_state["gen"],
+                          before=batch_id)) >= COMPACT_EVERY:
+            _compact_lm_gen(spark, lm_root, lm_state, before=batch_id)
 
         excs = batch_df.filter(F.col("op") == "excise").drop("op")
         adds = batch_df.filter(F.col("op") == "add").drop("op")
+        lm_c12 = lm_wd = None  # this trigger's signed LM ledger delta
+        exc_cached = None
 
         if not excs.isEmpty():
             excs = excs.persist(StorageLevel.MEMORY_AND_DISK_DESER)
@@ -1592,11 +1664,14 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
             state["bloom"] = bloom_build(after_src, "dg",
                                          num_bits=num_bits, k=old.k)
             old.destroy()
-            # mergeable LM decrement rows, c12- and wdoc-shaped
-            _lm_tables(excs)[0].write.mode("overwrite").parquet(
-                f"{dec_dir}/batch={batch_id}/c12")
-            _wdoc_counts(excs).write.mode("overwrite").parquet(
-                f"{dec_dir}/batch={batch_id}/wdoc")
+            # NEGATIVE LM ledger rows — the mergeable decrement counts
+            # the artifact path applies (operators/excision.py), here
+            # entering the loop's own generationed ledger (header)
+            lm_c12 = (_lm_tables(excs)[0]
+                      .withColumn("c12", (-F.col("c12")).cast("bigint")))
+            lm_wd = (_wdoc_counts(excs)
+                     .withColumn("doc_count",
+                                 (-F.col("doc_count")).cast("bigint")))
             # BURST-STABLE hit counting: a takedown row counts as
             # excised iff its digest was in the store at the FIRST
             # excise trigger of the burst (consecutive excise triggers
@@ -1630,13 +1705,21 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
                      .alias("n_excised"))
              .write.mode("overwrite")
              .parquet(f"{report_dir}/batch={batch_id}_excise"))
-            excs.unpersist()
+            # keep the cache live until the LM ledger write below has
+            # consumed the decrement plans
+            exc_cached = excs
 
+        add_cached = None
         if not adds.isEmpty():
             # an add trigger closes any open takedown burst (the
             # burst-stable hit-count snapshot above)
             state["in_burst"] = False
             state["burst_store"] = None
+            # the add batch feeds the digest pass, the report, and the
+            # two LM ledger aggregations — persist so the micro-batch
+            # parquet is scanned once per trigger, not four times
+            adds = add_cached = adds.persist(
+                StorageLevel.MEMORY_AND_DISK_DESER)
             g = state["gen"]
             earlier = (spark.read.schema("dg string")
                        .parquet(*_parts(g, before=batch_id))
@@ -1668,6 +1751,24 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
                     k=state["bloom"].k))
             finally:
                 admitted._gate_cache.unpersist()
+            # POSITIVE LM ledger rows for the add batch (one bigram
+            # explode + agg over this trigger's docs — batch-sized)
+            a12 = _lm_tables(adds)[0].withColumn(
+                "c12", F.col("c12").cast("bigint"))
+            awd = _wdoc_counts(adds)
+            lm_c12 = a12 if lm_c12 is None else lm_c12.unionByName(a12)
+            lm_wd = awd if lm_wd is None else lm_wd.unionByName(awd)
+
+        # one signed ledger partition per trigger (idempotent
+        # overwrite under the batch's own id — the retry fence)
+        if lm_c12 is not None:
+            d = f"{lm_root}/gen={lm_state['gen']}/batch={batch_id}"
+            lm_c12.write.mode("overwrite").parquet(f"{d}/c12")
+            lm_wd.write.mode("overwrite").parquet(f"{d}/wdoc")
+        if exc_cached is not None:
+            exc_cached.unpersist()
+        if add_cached is not None:
+            add_cached.unpersist()
 
     schema = staged[0].schema
     stream = (spark.readStream.schema(schema)
@@ -1679,6 +1780,8 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
     # couldn't touch — the stream is done, so no retry can race it
     if len(_parts(state["gen"])) >= COMPACT_EVERY:
         _compact_gen(spark, admitted_root, state)
+    if len(_gen_parts(lm_root, lm_state["gen"])) >= COMPACT_EVERY:
+        _compact_lm_gen(spark, lm_root, lm_state)
 
     # explicit driver-side listing, not a glob: passing "report/*"
     # makes FileStreamSink.hasMetadata stat the raw glob string as a
@@ -1701,7 +1804,8 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
     # handles for the gate-state and decrement≡retrain tests
     out._excise_state = {"work": work, "gen": state["gen"],
                          "bloom": state["bloom"], "num_bits": num_bits,
-                         "dec_dir": dec_dir, "base_tbl": base_tbl}
+                         "lm_root": lm_root, "lm_gen": lm_state["gen"],
+                         "base_tbl": base_tbl}
     return out
 
 
