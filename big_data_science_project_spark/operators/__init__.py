@@ -79,52 +79,57 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # dedup ladder, ANN, ML, graph, text/LM, curation, excision,
     # timeseries, streaming, cells, sinks — not just q01..q50 (r9
     # verdict item 4). The window ROTATES per round (r10 verdict item
-    # 1): rounds 1-10 checked the same 50; r11's rotation verified 45
-    # fresh oracles (137 of 215 now driver-checked), leaving 78. This
-    # round's front keeps the five stable canaries (q01, q17,
-    # dedup_incremental, ingest_gate_pipeline, stream_hourly_by_type)
-    # and fills the other 45 slots from the still-never-driver-checked
-    # value-oracled set (union of CORRECTNESS_r01..r11 keys excluded);
-    # the remaining 33 rotate in next round. Names listed here jump
-    # to the front in this order; everything else keeps module order
-    # behind them. Name-keyed consumers (tests, bench, selfcheck) are
-    # unaffected.
+    # 1): rounds 1-10 checked the same 50; r11 verified 45 fresh
+    # oracles, r12 another 45 (182/215 driver-checked after r12). This
+    # round's front keeps the five stable canaries and carries the
+    # ENTIRE remaining never-driver-checked set — the final 33 plus
+    # the new unified_media_verdicts — so after this round every value
+    # oracle in the registry has been independently driver-verified at
+    # least once (r12 verdict item 1, rotation complete); the last 11
+    # slots refill from the already-verified set, one per family.
+    # Names listed here jump to the front in this order; everything
+    # else keeps module order behind them. Name-keyed consumers
+    # (tests, bench, selfcheck) are unaffected.
     front = [
         # canaries — stable across rounds
         "q01_pricing_summary", "q17_outlier_votes",
         "dedup_incremental", "ingest_gate_pipeline",
         "stream_hourly_by_type",
-        # relational: never-driver-checked window
-        "q53_listagg", "q54_hll_mergeable", "q55_null_ordering",
-        "q56_map_funcs", "q57_bit_bool_aggs", "q59_countmin_sketch",
-        "q60_udaf_trimmed_mean", "q61_grouped_map_minmax",
-        "q63_time_range_frame", "q65_dynamic_session",
-        "q67_approx_topk", "q69_sql_udf", "q70_named_params",
-        "q72_session_variable", "q73_rolling_distinct",
-        # dedup ladder
-        "dedup_prefix_jaccard", "dedup_substring_exact",
-        "dedup_incremental_recall",
-        # ANN / similarity
-        "ann_batch_topk", "embedding_quantize", "ann_pq_refine",
-        "ann_incremental_assign", "ann_recall_eval",
-        # ML
-        "ml_adaboost_stumps", "ml_adaboost_persisted",
-        # graph
-        "graph_label_propagation",
-        # text / LM
-        "doc_rolling_fingerprint", "regex_token_count",
-        "text_top_terms", "text_bigrams", "text_repetition",
-        # curation
-        "curate_stratified_sample", "curate_chunk", "curate_redact",
-        "curate_shard_shuffle", "curate_corpus_drift",
-        # timeseries
-        "ts_gapfill_interpolate", "ts_robust_mad",
-        "ts_seasonal_profile",
-        # streaming
-        "stream_sliding_by_type", "stream_dedup_ids",
-        "stream_static_join", "stream_window_chain",
-        # cells + sinks
-        "cells_grid_search_threshold", "sink_parquet_partitioned",
+        # ANN / similarity sweeps
+        "ann_recall_sweep", "ann_trained_sweep",
+        "dedup_recall_sweep_embedding",
+        # text / LM tail
+        "text_unigram_logprob", "text_udtf_chunk", "text_udtf_ngrams",
+        "text_bpe_encode", "text_udtf_table_arg",
+        # curation tail
+        "curate_weighted_sample", "curate_token_budget",
+        "curate_constraint_audit", "curate_dup_rate_estimate",
+        # unified-gate media verdicts (new this round) + histogram
+        "unified_media_verdicts", "histogram",
+        # timeseries tail
+        "ts_downsample_triangle", "ts_autocorrelation",
+        # streaming tail
+        "stream_user_stats_stateful", "stream_foreachbatch_sink",
+        "stream_dedup_near_index", "stream_lm_quality",
+        "stream_ingest_excise_loop",
+        # multimodal tail
+        "multimodal_scene_cuts",
+        # sinks tail
+        "sink_csv_roundtrip", "sink_json_roundtrip",
+        "sink_sorted_clustered", "sink_compaction",
+        "sink_schema_evolution", "sink_dynamic_overwrite",
+        "sink_orc_roundtrip",
+        # cells data source (batch + streaming, float + binary twins)
+        "cells_datasource_write", "cells_source_scan",
+        "cells_stream_scan", "cells_binary_scan",
+        "cells_binary_stream_scan",
+        # refills — already-verified, one per family, keeping the
+        # window cross-family like every prior rotation
+        "q05_region_revenue", "q24_percentiles", "q39_band_join",
+        "q50_recursive_spine", "dedup_minhash_verified",
+        "ann_ivf_topk", "ml_pca_spectrum", "graph_pagerank",
+        "lm_excise_rescore", "ts_hypertable_rollup",
+        "curate_pack_sequences",
     ]
     missing = [n for n in front if n not in queries]
     if missing:

@@ -97,6 +97,31 @@ def time_retrain(spark, sf_dir: str, reps: int = 3) -> float:
 BURST_K = 4  # takedown batches in the burst rung
 
 
+def _host_canary(spark, reps: int = 5) -> float:
+    """Solo min-of-N of the bench's fixed pure-JVM canary query (q01 at
+    sf0.1, checksum action — the bench.py idiom) taken immediately
+    before a rung's timings on the same session. The r12 artifact's
+    cross-scale absolute walls inverted (the 10× rung ran second on a
+    warmer session) and needed a disclosure note; with each rung
+    stamped, its walls carry their own calibration: divide a rung's
+    seconds by (its canary / another rung's canary) before comparing
+    across rungs or rounds."""
+    import time
+
+    from big_data_science_project_spark.functions.actions import (
+        checksum_count)
+    import __spark_entry__ as entry
+    from tools.scale_probe import SRC
+
+    q01 = entry.queries()["q01_pricing_summary"]
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        checksum_count(q01(spark, SRC))
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def time_burst(spark, sf_dir: str, k: int, reps: int = 2) -> float:
     """Wall of the full streaming lifecycle with the takedown set
     staged as ``k`` sequential trigger batches — each pays its own
@@ -142,12 +167,15 @@ def main() -> None:
     result = {"rep": args.rep, "src": SRC, "scales": {}}
     for label, d in (("sf01", SRC), (f"x{args.rep}", dst)):
         print(f"timing {label}", file=sys.stderr, flush=True)
+        cal = _host_canary(spark)
         ex = time_excise(spark, d)
         rt = time_retrain(spark, d)
         result["scales"][label] = {
             "excise_sec": ex, "retrain_sec": rt,
-            "excise_over_retrain": round(ex / rt, 3) if rt else None}
-        print(f"  excise {ex}s retrain {rt}s", file=sys.stderr)
+            "excise_over_retrain": round(ex / rt, 3) if rt else None,
+            "host_canary_sec": cal}
+        print(f"  excise {ex}s retrain {rt}s (canary {cal}s)",
+              file=sys.stderr)
     # takedown-burst rung (r11 verdict item 7): K sequential takedown
     # batches through the REAL streaming loop vs the same set batched
     # into one trigger — prices the per-burst bloom-rebuild
@@ -155,6 +183,7 @@ def main() -> None:
     result["takedown_burst"] = {}
     for label, d in (("sf01", SRC), (f"x{args.rep}", dst)):
         print(f"burst timing {label}", file=sys.stderr, flush=True)
+        cal = _host_canary(spark)
         t1 = time_burst(spark, d, 1)
         tk = time_burst(spark, d, BURST_K)
         result["takedown_burst"][label] = {
@@ -163,9 +192,10 @@ def main() -> None:
             "sequential_sec": tk,
             "marginal_per_takedown_batch_sec":
                 round((tk - t1) / (BURST_K - 1), 3),
-            "sequential_over_batched": round(tk / t1, 3) if t1 else None}
-        print(f"  batched(K=1) {t1}s sequential(K={BURST_K}) {tk}s",
-              file=sys.stderr)
+            "sequential_over_batched": round(tk / t1, 3) if t1 else None,
+            "host_canary_sec": cal}
+        print(f"  batched(K=1) {t1}s sequential(K={BURST_K}) {tk}s "
+              f"(canary {cal}s)", file=sys.stderr)
     result["burst_interpretation"] = (
         f"sequential = the takedown set split into K={BURST_K} "
         "separate triggers, each paying one generation rewrite + one "
@@ -173,7 +203,12 @@ def main() -> None:
         "rebuild (the ledger is split-invariant, test-pinned). "
         "marginal_per_takedown_batch_sec is the per-extra-batch price "
         "of the rebuild-only policy; if sequential_over_batched grows "
-        "with scale, batch takedowns within a trigger window.")
+        "with scale, batch takedowns within a trigger window. Each "
+        "rung carries host_canary_sec (fixed q01-at-sf0.1 solo "
+        "min-of-5 taken just before its timings): divide a rung's "
+        "walls by (its canary / the other rung's canary) before "
+        "comparing absolute seconds across rungs — the rungs run "
+        "sequentially on one session and the later one is warmer.")
     e1 = result["scales"]["sf01"]
     e2 = result["scales"][f"x{args.rep}"]
     result["excise_scale_ratio"] = (
