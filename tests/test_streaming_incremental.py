@@ -700,6 +700,51 @@ def test_excise_loop_compaction_preserves_gate_state(spark, monkeypatch):
     assert np.array_equal(st["bloom"].words, fresh.words)
 
 
+def test_compaction_retry_fence_invariants(spark, tmp_path):
+    """The foreachBatch-retry hazard the fence exists for (ADVICE r12):
+    compaction running for active batch B must (a) label its fold
+    strictly below B even when an orphan batch=B partition from a
+    failed earlier attempt sits in the generation, (b) leave that
+    orphan out of the fold (the retry rewrites it), and (c) no-op on
+    the retry itself — so the ``before=B`` earlier-read always sees
+    every prior admission and the retry's own overwrite can never
+    clobber the fold."""
+    import big_data_science_project_spark.streaming.events as ev
+
+    root = str(tmp_path / "store")
+
+    def write(g, k, dgs):
+        spark.createDataFrame([(d,) for d in dgs], "dg string") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(f"{root}/gen={g}/batch={k}")
+
+    def dgs(paths):
+        return {r.dg for r in
+                spark.read.schema("dg string").parquet(*paths).collect()}
+
+    write(0, 0, ["a", "b"])
+    write(0, 1, ["c"])
+    write(0, 2, ["x-partial"])  # orphan: batch 2's failed first attempt
+
+    state = {"gen": 0}
+    # start of batch 2 (the retry): fence at B=2
+    parts = ev._gen_parts(root, 0, before=2)
+    assert [p.rsplit("=", 1)[1] for p in parts] == ["0", "1"]
+    ev._compact_gen(spark, root, state, before=2)
+    assert state["gen"] == 1
+    fold = ev._gen_parts(root, 1)
+    # (a) label strictly below the active id, (b) orphan excluded
+    assert [p.rsplit("=", 1)[1] for p in fold] == ["1"]
+    assert dgs(fold) == {"a", "b", "c"}
+    # batch 2's rewrite lands BESIDE the fold, not over it
+    write(1, 2, ["d"])
+    assert dgs(ev._gen_parts(root, 1, before=3)) == {"a", "b", "c", "d"}
+    # (c) a second retry of batch 2 finds one fenced part — no-op
+    ev._compact_gen(spark, root, state, before=2)
+    assert state["gen"] == 1
+    assert dgs(ev._gen_parts(root, 1)) == {"a", "b", "c", "d"}
+
+
 def test_excise_burst_split_invariant(spark):
     """A takedown burst staged as K=3 sequential triggers (each paying
     its own generation rewrite + bloom rebuild) must produce the exact
