@@ -1236,6 +1236,26 @@ def _cur_gen(root: str) -> int:
     return max(gens, default=0)
 
 
+def _resume_floor(root: str, g: int) -> int:
+    """One past the highest batch label in generation ``g`` — the
+    restart-recovery companion of the ``before=batch_id`` retry fence.
+    These availableNow loops run without a Structured Streaming
+    checkpoint, so a restarted run's foreachBatch ids begin at 0
+    again; fencing on the RAW id would then exclude every prior-run
+    partition from the earlier-admitted read, and a prior-run
+    admission re-arriving post-restart would bloom-hit, exact-verify
+    against base only, find no "earlier" row, and be RE-ADMITTED —
+    silently breaking the recovery claim. Every store access instead
+    uses the effective id ``floor + batch_id``: monotone across
+    restarts (prior labels stay strictly below), identical for a
+    same-run retry (floor is fixed at stream start), and 0-based on a
+    fresh store (floor = 0, the common case). A checkpointed
+    deployment gets this for free from continuing batch ids; the
+    floor gives the checkpoint-less loop the same invariant."""
+    ids = [int(p.rsplit("=", 1)[1]) for p in _gen_parts(root, g)]
+    return max(ids, default=-1) + 1
+
+
 def _compact_gen(spark: SparkSession, root: str, state: dict,
                  before: int | None = None) -> None:
     """Fold the current generation's batch partitions into one
@@ -1353,7 +1373,15 @@ def _admission_gate(reps: DataFrame, base_dg: DataFrame,
 
 def stream_ingest_loop(spark: SparkSession, sf_dir: str,
                        splits: tuple = ((INDEX_PCT, 90), (90, 100)),
-                       ) -> DataFrame:
+                       work_dir: str | None = None) -> DataFrame:
+    """``work_dir`` resumes an earlier run's store (restart recovery,
+    test-simulated): the admitted generations and reports are reused,
+    the gate rebuilds over base ∪ prior admissions, and new batch ids
+    land above the prior run's via ``_resume_floor``. The in/ staging
+    dir is cleared first — without a checkpoint, already-processed
+    files must not be re-admitted to the source (a checkpointed
+    deployment gets that from the source's own log)."""
+    import shutil
     import time as _time
 
     from ..functions.bloom import BITS_PER_KEY, bloom_build
@@ -1361,8 +1389,9 @@ def stream_ingest_loop(spark: SparkSession, sf_dir: str,
 
     base_tbl = bucketed_digest_table(spark, sf_dir)
     base_dg = spark.table(base_tbl)
-    work = tempfile.mkdtemp(prefix="ingest_loop_")
+    work = work_dir or tempfile.mkdtemp(prefix="ingest_loop_")
     admitted_dir, report_dir = f"{work}/admitted", f"{work}/report"
+    shutil.rmtree(f"{work}/in", ignore_errors=True)
 
     docs = load_table(spark, sf_dir, "documents")
     bk = _bucket(F.col("doc_id"))
@@ -1386,9 +1415,10 @@ def stream_ingest_loop(spark: SparkSession, sf_dir: str,
     # partitions from an interrupted run, they are unioned into the
     # initial build — a resumed stream's gate covers base ∪ every
     # earlier admission, so it never bloom-misses (and thereby
-    # re-admits) a doc admitted before the restart. In-repo the dir is
-    # a fresh mkdtemp (always empty here), but the recovery path is the
-    # same one _admission_gate's earlier-partitions read exercises.
+    # re-admits) a doc admitted before the restart; bloom POSITIVES
+    # re-verify against the prior partitions through the _resume_floor
+    # fence below. Exercised end-to-end by
+    # tests/test_streaming_incremental.py's two-run resume test.
     n_idx = base_dg.count()
     gate_src = base_dg.select("dg")
     # generationed store (shared helpers above): restart recovery
@@ -1402,22 +1432,28 @@ def stream_ingest_loop(spark: SparkSession, sf_dir: str,
             spark.read.schema("dg string").parquet(*prior_parts))
     bloom = bloom_build(gate_src, "dg",
                         num_bits=max(64, BITS_PER_KEY * n_idx * 3 // 2))
+    # restart fence: this run's batch ids map to floor + id so prior
+    # runs' partitions stay strictly below every new fence (the
+    # _resume_floor docstring — raw ids restart at 0 without a
+    # checkpoint and would exclude the prior run from "earlier")
+    floor = _resume_floor(admitted_dir, state["gen"])
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window as W
 
+        eid = floor + batch_id  # effective id (restart fence above)
         # bound the store's part count BEFORE this batch reads or
         # writes anything, fenced to strictly-earlier partitions — the
-        # fold's label stays < batch_id, so the earlier read below
-        # includes it and a retry of this batch can never clobber it
+        # fold's label stays < eid, so the earlier read below includes
+        # it and a retry of this batch can never clobber it
         # (generationed-store header comment)
         if len(_gen_parts(admitted_dir, state["gen"],
-                          before=batch_id)) >= COMPACT_EVERY:
-            _compact_gen(spark, admitted_dir, state, before=batch_id)
+                          before=eid)) >= COMPACT_EVERY:
+            _compact_gen(spark, admitted_dir, state, before=eid)
         # driver-side listdir, not a glob: the set of earlier
         # partitions must be pinned per batch (see header comment)
         earlier_parts = _gen_parts(admitted_dir, state["gen"],
-                                   before=batch_id)
+                                   before=eid)
         earlier = (spark.read.schema("dg string").parquet(*earlier_parts)
                    if earlier_parts else None)
         b = batch_df.select("doc_id", "lang", F.md5("text").alias("dg"))
@@ -1428,7 +1464,7 @@ def stream_ingest_loop(spark: SparkSession, sf_dir: str,
         admitted = _admission_gate(reps, base_dg, earlier, bloom)
         try:
             admitted.select("dg").write.mode("overwrite").parquet(
-                f"{admitted_dir}/gen={state['gen']}/batch={batch_id}")
+                f"{admitted_dir}/gen={state['gen']}/batch={eid}")
             report = (b.groupBy("lang")
                       .agg(F.count(F.lit(1)).cast("bigint")
                            .alias("n_new"))
@@ -1436,7 +1472,7 @@ def stream_ingest_loop(spark: SparkSession, sf_dir: str,
                             .agg(F.count(F.lit(1)).cast("bigint")
                                  .alias("n_admitted")), "lang", "left"))
             report.write.mode("overwrite").parquet(
-                f"{report_dir}/batch={batch_id}")
+                f"{report_dir}/batch={eid}")
             # fold this batch's admissions into the live gate BEFORE
             # the cache is released (the delta build is batch-sized;
             # its collect is bitmap-sized) — batch N+1's misses rely
@@ -1613,6 +1649,11 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
     state = {"gen": g0,
              "bloom": bloom_build(gate_src, "dg", num_bits=num_bits)}
     lm_state = {"gen": _cur_gen(lm_root)}
+    # restart fence shared by both stores (the _resume_floor
+    # docstring): one effective-id space per trigger keeps the
+    # admitted partitions, ledger partitions, and report names aligned
+    floor = max(_resume_floor(admitted_root, g0),
+                _resume_floor(lm_root, lm_state["gen"]))
 
     def _gen_dir(g: int) -> str:
         return f"{admitted_root}/gen={g}"
@@ -1625,16 +1666,17 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
     def process(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window as W
 
+        eid = floor + batch_id  # effective id (restart fence above)
         # start-of-trigger compaction, fenced to strictly-earlier
         # partitions (generationed-store header comment: the fold's
-        # label stays < batch_id, so this trigger's earlier read sees
-        # it and a retry can never clobber it) — digest store and LM
+        # label stays < eid, so this trigger's earlier read sees it
+        # and a retry can never clobber it) — digest store and LM
         # ledger under one policy
-        if len(_parts(state["gen"], before=batch_id)) >= COMPACT_EVERY:
-            _compact_gen(spark, admitted_root, state, before=batch_id)
+        if len(_parts(state["gen"], before=eid)) >= COMPACT_EVERY:
+            _compact_gen(spark, admitted_root, state, before=eid)
         if len(_gen_parts(lm_root, lm_state["gen"],
-                          before=batch_id)) >= COMPACT_EVERY:
-            _compact_lm_gen(spark, lm_root, lm_state, before=batch_id)
+                          before=eid)) >= COMPACT_EVERY:
+            _compact_lm_gen(spark, lm_root, lm_state, before=eid)
 
         excs = batch_df.filter(F.col("op") == "excise").drop("op")
         adds = batch_df.filter(F.col("op") == "add").drop("op")
@@ -1704,7 +1746,7 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
                      F.coalesce("n_excised", F.lit(0)).cast("bigint")
                      .alias("n_excised"))
              .write.mode("overwrite")
-             .parquet(f"{report_dir}/batch={batch_id}_excise"))
+             .parquet(f"{report_dir}/batch={eid}_excise"))
             # keep the cache live until the LM ledger write below has
             # consumed the decrement plans
             exc_cached = excs
@@ -1722,8 +1764,8 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
                 StorageLevel.MEMORY_AND_DISK_DESER)
             g = state["gen"]
             earlier = (spark.read.schema("dg string")
-                       .parquet(*_parts(g, before=batch_id))
-                       if _parts(g, before=batch_id) else None)
+                       .parquet(*_parts(g, before=eid))
+                       if _parts(g, before=eid) else None)
             b = adds.select("doc_id", "lang", F.md5("text").alias("dg"))
             reps = (b.withColumn(
                         "rn", F.row_number().over(
@@ -1733,7 +1775,7 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
                                        state["bloom"])
             try:
                 admitted.select("dg").write.mode("overwrite").parquet(
-                    f"{_gen_dir(g)}/batch={batch_id}")
+                    f"{_gen_dir(g)}/batch={eid}")
                 (b.groupBy("lang")
                  .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
                  .join(admitted.groupBy("lang")
@@ -1744,7 +1786,7 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
                          .cast("bigint").alias("n_admitted"),
                          F.lit(None).cast("bigint").alias("n_excised"))
                  .write.mode("overwrite")
-                 .parquet(f"{report_dir}/batch={batch_id}_add"))
+                 .parquet(f"{report_dir}/batch={eid}_add"))
                 state["bloom"].merge_from(bloom_build(
                     admitted.select("dg"), "dg",
                     num_bits=state["bloom"].num_bits,
@@ -1762,7 +1804,7 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
         # one signed ledger partition per trigger (idempotent
         # overwrite under the batch's own id — the retry fence)
         if lm_c12 is not None:
-            d = f"{lm_root}/gen={lm_state['gen']}/batch={batch_id}"
+            d = f"{lm_root}/gen={lm_state['gen']}/batch={eid}"
             lm_c12.write.mode("overwrite").parquet(f"{d}/c12")
             lm_wd.write.mode("overwrite").parquet(f"{d}/wdoc")
         if exc_cached is not None:

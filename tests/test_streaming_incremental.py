@@ -700,6 +700,65 @@ def test_excise_loop_compaction_preserves_gate_state(spark, monkeypatch):
     assert np.array_equal(st["bloom"].words, fresh.words)
 
 
+def test_ingest_loop_restart_resumes_without_readmission(spark):
+    """Restart recovery end-to-end: run the loop over the first two
+    arrival files, then a second run RESUMES the same work dir with the
+    later files — including a RE-DELIVERY of an already-processed
+    bucket range (the crash-replay case recovery exists for). The
+    resumed run must admit none of the first run's digests again, and
+    its lifetime report must equal the single uninterrupted run's.
+    This bites only through the _resume_floor fence: without a
+    checkpoint the resumed run's foreachBatch ids restart at 0, and a
+    raw before=batch_id fence would hide every prior-run partition
+    from the exact-verify read — re-admitting the whole re-delivered
+    range."""
+    import tempfile
+
+    import big_data_science_project_spark.streaming.events as ev
+    from big_data_science_project_spark.operators.curation import _bucket
+    from big_data_science_project_spark.operators.dedup import INDEX_PCT
+    from big_data_science_project_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    a_splits = ((INDEX_PCT, 84), (84, 88))
+    b_splits = ((84, 92), (92, 100))  # (84,88) re-delivered on resume
+    single = ev.stream_ingest_loop(spark, sf,
+                                   splits=a_splits + b_splits)
+    want = sorted(map(tuple, single.collect()))
+
+    def dgs(paths):
+        return {r.dg for r in
+                spark.read.schema("dg string").parquet(*paths).collect()}
+
+    work = tempfile.mkdtemp(prefix="ingest_resume_")
+    ev.stream_ingest_loop(spark, sf, splits=a_splits,
+                          work_dir=work).collect()
+    a_root = f"{work}/admitted"
+    a_dgs = dgs(ev._gen_parts(a_root, ev._cur_gen(a_root)))
+    assert a_dgs, "run A must admit something"
+
+    # the re-delivered range really carries run-A admissions — without
+    # this overlap the no-readmission claim below would be vacuous
+    docs = load_table(spark, sf, "documents")
+    bk = _bucket(F.col("doc_id"))
+    redelivered = {r.dg for r in
+                   docs.filter((bk >= 84) & (bk < 88))
+                   .select(F.md5("text").alias("dg")).collect()}
+    assert redelivered & a_dgs
+
+    resumed = ev.stream_ingest_loop(spark, sf, splits=b_splits,
+                                    work_dir=work)
+    got = sorted(map(tuple, resumed.collect()))
+    st = resumed._ingest_state
+    parts_b = [p for p in ev._gen_parts(st["admitted_root"], st["gen"])
+               if int(p.rsplit("=", 1)[1]) >= 2]  # floor = 2 on resume
+    assert parts_b, "resumed run must write its own partitions"
+    # (a) nothing the first run admitted is admitted again
+    assert not (a_dgs & dgs(parts_b))
+    # (b) lifetime report (both runs' batches) == single-run report
+    assert got == want and got
+
+
 def test_compaction_retry_fence_invariants(spark, tmp_path):
     """The foreachBatch-retry hazard the fence exists for (ADVICE r12):
     compaction running for active batch B must (a) label its fold
