@@ -1585,7 +1585,9 @@ STREAM_EXCISE_MOD, STREAM_EXCISE_RES = 7, 3
 
 
 def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
-                              excise_splits: int = 1) -> DataFrame:
+                              excise_splits: int = 1,
+                              phases: tuple | None = None,
+                              work_dir: str | None = None) -> DataFrame:
     """``excise_splits`` > 1 stages the takedown set as K separate
     mtime-ordered files → K sequential takedown TRIGGERS, each paying
     its own generation rewrite + index-digest-sized bloom rebuild (the
@@ -1597,7 +1599,18 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
     is sliced — the in-process comment). The burst test pins ledger
     equality against the K=1 run; tools/excise_probe.py's burst rung
     times K=1 vs K>1 to price per-burst rebuild amortization (r11
-    verdict item 7)."""
+    verdict item 7).
+
+    ``phases``/``work_dir`` simulate a driver restart exactly like
+    ``stream_ingest_loop``'s resume: ``phases`` selects which of the
+    staged arrival files this run delivers (None = all), ``work_dir``
+    resumes an earlier run's stores — the gate rebuilds over base ∪
+    the recovered generation, the LM ledger and report ids continue
+    above the prior run's via the shared ``_resume_floor`` fence, and
+    a takedown delivered post-restart excises admissions made before
+    it. The restart test pins two-run ≡ single-run for the ledger AND
+    the post-run bloom bitmap."""
+    import shutil
     import time as _time
 
     from ..functions.bloom import BITS_PER_KEY, bloom_build
@@ -1606,8 +1619,9 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
 
     base_tbl = bucketed_digest_table(spark, sf_dir)
     base_dg = spark.table(base_tbl)
-    work = tempfile.mkdtemp(prefix="ingest_excise_")
+    work = work_dir or tempfile.mkdtemp(prefix="ingest_excise_")
     report_dir, lm_root = f"{work}/report", f"{work}/lm_ledger"
+    shutil.rmtree(f"{work}/in", ignore_errors=True)
 
     docs = load_table(spark, sf_dir, "documents")
     bk = _bucket(F.col("doc_id"))
@@ -1627,7 +1641,9 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
         docs.filter(bk >= 90).unionByName(take)
             .withColumn("op", F.lit("add")),
     ]
-    for i, b in enumerate(staged):
+    deliver = (staged if phases is None
+               else [staged[i] for i in phases])
+    for i, b in enumerate(deliver):
         p = f"{work}/in/f{i}"
         b.coalesce(1).write.mode("overwrite").parquet(p)
         t = _time.time() - 300 + i * 60

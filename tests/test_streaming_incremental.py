@@ -804,6 +804,46 @@ def test_compaction_retry_fence_invariants(spark, tmp_path):
     assert dgs(ev._gen_parts(root, 1)) == {"a", "b", "c", "d"}
 
 
+def test_excise_loop_restart_recovery(spark):
+    """A takedown delivered AFTER a driver restart must excise
+    admissions made before it: run the loop's add phase alone, then a
+    second run resuming the same work dir delivers the excise + re-add
+    phases. The resumed run's lifetime ledger must equal the single
+    uninterrupted run's, and the post-run bloom must equal a
+    from-scratch build over base ∪ the surviving store — the recovery
+    claim, end-to-end through the shared _resume_floor fence (the
+    resumed run's ids continue above the prior run's, so its on-disk
+    layout is batch-for-batch the single run's)."""
+    import tempfile
+
+    import numpy as np
+
+    import big_data_science_project_spark.streaming.events as ev
+    from big_data_science_project_spark.functions.bloom import bloom_build
+
+    sf = "/root/testdata/sf0.01"
+    single = ev.stream_ingest_excise_loop(spark, sf)
+    want = sorted(map(tuple, single.collect()))
+
+    work = tempfile.mkdtemp(prefix="excise_resume_")
+    ev.stream_ingest_excise_loop(spark, sf, phases=(0,),
+                                 work_dir=work).collect()
+    resumed = ev.stream_ingest_excise_loop(spark, sf, phases=(1, 2),
+                                           work_dir=work)
+    got = sorted(map(tuple, resumed.collect()))
+    assert got == want and got
+    assert sum(r[3] for r in got) > 0  # the takedown really excised
+
+    st = resumed._excise_state
+    parts = ev._gen_parts(f"{work}/admitted", st["gen"])
+    survivors = (spark.table(st["base_tbl"]).select("dg")
+                 .unionByName(spark.read.schema("dg string")
+                              .parquet(*parts)))
+    fresh = bloom_build(survivors, "dg", num_bits=st["num_bits"],
+                        k=st["bloom"].k)
+    assert np.array_equal(st["bloom"].words, fresh.words)
+
+
 def test_excise_burst_split_invariant(spark):
     """A takedown burst staged as K=3 sequential triggers (each paying
     its own generation rewrite + bloom rebuild) must produce the exact
