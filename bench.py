@@ -137,10 +137,11 @@ def main() -> None:
         return round(best, 3)
 
     CANARY_REF = {"jvm": 1.299,   # BENCH_r12 host_canary_sec
-                  "py": None}     # first recorded in BENCH_r13 — the
-    # py ref self-anchors: this run's own solo value becomes the ref,
-    # so r13's adjusted py-class values equal raw and later rounds
-    # divide by (their canary / r13's recorded host_canary_py_sec)
+                  "py": 0.435}    # BENCH_r13 host_canary_py_sec —
+    # pinned after its first recording (ADVICE r13: a hardcoded None
+    # made ref_py = canary_py on EVERY run, so the py normalization
+    # would have stayed a permanent no-op); from r14 on, py-class
+    # walls divide by (this run's py canary / 0.435)
     canary = solo_canary("q01_pricing_summary")
     canary_py = solo_canary("ml_gram_matrix")
     print(f"# host_canary q01 solo min-of-5: {canary:.3f}s; "

@@ -993,8 +993,13 @@ QUERIES["stream_ingest_pipeline"] = (stream_ingest_pipeline,
 # regenerate payloads executor-side from the id, exactly where a real
 # deployment would decode the payload column of the same row.
 # ---------------------------------------------------------------------------
-def stream_unified_ingest_gate(spark: SparkSession,
-                               sf_dir: str) -> DataFrame:
+def stream_unified_ingest_gate(spark: SparkSession, sf_dir: str,
+                               media_only: bool = False) -> DataFrame:
+    """``media_only`` drops the text modality from the staged stream
+    (and skips building the text-side artifacts) — the
+    ``stream_unified_media_verdicts`` companion's configuration, whose
+    media verdicts are value-orcled against the planted fixture
+    constants (r13 verdict item 3)."""
     import time as _time
 
     from ..operators import multimodal as MM
@@ -1009,14 +1014,15 @@ def stream_unified_ingest_gate(spark: SparkSession,
 
     # persisted text artifacts + fingerprint indexes, built before the
     # stream starts (production state, same as the batch gate)
-    root_d = _index_artifacts(spark, sf_dir)
-    root_lm = lm_artifacts(spark, sf_dir)
-    root_ann = ann_artifacts(spark, sf_dir)
+    if not media_only:
+        root_d = _index_artifacts(spark, sf_dir)
+        root_lm = lm_artifacts(spark, sf_dir)
+        root_ann = ann_artifacts(spark, sf_dir)
+        cents = _read_codebook(spark, root_ann)
+        base_dg = spark.table(bucketed_digest_table(spark, sf_dir))
+        emb = load_table(spark, sf_dir, "embeddings")
     root_afp = MM.audio_fp_artifacts(spark, sf_dir)
     root_vfp = MM.video_fp_artifacts(spark, sf_dir)
-    cents = _read_codebook(spark, root_ann)
-    base_dg = spark.table(bucketed_digest_table(spark, sf_dir))
-    emb = load_table(spark, sf_dir, "embeddings")
 
     # stage the SAME mixed item set the batch gate screens, split into
     # two mtime-ordered arrival files by item-id parity (each file
@@ -1043,7 +1049,8 @@ def stream_unified_ingest_gate(spark: SparkSession,
         [(m, i, None, None) for m, ids in media_ids.items()
          for i in ids],
         "modality string, item_id long, lang string, text string")
-    mixed = text_rows.unionByName(media_rows)
+    mixed = (media_rows if media_only
+             else text_rows.unionByName(media_rows))
 
     work = tempfile.mkdtemp(prefix="unified_gate_")
     out_dir = f"{work}/out"
@@ -1119,6 +1126,34 @@ def stream_unified_ingest_gate(spark: SparkSession,
 
 QUERIES["stream_unified_ingest_gate"] = (stream_unified_ingest_gate,
                                          None)
+
+
+def stream_unified_media_verdicts(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Driver-hashable companion to ``stream_unified_ingest_gate``
+    (r13 verdict item 3, completing the batch/stream oracle symmetry
+    begun by ``operators/ingest.py::unified_media_verdicts``): the
+    STREAMING gate's media verdict rows, value-oracled against the
+    same VALUES literal derived from the planted fixture constants.
+    Every media gate is per-item vs static index state, so the
+    streamed verdicts must equal the batch gate's — any drift (a tier
+    stopping catching its plant, an evidence id moving, the micro-
+    batch split leaking into a verdict) now fails the driver's
+    rows+schema+hash compare, not just the twin-equality pytest."""
+    return (stream_unified_ingest_gate(spark, sf_dir, media_only=True)
+            .select("modality", "item_id", "tier", "evidence_id"))
+
+
+def _register_stream_media() -> None:
+    # same cycle-free bottom-of-module idiom as ingest._register_media:
+    # the oracle SQL derives from multimodal's fixture constants
+    from ..operators.ingest import _media_expect_sql
+
+    QUERIES["stream_unified_media_verdicts"] = (
+        stream_unified_media_verdicts, _media_expect_sql())
+
+
+_register_stream_media()
 
 
 # ---------------------------------------------------------------------------
@@ -1213,27 +1248,85 @@ QUERIES["stream_unified_ingest_gate"] = (stream_unified_ingest_gate,
 # ---------------------------------------------------------------------------
 COMPACT_EVERY = 8  # compact when the current generation holds >= this
 
+# Generation-completeness marker (ADVICE r13, medium): a generation
+# ABOVE gen=0 only comes into existence through a fold
+# (_compact_gen / _compact_lm_gen) or an excise rewrite — multi-file
+# operations a crash can tear mid-write. The creating operation drops
+# this marker as its LAST step; recovery (_recover_store) trusts only
+# marked generations and deletes unmarked ones above the current, so a
+# half-written fold can never be mistaken for the complete store
+# (silently dropping prior admissions / corrupting the LM net).
+# gen=0 is implicitly complete: it is created by per-batch appends,
+# each of which is individually guarded by its own _SUCCESS marker
+# (_part_complete below).
+_GEN_MARKER = "_GEN_COMPLETE"
+
+
+def _part_complete(path: str) -> bool:
+    """A batch partition is readable iff its writer committed: plain
+    digest partitions carry Spark's ``_SUCCESS``; LM-ledger partitions
+    are a c12/wdoc PAIR and need both commits (a crash between the two
+    writes must invalidate the whole partition, or the netted c12
+    would pair with a stale/absent wdoc)."""
+    if os.path.exists(f"{path}/_SUCCESS"):
+        return True
+    if os.path.isdir(f"{path}/c12") or os.path.isdir(f"{path}/wdoc"):
+        return (os.path.exists(f"{path}/c12/_SUCCESS")
+                and os.path.exists(f"{path}/wdoc/_SUCCESS"))
+    return False
+
+
+def _mark_gen_complete(root: str, g: int) -> None:
+    """Commit point of a fold / excise rewrite into generation ``g``."""
+    os.makedirs(f"{root}/gen={g}", exist_ok=True)
+    open(f"{root}/gen={g}/{_GEN_MARKER}", "w").close()
+
 
 def _gen_parts(root: str, g: int, before: int | None = None) -> list:
-    """Pinned (driver-side listdir, never a glob) batch partitions of
-    generation ``g``, optionally only those committed before
-    ``before`` — the per-batch retry fence."""
+    """Pinned (driver-side listdir, never a glob) COMMITTED batch
+    partitions of generation ``g``, optionally only those committed
+    before ``before`` — the per-batch retry fence. Partitions whose
+    write was torn (no _SUCCESS; for LM pairs, either half missing)
+    are invisible: a retry/redelivery overwrites them under the same
+    effective id, and no read ever sees half-written bytes."""
     d = f"{root}/gen={g}"
     return sorted(
         f"{d}/{name}" for name in
         (os.listdir(d) if os.path.isdir(d) else [])
         if name.startswith("batch=")
-        and (before is None or int(name.split("=")[1]) < before))
+        and (before is None or int(name.split("=")[1]) < before)
+        and _part_complete(f"{d}/{name}"))
 
 
 def _cur_gen(root: str) -> int:
-    """Highest generation present on disk (restart recovery), 0 if
-    the store is empty."""
+    """Highest COMPLETE generation on disk (restart recovery), 0 if
+    the store is empty. A generation above 0 counts only if its
+    creating fold/rewrite reached its commit marker — a torn fold's
+    gen directory is ignored (and cleaned by ``_recover_store``)."""
     if not os.path.isdir(root):
         return 0
     gens = [int(d.split("=")[1]) for d in os.listdir(root)
             if d.startswith("gen=")]
-    return max(gens, default=0)
+    return max((g for g in gens
+                if g == 0 or os.path.exists(
+                    f"{root}/gen={g}/{_GEN_MARKER}")), default=0)
+
+
+def _recover_store(root: str) -> int:
+    """Loop-startup recovery: resume at the highest complete
+    generation and DELETE any unmarked generations above it — they are
+    trash from a torn fold/rewrite, and leaving them would let the
+    redone operation merge stale partial partitions into its own
+    output. Complete generations are never deleted, so the fallback
+    target always exists."""
+    import shutil
+
+    g = _cur_gen(root)
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            if d.startswith("gen=") and int(d.split("=")[1]) > g:
+                shutil.rmtree(f"{root}/{d}", ignore_errors=True)
+    return g
 
 
 def _resume_floor(root: str, g: int) -> int:
@@ -1277,6 +1370,7 @@ def _compact_gen(spark: SparkSession, root: str, state: dict,
      .coalesce(1)
      .write.mode("overwrite")
      .parquet(f"{root}/gen={g2}/batch={max_k}"))
+    _mark_gen_complete(root, g2)  # fold commit point (recovery header)
     state["gen"] = g2
 
 
@@ -1291,7 +1385,10 @@ def _compact_gen(spark: SparkSession, root: str, state: dict,
 #   lm_ledger/gen=G/batch=K/{c12,wdoc}   SIGNED mergeable count rows —
 #       an add trigger writes its batch's (+) counts, a takedown
 #       trigger its (−) counts (the exact rows operators/excision.py
-#       applies); a mixed trigger writes both in one partition.
+#       applies); a mixed trigger writes the two ops' NET in one
+#       partition (equal under the ledger's sum semantics). Both
+#       tables come out of ONE explode+agg job per trigger
+#       (_lm_ledger_write).
 #   fold   _compact_lm_gen nets a generation's partitions by key
 #       (groupBy-sum, zero-net rows drop) into ONE partition in G+1 —
 #       start-of-trigger with the before=batch_id fence plus the
@@ -1339,7 +1436,63 @@ def _compact_lm_gen(spark: SparkSession, root: str, state: dict,
      .agg(F.sum("doc_count").cast("bigint").alias("doc_count"))
      .filter(F.col("doc_count") != 0)
      .write.mode("overwrite").parquet(f"{dest}/wdoc"))
+    _mark_gen_complete(root, g2)  # after BOTH halves (recovery header)
     state["gen"] = g2
+
+
+# Per-row struct rows for BOTH ledger tables from ONE tokenize pass
+# (r13 verdict item 4 — the old per-trigger write ran the bigram
+# explode and the wdoc distinct as two separate jobs over the batch):
+# each doc contributes its adjacent-token pairs (w2 set — the c12
+# rows) plus its DISTINCT tokens (w2 NULL — the wdoc rows; a bigram
+# can never have a NULL w2, so the null IS the table discriminator).
+# array_distinct-per-row equals _wdoc_counts' per-(doc_id) distinct
+# because every staged trigger carries each doc_id once (disjoint
+# bucket filters by construction — the decrement≡retrain tests pin the
+# resulting counts against _wdoc_counts on the same rows).
+_LM_ROWS_EXPR = (
+    "concat("
+    "  CASE WHEN size(split(text, ' ')) >= 2 THEN"
+    "    transform(sequence(0, size(split(text, ' ')) - 2),"
+    "      i -> struct(split(text, ' ')[i] AS w1,"
+    "                  split(text, ' ')[i + 1] AS w2))"
+    "  ELSE array() END,"
+    "  transform(array_distinct(split(text, ' ')),"
+    "    w -> struct(w AS w1, CAST(NULL AS STRING) AS w2)))")
+
+
+def _lm_ledger_write(spark: SparkSession, dest: str,
+                     adds: DataFrame | None,
+                     excs: DataFrame | None) -> None:
+    """One trigger's signed LM-ledger partition: a SINGLE
+    explode+aggregate job over the trigger's docs (adds sign +1,
+    takedowns −1) yields the netted counts of both tables, then two
+    LM-sized writes split them by the w2-null discriminator into the
+    pinned ``{dest}/{c12,wdoc}`` layout. Replaces two batch-scans
+    (bigram explode + tokens→distinct→agg) with one; zero-net rows
+    drop exactly as the fold would drop them (sum semantics
+    unchanged). The partition commits only when BOTH halves have
+    their _SUCCESS (``_part_complete``)."""
+    sides = [d.select("lang", F.lit(s).alias("sign"), "text")
+             for d, s in ((adds, 1), (excs, -1)) if d is not None]
+    src = sides[0] if len(sides) == 1 else sides[0].unionByName(sides[1])
+    agg = (src.select("lang", "sign",
+                      F.explode(F.expr(_LM_ROWS_EXPR)).alias("e"))
+           .groupBy("lang", F.col("e.w1").alias("w1"),
+                    F.col("e.w2").alias("w2"))
+           .agg(F.sum("sign").cast("bigint").alias("n"))
+           .filter(F.col("n") != 0)
+           .persist(StorageLevel.MEMORY_AND_DISK_DESER))
+    try:
+        (agg.filter(F.col("w2").isNotNull())
+         .select("lang", "w1", "w2", F.col("n").alias("c12"))
+         .write.mode("overwrite").parquet(f"{dest}/c12"))
+        (agg.filter(F.col("w2").isNull())
+         .select("lang", F.col("w1").alias("w"),
+                 F.col("n").alias("doc_count"))
+         .write.mode("overwrite").parquet(f"{dest}/wdoc"))
+    finally:
+        agg.unpersist()
 
 
 def _admission_gate(reps: DataFrame, base_dg: DataFrame,
@@ -1424,8 +1577,11 @@ def stream_ingest_loop(spark: SparkSession, sf_dir: str,
     # generationed store (shared helpers above): restart recovery
     # unions the CURRENT generation's partitions into the initial
     # build — a resumed stream's gate covers base ∪ every earlier
-    # admission regardless of how many compactions preceded the crash
-    state = {"gen": _cur_gen(admitted_dir)}
+    # admission regardless of how many compactions preceded the crash.
+    # _recover_store (not the raw _cur_gen) also clears any torn-fold
+    # trash generation a crash mid-_compact_gen left above the last
+    # complete one (ADVICE r13)
+    state = {"gen": _recover_store(admitted_dir)}
     prior_parts = _gen_parts(admitted_dir, state["gen"])
     if prior_parts:
         gate_src = gate_src.unionByName(
@@ -1498,10 +1654,16 @@ def stream_ingest_loop(spark: SparkSession, sf_dir: str,
     if len(_gen_parts(admitted_dir, state["gen"])) >= COMPACT_EVERY:
         _compact_gen(spark, admitted_dir, state)
     # explicit schema, like the other two stream output readers: a
-    # fixture with zero new-batch docs leaves only empty partitions
-    out = (spark.read.schema(
-        "lang string, n_new bigint, n_admitted bigint")
-        .parquet(report_dir)
+    # fixture with zero new-batch docs leaves only empty partitions.
+    # Committed report partitions only (_SUCCESS) — a torn report
+    # write from a crashed run must not feed the lifetime sums
+    rep_schema = "lang string, n_new bigint, n_admitted bigint"
+    rep_parts = sorted(
+        f"{report_dir}/{d}" for d in
+        (os.listdir(report_dir) if os.path.isdir(report_dir) else [])
+        if os.path.exists(f"{report_dir}/{d}/_SUCCESS"))
+    out = ((spark.read.schema(rep_schema).parquet(*rep_parts)
+            if rep_parts else spark.createDataFrame([], rep_schema))
         .groupBy("lang")
         .agg(F.sum("n_new").cast("bigint").alias("n_new"),
              F.sum(F.coalesce(F.col("n_admitted"), F.lit(0)))
@@ -1608,14 +1770,21 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
     the recovered generation, the LM ledger and report ids continue
     above the prior run's via the shared ``_resume_floor`` fence, and
     a takedown delivered post-restart excises admissions made before
-    it. The restart test pins two-run ≡ single-run for the ledger AND
-    the post-run bloom bitmap."""
+    it. The restart tests pin two-run ≡ single-run for the ledger AND
+    the post-run bloom bitmap — including a restart that splits a
+    takedown burst mid-way (burst membership is persisted to
+    ``burst.json``, so every slice counts n_excised against the same
+    pre-burst snapshot). Scope (ADVICE r13): the claim covers phase
+    splits where each staged file is delivered exactly once across
+    runs; RE-DELIVERING an already-applied file double-sums its report
+    row (n_new for adds, n_excised for excises) even though the store
+    itself stays correct — admissions dedupe through the gate and
+    excise rewrites are idempotent."""
     import shutil
     import time as _time
 
     from ..functions.bloom import BITS_PER_KEY, bloom_build
     from ..operators.dedup import bucketed_digest_table
-    from ..operators.text import _lm_tables, _wdoc_counts
 
     base_tbl = bucketed_digest_table(spark, sf_dir)
     base_dg = spark.table(base_tbl)
@@ -1654,17 +1823,32 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
     num_bits = max(64, BITS_PER_KEY * n_idx * 3 // 2)
     admitted_root = f"{work}/admitted"
     # restart recovery mirrors the ingest loop: resume at the highest
-    # on-disk generation and cover its partitions in the initial gate
-    # (in-repo the dir is a fresh mkdtemp, so this starts at gen 0)
+    # COMPLETE on-disk generation (clearing torn-fold/rewrite trash
+    # above it — _recover_store, ADVICE r13) and cover its partitions
+    # in the initial gate (in-repo the dir is a fresh mkdtemp, so this
+    # starts at gen 0)
     gate_src = base_dg.select("dg")
-    g0 = _cur_gen(admitted_root)
+    g0 = _recover_store(admitted_root)
     if _gen_parts(admitted_root, g0):
         gate_src = gate_src.unionByName(
             spark.read.schema("dg string")
             .parquet(*_gen_parts(admitted_root, g0)))
     state = {"gen": g0,
              "bloom": bloom_build(gate_src, "dg", num_bits=num_bits)}
-    lm_state = {"gen": _cur_gen(lm_root)}
+    lm_state = {"gen": _recover_store(lm_root)}
+    # burst membership survives restarts ON DISK (ADVICE r13): the
+    # pre-burst generation number is recorded before the burst's first
+    # rewrite, so a restart that splits a takedown burst still counts
+    # every slice's n_excised against the SAME pre-burst snapshot
+    # (generations below the current are never deleted, so the
+    # snapshot parts stay readable). An add trigger closes the burst
+    # by removing the file.
+    burst_file = f"{work}/burst.json"
+    if os.path.exists(burst_file):
+        import json as _json
+        with open(burst_file) as fh:
+            state["in_burst"] = True
+            state["pre_burst_gen"] = _json.load(fh)["pre_burst_gen"]
     # restart fence shared by both stores (the _resume_floor
     # docstring): one effective-id space per trigger keeps the
     # admitted partitions, ledger partitions, and report names aligned
@@ -1696,20 +1880,33 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
 
         excs = batch_df.filter(F.col("op") == "excise").drop("op")
         adds = batch_df.filter(F.col("op") == "add").drop("op")
-        lm_c12 = lm_wd = None  # this trigger's signed LM ledger delta
-        exc_cached = None
+        exc_cached = lm_excs = lm_adds = None
 
         if not excs.isEmpty():
             excs = excs.persist(StorageLevel.MEMORY_AND_DISK_DESER)
             take_dg = excs.select(F.md5("text").alias("dg")).distinct()
             g, g2 = state["gen"], state["gen"] + 1
-            before = (spark.read.schema("dg string")
-                      .parquet(*_parts(g)) if _parts(g) else None)
+            # record the pre-burst generation BEFORE the rewrite (and
+            # before any crash window): a restarted run mid-burst
+            # re-reads it from disk and keeps counting n_excised
+            # against the same snapshot (startup comment)
+            if not state.get("in_burst"):
+                import json as _json
+                state["in_burst"] = True
+                state["pre_burst_gen"] = g
+                tmp = f"{work}/burst.json.tmp"
+                with open(tmp, "w") as fh:
+                    _json.dump({"pre_burst_gen": g}, fh)
+                os.replace(tmp, f"{work}/burst.json")
             for part in _parts(g):
                 (spark.read.schema("dg string").parquet(part)
                  .join(F.broadcast(take_dg), "dg", "left_anti")
                  .write.mode("overwrite")
                  .parquet(f"{_gen_dir(g2)}/{os.path.basename(part)}"))
+            # rewrite commit point: without the marker a crash
+            # mid-loop would leave a partial generation recovery could
+            # mistake for the store (_recover_store header)
+            _mark_gen_complete(admitted_root, g2)
             state["gen"] = g2
             # rebuild from digests-after — same num_bits/k, so the
             # bitmap is comparable against a from-scratch survivor
@@ -1722,14 +1919,10 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
             state["bloom"] = bloom_build(after_src, "dg",
                                          num_bits=num_bits, k=old.k)
             old.destroy()
-            # NEGATIVE LM ledger rows — the mergeable decrement counts
-            # the artifact path applies (operators/excision.py), here
-            # entering the loop's own generationed ledger (header)
-            lm_c12 = (_lm_tables(excs)[0]
-                      .withColumn("c12", (-F.col("c12")).cast("bigint")))
-            lm_wd = (_wdoc_counts(excs)
-                     .withColumn("doc_count",
-                                 (-F.col("doc_count")).cast("bigint")))
+            # NEGATIVE LM ledger rows (the mergeable decrement counts
+            # the artifact path applies, operators/excision.py) enter
+            # the combined per-trigger ledger write below
+            lm_excs = excs
             # BURST-STABLE hit counting: a takedown row counts as
             # excised iff its digest was in the store at the FIRST
             # excise trigger of the burst (consecutive excise triggers
@@ -1738,19 +1931,22 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
             # depend on how a burst is sliced whenever two takedown
             # rows share a digest across slices — slice 1 excises the
             # digest, slice 2's row no longer hits. The snapshot is a
-            # read over the pre-burst generation's pinned part paths;
-            # generations are rewritten, never deleted, so the paths
-            # stay readable for the burst's duration (and a retried
-            # trigger recomputes the identical count). Within one run
-            # only — burst grouping is driver-session state, like the
-            # live bloom itself.
-            if not state.get("in_burst"):
-                state["in_burst"] = True
-                state["burst_store"] = before
-            snap = state["burst_store"]
+            # read over the PRE-BURST generation's parts; generations
+            # below the current are never deleted, so the paths stay
+            # readable for the burst's duration however many restarts
+            # split it (burst membership is on disk — burst.json
+            # above), and a retried trigger recomputes the identical
+            # count. NOT covered: re-delivery of an already-applied
+            # excise file after a restart — its report row would sum
+            # twice, exactly as a re-delivered add file double-counts
+            # n_new; the restart contract (the resume tests' phases)
+            # is each staged file delivered once across runs.
+            snap_parts = _gen_parts(admitted_root,
+                                    state["pre_burst_gen"])
             hit = (excs.select("lang", F.md5("text").alias("dg"))
-                   .join(snap, "dg", "left_semi")
-                   if snap is not None else excs.limit(0)
+                   .join(spark.read.schema("dg string")
+                         .parquet(*snap_parts), "dg", "left_semi")
+                   if snap_parts else excs.limit(0)
                    .select("lang", F.md5("text").alias("dg")))
             (excs.groupBy("lang")
              .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
@@ -1770,12 +1966,14 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
         add_cached = None
         if not adds.isEmpty():
             # an add trigger closes any open takedown burst (the
-            # burst-stable hit-count snapshot above)
+            # burst-stable hit-count snapshot above) — on disk too
             state["in_burst"] = False
-            state["burst_store"] = None
+            state.pop("pre_burst_gen", None)
+            if os.path.exists(burst_file):
+                os.remove(burst_file)
             # the add batch feeds the digest pass, the report, and the
-            # two LM ledger aggregations — persist so the micro-batch
-            # parquet is scanned once per trigger, not four times
+            # combined LM ledger aggregation — persist so the
+            # micro-batch parquet is scanned once per trigger
             adds = add_cached = adds.persist(
                 StorageLevel.MEMORY_AND_DISK_DESER)
             g = state["gen"]
@@ -1809,20 +2007,18 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
                     k=state["bloom"].k))
             finally:
                 admitted._gate_cache.unpersist()
-            # POSITIVE LM ledger rows for the add batch (one bigram
-            # explode + agg over this trigger's docs — batch-sized)
-            a12 = _lm_tables(adds)[0].withColumn(
-                "c12", F.col("c12").cast("bigint"))
-            awd = _wdoc_counts(adds)
-            lm_c12 = a12 if lm_c12 is None else lm_c12.unionByName(a12)
-            lm_wd = awd if lm_wd is None else lm_wd.unionByName(awd)
+            # POSITIVE LM ledger rows enter the combined write below
+            lm_adds = adds
 
         # one signed ledger partition per trigger (idempotent
-        # overwrite under the batch's own id — the retry fence)
-        if lm_c12 is not None:
-            d = f"{lm_root}/gen={lm_state['gen']}/batch={eid}"
-            lm_c12.write.mode("overwrite").parquet(f"{d}/c12")
-            lm_wd.write.mode("overwrite").parquet(f"{d}/wdoc")
+        # overwrite under the batch's own id — the retry fence): ONE
+        # explode+agg job nets both ops and both tables (r13 verdict
+        # item 4 — _lm_ledger_write replaces the former two batch
+        # scans per trigger)
+        if lm_adds is not None or lm_excs is not None:
+            _lm_ledger_write(
+                spark, f"{lm_root}/gen={lm_state['gen']}/batch={eid}",
+                lm_adds, lm_excs)
         if exc_cached is not None:
             exc_cached.unpersist()
         if add_cached is not None:
@@ -1845,9 +2041,11 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
     # makes FileStreamSink.hasMetadata stat the raw glob string as a
     # literal path during analysis and WARN-log a FileNotFoundException
     # stack (harmless but it polluted BENCH_r11's stderr — r11 verdict
-    # item 4); enumerated paths stat clean
+    # item 4); enumerated paths stat clean. Committed parts only — a
+    # torn report write from a crashed run must not feed the sums
     report_parts = sorted(
-        f"{report_dir}/{d}" for d in os.listdir(report_dir))
+        f"{report_dir}/{d}" for d in os.listdir(report_dir)
+        if os.path.exists(f"{report_dir}/{d}/_SUCCESS"))
     out = (spark.read.schema(
         "lang string, op string, n_rows bigint, "
         "n_admitted bigint, n_excised bigint")

@@ -459,8 +459,14 @@ def test_stream_excise_readmission_and_gate_state(spark):
     assert sum(r.n_excised for r in report.values()) > 0
 
     gen_dir = f"{st['work']}/admitted/gen={st['gen']}"
-    parts = {d: f"{gen_dir}/{d}" for d in os.listdir(gen_dir)}
+    parts = {d: f"{gen_dir}/{d}" for d in os.listdir(gen_dir)
+             if d.startswith("batch=")}
     assert set(parts) == {"batch=0", "batch=2"}
+    # the rewrite generation carries its commit marker (torn-rewrite
+    # recovery, ADVICE r13)
+    from big_data_science_project_spark.streaming.events import \
+        _GEN_MARKER
+    assert os.path.exists(f"{gen_dir}/{_GEN_MARKER}")
     dg0 = {r.dg for r in
            spark.read.schema("dg string").parquet(parts["batch=0"])
            .collect()}
@@ -842,6 +848,116 @@ def test_excise_loop_restart_recovery(spark):
     fresh = bloom_build(survivors, "dg", num_bits=st["num_bits"],
                         k=st["bloom"].k)
     assert np.array_equal(st["bloom"].words, fresh.words)
+
+
+def test_excise_restart_mid_burst_counts_against_preburst_store(spark):
+    """ADVICE r13 (burst state on disk): a restart that splits a
+    takedown BURST — run 1 ends after the burst's first slice, run 2
+    delivers the second slice and the re-add — must produce the single
+    uninterrupted run's ledger. Without the persisted pre-burst
+    generation number, run 2's first excise trigger would open a NEW
+    burst and snapshot the already-half-excised store, undercounting
+    any slice-2 takedown row whose digest slice 1 already removed."""
+    import tempfile
+
+    import big_data_science_project_spark.streaming.events as ev
+
+    sf = "/root/testdata/sf0.01"
+    single = ev.stream_ingest_excise_loop(spark, sf, excise_splits=2)
+    want = sorted(map(tuple, single.collect()))
+
+    work = tempfile.mkdtemp(prefix="excise_burst_resume_")
+    # staged files with excise_splits=2: f0=add, f1=excise slice 0,
+    # f2=excise slice 1, f3=re-add — the restart lands MID-burst
+    ev.stream_ingest_excise_loop(spark, sf, excise_splits=2,
+                                 phases=(0, 1), work_dir=work).collect()
+    assert os.path.exists(f"{work}/burst.json"), \
+        "run 1 must leave the open burst recorded on disk"
+    resumed = ev.stream_ingest_excise_loop(spark, sf, excise_splits=2,
+                                           phases=(2, 3), work_dir=work)
+    got = sorted(map(tuple, resumed.collect()))
+    assert got == want and got
+    assert sum(r[3] for r in got) > 0
+    # the re-add trigger closed the burst on disk too
+    assert not os.path.exists(f"{work}/burst.json")
+
+
+def test_torn_fold_recovery_falls_back_to_complete_generation(
+        spark, tmp_path):
+    """ADVICE r13 (medium): a crash mid-fold/rewrite leaves a partial
+    generation G+1 with no commit marker. Recovery must (a) resume at
+    the highest COMPLETE generation, (b) delete the trash so a redone
+    fold can't merge stale partial partitions, and (c) skip individual
+    torn batch partitions (no _SUCCESS; for LM pairs, either half
+    missing) inside a complete generation."""
+    import big_data_science_project_spark.streaming.events as ev
+
+    root = str(tmp_path / "store")
+
+    def write(g, k, dgs):
+        spark.createDataFrame([(d,) for d in dgs], "dg string") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(f"{root}/gen={g}/batch={k}")
+
+    write(0, 0, ["a"])
+    write(0, 1, ["b"])
+    # torn fold: gen=1 written but the crash hit before the marker
+    write(1, 1, ["a", "b"])
+    assert ev._cur_gen(root) == 0
+    assert ev._recover_store(root) == 0
+    assert not os.path.isdir(f"{root}/gen=1"), "trash gen not deleted"
+
+    # completed fold: marker present -> it IS the current generation
+    state = {"gen": 0}
+    ev._compact_gen(spark, root, state)
+    assert state["gen"] == 1
+    assert ev._cur_gen(root) == 1 and ev._recover_store(root) == 1
+
+    # (c) torn batch partition inside the current generation: strip
+    # its _SUCCESS -> invisible to _gen_parts, generation still current
+    write(1, 7, ["c"])
+    os.remove(f"{root}/gen=1/batch=7/_SUCCESS")
+    assert ev._gen_parts(root, 1) == [f"{root}/gen=1/batch=1"]
+    assert ev._resume_floor(root, 1) == 2  # floor ignores the torn part
+
+    # LM pair completeness: c12 committed, wdoc torn -> part invisible
+    lm = str(tmp_path / "lm")
+    spark.createDataFrame([("en", "a", "b", 1)], ev._LM_C12_SCHEMA) \
+        .write.mode("overwrite").parquet(f"{lm}/gen=0/batch=0/c12")
+    assert ev._gen_parts(lm, 0) == []
+    spark.createDataFrame([("en", "a", 1)], ev._LM_WD_SCHEMA) \
+        .write.mode("overwrite").parquet(f"{lm}/gen=0/batch=0/wdoc")
+    assert ev._gen_parts(lm, 0) == [f"{lm}/gen=0/batch=0"]
+
+
+def test_excise_loop_resumes_past_torn_fold(spark):
+    """End-to-end torn-fold recovery: run the excise loop's add phase,
+    plant a fake partial fold generation above the committed store
+    (what a crash mid-_compact_gen leaves), then resume. The resumed
+    run must clear the trash, rebuild its gate over the COMPLETE
+    generation, and produce the single-run ledger — without the
+    recovery fix the partial fold (here poisoned EMPTY) would erase
+    every prior admission from the gate's earlier-read, re-admitting
+    run 1's docs on re-upload."""
+    import tempfile
+
+    import big_data_science_project_spark.streaming.events as ev
+
+    sf = "/root/testdata/sf0.01"
+    single = ev.stream_ingest_excise_loop(spark, sf)
+    want = sorted(map(tuple, single.collect()))
+
+    work = tempfile.mkdtemp(prefix="excise_torn_")
+    ev.stream_ingest_excise_loop(spark, sf, phases=(0,),
+                                 work_dir=work).collect()
+    root = f"{work}/admitted"
+    # a torn fold: gen=1 exists, parquet half-written (empty dir with
+    # an uncommitted partition), NO _GEN_COMPLETE marker
+    os.makedirs(f"{root}/gen=1/batch=0", exist_ok=True)
+    resumed = ev.stream_ingest_excise_loop(spark, sf, phases=(1, 2),
+                                           work_dir=work)
+    got = sorted(map(tuple, resumed.collect()))
+    assert got == want and got
 
 
 def test_excise_burst_split_invariant(spark):
