@@ -15,6 +15,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# --- driver-window policy inputs (see collect_registry's ORDER note) ---
+WINDOW_SIZE = 50
+# stable cross-family canaries, verified every round
+CANARIES = ("q01_pricing_summary", "q17_outlier_votes",
+            "dedup_incremental", "ingest_gate_pipeline",
+            "stream_hourly_by_type")
+# modules touched by the CURRENT round's diff (r14: the generationed-
+# store recovery + burst persistence + shared-pass LM ledger + the new
+# streaming media-verdicts companion live in streaming/events.py; the
+# salted image fresh-plant family in operators/multimodal.py; ingest
+# re-exports the media oracle SQL) — their value oracles are mandatory
+# window members this round. Update this tuple each round alongside
+# the regenerated _window_history.py (tools/window_policy.py).
+TOUCHED_MODULES = ("events", "multimodal", "ingest")
+
 
 def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """Merge every operator module's QUERIES into (queries, oracles).
@@ -61,6 +76,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
+    module_of: dict[str, str] = {}
     for mod in (relational, outlier, dedup, similarity, linear, graph, text,
                 curation, ingest, excision, timeseries, streaming_events,
                 cells_src, segmentation, multimodal, sinks_src, cells_ds,
@@ -71,66 +87,43 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
             if mod not in impure_modules and name not in impure_names:
                 fn = plan_cached(fn)
             queries[name] = fn
+            module_of[name] = mod.__name__.rsplit(".", 1)[-1]
             if sql is not None:
                 oracles[name] = sql
-    # Registry ORDER: the independent driver verifies the FIRST 50
-    # entries (rows + schema + value hash vs DuckDB), so the front of
-    # the dict must span every operator family — relational core,
-    # dedup ladder, ANN, ML, graph, text/LM, curation, excision,
-    # timeseries, streaming, cells, sinks — not just q01..q50 (r9
-    # verdict item 4). The window ROTATES per round (r10 verdict item
-    # 1): rounds 1-10 checked the same 50; r11 verified 45 fresh
-    # oracles, r12 another 45 (182/215 driver-checked after r12). This
-    # round's front keeps the five stable canaries and carries the
-    # ENTIRE remaining never-driver-checked set — the final 33 plus
-    # the new unified_media_verdicts — so after this round every value
-    # oracle in the registry has been independently driver-verified at
-    # least once (r12 verdict item 1, rotation complete); the last 11
-    # slots refill from the already-verified set, one per family.
-    # Names listed here jump to the front in this order; everything
-    # else keeps module order behind them. Name-keyed consumers
-    # (tests, bench, selfcheck) are unaffected.
-    front = [
-        # canaries — stable across rounds
-        "q01_pricing_summary", "q17_outlier_votes",
-        "dedup_incremental", "ingest_gate_pipeline",
-        "stream_hourly_by_type",
-        # ANN / similarity sweeps
-        "ann_recall_sweep", "ann_trained_sweep",
-        "dedup_recall_sweep_embedding",
-        # text / LM tail
-        "text_unigram_logprob", "text_udtf_chunk", "text_udtf_ngrams",
-        "text_bpe_encode", "text_udtf_table_arg",
-        # curation tail
-        "curate_weighted_sample", "curate_token_budget",
-        "curate_constraint_audit", "curate_dup_rate_estimate",
-        # unified-gate media verdicts (new this round) + histogram
-        "unified_media_verdicts", "histogram",
-        # timeseries tail
-        "ts_downsample_triangle", "ts_autocorrelation",
-        # streaming tail
-        "stream_user_stats_stateful", "stream_foreachbatch_sink",
-        "stream_dedup_near_index", "stream_lm_quality",
-        "stream_ingest_excise_loop",
-        # multimodal tail
-        "multimodal_scene_cuts",
-        # sinks tail
-        "sink_csv_roundtrip", "sink_json_roundtrip",
-        "sink_sorted_clustered", "sink_compaction",
-        "sink_schema_evolution", "sink_dynamic_overwrite",
-        "sink_orc_roundtrip",
-        # cells data source (batch + streaming, float + binary twins)
-        "cells_datasource_write", "cells_source_scan",
-        "cells_stream_scan", "cells_binary_scan",
-        "cells_binary_stream_scan",
-        # refills — already-verified, one per family, keeping the
-        # window cross-family like every prior rotation
-        "q05_region_revenue", "q24_percentiles", "q39_band_join",
-        "q50_recursive_spine", "dedup_minhash_verified",
-        "ann_ivf_topk", "ml_pca_spectrum", "graph_pagerank",
-        "lm_excise_rescore", "ts_hypertable_rollup",
-        "curate_pack_sequences",
-    ]
+    # Registry ORDER — the steady-state window POLICY (r13 verdict
+    # item 2). The independent driver verifies the FIRST 50 entries
+    # (rows + schema + value hash vs DuckDB). Rounds 1-10 checked a
+    # fixed 50; r11-r13 rotated until every value oracle had been
+    # driver-verified at least once. From r14 on the window is
+    # COMPUTED, so it can neither ossify nor skip a changed module:
+    #   1. the five stable cross-family canaries, always;
+    #   2. MANDATORY: every value oracle implemented in a module the
+    #      current round's diff touched (TOUCHED_MODULES below,
+    #      maintained per round) — the queries whose results this
+    #      round could plausibly have changed;
+    #   3. refill to 50 with the LEAST-RECENTLY-verified oracles
+    #      (operators/_window_history.py, regenerated from the
+    #      committed CORRECTNESS_r*.json by tools/window_policy.py;
+    #      never-verified names sort first as round 0).
+    # Name-keyed consumers (tests, bench, selfcheck) are unaffected
+    # by ordering. tests/test_doc_counts.py pins the invariants:
+    # every touched-module oracle inside the first 50, refill strictly
+    # least-recent-first, history table ⊆ registry.
+    from ._window_history import LAST_VERIFIED
+
+    mandatory = [n for n in CANARIES if n in oracles]
+    mandatory += sorted(
+        n for n in oracles
+        if module_of[n] in TOUCHED_MODULES and n not in mandatory)
+    if len(mandatory) > WINDOW_SIZE:
+        raise ValueError(
+            f"window policy: {len(mandatory)} mandatory oracles exceed "
+            f"the {WINDOW_SIZE}-slot driver window — split the round's "
+            "touched-module set across rounds")
+    refill = sorted(
+        (n for n in oracles if n not in mandatory),
+        key=lambda n: (LAST_VERIFIED.get(n, 0), n))
+    front = mandatory + refill[:WINDOW_SIZE - len(mandatory)]
     missing = [n for n in front if n not in queries]
     if missing:
         raise ValueError(f"front-of-registry names not found: {missing}")

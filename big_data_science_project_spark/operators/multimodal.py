@@ -972,6 +972,26 @@ INGEST_IMG_FRESH = 4            # batch brings 16..19 (genuinely new)
 INGEST_IMG_OFFSET = 10_000      # planted batch duplicates: 10000 + src
 
 
+def _gen_fresh_gate_image(k: int, w: int = 48, h: int = 48) -> np.ndarray:
+    """Fresh-plant family for the image ingest gate — the image twin of
+    ``_gen_fresh_chirp`` / ``_gen_fresh_video`` (r13 verdict item 1,
+    the fix's third modality). Keyed by the BATCH-RELATIVE index k,
+    not the absolute image id, so the planted content is identical at
+    every MULTIMODAL_SCALE probe rung; drawn from a geometry family
+    hash-disjoint from the blob corpus at ANY index size: block-
+    aligned stripe/checker patterns whose 8×8 aHash has ≥4 separated
+    components, while every blob image's aHash is ONE connected disk
+    cluster (disk radius < 3 blocks) — before this, the "fresh" images
+    were just the next blob ids, and at 100× index they progressively
+    collided with aHash twins (MULTIMODAL_SCALE admitted 4→3→2)."""
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w))
+    bx, by = xx // (w // 8), yy // (h // 8)  # aHash block coordinates
+    pattern = ((bx % 2, by % 2, (bx + by) % 2, (bx + by + 1) % 2)
+               [k % 4]) == 0
+    hi, lo = 600.0 + 7.0 * k, 25.0 + k  # k-distinct digests
+    return np.where(pattern, hi, lo).astype(np.float64).reshape(-1)
+
+
 def multimodal_ingest_dedup(spark: SparkSession, sf_dir: str = "",
                             only_ids: DataFrame | None = None,
                             ) -> DataFrame:
@@ -981,13 +1001,30 @@ def multimodal_ingest_dedup(spark: SparkSession, sf_dir: str = "",
     unioning equals screening the whole batch at once (the streaming
     unified gate's twin property, test-pinned)."""
     wh = F.col("width") * F.col("height")
-    allgen = load_cells(spark, n_images=INGEST_IMG_INDEX + INGEST_IMG_FRESH,
+    allgen = load_cells(spark, n_images=INGEST_IMG_INDEX,
                         width=48, height=48)
     ch0 = allgen.select(
         "image_id", "width", "height",
         F.slice("data", F.lit(1), wh).alias("data_ch"))
     index = ch0.filter(F.col("image_id") < INGEST_IMG_INDEX)
-    fresh = ch0.filter(F.col("image_id") >= INGEST_IMG_INDEX)
+    # fresh plants come from their OWN salted generator family (keyed
+    # by batch-relative index — _gen_fresh_gate_image docstring), not
+    # the next blob ids: same executor-side generation shape as
+    # load_cells, ids planned as a range, content made in the task
+    base = INGEST_IMG_INDEX
+
+    def _gen_fresh(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                [(int(i), 48, 48,
+                  _gen_fresh_gate_image(int(i) - base).tolist())
+                 for i in pdf["id"]],
+                columns=["image_id", "width", "height", "data_ch"])
+
+    fresh = (spark.range(base, base + INGEST_IMG_FRESH, 1, 2)
+             .mapInPandas(_gen_fresh,
+                          "image_id long, width int, height int, "
+                          "data_ch array<double>"))
 
     def plant(src_ids, fn):
         return (ch0.filter(F.col("image_id").isin(src_ids))

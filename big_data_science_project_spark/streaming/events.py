@@ -1452,12 +1452,11 @@ def _compact_lm_gen(spark: SparkSession, root: str, state: dict,
 # resulting counts against _wdoc_counts on the same rows).
 _LM_ROWS_EXPR = (
     "concat("
-    "  CASE WHEN size(split(text, ' ')) >= 2 THEN"
-    "    transform(sequence(0, size(split(text, ' ')) - 2),"
-    "      i -> struct(split(text, ' ')[i] AS w1,"
-    "                  split(text, ' ')[i + 1] AS w2))"
+    "  CASE WHEN size(toks) >= 2 THEN"
+    "    transform(sequence(0, size(toks) - 2),"
+    "      i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
     "  ELSE array() END,"
-    "  transform(array_distinct(split(text, ' ')),"
+    "  transform(array_distinct(toks),"
     "    w -> struct(w AS w1, CAST(NULL AS STRING) AS w2)))")
 
 
@@ -1476,8 +1475,14 @@ def _lm_ledger_write(spark: SparkSession, dest: str,
     sides = [d.select("lang", F.lit(s).alias("sign"), "text")
              for d, s in ((adds, 1), (excs, -1)) if d is not None]
     src = sides[0] if len(sides) == 1 else sides[0].unionByName(sides[1])
+    # tokenize in its own projection: inside _LM_ROWS_EXPR's lambda
+    # bodies a repeated split() would defeat common-subexpression
+    # elimination (lambda-variable scopes block CSE) — this way the
+    # regex split runs once per row however many times `toks` appears
     agg = (src.select("lang", "sign",
-                      F.explode(F.expr(_LM_ROWS_EXPR)).alias("e"))
+                      F.split("text", " ").alias("toks"))
+           .select("lang", "sign",
+                   F.explode(F.expr(_LM_ROWS_EXPR)).alias("e"))
            .groupBy("lang", F.col("e.w1").alias("w1"),
                     F.col("e.w2").alias("w2"))
            .agg(F.sum("sign").cast("bigint").alias("n"))
@@ -1792,7 +1797,11 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
     report_dir, lm_root = f"{work}/report", f"{work}/lm_ledger"
     shutil.rmtree(f"{work}/in", ignore_errors=True)
 
-    docs = load_table(spark, sf_dir, "documents")
+    # the staging writes below slice `documents` 3 + excise_splits
+    # times — persist so the parquet scan (and its decode) runs once
+    # per loop invocation, not once per staged file
+    docs = load_table(spark, sf_dir, "documents").persist(
+        StorageLevel.MEMORY_AND_DISK_DESER)
     bk = _bucket(F.col("doc_id"))
     take_pred = ((bk >= INDEX_PCT) & (bk < 90)
                  & (F.col("doc_id") % STREAM_EXCISE_MOD
@@ -1818,6 +1827,7 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
         t = _time.time() - 300 + i * 60
         for fname in os.listdir(p):
             os.utime(os.path.join(p, fname), (t, t))
+    docs.unpersist()  # staging done; the stream reads the files
 
     n_idx = base_dg.count()
     num_bits = max(64, BITS_PER_KEY * n_idx * 3 // 2)

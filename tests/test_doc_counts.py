@@ -138,12 +138,115 @@ def test_multimodal_scale_artifact_matches_probe_schema():
             if "false_pairs" in entry[rung]:
                 assert entry[rung]["false_pairs"] == 0, (name, rung)
             # gate rungs must demonstrate PRECISION on genuinely novel
-            # content too (r12 verdict item 2): every rung of every
-            # batch-vs-index gate must admit its fresh plants — before
-            # the fresh-clip generators got their own salted families,
-            # scaled indexes swallowed them as exact twins and the
-            # x10/x100 rungs proved detection but not precision
+            # content too (r12 verdict item 2; pin strengthened to
+            # EXACT counts in r14 after the image family got its own
+            # salted generator): every rung of every batch-vs-index
+            # gate must admit ALL of its fresh plants — the old
+            # `> 0` pin let the image gate's admitted decay 4→3→2
+            # across rungs without failing until it hit zero
             if "tiers" in entry[rung]:
-                assert entry[rung]["tiers"].get("admitted", 0) > 0, (
-                    f"{name} {rung}: no fresh item admitted — the "
-                    "fresh plants collided with the scaled index")
+                from big_data_science_project_spark.operators import \
+                    multimodal as MM
+                planted_fresh = {
+                    "ingest_gate_index": MM.INGEST_IMG_FRESH,
+                    "audio_gate_index": len(MM.AUDIO_GATE_FRESH),
+                    "video_gate_index": len(MM.VIDEO_GATE_FRESH),
+                }[name]
+                assert (entry[rung]["tiers"].get("admitted", 0)
+                        == planted_fresh), (
+                    f"{name} {rung}: admitted "
+                    f"{entry[rung]['tiers'].get('admitted', 0)} != "
+                    f"planted {planted_fresh} — a fresh plant "
+                    "collided with the scaled index")
+
+
+def test_driver_window_policy_invariants():
+    """The steady-state driver-window policy (r13 verdict item 2) is
+    COMPUTED, not hand-rotated — pin its invariants so it can neither
+    ossify nor skip a changed module: (a) the canaries lead; (b) every
+    value oracle implemented in a TOUCHED_MODULES module sits inside
+    the driver's 50-slot window; (c) the refill section is ordered
+    least-recently-verified first; (d) the generated history table
+    only names registry oracles (a rename would silently reset a
+    query's age)."""
+    from big_data_science_project_spark.operators import (
+        CANARIES, TOUCHED_MODULES, WINDOW_SIZE)
+    from big_data_science_project_spark.operators._window_history import \
+        LAST_VERIFIED
+
+    queries, oracles = collect_registry()
+    window = list(queries)[:WINDOW_SIZE]
+    assert window[:len(CANARIES)] == list(CANARIES)
+
+    # (b) touched-module oracles are mandatory window members
+    import importlib
+    pkg = "big_data_science_project_spark"
+    touched_oracles = set()
+    for short in TOUCHED_MODULES:
+        mod = None
+        for cand in (f"{pkg}.operators.{short}", f"{pkg}.streaming.{short}",
+                     f"{pkg}.sources.{short}"):
+            try:
+                mod = importlib.import_module(cand)
+                break
+            except ImportError:
+                continue
+        assert mod is not None, f"TOUCHED_MODULES names unknown module {short}"
+        touched_oracles |= {n for n, (fn, sql) in
+                            getattr(mod, "QUERIES", {}).items()
+                            if sql is not None}
+    missing = touched_oracles - set(window)
+    assert not missing, (
+        f"touched-module oracles outside the driver window: {sorted(missing)}")
+
+    # (c) the refill tail is least-recent-first
+    n_mand = len(CANARIES) + len(touched_oracles - set(CANARIES))
+    refill_rounds = [LAST_VERIFIED.get(n, 0) for n in window[n_mand:]]
+    assert refill_rounds == sorted(refill_rounds), (
+        "refill section is not least-recently-verified-first")
+    # and nothing OUTSIDE the window is older than the refill's newest
+    # (the policy really picked the oldest)
+    if refill_rounds:
+        outside = [LAST_VERIFIED.get(n, 0)
+                   for n in oracles if n not in window]
+        assert all(r >= refill_rounds[-1] for r in outside), (
+            "an oracle older than the refill tail was left outside the window")
+
+    # (d) history names are registry names
+    unknown = set(LAST_VERIFIED) - set(oracles)
+    assert not unknown, f"history table names unknown oracles: {sorted(unknown)}"
+
+
+def test_selfcheck_trio_generated_at_committed_engine_state():
+    """r13 verdict item 5 (process gap: the r13 trio predated the
+    round's final engine commits): each cited selfcheck artifact must
+    carry the git_head stamp tools/selfcheck.py records, the engine
+    tree must have been CLEAN at generation time, and no engine source
+    (big_data_science_project_spark/, __spark_entry__.py, bench.py)
+    may have changed between that commit and the repo's HEAD — i.e.
+    the committed trio really describes the committed engine."""
+    import subprocess
+
+    repo = os.path.dirname(README)
+    engine_paths = ["big_data_science_project_spark",
+                    "__spark_entry__.py", "bench.py"]
+    for path in _selfcheck_artifacts(open(README).read()):
+        full = os.path.join(repo, path)
+        with open(full) as f:
+            s = json.load(f)["summary"]
+        assert "git_head" in s, (
+            f"{path} has no git_head stamp — regenerate with the "
+            "stamped tools/selfcheck.py")
+        assert not s.get("engine_dirty"), (
+            f"{path} was generated with uncommitted engine changes")
+        r = subprocess.run(
+            ["git", "-C", repo, "diff", "--name-only",
+             f"{s['git_head']}..HEAD", "--"] + engine_paths,
+            capture_output=True, text=True)
+        assert r.returncode == 0, (
+            f"{path}'s stamped commit {s['git_head'][:12]} is not in "
+            "this repo's history")
+        changed = r.stdout.strip().splitlines()
+        assert not changed, (
+            f"engine source changed after {path} was generated: "
+            f"{changed} — regenerate the selfcheck trio")

@@ -138,13 +138,30 @@ def main() -> None:
               + (f" << {results[name].get('detail')}" if st == "fail" else ""),
               file=sys.stderr, flush=True)
 
+    # HEAD stamp (r13 verdict item 5): record the commit the artifact
+    # was generated at plus whether any engine source was uncommitted,
+    # so tests/test_doc_counts.py can prove "no engine code changed
+    # after the trio was generated" instead of trusting the workflow
+    import subprocess
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    git_head = subprocess.run(
+        ["git", "-C", repo, "rev-parse", "HEAD"], capture_output=True,
+        text=True).stdout.strip()
+    engine_paths = ["big_data_science_project_spark",
+                    "__spark_entry__.py", "bench.py"]
+    engine_dirty = bool(subprocess.run(
+        ["git", "-C", repo, "status", "--porcelain", "--"] + engine_paths,
+        capture_output=True, text=True).stdout.strip())
+
     artifact = {
         "summary": {"match": n_match, "rows_only": n_rows_only,
                     "fail": n_fail, "total": len(names),
                     "risky_type_oracles": n_risky,
                     "normalization": "repr-exact",
                     "sf": args.sf, "master": args.master,
-                    "shuffle_partitions": int(args.shuffle_partitions)},
+                    "shuffle_partitions": int(args.shuffle_partitions),
+                    "git_head": git_head,
+                    "engine_dirty": engine_dirty},
         "queries": results,
     }
     with open(args.out, "w") as f:
