@@ -400,18 +400,51 @@ def _km_trunc_div(s: int, n: int) -> int:
 
 def _lloyd_assign(pts: DataFrame, cents: dict) -> DataFrame:
     """One map-only assignment pass: per point, the (distance², cid)
-    struct of its nearest centroid — centroids inlined as literals (the
-    broadcast-variable pattern); ties break on the LOWER cid via the
-    struct ordering of array_min."""
-    structs = ", ".join(
-        "struct(aggregate(zip_with(em, array({vals}), (a, b) ->"
-        " (a - b) * (a - b)), 0L, (acc, v) -> acc + v) as d,"
-        " {cid} as cid)".format(
-            vals=", ".join(f"{v}L" for v in cents[cid]), cid=cid)
-        for cid in sorted(cents))
-    return pts.select(
-        "vec_id", "em",
-        F.expr(f"array_min(array({structs}))").alias("best"))
+    struct of its nearest centroid; ties break on the LOWER cid.
+
+    The centroid table rides into an Arrow-batched kernel as a plain
+    numpy matrix (the broadcast-variable pattern). An earlier
+    formulation inlined each centroid as a 64-literal struct inside
+    one array_min expression — value-identical, but Catalyst evaluates
+    the aggregate/zip_with folds INTERPRETED, so the expression tree
+    grew as K x D literals and the pass cost N x K x D interpreted
+    steps: at the bench's K=8 that is invisible; at the composed
+    pipeline probe's production sizing (K ~ sqrt(N), 400 at the x100
+    rung) it put ~10 minutes of pure expression interpretation into
+    every index build. The kernel computes the identical values: all
+    arithmetic is EXACT int64 (micros in, squared diffs ≤ ~1e14 per
+    term, sums far under 2^63), and integer sums are order-independent,
+    so chunking changes nothing; ties break to the lower cid because
+    centroids scan in ascending-cid order with strict improvement
+    (np.argmin also returns the first minimum within a block) — the
+    same (d, cid) struct-ordering result as array_min. The centroid
+    axis is chunked so the B x K x D difference intermediate stays
+    ~128 MB per Arrow batch at any K."""
+    cids = np.array(sorted(cents), dtype=np.int64)
+    cmat = np.asarray([cents[int(c)] for c in cids], dtype=np.int64)
+    n_k = len(cids)
+
+    @F.pandas_udf("d bigint, cid bigint")
+    def best_centroid(em: pd.Series) -> pd.DataFrame:
+        bsz = len(em)
+        if bsz == 0:
+            return pd.DataFrame({"d": pd.Series(dtype="int64"),
+                                 "cid": pd.Series(dtype="int64")})
+        m = np.asarray(em.tolist(), dtype=np.int64)
+        dmin = np.full(bsz, np.iinfo(np.int64).max, dtype=np.int64)
+        amin = np.zeros(bsz, dtype=np.int64)
+        kb = max(1, (1 << 24) // max(1, bsz * DIM))
+        for s in range(0, n_k, kb):
+            diff = m[:, None, :] - cmat[None, s:s + kb, :]
+            d = (diff * diff).sum(axis=2)
+            j = d.argmin(axis=1)
+            dblk = d[np.arange(bsz), j]
+            better = dblk < dmin
+            dmin[better] = dblk[better]
+            amin[better] = s + j[better]
+        return pd.DataFrame({"d": dmin, "cid": cids[amin]})
+
+    return pts.select("vec_id", "em", best_centroid("em").alias("best"))
 
 
 def lloyd_iterations(pts: DataFrame, cents: dict, iters: int) -> dict:

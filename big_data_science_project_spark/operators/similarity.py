@@ -1570,23 +1570,69 @@ def _cell_check(new: DataFrame, idx: DataFrame) -> DataFrame:
     `_batch_index_jaccard` discipline from the dedup family): ``new``
     is the assigned batch (vec_id, embedding, nrm, centroid_id),
     ``idx`` the index members (centroid_id, iv, inrm). One row per new
-    vector, never empty (left join from the batch)."""
-    pairs = (new.alias("n").join(idx, "centroid_id")
-             .select(F.col("n.vec_id").alias("vec_id"), "centroid_id",
-                     _cos_pair_udf(F.col("n.embedding"), F.col("iv"),
-                                   F.col("n.nrm"), F.col("inrm"))
-                     .alias("cos")))
-    per = pairs.groupBy("vec_id", "centroid_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_cell_neighbors"),
-        F.round(F.max("cos"), 9).alias("best_cos"))
-    return (new.select("vec_id", "centroid_id")
-            .join(per, ["vec_id", "centroid_id"], "left")
-            .select("vec_id", "centroid_id",
-                    F.coalesce("n_cell_neighbors", F.lit(0))
-                    .cast("bigint").alias("n_cell_neighbors"),
-                    "best_cos",
-                    F.when(F.col("best_cos") >= NEARDUP_COS, 1)
-                    .otherwise(0).cast("bigint").alias("is_neardup")))
+    vector, never empty (every batch vector belongs to exactly one
+    cogroup; an index-less cell reports 0 neighbors / NULL best_cos).
+
+    Shape: COGROUP per cell, not a pair join. The earlier equi-join +
+    per-pair pandas UDF was value-identical but moved every (batch
+    vector, cell member) pair's BOTH arrays across the Arrow boundary
+    — B_c x M_c x 2D doubles per cell, the term that turned quadratic
+    when the composed-pipeline probe scaled the corpus and the
+    production K ~ sqrt(N) sizing grew cells with it (x100: 16M pairs
+    ~ 16 GB of Arrow traffic for a 40k-vector batch). The cogroup
+    kernel receives each embedding ONCE per side ((B_c + M_c) x D) and
+    runs the identical IEEE sequence vectorized: per-pair elementwise
+    product + np.cumsum along D (strictly left-to-right, the
+    _cos_pair_udf order), divide by the pre-materialized norms, max
+    over the cell. Count and max are order-independent, so every
+    output value is bit-identical to the pair-join formulation and the
+    SQL oracle. The batch-row chunking bounds the B x M x D pair
+    intermediate to ~256 MB per task regardless of cell size. At
+    100 TB the per-cell group is the IVF serving unit (a cell that
+    outgrows one task's worth of work is a re-clustering trigger, not
+    a join-strategy problem); parallelism = number of touched cells
+    (~K ~ sqrt(N) under the production sizing, >> cores)."""
+    def kernel(key, ndf: pd.DataFrame, idf: pd.DataFrame) -> pd.DataFrame:
+        if len(ndf) == 0:
+            return pd.DataFrame({
+                "vec_id": pd.Series(dtype="int64"),
+                "centroid_id": pd.Series(dtype="int64"),
+                "n_cell_neighbors": pd.Series(dtype="int64"),
+                "best_cos": pd.Series(dtype="float64")})
+        b, m = len(ndf), len(idf)
+        out = {"vec_id": ndf["vec_id"].to_numpy(dtype="int64"),
+               "centroid_id": np.full(b, int(key[0]), dtype="int64"),
+               "n_cell_neighbors": np.full(b, m, dtype="int64")}
+        if m == 0:
+            out["best_cos"] = pd.Series([None] * b, dtype=object)
+        else:
+            nm, im = _mat(ndf["embedding"]), _mat(idf["iv"])
+            nn = ndf["nrm"].to_numpy(dtype="float64")
+            inrm = idf["inrm"].to_numpy(dtype="float64")
+            best = np.empty(b, dtype="float64")
+            step = max(1, (1 << 25) // max(1, m * DIM))
+            for s in range(0, b, step):
+                e = min(b, s + step)
+                dots = np.cumsum(nm[s:e, None, :] * im[None, :, :],
+                                 axis=2)[:, :, -1]
+                best[s:e] = (dots / (nn[s:e, None] * inrm[None, :])
+                             ).max(axis=1)
+            out["best_cos"] = best
+        return pd.DataFrame(out)
+
+    checked = (new.select("vec_id", "centroid_id", "embedding", "nrm")
+               .groupBy("centroid_id")
+               .cogroup(idx.groupBy("centroid_id"))
+               .applyInPandas(kernel,
+                              "vec_id bigint, centroid_id bigint,"
+                              " n_cell_neighbors bigint,"
+                              " best_cos double"))
+    best_r = F.round(F.col("best_cos"), 9)
+    return checked.select(
+        "vec_id", "centroid_id", "n_cell_neighbors",
+        best_r.alias("best_cos"),
+        F.when(best_r >= NEARDUP_COS, 1)
+        .otherwise(0).cast("bigint").alias("is_neardup"))
 
 
 def ann_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
