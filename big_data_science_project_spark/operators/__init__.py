@@ -29,6 +29,21 @@ CANARIES = ("q01_pricing_summary", "q17_outlier_votes",
 # window members this round. Update this tuple each round alongside
 # the regenerated _window_history.py (tools/window_policy.py).
 TOUCHED_MODULES = ("events", "multimodal", "ingest")
+# SURGICAL tier for sub-module diffs: when a round edits a helper
+# inside a large module, whole-module granularity can overflow the
+# 50-slot window (r14: the _cell_check cogroup + _lloyd_assign kernel
+# rewrites touch similarity/linear — 29 value oracles as modules, but
+# only the 6 queries whose builders transitively reach the two
+# changed functions could plausibly change results; all 29 + the rest
+# of the registry still run through the builder selfcheck trio every
+# round). List the REACH SET of such edits here; enumerate it by
+# grepping the changed helper names through the module's query
+# builders (and remember callers in OTHER modules — here the
+# streaming/ingest gate twins — which usually already sit in
+# TOUCHED_MODULES).
+TOUCHED_QUERIES = ("ann_incremental_assign", "ann_incremental_persisted",
+                   "ann_ivf_trained_topk", "ann_trained_sweep",
+                   "dedup_recall_sweep_embedding", "ml_kmeans_lloyd")
 
 
 def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
@@ -114,7 +129,8 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     mandatory = [n for n in CANARIES if n in oracles]
     mandatory += sorted(
         n for n in oracles
-        if module_of[n] in TOUCHED_MODULES and n not in mandatory)
+        if (module_of[n] in TOUCHED_MODULES or n in TOUCHED_QUERIES)
+        and n not in mandatory)
     if len(mandatory) > WINDOW_SIZE:
         raise ValueError(
             f"window policy: {len(mandatory)} mandatory oracles exceed "

@@ -170,7 +170,7 @@ def test_driver_window_policy_invariants():
     only names registry oracles (a rename would silently reset a
     query's age)."""
     from big_data_science_project_spark.operators import (
-        CANARIES, TOUCHED_MODULES, WINDOW_SIZE)
+        CANARIES, TOUCHED_MODULES, TOUCHED_QUERIES, WINDOW_SIZE)
     from big_data_science_project_spark.operators._window_history import \
         LAST_VERIFIED
 
@@ -195,6 +195,11 @@ def test_driver_window_policy_invariants():
         touched_oracles |= {n for n, (fn, sql) in
                             getattr(mod, "QUERIES", {}).items()
                             if sql is not None}
+    # the surgical tier (sub-module reach sets) is mandatory too, and
+    # must name real value oracles
+    assert set(TOUCHED_QUERIES) <= set(oracles), (
+        "TOUCHED_QUERIES names a non-oracle or unknown query")
+    touched_oracles |= set(TOUCHED_QUERIES)
     missing = touched_oracles - set(window)
     assert not missing, (
         f"touched-module oracles outside the driver window: {sorted(missing)}")
