@@ -398,28 +398,50 @@ def _km_trunc_div(s: int, n: int) -> int:
     return q if s >= 0 else -q
 
 
+#: codebooks with at most this many total literal cells (K x D) assign
+#: through the inline-literal expression; larger ones use the Arrow
+#: kernel. 16 centroids x 64 dims keeps the expression tree small
+#: enough that analysis cost is negligible while covering every
+#: fixture-constant codebook (KM_K, N_CENTROIDS = 8).
+_LLOYD_INLINE_MAX_CELLS = 16 * 64
+
+
 def _lloyd_assign(pts: DataFrame, cents: dict) -> DataFrame:
     """One map-only assignment pass: per point, the (distance², cid)
     struct of its nearest centroid; ties break on the LOWER cid.
 
-    The centroid table rides into an Arrow-batched kernel as a plain
-    numpy matrix (the broadcast-variable pattern). An earlier
-    formulation inlined each centroid as a 64-literal struct inside
-    one array_min expression — value-identical, but Catalyst evaluates
-    the aggregate/zip_with folds INTERPRETED, so the expression tree
-    grew as K x D literals and the pass cost N x K x D interpreted
-    steps: at the bench's K=8 that is invisible; at the composed
-    pipeline probe's production sizing (K ~ sqrt(N), 400 at the x100
-    rung) it put ~10 minutes of pure expression interpretation into
-    every index build. The kernel computes the identical values: all
-    arithmetic is EXACT int64 (micros in, squared diffs ≤ ~1e14 per
-    term, sums far under 2^63), and integer sums are order-independent,
-    so chunking changes nothing; ties break to the lower cid because
-    centroids scan in ascending-cid order with strict improvement
-    (np.argmin also returns the first minimum within a block) — the
-    same (d, cid) struct-ordering result as array_min. The centroid
-    axis is chunked so the B x K x D difference intermediate stays
-    ~128 MB per Arrow batch at any K."""
+    SIZE-GATED on the codebook, same discipline as the exact/sketch
+    percentile gate: a SMALL codebook (<= _LLOYD_INLINE_MAX_CELLS
+    literal cells) inlines each centroid as a literal struct inside one
+    array_min expression — pure JVM, no Python worker round-trip, the
+    fastest shape at the fixture's K=8 where per-job Arrow overhead
+    would dominate. A LARGE codebook rides into an Arrow-batched
+    kernel as a plain numpy matrix (the broadcast-variable pattern):
+    Catalyst evaluates the aggregate/zip_with folds INTERPRETED, so
+    the literal expression tree grows as K x D and the pass costs
+    N x K x D interpreted steps — at the composed pipeline probe's
+    production sizing (K ~ sqrt(N), 400 at the x100 rung) that put
+    ~10 minutes of pure expression interpretation into every index
+    build, where the kernel is vectorized numpy. The two paths are
+    value-IDENTICAL, not approximately so: all arithmetic is EXACT
+    int64 (micros in, squared diffs ≤ ~1e14 per term, sums far under
+    2^63), integer sums are order-independent so chunking changes
+    nothing, and ties break to the lower cid on both (struct ordering
+    of array_min; ascending-cid scan with strict improvement in the
+    kernel — np.argmin also returns the first minimum within a
+    block). The kernel's centroid axis is chunked so the B x K x D
+    difference intermediate stays ~128 MB per Arrow batch at any K."""
+    if len(cents) * DIM <= _LLOYD_INLINE_MAX_CELLS:
+        structs = ", ".join(
+            "struct(aggregate(zip_with(em, array({vals}), (a, b) ->"
+            " (a - b) * (a - b)), 0L, (acc, v) -> acc + v) as d,"
+            " {cid} as cid)".format(
+                vals=", ".join(f"{v}L" for v in cents[cid]), cid=cid)
+            for cid in sorted(cents))
+        return pts.select(
+            "vec_id", "em",
+            F.expr(f"array_min(array({structs}))").alias("best"))
+
     cids = np.array(sorted(cents), dtype=np.int64)
     cmat = np.asarray([cents[int(c)] for c in cids], dtype=np.int64)
     n_k = len(cids)

@@ -383,6 +383,45 @@ def test_kmeans_lloyd_matches_local_mirror(spark):
     assert got == want
 
 
+def test_lloyd_assign_inline_and_kernel_paths_agree(spark):
+    """_lloyd_assign is size-gated: codebooks up to
+    _LLOYD_INLINE_MAX_CELLS literal cells assign through the inline
+    array_min expression, larger ones through the Arrow int64 kernel.
+    Both are exact integer arithmetic, so they must agree on every
+    (d, cid) — pin it on a codebook straddling the gate (the same
+    points assigned under a forced-inline and a forced-kernel run),
+    including a crafted equidistant tie that must break to the LOWER
+    cid on both paths."""
+    import numpy as np
+
+    from big_data_science_project_spark.operators import linear as L
+
+    rng = np.random.default_rng(7)
+    pts = [(int(i), [int(x) for x in rng.integers(-1_000_000, 1_000_000,
+                                                  size=L.DIM)])
+           for i in range(60)]
+    # point 0 exactly equidistant from centroids 3 and 9: copy it into
+    # both centroid slots
+    cents = {cid: list(rng.integers(-1_000_000, 1_000_000, size=L.DIM))
+             for cid in range(20)}
+    cents[3] = list(pts[0][1])
+    cents[9] = list(pts[0][1])
+    df = spark.createDataFrame(pts, "vec_id bigint, em array<bigint>")
+
+    orig = L._LLOYD_INLINE_MAX_CELLS
+    try:
+        L._LLOYD_INLINE_MAX_CELLS = 10 ** 9  # force inline literals
+        inline = {r["vec_id"]: (r["best"]["d"], r["best"]["cid"])
+                  for r in L._lloyd_assign(df, cents).collect()}
+        L._LLOYD_INLINE_MAX_CELLS = 0        # force the Arrow kernel
+        kernel = {r["vec_id"]: (r["best"]["d"], r["best"]["cid"])
+                  for r in L._lloyd_assign(df, cents).collect()}
+    finally:
+        L._LLOYD_INLINE_MAX_CELLS = orig
+    assert inline == kernel
+    assert inline[0] == (0, 3)  # tie broke to the lower cid
+
+
 def test_mode_deterministic_tie_breaks_to_lowest(spark):
     """q62's oracle resolves mode ties as (highest count, lowest value);
     this pins Spark's mode(col, deterministic=true) to the same rule on
