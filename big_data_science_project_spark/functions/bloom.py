@@ -188,8 +188,14 @@ def bloom_might_contain(bloom: BloomFilter, col: Column, *,
     """Boolean probe column for ``col`` against ``bloom`` (False ⇒ key
     definitely absent). Physical path per the module docstring."""
     if len(bloom.words) <= literal_max_words:
-        words_lit = F.lit([int(w) for w in bloom.words]) \
-            .cast("array<bigint>")
+        # ONE parsed SQL literal, not F.lit(list): PySpark expands
+        # lit([...]) into one Py4J lit() round-trip PER ELEMENT plus a
+        # CreateArray — ~1.9 s of pure driver latency at the gate's
+        # 1.5k words (measured r14; the parser path is ~7 ms). Both
+        # constant-fold to the identical array<bigint> literal, so the
+        # probe expression and every value are unchanged.
+        words_lit = F.expr(
+            "array(" + ",".join(f"{int(w)}L" for w in bloom.words) + ")")
         hit = None
         for pos in _positions(col, bloom.num_bits, bloom.k):
             word = F.element_at(

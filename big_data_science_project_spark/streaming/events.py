@@ -753,6 +753,27 @@ def _run_foreachbatch(spark: SparkSession, source: DataFrame,
     LAST_QUERY = q
 
 
+def _parallel_jobs(*thunks):
+    """Run independent same-trigger Spark actions from a small driver
+    thread pool (spark_optimization_guide §2.6: actions are only
+    sequential because the driver calls them sequentially; overlapping
+    lets the next job's tasks back-fill executors freed by the current
+    job's tail — on these micro-batch-sized jobs the win is the
+    per-action driver latency, which otherwise sums). Results return
+    in thunk order. Safety: every thunk is a self-contained idempotent
+    action (mode=overwrite write / bloom aggregate) with no shared
+    mutable state — state-dict and bloom mutations stay on the calling
+    thread; concurrent first-touch of one persisted DataFrame is safe
+    (BlockManager's per-block write lock computes each block once). An
+    exception in any thunk re-raises here, so a failed trigger retries
+    exactly as it did when the actions ran sequentially."""
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        return [f.result() for f in [pool.submit(t) for t in thunks]]
+
+
 def _read_batched_output(spark: SparkSession, out_dir: str,
                          schema_holder: dict, fallback: str) -> DataFrame:
     """Read the per-batchId parquet partitions back. The schema comes
@@ -1489,13 +1510,18 @@ def _lm_ledger_write(spark: SparkSession, dest: str,
            .filter(F.col("n") != 0)
            .persist(StorageLevel.MEMORY_AND_DISK_DESER))
     try:
-        (agg.filter(F.col("w2").isNotNull())
-         .select("lang", "w1", "w2", F.col("n").alias("c12"))
-         .write.mode("overwrite").parquet(f"{dest}/c12"))
-        (agg.filter(F.col("w2").isNull())
-         .select("lang", F.col("w1").alias("w"),
-                 F.col("n").alias("doc_count"))
-         .write.mode("overwrite").parquet(f"{dest}/wdoc"))
+        # both halves filter the one persisted aggregate — overlap the
+        # two writes (§2.6; the BlockManager write lock materializes
+        # the shared cache exactly once whichever write touches it
+        # first). _part_complete still demands BOTH _SUCCESS markers.
+        _parallel_jobs(
+            lambda: (agg.filter(F.col("w2").isNotNull())
+                     .select("lang", "w1", "w2", F.col("n").alias("c12"))
+                     .write.mode("overwrite").parquet(f"{dest}/c12")),
+            lambda: (agg.filter(F.col("w2").isNull())
+                     .select("lang", F.col("w1").alias("w"),
+                             F.col("n").alias("doc_count"))
+                     .write.mode("overwrite").parquet(f"{dest}/wdoc")))
     finally:
         agg.unpersist()
 
@@ -1557,10 +1583,16 @@ def stream_ingest_loop(spark: SparkSession, sf_dir: str,
     # the compaction test passes a finer split so compaction fires
     # MID-stream with add batches still to come), mtime-pinned so
     # FileStreamSource admits them oldest-first (one per trigger)
-    for i, (lo, hi) in enumerate(splits):
+    def _stage(i, lo, hi):
+        return lambda: (docs.filter((bk >= lo) & (bk < hi))
+                        .coalesce(1).write.mode("overwrite")
+                        .parquet(f"{work}/in/f{i}"))
+    # disjoint staging destinations — overlap the writes (§2.6);
+    # mtime ordering is stamped after every write returned
+    _parallel_jobs(*[_stage(i, lo, hi)
+                     for i, (lo, hi) in enumerate(splits)])
+    for i in range(len(splits)):
         p = f"{work}/in/f{i}"
-        (docs.filter((bk >= lo) & (bk < hi))
-         .coalesce(1).write.mode("overwrite").parquet(p))
         t = _time.time() - 300 + i * 60
         for f in os.listdir(p):
             os.utime(os.path.join(p, f), (t, t))
@@ -1624,23 +1656,30 @@ def stream_ingest_loop(spark: SparkSession, sf_dir: str,
                 .filter(F.col("rn") == 1).drop("rn"))
         admitted = _admission_gate(reps, base_dg, earlier, bloom)
         try:
-            admitted.select("dg").write.mode("overwrite").parquet(
-                f"{admitted_dir}/gen={state['gen']}/batch={eid}")
-            report = (b.groupBy("lang")
-                      .agg(F.count(F.lit(1)).cast("bigint")
-                           .alias("n_new"))
-                      .join(admitted.groupBy("lang")
-                            .agg(F.count(F.lit(1)).cast("bigint")
-                                 .alias("n_admitted")), "lang", "left"))
-            report.write.mode("overwrite").parquet(
-                f"{report_dir}/batch={eid}")
-            # fold this batch's admissions into the live gate BEFORE
-            # the cache is released (the delta build is batch-sized;
-            # its collect is bitmap-sized) — batch N+1's misses rely
-            # on seeing these bits
-            bloom.merge_from(bloom_build(
-                admitted.select("dg"), "dg",
-                num_bits=bloom.num_bits, k=bloom.k))
+            def _write_admitted():
+                admitted.select("dg").write.mode("overwrite").parquet(
+                    f"{admitted_dir}/gen={state['gen']}/batch={eid}")
+
+            def _write_report():
+                (b.groupBy("lang")
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
+                 .join(admitted.groupBy("lang")
+                       .agg(F.count(F.lit(1)).cast("bigint")
+                            .alias("n_admitted")), "lang", "left")
+                 .write.mode("overwrite")
+                 .parquet(f"{report_dir}/batch={eid}"))
+
+            # the two writes and the delta-bloom aggregate all read the
+            # one persisted gate cache — overlap them (§2.6). The fold
+            # into the live gate still happens BEFORE the cache is
+            # released (the merge below runs after all three returned;
+            # batch N+1's misses rely on seeing these bits), and the
+            # delta build stays batch-sized with a bitmap-sized collect
+            _, _, delta = _parallel_jobs(
+                _write_admitted, _write_report,
+                lambda: bloom_build(admitted.select("dg"), "dg",
+                                    num_bits=bloom.num_bits, k=bloom.k))
+            bloom.merge_from(delta)
         finally:
             # per-micro-batch plans are distinct — never CacheManager-
             # deduped — so release even on a failed write (the retry
@@ -1821,9 +1860,17 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
     ]
     deliver = (staged if phases is None
                else [staged[i] for i in phases])
-    for i, b in enumerate(deliver):
+
+    def _stage(i, b):
+        return lambda: (b.coalesce(1).write.mode("overwrite")
+                        .parquet(f"{work}/in/f{i}"))
+    # disjoint destinations over the one persisted docs cache —
+    # overlap the staging writes (§2.6); the mtime ordering the
+    # FileStreamSource delivery relies on is stamped afterwards,
+    # so write completion order is irrelevant
+    _parallel_jobs(*[_stage(i, b) for i, b in enumerate(deliver)])
+    for i in range(len(deliver)):
         p = f"{work}/in/f{i}"
-        b.coalesce(1).write.mode("overwrite").parquet(p)
         t = _time.time() - 300 + i * 60
         for fname in os.listdir(p):
             os.utime(os.path.join(p, fname), (t, t))
@@ -1892,7 +1939,15 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
         adds = batch_df.filter(F.col("op") == "add").drop("op")
         exc_cached = lm_excs = lm_adds = None
 
-        if not excs.isEmpty():
+        # ONE presence probe for both ops (bool_or partial-aggregates
+        # map-side) instead of two isEmpty() take-jobs — at micro-batch
+        # size the cost of an action is its driver round-trip, not its
+        # task time, so halving the action count halves the probe cost
+        flags = batch_df.agg(
+            F.max(F.col("op") == "excise").alias("e"),
+            F.max(F.col("op") == "add").alias("a")).first()
+
+        if flags["e"]:
             excs = excs.persist(StorageLevel.MEMORY_AND_DISK_DESER)
             take_dg = excs.select(F.md5("text").alias("dg")).distinct()
             g, g2 = state["gen"], state["gen"] + 1
@@ -1908,11 +1963,17 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
                 with open(tmp, "w") as fh:
                     _json.dump({"pre_burst_gen": g}, fh)
                 os.replace(tmp, f"{work}/burst.json")
-            for part in _parts(g):
-                (spark.read.schema("dg string").parquet(part)
-                 .join(F.broadcast(take_dg), "dg", "left_anti")
-                 .write.mode("overwrite")
-                 .parquet(f"{_gen_dir(g2)}/{os.path.basename(part)}"))
+            def _rewrite(part):
+                def run():
+                    (spark.read.schema("dg string").parquet(part)
+                     .join(F.broadcast(take_dg), "dg", "left_anti")
+                     .write.mode("overwrite")
+                     .parquet(f"{_gen_dir(g2)}/{os.path.basename(part)}"))
+                return run
+            # per-part rewrites touch disjoint destinations — overlap
+            # them (§2.6); the commit marker below still lands only
+            # after every part's write returned
+            _parallel_jobs(*[_rewrite(p) for p in _parts(g)])
             # rewrite commit point: without the marker a crash
             # mid-loop would leave a partial generation recovery could
             # mistake for the store (_recover_store header)
@@ -1926,9 +1987,6 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
                 after_src = after_src.unionByName(
                     spark.read.schema("dg string").parquet(*_parts(g2)))
             old = state["bloom"]
-            state["bloom"] = bloom_build(after_src, "dg",
-                                         num_bits=num_bits, k=old.k)
-            old.destroy()
             # NEGATIVE LM ledger rows (the mergeable decrement counts
             # the artifact path applies, operators/excision.py) enter
             # the combined per-trigger ledger write below
@@ -1958,23 +2016,35 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
                          .parquet(*snap_parts), "dg", "left_semi")
                    if snap_parts else excs.limit(0)
                    .select("lang", F.md5("text").alias("dg")))
-            (excs.groupBy("lang")
-             .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
-             .join(hit.groupBy("lang")
-                   .agg(F.count(F.lit(1)).cast("bigint")
-                        .alias("n_excised")), "lang", "left")
-             .select("lang", F.lit("excise").alias("op"), "n_rows",
-                     F.lit(None).cast("bigint").alias("n_admitted"),
-                     F.coalesce("n_excised", F.lit(0)).cast("bigint")
-                     .alias("n_excised"))
-             .write.mode("overwrite")
-             .parquet(f"{report_dir}/batch={eid}_excise"))
+
+            def _write_excise_report():
+                (excs.groupBy("lang")
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+                 .join(hit.groupBy("lang")
+                       .agg(F.count(F.lit(1)).cast("bigint")
+                            .alias("n_excised")), "lang", "left")
+                 .select("lang", F.lit("excise").alias("op"), "n_rows",
+                         F.lit(None).cast("bigint").alias("n_admitted"),
+                         F.coalesce("n_excised", F.lit(0)).cast("bigint")
+                         .alias("n_excised"))
+                 .write.mode("overwrite")
+                 .parquet(f"{report_dir}/batch={eid}_excise"))
+
+            # the gate rebuild (digests-after aggregate, bitmap-sized
+            # collect) and the report write share no state — overlap
+            # them (§2.6); the bloom pointer swap stays on this thread
+            nb, _ = _parallel_jobs(
+                lambda: bloom_build(after_src, "dg",
+                                    num_bits=num_bits, k=old.k),
+                _write_excise_report)
+            state["bloom"] = nb
+            old.destroy()
             # keep the cache live until the LM ledger write below has
             # consumed the decrement plans
             exc_cached = excs
 
         add_cached = None
-        if not adds.isEmpty():
+        if flags["a"]:
             # an add trigger closes any open takedown burst (the
             # burst-stable hit-count snapshot above) — on disk too
             state["in_burst"] = False
@@ -1998,23 +2068,36 @@ def stream_ingest_excise_loop(spark: SparkSession, sf_dir: str,
             admitted = _admission_gate(reps, base_dg, earlier,
                                        state["bloom"])
             try:
-                admitted.select("dg").write.mode("overwrite").parquet(
-                    f"{_gen_dir(g)}/batch={eid}")
-                (b.groupBy("lang")
-                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
-                 .join(admitted.groupBy("lang")
-                       .agg(F.count(F.lit(1)).cast("bigint")
-                            .alias("n_admitted")), "lang", "left")
-                 .select("lang", F.lit("add").alias("op"), "n_rows",
-                         F.coalesce("n_admitted", F.lit(0))
-                         .cast("bigint").alias("n_admitted"),
-                         F.lit(None).cast("bigint").alias("n_excised"))
-                 .write.mode("overwrite")
-                 .parquet(f"{report_dir}/batch={eid}_add"))
-                state["bloom"].merge_from(bloom_build(
-                    admitted.select("dg"), "dg",
-                    num_bits=state["bloom"].num_bits,
-                    k=state["bloom"].k))
+                def _write_admitted():
+                    admitted.select("dg").write.mode("overwrite") \
+                        .parquet(f"{_gen_dir(g)}/batch={eid}")
+
+                def _write_add_report():
+                    (b.groupBy("lang")
+                     .agg(F.count(F.lit(1)).cast("bigint")
+                          .alias("n_rows"))
+                     .join(admitted.groupBy("lang")
+                           .agg(F.count(F.lit(1)).cast("bigint")
+                                .alias("n_admitted")), "lang", "left")
+                     .select("lang", F.lit("add").alias("op"), "n_rows",
+                             F.coalesce("n_admitted", F.lit(0))
+                             .cast("bigint").alias("n_admitted"),
+                             F.lit(None).cast("bigint")
+                             .alias("n_excised"))
+                     .write.mode("overwrite")
+                     .parquet(f"{report_dir}/batch={eid}_add"))
+
+                # the two writes and the delta-bloom aggregate all read
+                # the one persisted gate cache and nothing else —
+                # overlap them (§2.6); the bloom merge (driver bitmap
+                # OR) stays on this thread, after all three returned
+                _, _, delta = _parallel_jobs(
+                    _write_admitted, _write_add_report,
+                    lambda: bloom_build(
+                        admitted.select("dg"), "dg",
+                        num_bits=state["bloom"].num_bits,
+                        k=state["bloom"].k))
+                state["bloom"].merge_from(delta)
             finally:
                 admitted._gate_cache.unpersist()
             # POSITIVE LM ledger rows enter the combined write below
