@@ -57,7 +57,8 @@ from .curation import _bucket
 from .dedup import (INDEX_PCT, _INCREMENTAL_SQL, _index_artifacts,
                     bucketed_digest_table, near_tier_vs_artifacts)
 from .similarity import _ANN_INCREMENTAL_SQL, ann_incremental_persisted
-from .text import _LM_PERPLEXITY_SQL, lm_artifacts, lm_score_vs_artifacts
+from .text import (_LM_PERPLEXITY_SQL, lm_artifacts, lm_score_vs_artifacts,
+                   lm_skew_split)
 
 QUERIES: dict = {}
 
@@ -103,7 +104,8 @@ def ingest_gate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     near = near_tier_vs_artifacts(
         spark, batch, _index_artifacts(spark, sf_dir))
     lm = lm_score_vs_artifacts(spark, batch,
-                               lm_artifacts(spark, sf_dir))
+                               lm_artifacts(spark, sf_dir),
+                               skew_split=lm_skew_split(sf_dir))
     ann = ann_incremental_persisted(spark, sf_dir)
     return assemble_verdicts(near, exact, lm, ann)
 

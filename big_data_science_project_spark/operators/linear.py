@@ -41,22 +41,39 @@ SCALE = 1_000_000.0
 RIDGE_L2 = 1.0
 
 
+_GRAM_IU, _GRAM_JU = np.triu_indices(DIM)
+#: rows per product chunk: bounds the N x D(D+1)/2 pair intermediate to
+#: ~34 MB so the kernel stays cache/NUMA-friendly at any Arrow batch
+#: size (the full-batch temporary was ~2x larger per element besides —
+#: it materialized all D x D products to read only the upper triangle)
+_GRAM_CHUNK = 2048
+
+
 def _partial_gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    iu, ju = _GRAM_IU, _GRAM_JU
     for pdf in batches:
         if len(pdf) == 0:
             continue
         m = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
         y = pdf["label"].to_numpy(dtype=np.float64)
-        # per-row quantized products, THEN the exact integer sum
-        gq = np.floor(m[:, :, None] * m[:, None, :] * SCALE + 0.5) \
-               .astype(np.int64).sum(axis=0)                    # D×D
-        xty = np.floor(m * y[:, None] * SCALE + 0.5) \
-                .astype(np.int64).sum(axis=0)                   # D
-        iu, ju = np.triu_indices(DIM)
+        # per-row quantized UPPER-TRIANGLE products, THEN the exact
+        # integer sum — the gram is symmetric, so computing m[:,iu] *
+        # m[:,ju] evaluates each needed IEEE product once (identical
+        # multiply/floor sequence to the old full D x D outer product,
+        # which computed every cell twice and discarded half); int64
+        # sums are associative, so the row chunking changes no value
+        gq = np.zeros(len(iu), dtype=np.int64)
+        xty = np.zeros(DIM, dtype=np.int64)
+        for s in range(0, len(m), _GRAM_CHUNK):
+            c = m[s:s + _GRAM_CHUNK]
+            gq += np.floor(c[:, iu] * c[:, ju] * SCALE + 0.5) \
+                    .astype(np.int64).sum(axis=0)               # D(D+1)/2
+            xty += np.floor(c * y[s:s + _GRAM_CHUNK, None] * SCALE + 0.5) \
+                     .astype(np.int64).sum(axis=0)              # D
         yield pd.DataFrame({
             "i": np.concatenate([iu, np.arange(DIM)]),
             "j": np.concatenate([ju, np.full(DIM, -1)]),
-            "cell_micros": np.concatenate([gq[iu, ju], xty]),
+            "cell_micros": np.concatenate([gq, xty]),
         })
 
 

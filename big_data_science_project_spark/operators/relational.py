@@ -685,12 +685,21 @@ def q24_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contract (within 1% of exact) is pytest-asserted, q52-style.
     li = load_table(spark, sf_dir, "lineitem")
     nbytes = _table_file_bytes(sf_dir, "lineitem")
+    # BOTH quantiles from ONE aggregate buffer: percentile(col,
+    # array(p...)) sorts/sketches the group's values once and reads two
+    # interpolation points, where two scalar percentile() calls each
+    # buffered every value (the exact path's cost is that buffer, and
+    # Catalyst dedupes identical aggregate expressions, so the [0]/[1]
+    # extractions below share one partial_percentile — plan-asserted).
+    # Values are identical: same sort/sketch, same per-p interpolation.
     if nbytes is not None and nbytes <= PERCENTILE_EXACT_MAX_BYTES:
-        p50 = F.percentile("l_extendedprice", F.lit(0.5))
-        p95 = F.percentile("l_extendedprice", F.lit(0.95))
+        pcts = F.percentile("l_extendedprice",
+                            F.array(F.lit(0.5), F.lit(0.95)))
     else:
-        p50 = F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
-        p95 = F.expr("approx_percentile(l_extendedprice, 0.95, 10000)")
+        pcts = F.expr(
+            "approx_percentile(l_extendedprice, array(0.5D, 0.95D),"
+            " 10000)")
+    p50, p95 = pcts.getItem(0), pcts.getItem(1)
     return li.groupBy("l_returnflag").agg(
         F.round(p50, 6).alias("p50"),
         F.round(p95, 6).alias("p95"),

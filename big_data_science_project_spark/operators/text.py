@@ -1213,11 +1213,40 @@ def _lm_tables(idx: DataFrame
 LM_HOT_HISTORY = 100_000
 LM_HOT_BIGRAM = 100_000
 
+# corpus size below which the in-plan trainer skips the Zipf-head
+# split entirely (r14, the q24 exact/sketch-gate discipline): the two
+# formulations are value-IDENTICAL for every input (the disjointness
+# argument in _score_against_lm works in both directions — a key
+# matches its head xor its tail xor neither, with the same count
+# either way), so the split is purely a straggler bound. The worst
+# plain-path reduce partition holds at most the batch's bigrams for
+# one (lang, w1); below ~64 MB of documents that is <= ~1e7 rows even
+# for a fully-degenerate single-history corpus — one comfortable task
+# — while the split's three disjoint branches cost ~3x the plan
+# (~20 extra scheduling rounds, which DOMINATE wall at fixture sizes).
+# Above the gate the split bounds the hot partitions exactly as the
+# straggler probe documents (tools/straggler_probe.py's planted
+# million-occurrence history).
+LM_SKEW_SPLIT_MIN_BYTES = 64 * 1024 * 1024
+
+
+def lm_skew_split(sf_dir: str) -> bool:
+    """Shared size gate for every LM scoring site: split above
+    LM_SKEW_SPLIT_MIN_BYTES of corpus documents (the batch a gate
+    scores is at most corpus-sized in every fixture path); unlistable
+    paths count as LARGE so production object-store deployments keep
+    the straggler bound."""
+    from .relational import _table_file_bytes
+
+    nbytes = _table_file_bytes(sf_dir, "documents")
+    return nbytes is None or nbytes > LM_SKEW_SPLIT_MIN_BYTES
+
 
 def _score_against_lm(batch: DataFrame, c12: DataFrame, c1: DataFrame,
                       vocab: DataFrame, gvocab: DataFrame,
                       hot_history: int = LM_HOT_HISTORY,
-                      hot_bigram: int = LM_HOT_BIGRAM) -> DataFrame:
+                      hot_bigram: int = LM_HOT_BIGRAM,
+                      skew_split: bool = True) -> DataFrame:
     """Per-doc NLL report for ``batch`` against a trained LM — shared by
     the in-plan batch query and the streaming gate (which trains once to
     parquet artifacts and scores every micro-batch here).
@@ -1260,6 +1289,14 @@ def _score_against_lm(batch: DataFrame, c12: DataFrame, c1: DataFrame,
     nb = (batch.select("doc_id", "lang", bigrams)
           .select("doc_id", "lang", F.col("b.w1").alias("w1"),
                   F.col("b.w2").alias("w2")))
+    if not skew_split:
+        # plain two-join form (LM_SKEW_SPLIT_MIN_BYTES): one batch
+        # scan, two count joins, no head/tail branches — the same
+        # counts reach every bigram, so p and every NLL below are
+        # bit-identical to the split form
+        nb_c12 = (nb.join(c1, ["lang", "w1"], "left")
+                  .join(c12, ["lang", "w1", "w2"], "left"))
+        return _lm_nll_report(batch, nb_c12, vocab, gvocab)
     c1_head = c1.filter(F.col("c1") >= hot_history) \
         .withColumnRenamed("c1", "c1_head")
     c12_head = c12.filter(F.col("c12") >= hot_bigram) \
@@ -1286,6 +1323,14 @@ def _score_against_lm(batch: DataFrame, c12: DataFrame, c1: DataFrame,
             .join(c1_tail, ["lang", "w1"], "left")
             .join(c12_tail, ["lang", "w1", "w2"], "left"))
     nb_c12 = both_hot.unionByName(hist_hot).unionByName(cold)
+    return _lm_nll_report(batch, nb_c12, vocab, gvocab)
+
+
+def _lm_nll_report(batch: DataFrame, nb_c12: DataFrame,
+                   vocab: DataFrame, gvocab: DataFrame) -> DataFrame:
+    """Per-doc NLL tail shared by the split and plain count-join
+    shapes: identical expressions over identical counts, so the two
+    shapes return identical values."""
     # greatest(..., 1) guards the fully-empty-index degenerate case
     v_eff = F.greatest(F.coalesce("v", F.col("gv")), F.lit(1))
     p = ((F.coalesce("c12", F.lit(0)) + 1)
@@ -1323,8 +1368,9 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     bucket = _bucket(F.col("doc_id"))
     c12, c1, vocab, gvocab = _lm_tables(d.filter(bucket < INDEX_PCT))
-    return _score_against_lm(d.filter(bucket >= INDEX_PCT),
-                             c12, c1, vocab, gvocab)
+    return _score_against_lm(
+        d.filter(bucket >= INDEX_PCT), c12, c1, vocab, gvocab,
+        skew_split=lm_skew_split(sf_dir))
 
 
 def _wdoc_counts(docs: DataFrame) -> DataFrame:
@@ -1374,7 +1420,8 @@ def lm_artifacts(spark: SparkSession, sf_dir: str) -> str:
 
 
 def lm_score_vs_artifacts(spark: SparkSession, batch: DataFrame,
-                          root: str) -> DataFrame:
+                          root: str,
+                          skew_split: bool = True) -> DataFrame:
     """Score a batch against the persisted LM — shared by the streaming
     quality gate and the composed ingest pipeline (they must not drift).
     The two large LM tables read through BUCKETED layouts on their join
@@ -1392,7 +1439,12 @@ def lm_score_vs_artifacts(spark: SparkSession, batch: DataFrame,
         spark, root, "c1", ["lang", "w1"])).hint("merge")
     vocab = spark.read.parquet(f"{root}/vocab")
     gvocab = spark.read.parquet(f"{root}/gvocab")
-    return _score_against_lm(batch, c12, c1, vocab, gvocab)
+    # skew_split: callers gate on corpus size (lm_skew_split) — the
+    # plain path still reads the bucketed layouts in place (the merge
+    # hints travel with c12/c1), it just scans the batch once instead
+    # of once per head/tail branch
+    return _score_against_lm(batch, c12, c1, vocab, gvocab,
+                             skew_split=skew_split)
 
 
 from ..operators.curation import _bucket_sql as _lm_bucket_sql  # noqa: E402
@@ -1511,7 +1563,8 @@ def lm_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab_m = wdoc_m.groupBy("lang").agg(F.count(F.lit(1)).alias("v"))
     gvocab_m = wdoc_m.agg(F.countDistinct("w").alias("gv"))
 
-    return _score_against_lm(rest, c12_m, c1_m, vocab_m, gvocab_m)
+    return _score_against_lm(rest, c12_m, c1_m, vocab_m, gvocab_m,
+                             skew_split=lm_skew_split(sf_dir))
 
 
 QUERIES["lm_incremental_refresh"] = (lm_incremental_refresh,

@@ -844,14 +844,17 @@ QUERIES["stream_dedup_near_index"] = (stream_dedup_near_index,
 # twin's.
 # ---------------------------------------------------------------------------
 def stream_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.text import lm_artifacts, lm_score_vs_artifacts
+    from ..operators.text import (lm_artifacts, lm_score_vs_artifacts,
+                                  lm_skew_split)
 
     root = lm_artifacts(spark, sf_dir)
+    _lm_split = lm_skew_split(sf_dir)
     out_dir = tempfile.mkdtemp(prefix="lm_gate_out_")
     seen: dict = {}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        scored = lm_score_vs_artifacts(spark, batch_df, root)
+        scored = lm_score_vs_artifacts(spark, batch_df, root,
+                                       skew_split=_lm_split)
         seen["schema"] = scored.schema
         scored.write.mode("overwrite").parquet(
             f"{out_dir}/batch={batch_id}")
@@ -943,10 +946,12 @@ def stream_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ingest import assemble_verdicts, exact_gate
     from ..operators.similarity import (_read_codebook, ann_artifacts,
                                         ann_gate_vs_artifacts)
-    from ..operators.text import lm_artifacts, lm_score_vs_artifacts
+    from ..operators.text import (lm_artifacts, lm_score_vs_artifacts,
+                                  lm_skew_split)
 
     root_d = _index_artifacts(spark, sf_dir)
     root_lm = lm_artifacts(spark, sf_dir)
+    _lm_split = lm_skew_split(sf_dir)
     root_ann = ann_artifacts(spark, sf_dir)
     cents = _read_codebook(spark, root_ann)  # fixed per stream
     base_dg = spark.table(bucketed_digest_table(spark, sf_dir))
@@ -961,7 +966,8 @@ def stream_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch = batch_df.persist(StorageLevel.MEMORY_AND_DISK_DESER)
         exact = exact_gate(batch, base_dg)
         near = near_tier_vs_artifacts(spark, batch, root_d)
-        lm = lm_score_vs_artifacts(spark, batch, root_lm)
+        lm = lm_score_vs_artifacts(spark, batch, root_lm,
+                                   skew_split=_lm_split)
         batch_vecs = emb.join(
             F.broadcast(batch.select(F.col("doc_id").alias("vec_id"))),
             "vec_id", "left_semi")
@@ -1031,13 +1037,15 @@ def stream_unified_ingest_gate(spark: SparkSession, sf_dir: str,
                                     assemble_verdicts, exact_gate)
     from ..operators.similarity import (_read_codebook, ann_artifacts,
                                         ann_gate_vs_artifacts)
-    from ..operators.text import lm_artifacts, lm_score_vs_artifacts
+    from ..operators.text import (lm_artifacts, lm_score_vs_artifacts,
+                                  lm_skew_split)
 
     # persisted text artifacts + fingerprint indexes, built before the
     # stream starts (production state, same as the batch gate)
     if not media_only:
         root_d = _index_artifacts(spark, sf_dir)
         root_lm = lm_artifacts(spark, sf_dir)
+        _lm_split = lm_skew_split(sf_dir)
         root_ann = ann_artifacts(spark, sf_dir)
         cents = _read_codebook(spark, root_ann)
         base_dg = spark.table(bucketed_digest_table(spark, sf_dir))
@@ -1094,7 +1102,8 @@ def stream_unified_ingest_gate(spark: SparkSession, sf_dir: str,
         if not docs.isEmpty():
             exact = exact_gate(docs, base_dg)
             near = near_tier_vs_artifacts(spark, docs, root_d)
-            lm = lm_score_vs_artifacts(spark, docs, root_lm)
+            lm = lm_score_vs_artifacts(spark, docs, root_lm,
+                                       skew_split=_lm_split)
             vecs = emb.join(
                 F.broadcast(docs.select(F.col("doc_id")
                                         .alias("vec_id"))),

@@ -971,7 +971,12 @@ def test_lm_hot_history_split_changes_no_values(spark, lm_planted_dir):
         batch, *parts, hot_history=1, hot_bigram=1 << 60).collect()))
     both_hot = sorted(map(tuple, _score_against_lm(
         batch, *parts, hot_history=1, hot_bigram=1).collect()))
-    assert both_hot == hist_hot == all_cold
+    # r14 size gate: the PLAIN two-join form (skew_split=False, what
+    # every scoring site uses below LM_SKEW_SPLIT_MIN_BYTES of corpus)
+    # must also score identically — same counts reach every bigram
+    plain = sorted(map(tuple, _score_against_lm(
+        batch, *parts, skew_split=False).collect()))
+    assert plain == both_hot == hist_hot == all_cold
     assert any(r[2] > 0 for r in all_cold)  # non-degenerate: bigrams scored
     # a bigram threshold below the history threshold would route
     # hot-history rows around the head broadcast — rejected loudly
