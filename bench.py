@@ -63,11 +63,12 @@ HEADLINE = [
     "multimodal_features",
     # r11 anchors: the streaming retraction lifecycle (full
     # add/excise/re-add run per rep; since r13 every trigger ALSO
-    # maintains the signed LM ledger — two batch-sized count
-    # aggregations + writes per trigger — so its wall steps up ~1.6x
-    # vs r12 by design: that is the price of the complete in-stream
-    # LM lifecycle the r12 verdict asked to close, not a plan
-    # regression) and the audio batch-vs-index gate
+    # maintains the signed LM ledger — r13 priced that at ~1.6x of the
+    # r12 wall; the r14 optimization round reclaimed it by overlapping
+    # each trigger's independent actions from a driver thread pool and
+    # parsing the bloom gate's bitmap literal in one Py4J call, solo
+    # 11.4 -> 6.6 s at sf0.1 with the ledger/restart identities and
+    # the report checksum unchanged) and the audio batch-vs-index gate
     # (fingerprint index write-once; reps measure the per-batch
     # screening cost the scale probe claims is index-insensitive)
     "stream_ingest_excise_loop",

@@ -43,7 +43,17 @@ TOUCHED_MODULES = ("events", "multimodal", "ingest")
 # TOUCHED_MODULES).
 TOUCHED_QUERIES = ("ann_incremental_assign", "ann_incremental_persisted",
                    "ann_ivf_trained_topk", "ann_trained_sweep",
-                   "dedup_recall_sweep_embedding", "ml_kmeans_lloyd")
+                   "dedup_recall_sweep_embedding", "ml_kmeans_lloyd",
+                   # r14 optimization pass: the percentile shared-buffer
+                   # rewrite (relational), the triangle gram kernel
+                   # (linear: _partial_gram -> gram + pca), and the
+                   # size-gated LM skew split (text _score_against_lm ->
+                   # the in-plan trainers; its events/ingest callers are
+                   # whole-module mandatory above, excision's rescore is
+                   # not, so it lists here)
+                   "q24_percentiles", "ml_gram_matrix", "ml_pca_spectrum",
+                   "text_lm_perplexity", "lm_incremental_refresh",
+                   "lm_excise_rescore")
 
 
 def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:

@@ -753,9 +753,33 @@ def _run_foreachbatch(spark: SparkSession, source: DataFrame,
     LAST_QUERY = q
 
 
+#: ONE process-wide pool, created lazily and never torn down. This is
+#: load-bearing, not a convenience: PySpark's default pinned thread
+#: mode (PYSPARK_PIN_THREAD=true since 3.2) pairs every Python thread
+#: with a dedicated JVM connection thread that is NOT reclaimed when
+#: the Python thread exits — a throwaway per-call ThreadPoolExecutor
+#: leaked ~80 JVM threads per loop invocation (measured: 430 -> 589
+#: activeCount over three excise-loop reps), progressively slowing the
+#: whole session until EVERY bench query degraded 2-3x. A persistent
+#: pool pins at most _JOB_POOL_WORKERS JVM threads for the process
+#: lifetime and reuses them for every trigger.
+_JOB_POOL_WORKERS = 8
+_JOB_POOL = None
+
+
+def _job_pool():
+    global _JOB_POOL
+    if _JOB_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _JOB_POOL = ThreadPoolExecutor(
+            max_workers=_JOB_POOL_WORKERS,
+            thread_name_prefix="bdsp-trigger-jobs")
+    return _JOB_POOL
+
+
 def _parallel_jobs(*thunks):
-    """Run independent same-trigger Spark actions from a small driver
-    thread pool (spark_optimization_guide §2.6: actions are only
+    """Run independent same-trigger Spark actions from the shared
+    driver thread pool (spark_optimization_guide §2.6: actions are only
     sequential because the driver calls them sequentially; overlapping
     lets the next job's tasks back-fill executors freed by the current
     job's tail — on these micro-batch-sized jobs the win is the
@@ -764,14 +788,15 @@ def _parallel_jobs(*thunks):
     action (mode=overwrite write / bloom aggregate) with no shared
     mutable state — state-dict and bloom mutations stay on the calling
     thread; concurrent first-touch of one persisted DataFrame is safe
-    (BlockManager's per-block write lock computes each block once). An
-    exception in any thunk re-raises here, so a failed trigger retries
-    exactly as it did when the actions ran sequentially."""
+    (BlockManager's per-block write lock computes each block once); no
+    thunk ever calls _parallel_jobs itself (the no-nesting rule that
+    makes a bounded shared pool deadlock-free). An exception in any
+    thunk re-raises here, so a failed trigger retries exactly as it
+    did when the actions ran sequentially."""
     if len(thunks) == 1:
         return [thunks[0]()]
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
-        return [f.result() for f in [pool.submit(t) for t in thunks]]
+    return [f.result() for f in
+            [_job_pool().submit(t) for t in thunks]]
 
 
 def _read_batched_output(spark: SparkSession, out_dir: str,
