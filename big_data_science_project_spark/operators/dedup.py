@@ -147,11 +147,16 @@ FROM d
 # ---------------------------------------------------------------------------
 # shared shingle machinery (Spark side)
 # ---------------------------------------------------------------------------
-def _shingles(text_col: str = "text"):
-    """Distinct SHINGLE-token shingles as an array<string> column.
-    Guard short docs: sequence(0, n) runs DESCENDING when n < 0, which
+def _shingles(toks=None):
+    """Distinct SHINGLE-token shingles as an array<string> column, from
+    a TOKEN-ARRAY column (default ``toks``). Callers must project the
+    split() into its own column first (r14; see text._lm_tables): with
+    the splitter inlined, ``toks[i]`` in the lambda body re-ran it 3×
+    per shingle POSITION — lambda scopes block common-subexpression
+    elimination — i.e. O(tokens²) tokenizer work per document. Guard
+    short docs: sequence(0, n) runs DESCENDING when n < 0, which
     would fabricate shingles from out-of-range indices."""
-    toks = F.split(F.col(text_col), " ")
+    toks = F.col("toks") if toks is None else toks
     idx = F.sequence(F.lit(0), F.size(toks) - SHINGLE)
     sh = F.transform(
         idx,
@@ -192,7 +197,8 @@ def _hashed_shingles_df(d: DataFrame) -> DataFrame:
     BOTH the minhash signature and the Jaccard verification (intersecting
     ints, not strings), so the text is scanned and md5'd exactly once."""
     sh = _shingles().alias("shingles")
-    doc = d.select("doc_id", sh).filter(F.size("shingles") > 0)
+    doc = (d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+           .select("doc_id", sh).filter(F.size("shingles") > 0))
     hs = F.transform(
         F.col("shingles"),
         lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)

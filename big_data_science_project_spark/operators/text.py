@@ -613,13 +613,16 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n").persist(StorageLevel.MEMORY_AND_DISK_DESER)  # vocab-sized; spill > recompute
 
     def pair_counts(sdf):
-        a = F.split(F.trim(F.col("seq")), " ")
+        # split in its own projection (r14, same fix as _lm_tables):
+        # inlined in the lambda the splitter re-ran per symbol
+        # POSITION — O(symbols²) per word
+        sp = (sdf.select(F.split(F.trim(F.col("seq")), " ").alias("sp"),
+                         "n")
+              .filter(F.size("sp") >= 2))
         pairs = F.expr(
-            "transform(sequence(0, size(split(trim(seq), ' ')) - 2),"
-            " i -> struct(split(trim(seq), ' ')[i] as s1,"
-            "             split(trim(seq), ' ')[i + 1] as s2))")
-        return (sdf.filter(F.size(a) >= 2)
-                .select(F.explode(pairs).alias("p"), "n")
+            "transform(sequence(0, size(sp) - 2),"
+            " i -> struct(sp[i] as s1, sp[i + 1] as s2))")
+        return (sp.select(F.explode(pairs).alias("p"), "n")
                 .groupBy("p.s1", "p.s2")
                 .agg(F.sum("n").cast("bigint").alias("pair_count")))
 
@@ -733,13 +736,16 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     lseqs = _bpe_spaced(lwords, "lang")
 
     def pair_counts(sdf):
-        a = F.split(F.trim(F.col("seq")), " ")
+        # split in its own projection (r14, same fix as _lm_tables):
+        # inlined in the lambda the splitter re-ran per symbol
+        # POSITION — O(symbols²) per word
+        sp = (sdf.select(F.split(F.trim(F.col("seq")), " ").alias("sp"),
+                         "n")
+              .filter(F.size("sp") >= 2))
         pairs = F.expr(
-            "transform(sequence(0, size(split(trim(seq), ' ')) - 2),"
-            " i -> struct(split(trim(seq), ' ')[i] as s1,"
-            "             split(trim(seq), ' ')[i + 1] as s2))")
-        return (sdf.filter(F.size(a) >= 2)
-                .select(F.explode(pairs).alias("p"), "n")
+            "transform(sequence(0, size(sp) - 2),"
+            " i -> struct(sp[i] as s1, sp[i + 1] as s2))")
+        return (sp.select(F.explode(pairs).alias("p"), "n")
                 .groupBy("p.s1", "p.s2")
                 .agg(F.sum("n").cast("bigint").alias("pair_count")))
 
@@ -1153,9 +1159,9 @@ LIMIT {SPARSE_TOPK}
 # avg (no sentinel — the adpcm lesson).
 # ---------------------------------------------------------------------------
 _BIGRAMS_EXPR = (
-    "CASE WHEN size(split(text, ' ')) >= 2 THEN "
-    "transform(sequence(0, size(split(text, ' ')) - 2), "
-    "i -> struct(split(text, ' ')[i] AS w1, split(text, ' ')[i + 1] AS w2)) "
+    "CASE WHEN size(toks) >= 2 THEN "
+    "transform(sequence(0, size(toks) - 2), "
+    "i -> struct(toks[i] AS w1, toks[i + 1] AS w2)) "
     "ELSE array() END")
 
 _BIGRAMS_DUCK = """
@@ -1175,7 +1181,16 @@ def _lm_tables(idx: DataFrame
     bigram-exploded exactly once; the unigram pass for the vocab is
     the only other scan."""
     bigrams = F.explode(F.expr(_BIGRAMS_EXPR)).alias("b")
-    ib = (idx.select("lang", bigrams)
+    # tokenize in its own projection (r14; same fix as the streaming
+    # ledger's _LM_ROWS_EXPR): _BIGRAMS_EXPR references `toks` once per
+    # bigram POSITION, and lambda-variable scopes block common-
+    # subexpression elimination — with split() inlined in the lambda
+    # body the tokenizer re-ran per position, O(tokens²) per document
+    # (measured 2.7 s for the sf0.1 c12 aggregate alone; corpus-fatal
+    # at 100 TB). Projected first, the split runs once per row and the
+    # lambda does O(1) array indexing.
+    ib = (idx.select("lang", _tokens("text").alias("toks"))
+          .select("lang", bigrams)
           .select("lang", F.col("b.w1").alias("w1"),
                   F.col("b.w2").alias("w2")))
     c12 = ib.groupBy("lang", "w1", "w2").agg(
@@ -1286,7 +1301,10 @@ def _score_against_lm(batch: DataFrame, c12: DataFrame, c1: DataFrame,
             f"hot_bigram ({hot_bigram}) must be >= hot_history "
             f"({hot_history})")
     bigrams = F.explode(F.expr(_BIGRAMS_EXPR)).alias("b")
-    nb = (batch.select("doc_id", "lang", bigrams)
+    # hoisted tokenize projection — see _lm_tables for why (O(tokens²)
+    # per doc otherwise; the batch a gate scores can be corpus-sized)
+    nb = (batch.select("doc_id", "lang", _tokens("text").alias("toks"))
+          .select("doc_id", "lang", bigrams)
           .select("doc_id", "lang", F.col("b.w1").alias("w1"),
                   F.col("b.w2").alias("w2")))
     if not skew_split:

@@ -182,7 +182,8 @@ def test_short_doc_shingle_guard(spark):
     from big_data_science_project_spark.operators.dedup import _shingles
     df = spark.createDataFrame(
         [("a b",), ("one two three four",)], "text string")
-    rows = df.select(F.size(_shingles()).alias("n")).collect()
+    rows = (df.select(F.split("text", " ").alias("toks"))
+            .select(F.size(_shingles()).alias("n")).collect())
     assert [r["n"] for r in rows] == [0, 2]
 
 
