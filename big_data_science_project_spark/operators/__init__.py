@@ -53,7 +53,20 @@ TOUCHED_QUERIES = ("ann_incremental_assign", "ann_incremental_persisted",
                    # not, so it lists here)
                    "q24_percentiles", "ml_gram_matrix", "ml_pca_spectrum",
                    "text_lm_perplexity", "lm_incremental_refresh",
-                   "lm_excise_rescore")
+                   "lm_excise_rescore",
+                   # r14 optimization pass, tokenize-hoist reach set
+                   # (text._lm_tables/_score_against_lm callers are
+                   # already listed above or whole-module mandatory;
+                   # these are the additional BPE pair-counter and
+                   # dedup _shingles/_hashed_shingles_df reaches,
+                   # enumerated by tracing the helpers through the
+                   # query builders)
+                   "text_bpe_merges", "text_bpe_encode",
+                   "dedup_clusters", "dedup_containment",
+                   "dedup_incremental", "dedup_incremental_persisted",
+                   "dedup_incremental_recall", "dedup_lsh_hot_buckets",
+                   "dedup_minhash_candidates", "dedup_minhash_verified",
+                   "dedup_recall_sweep")
 
 
 def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:

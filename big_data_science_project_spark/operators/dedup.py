@@ -197,8 +197,17 @@ def _hashed_shingles_df(d: DataFrame) -> DataFrame:
     BOTH the minhash signature and the Jaccard verification (intersecting
     ints, not strings), so the text is scanned and md5'd exactly once."""
     sh = _shingles().alias("shingles")
+    # Filter on the TOKEN count, not size(shingles): the two are
+    # equivalent (>= SHINGLE tokens ⇔ the transform yields >= 1
+    # element and array_distinct of a non-empty array is non-empty;
+    # NULL text gives size = -1 either way), and a size(shingles)
+    # predicate would be SUBSTITUTED through the projection by filter
+    # pushdown — re-inlining the whole shingle transform, inlined
+    # splits and all, into a per-row Filter, exactly the quadratic the
+    # toks hoist removes (tests/test_plans.py pins the plan).
     doc = (d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
-           .select("doc_id", sh).filter(F.size("shingles") > 0))
+           .filter(F.size("toks") >= SHINGLE)
+           .select("doc_id", sh))
     hs = F.transform(
         F.col("shingles"),
         lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)

@@ -270,14 +270,18 @@ BIGRAM_MIN_COUNT = 20
 
 def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = _tokens("text")
+    # tokenize in its own projection (r14, same fix as _lm_tables):
+    # `toks[i]` inside the lambda would re-run the splitter per bigram
+    # POSITION — O(tokens²) per document
+    toks = F.col("toks")
     pairs = F.transform(
         F.sequence(F.lit(0), F.size(toks) - 2),
         lambda i: F.concat_ws(" ", toks[i], toks[i + 1]))
     bigrams = F.when(F.size(toks) >= 2, pairs) \
                .otherwise(F.array().cast("array<string>"))
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        d.select(_tokens("text").alias("toks"))
+        .select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= BIGRAM_MIN_COUNT)
