@@ -42,34 +42,61 @@ RIDGE_L2 = 1.0
 
 
 _GRAM_IU, _GRAM_JU = np.triu_indices(DIM)
-#: rows per product chunk: bounds the N x D(D+1)/2 pair intermediate to
-#: ~34 MB so the kernel stays cache/NUMA-friendly at any Arrow batch
-#: size (the full-batch temporary was ~2x larger per element besides —
-#: it materialized all D x D products to read only the upper triangle)
-_GRAM_CHUNK = 2048
+#: rows per product chunk: bounds the chunk x D(D+1)/2 pair buffers to
+#: ~4 MB each. Small chunks matter twice: they stay cache-resident, and
+#: together with the preallocated+reused buffers below they bound the
+#: kernel's FRESH page footprint to ~13 MB per task — the r14 shape
+#: (throwaway 34 MB temporaries per chunk, ~170 MB of first-touch pages
+#: per cold worker) spent seconds in page faults on hosts where fresh
+#: memory faults in slowly, which is pure overhead at any scale
+_GRAM_CHUNK = 256
 
 
 def _partial_gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     iu, ju = _GRAM_IU, _GRAM_JU
+    npair = len(iu)
+    # buffers allocated ONCE per task and reused across chunks and
+    # batches: every op below writes in place, so the only per-chunk
+    # allocations are the two D-sized partial-sum rows
+    pa = np.empty((_GRAM_CHUNK, npair), dtype=np.float64)
+    pb = np.empty((_GRAM_CHUNK, npair), dtype=np.float64)
+    pq = np.empty((_GRAM_CHUNK, npair), dtype=np.int64)
+    xa = np.empty((_GRAM_CHUNK, DIM), dtype=np.float64)
+    xq = np.empty((_GRAM_CHUNK, DIM), dtype=np.int64)
     for pdf in batches:
         if len(pdf) == 0:
             continue
         m = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
         y = pdf["label"].to_numpy(dtype=np.float64)
         # per-row quantized UPPER-TRIANGLE products, THEN the exact
-        # integer sum — the gram is symmetric, so computing m[:,iu] *
-        # m[:,ju] evaluates each needed IEEE product once (identical
-        # multiply/floor sequence to the old full D x D outer product,
-        # which computed every cell twice and discarded half); int64
-        # sums are associative, so the row chunking changes no value
-        gq = np.zeros(len(iu), dtype=np.int64)
+        # integer sum — the gram is symmetric, so taking (iu, ju) pairs
+        # evaluates each needed IEEE product once; the in-place sequence
+        # (a*b, *SCALE, +0.5, floor, int64 cast) is operation-for-
+        # operation the expression np.floor(a*b*SCALE + 0.5)
+        # .astype(int64) evaluated, so every cell is bit-identical to
+        # the temporary-per-op form; int64 sums are associative, so the
+        # row chunking changes no value
+        gq = np.zeros(npair, dtype=np.int64)
         xty = np.zeros(DIM, dtype=np.int64)
         for s in range(0, len(m), _GRAM_CHUNK):
             c = m[s:s + _GRAM_CHUNK]
-            gq += np.floor(c[:, iu] * c[:, ju] * SCALE + 0.5) \
-                    .astype(np.int64).sum(axis=0)               # D(D+1)/2
-            xty += np.floor(c * y[s:s + _GRAM_CHUNK, None] * SCALE + 0.5) \
-                     .astype(np.int64).sum(axis=0)              # D
+            k = len(c)
+            av, bv, qv = pa[:k], pb[:k], pq[:k]
+            np.take(c, iu, axis=1, out=av)
+            np.take(c, ju, axis=1, out=bv)
+            av *= bv
+            av *= SCALE
+            av += 0.5
+            np.floor(av, out=av)
+            np.copyto(qv, av, casting="unsafe")     # same C cast as astype
+            gq += qv.sum(axis=0)                    # D(D+1)/2
+            xv, xiv = xa[:k], xq[:k]
+            np.multiply(c, y[s:s + k, None], out=xv)
+            xv *= SCALE
+            xv += 0.5
+            np.floor(xv, out=xv)
+            np.copyto(xiv, xv, casting="unsafe")
+            xty += xiv.sum(axis=0)                  # D
         yield pd.DataFrame({
             "i": np.concatenate([iu, np.arange(DIM)]),
             "j": np.concatenate([ju, np.full(DIM, -1)]),
