@@ -476,10 +476,15 @@ def _lloyd_assign(pts: DataFrame, cents: dict) -> DataFrame:
     block). The kernel's centroid axis is chunked so the B x K x D
     difference intermediate stays ~128 MB per Arrow batch at any K."""
     if len(cents) * DIM <= _LLOYD_INLINE_MAX_CELLS:
+        # {cid}L: a LONG literal, so the struct's cid field is BIGINT
+        # exactly like the Arrow kernel's — the declared output schema
+        # must not depend on which side of the size gate the codebook
+        # lands (a full-width checksum hashes int32 and int64
+        # differently even when every value prints the same)
         structs = ", ".join(
             "struct(aggregate(zip_with(em, array({vals}), (a, b) ->"
             " (a - b) * (a - b)), 0L, (acc, v) -> acc + v) as d,"
-            " {cid} as cid)".format(
+            " {cid}L as cid)".format(
                 vals=", ".join(f"{v}L" for v in cents[cid]), cid=cid)
             for cid in sorted(cents))
         return pts.select(

@@ -411,15 +411,26 @@ def test_lloyd_assign_inline_and_kernel_paths_agree(spark):
     orig = L._LLOYD_INLINE_MAX_CELLS
     try:
         L._LLOYD_INLINE_MAX_CELLS = 10 ** 9  # force inline literals
+        inline_df = L._lloyd_assign(df, cents)
         inline = {r["vec_id"]: (r["best"]["d"], r["best"]["cid"])
-                  for r in L._lloyd_assign(df, cents).collect()}
+                  for r in inline_df.collect()}
         L._LLOYD_INLINE_MAX_CELLS = 0        # force the Arrow kernel
+        kernel_df = L._lloyd_assign(df, cents)
         kernel = {r["vec_id"]: (r["best"]["d"], r["best"]["cid"])
-                  for r in L._lloyd_assign(df, cents).collect()}
+                  for r in kernel_df.collect()}
     finally:
         L._LLOYD_INLINE_MAX_CELLS = orig
     assert inline == kernel
     assert inline[0] == (0, 3)  # tie broke to the lower cid
+    # the declared TYPES must not depend on the gate either: a
+    # full-width checksum hashes int32 and int64 differently even when
+    # every value prints the same (r14 "latent blemish"). Nullability
+    # legitimately differs (pandas_udf outputs are always nullable);
+    # simpleString compares exactly the type widths a checksum hashes.
+    assert (inline_df.schema.simpleString()
+            == kernel_df.schema.simpleString())
+    assert (inline_df.schema["best"].dataType["cid"].dataType
+            .simpleString() == "bigint")
 
 
 def test_mode_deterministic_tie_breaks_to_lowest(spark):
