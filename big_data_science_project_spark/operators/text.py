@@ -1567,23 +1567,35 @@ def lm_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     rest = d.filter(bk >= LM_REFRESH_PCT)
 
     # partial counts from the admitted batch (one batch-sized scan)
-    c12_b, _, _, _ = _lm_tables(admitted)
+    c12_b, c1_b, _, _ = _lm_tables(admitted)
     wdoc_b = _wdoc_counts(admitted)
 
-    # merge with the persisted tables — LM-sized aggregations only.
+    # merge with the persisted tables — LM-sized aggregations only,
+    # and each merge aggregation exactly ONCE (r15; the old shape
+    # re-derived c1 from the merged c12 and vocab/gvocab from a merged
+    # wdoc, recomputing the big c12 union+agg and the wdoc union+agg a
+    # second time each — 34 Exchanges / 20 scans in the plan).
     # The vocabulary merges through wdoc (per-(lang, w) doc counts):
     # union + re-sum, the same mergeable shape as c12 — and the SAME
     # artifact excision decrements, so adds and deletes are symmetric.
     c12_m = (spark.read.parquet(f"{root}/c12").unionByName(c12_b)
              .groupBy("lang", "w1", "w2")
              .agg(F.sum("c12").cast("bigint").alias("c12")))
-    c1_m = c12_m.groupBy("lang", "w1").agg(
-        F.sum("c12").cast("bigint").alias("c1"))
-    wdoc_m = (spark.read.parquet(f"{root}/wdoc").unionByName(wdoc_b)
-              .groupBy("lang", "w")
-              .agg(F.sum("doc_count").cast("bigint").alias("doc_count")))
-    vocab_m = wdoc_m.groupBy("lang").agg(F.count(F.lit(1)).alias("v"))
-    gvocab_m = wdoc_m.agg(F.countDistinct("w").alias("gv"))
+    # c1 = Σ_w2 c12 commutes with the union-sum: Σ_w2(root + batch) =
+    # Σ_w2 root + Σ_w2 batch = persisted c1 + the batch's own c1, and
+    # the (lang, w1) key sets coincide because every count is positive
+    # — so merge the two c1 tables directly instead of re-aggregating
+    # the merged c12
+    c1_m = (spark.read.parquet(f"{root}/c1").unionByName(c1_b)
+            .groupBy("lang", "w1")
+            .agg(F.sum("c1").cast("bigint").alias("c1")))
+    # vocab sizes are KEY-SET facts: doc_count >= 1 in both the
+    # persisted table and the batch counts, so the merged key set is
+    # exactly the union's and the distinct counts read straight off
+    # the union — no merge aggregation needed at all
+    wdoc_u = spark.read.parquet(f"{root}/wdoc").unionByName(wdoc_b)
+    vocab_m = wdoc_u.groupBy("lang").agg(F.countDistinct("w").alias("v"))
+    gvocab_m = wdoc_u.agg(F.countDistinct("w").alias("gv"))
 
     return _score_against_lm(rest, c12_m, c1_m, vocab_m, gvocab_m,
                              skew_split=lm_skew_split(sf_dir))

@@ -1318,17 +1318,13 @@ _GEN_MARKER = "_GEN_COMPLETE"
 
 
 def _part_complete(path: str) -> bool:
-    """A batch partition is readable iff its writer committed: plain
-    digest partitions carry Spark's ``_SUCCESS``; LM-ledger partitions
-    are a c12/wdoc PAIR and need both commits (a crash between the two
-    writes must invalidate the whole partition, or the netted c12
-    would pair with a stale/absent wdoc)."""
-    if os.path.exists(f"{path}/_SUCCESS"):
-        return True
-    if os.path.isdir(f"{path}/c12") or os.path.isdir(f"{path}/wdoc"):
-        return (os.path.exists(f"{path}/c12/_SUCCESS")
-                and os.path.exists(f"{path}/wdoc/_SUCCESS"))
-    return False
+    """A batch partition is readable iff its writer committed — i.e. it
+    carries Spark's ``_SUCCESS``. Digest partitions and LM-ledger
+    partitions share the layout: since r15 a ledger partition is ONE
+    signed table (both row kinds discriminated by w2 NULL-ness) rather
+    than a c12/wdoc pair, so one commit marker covers it and a crash
+    can never leave half a partition visible."""
+    return os.path.exists(f"{path}/_SUCCESS")
 
 
 def _mark_gen_complete(root: str, g: int) -> None:
@@ -1434,34 +1430,39 @@ def _compact_gen(spark: SparkSession, root: str, state: dict,
 # one lm_decrements/batch=K partition pair per takedown trigger and
 # nothing ever folded them: a bounded (LM-sized × batches) but
 # unbounded-in-batch-count leak. The ledger generalizes those
-# partitions into the loop's own persisted c12/wdoc state under the
-# SAME generationed lifecycle as the admitted-digest store:
+# partitions into the loop's own persisted signed-count state under
+# the SAME generationed lifecycle as the admitted-digest store:
 #
-#   lm_ledger/gen=G/batch=K/{c12,wdoc}   SIGNED mergeable count rows —
-#       an add trigger writes its batch's (+) counts, a takedown
-#       trigger its (−) counts (the exact rows operators/excision.py
-#       applies); a mixed trigger writes the two ops' NET in one
-#       partition (equal under the ledger's sum semantics). Both
-#       tables come out of ONE explode+agg job per trigger
-#       (_lm_ledger_write).
+#   lm_ledger/gen=G/batch=K   ONE SIGNED mergeable count table per
+#       trigger (r15 single-table layout; previously a c12/wdoc pair):
+#       bigram rows carry w2 (the c12 counts) and per-token document
+#       rows carry w2 NULL (the wdoc counts — a bigram can never have
+#       a NULL w2, so the null IS the row-kind discriminator). An add
+#       trigger writes its batch's (+) counts, a takedown trigger its
+#       (−) counts (the exact rows operators/excision.py applies); a
+#       mixed trigger writes the two ops' NET in one partition (equal
+#       under the ledger's sum semantics). The whole partition is ONE
+#       explode+agg+write job per trigger (_lm_ledger_write) under one
+#       _SUCCESS commit — the r14 pair layout needed a shared persisted
+#       aggregate, two filtered writes, and a two-marker commit rule.
 #   fold   _compact_lm_gen nets a generation's partitions by key
 #       (groupBy-sum, zero-net rows drop) into ONE partition in G+1 —
 #       start-of-trigger with the before=batch_id fence plus the
 #       end-of-stream sweep, exactly _compact_gen's discipline, so a
-#       foreachBatch retry can neither miss nor clobber a fold.
+#       foreachBatch retry can neither miss nor clobber a fold. One
+#       read+agg+write job (the pair layout paid two).
 #
 # The live LM at any instant = Σ(current generation's partitions),
-# c12 > 0 rows; because counts are mergeable the fold changes the net
-# table not at all, and the net table ≡ training from scratch on the
-# surviving add-row multiset — the decrement≡retrain proof, re-pinned
-# post-fold by tests/test_streaming_incremental.py (fifth use of the
-# pattern). Scale shape: each trigger's write is batch-sized (bigram
-# explode + agg on the trigger's docs only); the fold reads
-# ledger-sized tables (vocab × generations, never corpus) and runs
-# once per COMPACT_EVERY triggers.
+# n > 0 rows of each kind; because counts are mergeable the fold
+# changes the net table not at all, and the net table ≡ training from
+# scratch on the surviving add-row multiset — the decrement≡retrain
+# proof, re-pinned post-fold by tests/test_streaming_incremental.py
+# (fifth use of the pattern). Scale shape: each trigger's write is
+# batch-sized (bigram explode + agg on the trigger's docs only); the
+# fold reads ledger-sized tables (vocab × generations, never corpus)
+# and runs once per COMPACT_EVERY triggers.
 # ---------------------------------------------------------------------------
-_LM_C12_SCHEMA = "lang string, w1 string, w2 string, c12 bigint"
-_LM_WD_SCHEMA = "lang string, w string, doc_count bigint"
+_LM_LEDGER_SCHEMA = "lang string, w1 string, w2 string, n bigint"
 
 
 def _compact_lm_gen(spark: SparkSession, root: str, state: dict,
@@ -1471,7 +1472,8 @@ def _compact_lm_gen(spark: SparkSession, root: str, state: dict,
     see the ledger header). Keeps non-zero nets of EITHER sign — a
     negative net (a takedown of never-added content) stays a recorded
     debt rather than being silently dropped; the read side filters
-    c12 > 0 when materializing the live LM."""
+    n > 0 when materializing the live LM. NULL w2 groups as its own
+    key, so the document-count rows net exactly like the bigram rows."""
     g = state["gen"]
     parts = _gen_parts(root, g, before=before)
     if len(parts) < 2:
@@ -1479,19 +1481,12 @@ def _compact_lm_gen(spark: SparkSession, root: str, state: dict,
     g2 = g + 1
     max_k = max(int(p.rsplit("=", 1)[1]) for p in parts)
     dest = f"{root}/gen={g2}/batch={max_k}"
-    (spark.read.schema(_LM_C12_SCHEMA)
-     .parquet(*[f"{p}/c12" for p in parts])
+    (spark.read.schema(_LM_LEDGER_SCHEMA).parquet(*parts)
      .groupBy("lang", "w1", "w2")
-     .agg(F.sum("c12").cast("bigint").alias("c12"))
-     .filter(F.col("c12") != 0)
-     .write.mode("overwrite").parquet(f"{dest}/c12"))
-    (spark.read.schema(_LM_WD_SCHEMA)
-     .parquet(*[f"{p}/wdoc" for p in parts])
-     .groupBy("lang", "w")
-     .agg(F.sum("doc_count").cast("bigint").alias("doc_count"))
-     .filter(F.col("doc_count") != 0)
-     .write.mode("overwrite").parquet(f"{dest}/wdoc"))
-    _mark_gen_complete(root, g2)  # after BOTH halves (recovery header)
+     .agg(F.sum("n").cast("bigint").alias("n"))
+     .filter(F.col("n") != 0)
+     .write.mode("overwrite").parquet(dest))
+    _mark_gen_complete(root, g2)  # fold commit point (recovery header)
     state["gen"] = g2
 
 
@@ -1519,14 +1514,13 @@ def _lm_ledger_write(spark: SparkSession, dest: str,
                      adds: DataFrame | None,
                      excs: DataFrame | None) -> None:
     """One trigger's signed LM-ledger partition: a SINGLE
-    explode+aggregate job over the trigger's docs (adds sign +1,
-    takedowns −1) yields the netted counts of both tables, then two
-    LM-sized writes split them by the w2-null discriminator into the
-    pinned ``{dest}/{c12,wdoc}`` layout. Replaces two batch-scans
-    (bigram explode + tokens→distinct→agg) with one; zero-net rows
-    drop exactly as the fold would drop them (sum semantics
-    unchanged). The partition commits only when BOTH halves have
-    their _SUCCESS (``_part_complete``)."""
+    explode+aggregate+write job over the trigger's docs (adds sign +1,
+    takedowns −1) lands the netted counts of BOTH row kinds in the one
+    ``dest`` table (w2-null discriminates — ledger header). Zero-net
+    rows drop exactly as the fold would drop them (sum semantics
+    unchanged). One Spark commit == one _SUCCESS == _part_complete;
+    the r14 pair layout needed a persisted shared aggregate, two
+    filtered writes, and a both-halves commit rule for the same rows."""
     sides = [d.select("lang", F.lit(s).alias("sign"), "text")
              for d, s in ((adds, 1), (excs, -1)) if d is not None]
     src = sides[0] if len(sides) == 1 else sides[0].unionByName(sides[1])
@@ -1534,30 +1528,15 @@ def _lm_ledger_write(spark: SparkSession, dest: str,
     # bodies a repeated split() would defeat common-subexpression
     # elimination (lambda-variable scopes block CSE) — this way the
     # regex split runs once per row however many times `toks` appears
-    agg = (src.select("lang", "sign",
-                      F.split("text", " ").alias("toks"))
-           .select("lang", "sign",
-                   F.explode(F.expr(_LM_ROWS_EXPR)).alias("e"))
-           .groupBy("lang", F.col("e.w1").alias("w1"),
-                    F.col("e.w2").alias("w2"))
-           .agg(F.sum("sign").cast("bigint").alias("n"))
-           .filter(F.col("n") != 0)
-           .persist(StorageLevel.MEMORY_AND_DISK_DESER))
-    try:
-        # both halves filter the one persisted aggregate — overlap the
-        # two writes (§2.6; the BlockManager write lock materializes
-        # the shared cache exactly once whichever write touches it
-        # first). _part_complete still demands BOTH _SUCCESS markers.
-        _parallel_jobs(
-            lambda: (agg.filter(F.col("w2").isNotNull())
-                     .select("lang", "w1", "w2", F.col("n").alias("c12"))
-                     .write.mode("overwrite").parquet(f"{dest}/c12")),
-            lambda: (agg.filter(F.col("w2").isNull())
-                     .select("lang", F.col("w1").alias("w"),
-                             F.col("n").alias("doc_count"))
-                     .write.mode("overwrite").parquet(f"{dest}/wdoc")))
-    finally:
-        agg.unpersist()
+    (src.select("lang", "sign",
+                F.split("text", " ").alias("toks"))
+     .select("lang", "sign",
+             F.explode(F.expr(_LM_ROWS_EXPR)).alias("e"))
+     .groupBy("lang", F.col("e.w1").alias("w1"),
+              F.col("e.w2").alias("w2"))
+     .agg(F.sum("sign").cast("bigint").alias("n"))
+     .filter(F.col("n") != 0)
+     .write.mode("overwrite").parquet(dest))
 
 
 def _admission_gate(reps: DataFrame, base_dg: DataFrame,

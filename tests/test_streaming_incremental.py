@@ -486,6 +486,22 @@ def test_stream_excise_readmission_and_gate_state(spark):
     assert np.array_equal(st["bloom"].words, fresh.words)
 
 
+def _ledger_c12(spark, path):
+    """Bigram rows of a single-table ledger partition (w2 NOT NULL is
+    the row-kind discriminator — events.py ledger header)."""
+    from pyspark.sql import functions as F
+    return (spark.read.parquet(path).filter(F.col("w2").isNotNull())
+            .select("lang", "w1", "w2", F.col("n").alias("c12")))
+
+
+def _ledger_wdoc(spark, path):
+    """Per-token document-count rows of a ledger partition (w2 NULL)."""
+    from pyspark.sql import functions as F
+    return (spark.read.parquet(path).filter(F.col("w2").isNull())
+            .select("lang", F.col("w1").alias("w"),
+                    F.col("n").alias("doc_count")))
+
+
 def test_stream_excise_lm_decrements_equal_retrain(spark):
     """The takedown trigger's (negative) LM ledger rows are the exact
     mergeable decrement: full-batch c12/wdoc plus the streamed signed
@@ -514,8 +530,7 @@ def test_stream_excise_lm_decrements_equal_retrain(spark):
                  == STREAM_EXCISE_RES)
     surv = b0.filter(~take_pred)
 
-    d12 = (spark.read.parquet(f"{dec}/c12")
-           .withColumnRenamed("c12", "d12"))
+    d12 = _ledger_c12(spark, dec).withColumnRenamed("c12", "d12")
     c12_dec = (_lm_tables(b0)[0]
                .join(d12, ["lang", "w1", "w2"], "left")
                .select("lang", "w1", "w2",
@@ -525,8 +540,7 @@ def test_stream_excise_lm_decrements_equal_retrain(spark):
     want12 = sorted(map(tuple, _lm_tables(surv)[0].collect()))
     assert sorted(map(tuple, c12_dec.collect())) == want12
 
-    dwd = (spark.read.parquet(f"{dec}/wdoc")
-           .withColumnRenamed("doc_count", "dc"))
+    dwd = _ledger_wdoc(spark, dec).withColumnRenamed("doc_count", "dc")
     wdoc_dec = (_wdoc_counts(b0)
                 .join(dwd, ["lang", "w"], "left")
                 .select("lang", "w",
@@ -573,9 +587,9 @@ def test_lm_ledger_fold_preserves_decrement_equiv_retrain(spark,
                    if d.startswith("batch="))
     assert len(parts) == 1  # bounded by a constant, not trigger count
 
-    net12 = (spark.read.parquet(f"{gen_dir}/{parts[0]}/c12")
+    net12 = (_ledger_c12(spark, f"{gen_dir}/{parts[0]}")
              .filter(F.col("c12") > 0))
-    netwd = (spark.read.parquet(f"{gen_dir}/{parts[0]}/wdoc")
+    netwd = (_ledger_wdoc(spark, f"{gen_dir}/{parts[0]}")
              .filter(F.col("doc_count") > 0))
 
     # survivor add-row multiset: (b0 \ take) ∪ batch-2 rows (the
@@ -920,14 +934,15 @@ def test_torn_fold_recovery_falls_back_to_complete_generation(
     assert ev._gen_parts(root, 1) == [f"{root}/gen=1/batch=1"]
     assert ev._resume_floor(root, 1) == 2  # floor ignores the torn part
 
-    # LM pair completeness: c12 committed, wdoc torn -> part invisible
+    # LM ledger completeness (r15 single-table layout): a torn write
+    # (no _SUCCESS) is invisible exactly like a digest partition's
     lm = str(tmp_path / "lm")
-    spark.createDataFrame([("en", "a", "b", 1)], ev._LM_C12_SCHEMA) \
-        .write.mode("overwrite").parquet(f"{lm}/gen=0/batch=0/c12")
-    assert ev._gen_parts(lm, 0) == []
-    spark.createDataFrame([("en", "a", 1)], ev._LM_WD_SCHEMA) \
-        .write.mode("overwrite").parquet(f"{lm}/gen=0/batch=0/wdoc")
+    spark.createDataFrame([("en", "a", "b", 1), ("en", "a", None, 1)],
+                          ev._LM_LEDGER_SCHEMA) \
+        .write.mode("overwrite").parquet(f"{lm}/gen=0/batch=0")
     assert ev._gen_parts(lm, 0) == [f"{lm}/gen=0/batch=0"]
+    os.remove(f"{lm}/gen=0/batch=0/_SUCCESS")
+    assert ev._gen_parts(lm, 0) == []
 
 
 def test_excise_loop_resumes_past_torn_fold(spark):
