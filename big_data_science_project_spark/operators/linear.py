@@ -527,15 +527,24 @@ def lloyd_iterations(pts: DataFrame, cents: dict, iters: int) -> dict:
     update rule exists once. A cluster that captures no points in a
     round drops out of the dict (standard Lloyd's death; both mirrors
     reproduce it). Caller persists ``pts`` — it is read every round."""
+    # ONE parsed array-of-sums aggregate, built once and reused every
+    # round (r15): the per-column form (count + DIM separate
+    # F.sum(em[j]) Columns) paid ~0.4 s of Py4J round-trips PER
+    # ITERATION just constructing the plan — pure driver latency, the
+    # bloom-literal lesson (functions/bloom.py) applied to the
+    # aggregation list. The sums are the identical AggregateExpressions
+    # either way; array() only packages them, so every count and every
+    # truncating-division update is unchanged.
+    sums_expr = F.expr(
+        "array(" + ", ".join(f"sum(em[{j}])" for j in range(DIM)) + ")"
+    ).alias("s")
+    n_expr = F.expr("count(1)").alias("n")
     for _ in range(iters):
         sums = (_lloyd_assign(pts, cents)
                 .groupBy(F.col("best.cid").alias("cid"))
-                .agg(F.count(F.lit(1)).alias("n"),
-                     *[F.sum(F.col("em")[j]).alias(f"s{j}")
-                       for j in range(DIM)])
+                .agg(n_expr, sums_expr)
                 .collect())
-        cents = {r["cid"]: [_km_trunc_div(r[f"s{j}"], r["n"])
-                            for j in range(DIM)]
+        cents = {r["cid"]: [_km_trunc_div(s, r["n"]) for s in r["s"]]
                  for r in sums}
     return cents
 
