@@ -1611,12 +1611,29 @@ def _cell_check(new: DataFrame, idx: DataFrame) -> DataFrame:
             inrm = idf["inrm"].to_numpy(dtype="float64")
             best = np.empty(b, dtype="float64")
             step = max(1, (1 << 25) // max(1, m * DIM))
+            # running sum over the D axis instead of materializing the
+            # (chunk x M x D) product-prefix cube (r15): acc starts as
+            # the d=0 product plane and accumulates the d=1..D-1 planes
+            # strictly in order — the exact IEEE addition sequence of
+            # np.cumsum(...)[:, :, -1] (the _cos_pair_udf order),
+            # including the signed-zero of an all-zero dot, so every
+            # cosine is bit-identical. Peak temporaries drop D-fold
+            # (two chunk x M planes, ~8 MB at the 1<<25 sizing, vs two
+            # ~256 MB cubes — first-touch page cost at any corpus size)
+            buf = None
             for s in range(0, b, step):
                 e = min(b, s + step)
-                dots = np.cumsum(nm[s:e, None, :] * im[None, :, :],
-                                 axis=2)[:, :, -1]
-                best[s:e] = (dots / (nn[s:e, None] * inrm[None, :])
-                             ).max(axis=1)
+                acc = nm[s:e, None, 0] * im[None, :, 0]
+                if buf is None or buf.shape[0] < e - s:
+                    buf = np.empty_like(acc)
+                bv = buf[:e - s]
+                for d in range(1, DIM):
+                    np.multiply(nm[s:e, None, d], im[None, :, d], out=bv)
+                    acc += bv
+                # one divide by the norm PRODUCT, exactly as before —
+                # dividing by nn then inrm would round differently
+                acc /= nn[s:e, None] * inrm[None, :]
+                best[s:e] = acc.max(axis=1)
             out["best_cos"] = best
         return pd.DataFrame(out)
 
